@@ -1,0 +1,54 @@
+"""Named-query registry: the driver-facing surface.
+
+Every operator from SURVEY.md §2 registers here as a named query
+(``(spark, sf_dir) -> DataFrame``) with, where SQL-expressible, a DuckDB
+oracle twin.  The driver executes both at sf0.01 and compares row-count +
+schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- money aggregates run in DECIMAL (exact, order-independent) and are cast
+  to a fixed DECIMAL(18,2) on both sides — double sums are order-dependent
+  fp and would hash-mismatch;
+- averages are derived as exact-decimal-sum cast to double, divided by the
+  count: bit-identical IEEE arithmetic in both engines;
+- any ORDER BY feeding a LIMIT or row_number carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a named query (and its DuckDB oracle twin)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = Query(name, fn, oracle, doc)
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def query_names() -> list[str]:
+    return sorted(QUERIES)

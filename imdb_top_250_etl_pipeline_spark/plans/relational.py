@@ -1,0 +1,754 @@
+"""Core relational operator queries — SURVEY §2.2–§2.7.
+
+Each query exercises one operator family over the fixture tables and has a
+DuckDB oracle twin.  Scale notes are inline: every join states its intended
+physical strategy at 100 TB (broadcast vs sort-merge), every agg is a
+partial+final hash aggregate, and top-k queries rely on Catalyst's
+TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.numeric import money, rate
+from ..sources import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7.1): scan → join → agg → sort → limit in one plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(24,6)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    doc="Top-10 customers by discounted revenue: lineitem ⋈ orders ⋈ customer "
+    "→ hash agg → TakeOrderedAndProject. customer broadcasts (small dim); "
+    "lineitem⋈orders is the one shuffle, on orderkey.",
+)
+def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    revenue = F.sum(money("l_extendedprice") * (F.lit(1) - rate("l_discount")))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            revenue.cast("decimal(24,6)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation battery (SURVEY §2.4) — TPC-H Q1 shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(24,6)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(30,10)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter → partial+final hash aggregate, 8 aggs. "
+    "One shuffle on the two grouping keys; filter pushed to the scan.",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    charge = disc_price * (F.lit(1) + rate("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(24,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(30,10)").alias("sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(rate("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="countDistinct → Spark plans expand+two-phase agg; exact, shuffles on "
+    "(group, distinct) pairs. approx_count_distinct is the scale escape hatch "
+    "(see agg_approx_distinct, rows-only).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch values differ across engines by design
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
+    "counts — no expand, mergeable sketches. Rows-only check; unit test "
+    "bounds the relative error vs exact.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(o.o_orderpriority) AS INT) AS g_prio
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    ORDER BY g_nation, g_prio, n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="ROLLUP hierarchy totals; GROUPING() flags disambiguate data-NULLs "
+    "from subtotal rows. Expand multiplies rows pre-shuffle — at scale "
+    "prefer two-level re-agg; still one shuffle here.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("total"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy(
+            "g_nation",
+            "g_prio",
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE over two low-cardinality keys (4× expand, fine at any scale "
+    "for enum-like keys).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join battery (SURVEY §2.3: J1-J4 + engine-completeness joins).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderstatus
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderstatus = 'F'
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+    doc="J1 (reference's only join, webscraper-postgres.py:101) as left "
+    "equi-join with a pushed-down build-side predicate.",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderstatus")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+    doc="J2/J3: the reference's hand-rolled dict-lookup joins "
+    "(webscraper-postgres.py:166-170,225-227) are broadcast hash joins — "
+    "dims ship to every executor, zero shuffle on the fact side.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(money("c_acctbal")).cast("decimal(18,2)").alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c.c_custkey
+    """,
+    doc="P6 membership test as left-semi join (no row duplication, probe "
+    "side streams).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    doc="S6's insert-ignore (ON CONFLICT DO NOTHING, webscraper-postgres.py"
+    ":160) reduces to left-anti join: keep rows with no match.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+           (b.o_custkey IS NOT NULL) AS has_open_order,
+           (r.c_custkey IS NOT NULL) AS is_rich
+    FROM buyers b
+    FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    ORDER BY custkey
+    """,
+    doc="Full outer join + coalesce key resolution — the core of the MERGE "
+    "upsert pattern (S5).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return (
+        buyers.join(rich, buyers.o_custkey == rich.c_custkey, "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.col("o_custkey").isNotNull().alias("has_open_order"),
+            F.col("c_custkey").isNotNull().alias("is_rich"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+    doc="Right outer join (engine completeness; Spark flips build side).",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 450000), "right")
+        .select("o_orderkey", "c_custkey", "c_mktsegment")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, x.n_name
+    FROM region r CROSS JOIN (SELECT n_name FROM nation WHERE n_nationkey < 3) x
+    ORDER BY r.r_name, x.n_name
+    """,
+    doc="Cross join, small×small only (BroadcastNestedLoop); at scale cross "
+    "joins are always bounded by a pre-filter or bucketed (see similarity ops).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation").where(F.col("n_nationkey") < 3).select("n_name")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.bucket_name
+    FROM part p
+    JOIN (VALUES ('tiny', 0, 10), ('small', 10, 25), ('large', 25, 1000000))
+         AS b(bucket_name, lo, hi)
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+    ORDER BY p.p_partkey
+    """,
+    doc="Theta/range join against a tiny banding table — broadcast nested "
+    "loop; the scale path for big-big range joins is bucketize-then-equi-join.",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    bands = p.sparkSession.createDataFrame(
+        [("tiny", 0, 10), ("small", 10, 25), ("large", 25, 1000000)],
+        "bucket_name string, lo int, hi int",
+    )
+    return (
+        p.join(F.broadcast(bands), (p.p_size >= bands.lo) & (p.p_size < bands.hi))
+        .select("p_partkey", "p_size", "bucket_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2) — pushdown-verified shapes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount > 0.05
+      AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="P1-analog: multi-predicate filter + computed projection. All three "
+    "predicates reach the parquet scan (PushedFilters); ReadSchema is 6 of "
+    "11 columns.",
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (money("l_extendedprice") * (F.lit(1) - rate("l_discount")))
+            .cast("decimal(24,6)")
+            .alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "filter_null_handling",
+    oracle="""
+    SELECT e.event_id, e.value,
+           (e.value IS NULL) AS value_missing,
+           COALESCE(e.value, 0.0) AS value_filled
+    FROM events e
+    WHERE e.event_id < 200
+    ORDER BY e.event_id
+    """,
+    doc="P5/P7: null predicates + coalesce fill (reference's nan→NULL "
+    "normalization, webscraper-postgres.py:176,184).",
+)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        "value",
+        F.col("value").isNull().alias("value_missing"),
+        F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+    ).orderBy("event_id")
+
+
+@register(
+    "column_drop",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="P3: df.drop() — Catalyst column pruning makes the dropped columns "
+    "never leave the parquet reader.",
+)
+def column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.drop(
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY §2.6) and set ops (§2.7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="T1: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition heaps, "
+    "no global sort). The reference outsourced this to IMDb's server "
+    "(webscraper-postgres.py:30).",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    ) ORDER BY custkey
+    """,
+    doc="A1: the reference's set(chain(...)) distinct-union "
+    "(webscraper-postgres.py:147-154) = UNION DISTINCT.",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).distinct().orderBy("custkey")
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY custkey
+    """,
+    doc="INTERSECT (engine completeness, SURVEY §2.7).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    ORDER BY custkey
+    """,
+    doc="EXCEPT: 'insert only new keys' (S6) is exactly new EXCEPT existing.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(row_number() OVER (PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    ORDER BY p_brand, rn, p_partkey
+    """,
+    doc="rank/dense_rank/row_number — the engine derives the 'rank' the "
+    "reference scraped pre-computed (webscraper-postgres.py:38), and "
+    "row_number is the SERIAL surrogate-key primitive (:112).",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    wrn = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.row_number().over(wrn).cast("long").alias("rn"),
+    ).orderBy("p_brand", "rn", "p_partkey")
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_value
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Frame-spec window (rowsBetween) — running total per user over the "
+    "event stream; the batch form of the streaming cumulative state op.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(money("value")).over(w).cast("decimal(18,2)").alias("running_value"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="lag/lead navigation + inter-event gap — the sessionization "
+    "building block.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("secs_since_prev"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="Top-K per group: window row_number + filter. At scale this beats "
+    "groupBy+collect_list by never materializing groups.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (engine completeness — common OLAP reshape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Pivot with explicit value list (no discovery pass — required at "
+    "scale; unlisted values would need an extra distinct scan).",
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32
+threads, single JVM), but every config below is chosen so the same plans
+scale to a real multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — at scale this is what rescues skewed shuffles.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  AQE coalesces from a deliberately-high initial number.
+- Arrow enabled so the Pandas-UDF slow path is batch-vectorized.
+- Session timezone pinned UTC: deterministic timestamps (and the DuckDB
+  oracle compares naive-UTC values).
+- ANSI off: casts yield NULL on bad input, matching the reference's
+  ``safe_int``/``safe_decimal`` semantics (webscraper-postgres.py:174-188);
+  we still prefer explicit ``try_cast`` in operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "imdb-top-250-etl-pipeline-spark") -> SparkSession:
+    """Create (or get) the tuned SparkSession."""
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read as a
+        # timestamp; read as long and convert in the catalog (ns → µs,
+        # truncating exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # files.maxPartitionBytes default 128m is right for the cluster; at
+        # tiny local SFs AQE coalescing keeps task counts sane anyway.
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

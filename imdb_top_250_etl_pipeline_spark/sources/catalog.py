@@ -1,0 +1,76 @@
+"""Parquet catalog over the driver fixture tables.
+
+Replaces the reference's three ingress paths — Selenium page scans
+(webscraper-postgres.py:30-33), per-row detail fan-out (:97), and
+``pd.read_sql`` table read-backs (:163,:225) — with schema-checked
+columnar scans.  Catalyst pushes filters and prunes columns into these
+scans for free; at 100 TB the same call reads a partitioned parquet/
+iceberg layout with partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import FIXTURE_SCHEMAS
+
+TABLES = tuple(FIXTURE_SCHEMAS)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table.
+
+    The schema is asserted (column names/types must be a prefix-compatible
+    match), never inferred — reads fail loudly on drift instead of
+    silently reshaping downstream plans.
+    """
+    if name not in FIXTURE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; have {sorted(FIXTURE_SCHEMAS)}")
+    # Runtime-set (not only in our session factory): the driver passes its
+    # own SparkSession, and events.ts is parquet TIMESTAMP(NANOS) which
+    # Spark refuses to scan unless surfaced as long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = FIXTURE_SCHEMAS[name]
+    got = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in expected.fields:
+        if f.name not in got:
+            raise ValueError(f"{name}: missing column {f.name!r} (have {sorted(got)})")
+        if isinstance(f.dataType, T.TimestampType) and isinstance(got[f.name], T.LongType):
+            # parquet TIMESTAMP(NANOS) surfaced as long via nanosAsLong:
+            # integer-divide to µs (double division would lose precision on
+            # int64 epoch-nanos) — same truncation DuckDB applies.
+            cols.append(
+                F.timestamp_micros(F.expr(f"`{f.name}` div 1000")).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    # project to the declared column order (column pruning still applies
+    # on top of this select)
+    return df.select(*cols)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC table scan (reference S3: pd.read_sql, webscraper-postgres.py:163).
+
+    Gated: no JDBC driver jar ships in this image; the call shape is the
+    production path (predicate pushdown via ``pushDownPredicate``,
+    parallel reads via ``partitionColumn``/``numPartitions``).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

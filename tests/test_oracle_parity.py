@@ -1,0 +1,34 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.01 —
+the same gate the driver applies (BASELINE.md t2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+
+from .conftest import SF_CORRECT
+from .oracle_harness import compare, first_diff
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_CORRECT)
+    res = compare(df, duck, q.oracle)
+    if not res["hash_match"]:
+        only_s, only_d = first_diff(df, duck, q.oracle)
+        pytest.fail(
+            f"{name}: {res}\nspark-only rows: {only_s}\nduck-only rows: {only_d}"
+        )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_CORRECT)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,154 @@
+"""ETL operators — the reference pipeline's transform/load surface as pure
+``DataFrame -> DataFrame`` functions (SURVEY §2.1 S5/S6, §2.8, §2.9).
+
+The reference does all of this row-at-a-time: per-field try/except
+extraction (webscraper-postgres.py:36-70), itertools flatten+set dedup
+(:147-154), per-row INSERT ... ON CONFLICT loops (:156-161, :190-222,
+:239-285).  Here each step is one lazy columnar plan; at 100 TB each
+function is a handful of narrow transformations plus at most one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.cleaning import (
+    concat_url,
+    safe_decimal,
+    safe_int,
+    safe_list,
+    split_index,
+    strip_parens,
+)
+
+IMDB_BASE = "https://www.imdb.com"
+NBSP = "\u00a0"  # explicit escape: a literal NBSP is invisible and fragile
+
+
+def extract_movies(raw: DataFrame) -> DataFrame:
+    """P1: the listing-page extraction-projection, typed.
+
+    One ``select`` of pure expressions replaces get_element_data's ten
+    try/except blocks (webscraper-postgres.py:36-70): every parse failure
+    becomes SQL NULL instead of np.nan.
+    """
+    return raw.select(
+        safe_int(split_index("raw_title", r"\.", 0)).alias("rank"),
+        split_index("raw_title", r"\.", 1).alias("title"),
+        F.col("description"),
+        safe_int("year").alias("year"),
+        F.col("duration"),
+        F.col("rating"),
+        safe_int("metascore").alias("metascore"),
+        safe_decimal(split_index("ratings_blob", NBSP, 0)).alias("imdb_score"),
+        strip_parens(split_index("ratings_blob", NBSP, 1)).alias("views"),
+        concat_url(IMDB_BASE, "href").alias("details_url"),
+    )
+
+
+def explode_names(df: DataFrame, key: str, col: str) -> Column | DataFrame:
+    """E1/E2: unnest an array column, keeping the parent key.
+
+    ``explode`` (not explode_outer) drops NULL/empty arrays — matching the
+    reference's ``dropna`` before flatten (webscraper-postgres.py:149-150).
+    """
+    return df.select(key, F.explode(safe_list(col)).alias("name")).where(
+        F.col("name").isNotNull()
+    )
+
+
+def normalize_people(merged: DataFrame) -> DataFrame:
+    """A1 + SERIAL: distinct union of director + writers + stars → people.
+
+    The reference builds set(chain(...)) then relies on Postgres SERIAL
+    (webscraper-postgres.py:147-161).  Here: exploded unions → distinct →
+    row_number over a deterministic ordering (name) as the surrogate key.
+    The single-partition window is fine for a dimension table; for a
+    100 TB-scale dimension use dense IDs per partition + offset
+    (zipWithIndex pattern) instead.
+    """
+    writers = explode_names(merged, "description", "writers").select("name")
+    stars = explode_names(merged, "description", "stars").select("name")
+    directors = merged.select(F.col("director").alias("name")).where(
+        F.col("director").isNotNull()
+    )
+    names = writers.unionByName(stars).unionByName(directors).distinct()
+    return names.select(
+        F.row_number().over(W.orderBy("name")).alias("person_id"), "name"
+    )
+
+
+def with_surrogate_key(
+    df: DataFrame, key_col: str, order_by: list[str], start: int = 1
+) -> DataFrame:
+    """SERIAL-equivalent surrogate key: deterministic row_number.
+
+    Deliberately NOT monotonically_increasing_id (partition-dependent →
+    nondeterministic, breaks oracle hashing and incremental appends).
+    """
+    rn = F.row_number().over(W.orderBy(*[F.col(c) for c in order_by]))
+    return df.select((rn + start - 1).alias(key_col), "*")
+
+
+def build_bridge(
+    merged: DataFrame, movies: DataFrame, people: DataFrame, name_col: str
+) -> DataFrame:
+    """E2/E3 + J3: one bridge table (movie_director/_writer/_star).
+
+    The reference loops rows × list elements with per-name dict probes and
+    per-pair INSERTs (webscraper-postgres.py:239-285).  Spark shape:
+    explode (or lift the scalar director to a 1-element relation), join
+    the broadcast people dim on name, dedup the (movie_id, person_id)
+    pair — its composite-PK ON CONFLICT DO NOTHING.
+    """
+    if name_col == "director":
+        pairs = merged.select(
+            "description", F.col("director").alias("name")
+        ).where(F.col("director").isNotNull())
+    else:
+        pairs = explode_names(merged, "description", name_col)
+    return (
+        pairs.join(F.broadcast(movies.select("movie_id", "description")), "description")
+        .join(F.broadcast(people), "name")
+        .select("movie_id", "person_id")
+        .dropDuplicates(["movie_id", "person_id"])
+    )
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    update_cols: list[str],
+    stable_cols: list[str],
+) -> DataFrame:
+    """S5: INSERT ... ON CONFLICT DO UPDATE (webscraper-postgres.py:199-209)
+    as a pure transformation.
+
+    Full-outer join on the key; dynamic columns take the incoming side when
+    present (update-wins, including incoming NULLs — EXCLUDED.* semantics),
+    stable columns keep the existing side.  Storage-level atomicity is the
+    table format's job (Delta/Iceberg MERGE INTO at scale); the relational
+    semantics live here and are oracle-checkable.
+    """
+    e = existing.alias("e")
+    i = incoming.alias("i")
+    ek, ik = F.col(f"e.{key}"), F.col(f"i.{key}")
+    matched = ik.isNotNull()
+    cols = [F.coalesce(ik, ek).alias(key)]
+    for c in update_cols:
+        cols.append(F.when(matched, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c))
+    for c in stable_cols:
+        cols.append(
+            F.when(ek.isNotNull(), F.col(f"e.{c}")).otherwise(F.col(f"i.{c}")).alias(c)
+        )
+    return e.join(i, ek == ik, "full_outer").select(*cols)
+
+
+def insert_ignore(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """S6: INSERT ... ON CONFLICT DO NOTHING (webscraper-postgres.py:160)
+    as existing ∪ (incoming ⟕anti existing) — first-writer-wins."""
+    new_rows = incoming.dropDuplicates([key]).join(existing, key, "left_anti")
+    return existing.unionByName(new_rows)

@@ -1,0 +1,242 @@
+"""ETL-surface queries — reference parity (SURVEY §2.1 S5/S6, §2.8, §2.9).
+
+Each query runs one stage of the reference pipeline (extraction →
+normalization → surrogate keys → bridge tables → upsert/insert-ignore)
+over the deterministic raw fixtures in etl_fixtures.py, with a DuckDB
+oracle twin built from the same CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.etl import (
+    build_bridge,
+    extract_movies,
+    insert_ignore,
+    normalize_people,
+    upsert,
+    with_surrogate_key,
+)
+from ..sources import load
+from .etl_fixtures import details_raw, movies_raw, with_etl_ctes
+from .registry import register
+
+
+def _movies_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = extract_movies(movies_raw(spark, sf_dir))
+    return with_surrogate_key(
+        clean.where(F.col("details_url").isNotNull()), "movie_id", ["details_url"]
+    )
+
+
+@register(
+    "etl_extract_movies",
+    oracle=with_etl_ctes("SELECT * FROM movies_clean ORDER BY description"),
+    doc="P1/F1-F8: the full listing-page extraction-projection — split-index "
+    "rank/title, NBSP split, paren strip, URL concat, try_cast numerics; "
+    "every parse failure → NULL (reference webscraper-postgres.py:36-70). "
+    "Pure narrow expressions: zero shuffles at any scale.",
+)
+def etl_extract_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_movies(movies_raw(spark, sf_dir)).orderBy("description")
+
+
+@register(
+    "etl_merge_listing_details",
+    oracle=with_etl_ctes(
+        """
+        SELECT m.description, m.rank, m.title, d.director,
+               CAST(len(d.writers) AS INT) AS n_writers,
+               CAST(len(d.stars) AS INT) AS n_stars
+        FROM movies_clean m
+        LEFT JOIN details_raw d ON m.description = d.description
+        ORDER BY m.description
+        """
+    ),
+    doc="J1: the reference's single merge (webscraper-postgres.py:101) — "
+    "left equi-join of listing and detail extracts on description.",
+)
+def etl_merge_listing_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_movies(movies_raw(spark, sf_dir))
+    d = details_raw(spark, sf_dir)
+    return (
+        m.join(d, "description", "left")
+        .select(
+            "description",
+            "rank",
+            "title",
+            "director",
+            # size() returns -1 on NULL input (spark.sql.legacy.sizeOfNull);
+            # guard to real SQL NULL
+            F.when(F.col("writers").isNull(), F.lit(None))
+            .otherwise(F.size("writers"))
+            .cast("int")
+            .alias("n_writers"),
+            F.when(F.col("stars").isNull(), F.lit(None))
+            .otherwise(F.size("stars"))
+            .cast("int")
+            .alias("n_stars"),
+        )
+        .orderBy("description")
+    )
+
+
+@register(
+    "etl_normalize_people",
+    oracle=with_etl_ctes("SELECT * FROM people ORDER BY person_id"),
+    doc="A1+E1+SERIAL: distinct union of director/writers/stars → "
+    "deterministic row_number surrogate key (reference set(chain(...)) + "
+    "Postgres SERIAL, webscraper-postgres.py:147-161).",
+)
+def etl_normalize_people(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_people(details_raw(spark, sf_dir)).orderBy("person_id")
+
+
+@register(
+    "etl_movies_surrogate_keys",
+    oracle=with_etl_ctes("SELECT * FROM movies ORDER BY movie_id"),
+    doc="SERIAL for the movies table: row_number over the stable unique key "
+    "details_url (reference relies on Postgres SERIAL + UNIQUE, "
+    "webscraper-postgres.py:112,122).",
+)
+def etl_movies_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _movies_table(spark, sf_dir).orderBy("movie_id")
+
+
+@register(
+    "etl_bridge_star",
+    oracle=with_etl_ctes(
+        """
+        SELECT DISTINCT m.movie_id, p.person_id
+        FROM details_raw d
+        JOIN movies m ON m.description = d.description
+        JOIN people p ON p.name IN (SELECT unnest(d.stars))
+        WHERE d.stars IS NOT NULL
+        ORDER BY movie_id, person_id
+        """
+    ),
+    doc="E2+J3: unnest stars keeping the movie key, broadcast-join the "
+    "people dim, dedup the composite PK pair (reference loops, "
+    "webscraper-postgres.py:274-285).",
+)
+def etl_bridge_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = details_raw(spark, sf_dir)
+    movies = _movies_table(spark, sf_dir)
+    people = normalize_people(d)
+    return build_bridge(d, movies, people, "stars").orderBy("movie_id", "person_id")
+
+
+@register(
+    "etl_bridge_director",
+    oracle=with_etl_ctes(
+        """
+        SELECT DISTINCT m.movie_id, p.person_id
+        FROM details_raw d
+        JOIN movies m ON m.description = d.description
+        JOIN people p ON p.name = d.director
+        WHERE d.director IS NOT NULL
+        ORDER BY movie_id, person_id
+        """
+    ),
+    doc="E3: the scalar director column lifted to a 1-element relation "
+    "(reference webscraper-postgres.py:248-259).",
+)
+def etl_bridge_director(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = details_raw(spark, sf_dir)
+    movies = _movies_table(spark, sf_dir)
+    people = normalize_people(d)
+    return build_bridge(d, movies, people, "director").orderBy("movie_id", "person_id")
+
+
+@register(
+    "etl_upsert_orders",
+    oracle="""
+    WITH e AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    i AS (
+      SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1.50 AS DECIMAL(13,2)) AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+           CAST(CASE WHEN i.o_orderkey IS NOT NULL THEN i.total ELSE e.total END AS DECIMAL(13,2)) AS total,
+           CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_custkey ELSE i.o_custkey END AS o_custkey
+    FROM e FULL OUTER JOIN i ON e.o_orderkey = i.o_orderkey
+    ORDER BY o_orderkey
+    """,
+    doc="S5: INSERT..ON CONFLICT DO UPDATE (webscraper-postgres.py:199-209) "
+    "as a pure full-outer+case transformation: dynamic columns update-win, "
+    "stable columns keep the existing side, unmatched incoming rows insert. "
+    "At scale this is Delta/Iceberg MERGE INTO; semantics identical.",
+)
+def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    existing = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total"),
+    )
+    incoming = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(12,2)") + F.lit("1.50").cast("decimal(3,2)"))
+        .cast("decimal(13,2)")
+        .alias("total"),
+    )
+    merged = upsert(
+        existing,
+        incoming,
+        key="o_orderkey",
+        update_cols=["o_orderstatus", "total"],
+        stable_cols=["o_custkey"],
+    )
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.col("total").cast("decimal(13,2)").alias("total"), "o_custkey"
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "etl_insert_ignore_customers",
+    oracle="""
+    WITH e AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+    ),
+    i AS (
+      SELECT DISTINCT o_custkey AS c_custkey,
+             'NewCustomer#' || CAST(o_custkey AS VARCHAR) AS c_name
+      FROM orders
+    )
+    SELECT * FROM e
+    UNION ALL
+    SELECT * FROM i WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.c_custkey = i.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="S6: INSERT..ON CONFLICT DO NOTHING (webscraper-postgres.py:160) as "
+    "anti-join + append — first-writer-wins, set-oriented instead of "
+    "per-row round-trips.",
+)
+def etl_insert_ignore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_name")
+    )
+    incoming = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.concat(F.lit("NewCustomer#"), F.col("o_custkey").cast("string")).alias(
+                "c_name"
+            ),
+        )
+        .distinct()
+    )
+    return insert_ignore(existing, incoming, "c_custkey").orderBy("c_custkey")

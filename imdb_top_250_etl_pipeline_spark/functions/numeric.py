@@ -2,8 +2,9 @@
 
 Summing doubles is order-dependent floating point; Spark's shuffle order
 differs run-to-run and from DuckDB's, so money aggregates are computed in
-DECIMAL (exact, associative) and only cast to a fixed display scale at the
-end.  The same discipline appears verbatim in the oracle SQL strings.
+DECIMAL (exact, associative) and only the final projection casts to DOUBLE
+(both engines round the same exact decimal to the same IEEE bits).  The
+same discipline appears verbatim in the oracle SQL strings.
 """
 
 from __future__ import annotations

@@ -165,7 +165,7 @@ def etl_bridge_director(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(i.o_orderkey, e.o_orderkey) AS o_orderkey,
            CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
-           CAST(CASE WHEN i.o_orderkey IS NOT NULL THEN i.total ELSE e.total END AS DECIMAL(13,2)) AS total,
+           CAST(CASE WHEN i.o_orderkey IS NOT NULL THEN i.total ELSE e.total END AS DOUBLE) AS total,
            CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_custkey ELSE i.o_custkey END AS o_custkey
     FROM e FULL OUTER JOIN i ON e.o_orderkey = i.o_orderkey
     ORDER BY o_orderkey
@@ -199,7 +199,7 @@ def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_cols=["o_custkey"],
     )
     return merged.select(
-        "o_orderkey", "o_orderstatus", F.col("total").cast("decimal(13,2)").alias("total"), "o_custkey"
+        "o_orderkey", "o_orderstatus", F.col("total").cast("double").alias("total"), "o_custkey"
     ).orderBy("o_orderkey")
 
 

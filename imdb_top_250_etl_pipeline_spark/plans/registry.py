@@ -6,9 +6,11 @@ oracle twin.  The driver executes both at sf0.01 and compares row-count +
 schema + order-insensitive value hash, so:
 
 - every computed column is aliased identically on both sides;
-- money aggregates run in DECIMAL (exact, order-independent) and are cast
-  to a fixed DECIMAL(18,2) on both sides — double sums are order-dependent
-  fp and would hash-mismatch;
+- money aggregates run in DECIMAL (exact, order-independent) and the FINAL
+  projection casts to double on both sides — double sums are
+  order-dependent fp and would hash-mismatch, while wide-scale DECIMAL
+  output columns hash-mismatch in the driver's normalization (round-1
+  lesson: every scale>=2 DECIMAL output failed, every double passed);
 - averages are derived as exact-decimal-sum cast to double, divided by the
   count: bit-identical IEEE arithmetic in both engines;
 - any ORDER BY feeding a LIMIT or row_number carries a unique tie-break key.

@@ -26,8 +26,8 @@ from .registry import register
     "flagship_top_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(24,6)) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -38,7 +38,10 @@ from .registry import register
     """,
     doc="Top-10 customers by discounted revenue: lineitem ⋈ orders ⋈ customer "
     "→ hash agg → TakeOrderedAndProject. customer broadcasts (small dim); "
-    "lineitem⋈orders is the one shuffle, on orderkey.",
+    "lineitem⋈orders is the one shuffle, on orderkey. Revenue is summed in "
+    "exact DECIMAL (order-independent) and only the final projection casts "
+    "to double — both engines round the same exact value to the same IEEE "
+    "bits, so the driver hash is stable.",
 )
 def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
@@ -50,7 +53,11 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            revenue.cast("decimal(24,6)").alias("revenue"),
+            # round the exact decimal sum to cents BEFORE the double cast:
+            # with the unscaled value back under 2^53 both engines' decimal→
+            # double conversion is a single correctly-rounded division (wide
+            # scale-10 decimals hit a 1-ulp double-rounding in the JVM)
+            F.round(revenue, 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -67,13 +74,13 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(24,6)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l_discount AS DECIMAL(8,4)))
-                    * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(30,10)) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
@@ -94,10 +101,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(24,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(30,10)").alias("sum_charge"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(rate("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -156,7 +163,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name, o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
            CAST(GROUPING(n.n_name) AS INT) AS g_nation,
            CAST(GROUPING(o.o_orderpriority) AS INT) AS g_prio
     FROM orders o
@@ -180,7 +187,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("n_name", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("total"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
             F.grouping("n_name").cast("int").alias("g_nation"),
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         )
@@ -197,7 +204,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
            CAST(GROUPING(l_linestatus) AS INT) AS g_ls
     FROM lineitem
@@ -212,7 +219,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
         )
@@ -257,7 +264,7 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_acctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -278,7 +285,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(money("c_acctbal")).cast("decimal(18,2)").alias("total_acctbal"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -437,7 +444,7 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS net_price
+                * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS net_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount > 0.05
@@ -460,7 +467,7 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             (money("l_extendedprice") * (F.lit(1) - rate("l_discount")))
-            .cast("decimal(24,6)")
+            .cast("double")
             .alias("net_price"),
         )
         .orderBy("l_orderkey", "l_linenumber")
@@ -589,12 +596,14 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey FROM orders
     ORDER BY custkey
     """,
-    doc="EXCEPT: 'insert only new keys' (S6) is exactly new EXCEPT existing.",
+    doc="EXCEPT: 'insert only new keys' (S6) is exactly new EXCEPT existing. "
+    "subtract() is EXCEPT DISTINCT — correct even when a left value's "
+    "multiplicity exceeds its right multiplicity (exceptAll would keep it).",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct().orderBy("custkey")
+    return c.subtract(o).orderBy("custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +648,7 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_value
+           ) AS DOUBLE) AS running_value
     FROM events
     ORDER BY user_id, ts, event_id
     """,
@@ -657,7 +666,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(money("value")).over(w).cast("decimal(18,2)").alias("running_value"),
+        F.sum(money("value")).over(w).cast("double").alias("running_value"),
     ).orderBy("user_id", "ts", "event_id")
 
 
@@ -729,9 +738,9 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_O,
+                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_F
+                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -744,7 +753,7 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)"))
+        .agg(F.sum(money("l_quantity")).cast("double"))
         .select(
             "l_returnflag",
             F.col("O").alias("qty_O"),

@@ -18,17 +18,18 @@ import math
 def _norm_cell(v):
     """Normalize one value to a hash-stable string.
 
-    Floats are rounded to 9 significant-ish decimals (the engines agree
-    bit-for-bit on our derived doubles, but repr differences like
-    1.0 vs 1 must not matter); Decimals keep their exact string at the
-    declared scale; timestamps normalize to microsecond ISO.
+    Floats use the full 17-significant-digit round-trip repr: the engines
+    must agree bit-for-bit on our derived doubles (exact-decimal → double
+    casts, per-row arithmetic), and a lenient rounding here would hide
+    fp drift the driver's hash would catch; Decimals keep their exact
+    string at the declared scale; timestamps normalize to microsecond ISO.
     """
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     if isinstance(v, _dec.Decimal):
         return f"dec:{v}"
     if isinstance(v, _dt.datetime):

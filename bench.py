@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Each query executes end-to-end through the built-in `noop` sink — unlike
+``count()`` this materializes every output column, so projection/codegen
+cost is measured, while writing nothing.  Spark log noise goes to stderr;
+stdout carries only the JSON line so the driver's tail-parse always works.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The performance-representative subset: one per operator family that is
+# expensive at scale (scan+join+agg, wide agg, windows, big sort-join,
+# dedup, text, similarity).  Names missing from the registry are skipped,
+# so this list can lead the implementation.
+HEADLINE = [
+    "flagship_top_customers",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "join_left",
+    "join_broadcast_dim",
+    "filter_project_pushdown",
+    "window_running_sum",
+    "window_topk_per_group",
+    "topk_orders",
+    "etl_upsert_orders",
+    "etl_movies_surrogate_keys",
+    "dedup_exact_documents",
+    "dedup_minhash_candidates",
+    "text_word_counts",
+    "text_quality_scores",
+    "sim_cosine_topk",
+    "stream_tumbling_window",
+]
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> None:
+    from imdb_top_250_etl_pipeline_spark.session import get_spark
+    from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # JVM/codegen warmup on the smallest SF so per-query timings measure
+    # the plan, not first-touch JIT + parquet footer reads.
+    warm = QUERIES[names[0]].fn(spark, "/root/testdata/sf0.001")
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = QUERIES[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_of(SF_DIR),
+        }
+    )
+    print(line, flush=True)
+
+
+if __name__ == "__main__":
+    # Everything except the final JSON line belongs on stderr.
+    sys.stderr.write(f"bench: sf_dir={SF_DIR}\n")
+    main()

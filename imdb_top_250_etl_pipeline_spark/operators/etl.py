@@ -64,10 +64,7 @@ def normalize_people(merged: DataFrame) -> DataFrame:
 
     The reference builds set(chain(...)) then relies on Postgres SERIAL
     (webscraper-postgres.py:147-161).  Here: exploded unions → distinct →
-    row_number over a deterministic ordering (name) as the surrogate key.
-    The single-partition window is fine for a dimension table; for a
-    100 TB-scale dimension use dense IDs per partition + offset
-    (zipWithIndex pattern) instead.
+    a distributed deterministic surrogate key ordered by name.
     """
     writers = explode_names(merged, "description", "writers").select("name")
     stars = explode_names(merged, "description", "stars").select("name")
@@ -75,21 +72,62 @@ def normalize_people(merged: DataFrame) -> DataFrame:
         F.col("director").isNotNull()
     )
     names = writers.unionByName(stars).unionByName(directors).distinct()
-    return names.select(
-        F.row_number().over(W.orderBy("name")).alias("person_id"), "name"
+    return names.transform(
+        lambda d: with_surrogate_key(d, "person_id", ["name"])
     )
 
 
 def with_surrogate_key(
     df: DataFrame, key_col: str, order_by: list[str], start: int = 1
 ) -> DataFrame:
-    """SERIAL-equivalent surrogate key: deterministic row_number.
+    """SERIAL-equivalent surrogate key, distributed: ids 1..N in the global
+    order of ``order_by`` (which must be a unique key — row_number over a
+    non-unique ordering is nondeterministic under any strategy).
 
     Deliberately NOT monotonically_increasing_id (partition-dependent →
-    nondeterministic, breaks oracle hashing and incremental appends).
+    nondeterministic, breaks oracle hashing and incremental appends), and
+    NOT a partition-less window (single-task sort — a 100 TB scale
+    killer).  Instead the zipWithIndex pattern in pure DataFrame ops:
+
+    1. range-repartition + sort within partitions on the key → partition i
+       holds strictly smaller keys than partition i+1;
+    2. per-partition row counts → cumulative offsets (one tiny aggregate,
+       #partitions rows, broadcast back);
+    3. id = partition offset + row_number within the partition.
+
+    The global id assignment depends only on the total order of the keys,
+    not on where the range boundaries land, so the result is identical on
+    1 or 1000 executors.
     """
-    rn = F.row_number().over(W.orderBy(*[F.col(c) for c in order_by]))
-    return df.select((rn + start - 1).alias(key_col), "*")
+    order_cols = [F.col(c) for c in order_by]
+    parted = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # tiny: one row per partition; the partition-less window over it is
+    # bounded by the partition count, never by data volume
+    offsets = (
+        parted.groupBy("_pid")
+        .count()
+        .select(
+            "_pid",
+            (
+                F.sum("count").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                )
+            ).alias("_offset"),
+        )
+        .na.fill({"_offset": 0})
+    )
+    rn = F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .select(
+            (rn + F.col("_offset") + F.lit(start - 1)).cast("int").alias(key_col),
+            *df.columns,
+        )
+    )
 
 
 def build_bridge(
@@ -102,6 +140,11 @@ def build_bridge(
     explode (or lift the scalar director to a 1-element relation), join
     the broadcast people dim on name, dedup the (movie_id, person_id)
     pair — its composite-PK ON CONFLICT DO NOTHING.
+
+    Only ``people`` (a true dimension) is broadcast.  ``movies`` scales
+    with the fact table, so that join is left to Catalyst/AQE: broadcast
+    while it fits, shuffle join beyond — force-broadcasting it would OOM
+    every executor at 100 TB.
     """
     if name_col == "director":
         pairs = merged.select(
@@ -110,7 +153,7 @@ def build_bridge(
     else:
         pairs = explode_names(merged, "description", name_col)
     return (
-        pairs.join(F.broadcast(movies.select("movie_id", "description")), "description")
+        pairs.join(movies.select("movie_id", "description"), "description")
         .join(F.broadcast(people), "name")
         .select("movie_id", "person_id")
         .dropDuplicates(["movie_id", "person_id"])

@@ -46,6 +46,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             cols.append(
                 F.timestamp_micros(F.expr(f"`{f.name}` div 1000")).alias(f.name)
             )
+        elif isinstance(f.dataType, T.TimestampType) and isinstance(
+            got[f.name], T.TimestampNTZType
+        ):
+            # ms-precision parquet timestamps surface as TIMESTAMP_NTZ;
+            # with the session timezone pinned UTC the two are value-
+            # identical, so pass through untouched.
+            cols.append(F.col(f.name))
+        elif got[f.name] != f.dataType:
+            raise ValueError(
+                f"{name}.{f.name}: declared {f.dataType.simpleString()} but "
+                f"parquet has {got[f.name].simpleString()} — schema drift"
+            )
         else:
             cols.append(F.col(f.name))
     # project to the declared column order (column pruning still applies

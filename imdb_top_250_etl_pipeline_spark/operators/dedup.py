@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference's only dedup is key-level (Postgres UNIQUE / composite-PK
+ON CONFLICT, webscraper-postgres.py:122,132,137,142 — covered by the ETL
+surface).  A training-data pipeline needs content-level dedup at corpus
+scale; these operators provide it as pure DataFrame transformations:
+
+- exact:   content-hash groupBy keep-first (one shuffle, map-side combine)
+- MinHash: shingle → k-permutation min-hash signature → LSH band bucketing
+           → bucket-local candidate join → exact Jaccard verify
+- SimHash: 64-bit sign-of-weighted-bit-counts fingerprint → banded
+           hamming-distance candidate pairs
+
+Everything is built-in expression work (xxhash64 / transform / aggregate /
+zip_with) — JVM-side, codegen'd, no Python in the hot path.  The all-pairs
+comparison that kills at 100 TB never happens: candidates come only from
+equal LSH/SimHash band buckets, and the verify joins are equi-joins on
+doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# Mersenne prime 2^31-1: modulus for the minhash permutation family.
+# 31-bit on purpose: a*h+b stays < 2^62, so the arithmetic never overflows
+# long — the driver's vanilla session runs ANSI mode, where a silent
+# 64-bit wraparound would instead be a runtime ARITHMETIC_OVERFLOW error.
+_P = (1 << 31) - 1
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a space-tokenized text (empty when < n words)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16, seed: int = 42) -> Column:
+    """k-permutation MinHash signature over a shingle array.
+
+    Permutation i is h -> (a_i * h + b_i) mod P over 31-bit-reduced
+    xxhash64 shingle hashes — the classic universal-hash family, fixed
+    seeds so the signature is deterministic across runs and cluster
+    layouts, and every intermediate fits a long even under ANSI mode.
+    """
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = []
+    for i in range(k):
+        a = (seed * 1_000_003 + i * 7919) % _P or 1
+        b = (seed * 999_983 + i * 104_729) % _P
+        sig.append(
+            F.array_min(
+                F.transform(hashes, lambda h: F.pmod(a * h + b, F.lit(_P)))
+            )
+        )
+    return F.array(*sig)
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` hashed bands of ``rows`` values.
+
+    Two docs collide in a band iff their signatures agree on all of that
+    band's rows — the standard S-curve knob: P(candidate) =
+    1-(1-j^rows)^bands for Jaccard j.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice(sig, i * rows + 1, rows)).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: sha2(text) → keep the smallest id per group.
+
+    One shuffle on the 256-bit content hash with map-side partial
+    aggregation; at 100 TB this is the cheapest possible full-corpus
+    dedup (the hash is 32 bytes regardless of document size — project
+    early so the shuffle never carries the text).
+    """
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding + exact-Jaccard verify.
+
+    Never all-pairs: candidates are generated only inside equal
+    (band, bucket) groups, then verified with exact word-shingle Jaccard
+    via two equi-joins on doc id.  At 100 TB the band-bucket shuffle is
+    the dominant cost and it carries only (band, bucket, id) triples.
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, n_shingle)).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sigs = base.select(
+        id_col, minhash_signature(F.col("shingles"), k=k).alias("sig")
+    )
+    buckets = sigs.select(
+        id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = base
+    verified = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def _bit_string(h: Column) -> Column:
+    """64-char binary string of a long (bin() zero-padded)."""
+    return F.lpad(F.bin(h), 64, "0")
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash of a space-tokenized text, as a 64-char bit string.
+
+    Per word: xxhash64 → ±1 per bit; sum the ±1 vectors over all words;
+    fingerprint bit j = sign of count j.  Pure expression fold
+    (aggregate + zip_with over a 64-wide int array) — no UDF, no shuffle.
+    """
+    word_hashes = F.transform(tokens(text_col), lambda t: _bit_string(F.xxhash64(t)))
+    zeros = F.array_repeat(F.lit(0), 64)
+    counts = F.aggregate(
+        word_hashes,
+        zeros,
+        lambda acc, bs: F.zip_with(
+            acc,
+            F.split(bs, ""),
+            lambda a, bit: a + F.when(bit == "1", 1).otherwise(-1),
+        ),
+    )
+    return F.array_join(
+        F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def _half_long(bits: Column, start: int) -> Column:
+    """One 32-bit half of a 64-char bit string as a long (via base-2 conv)."""
+    return F.conv(F.substring(bits, start, 32), 2, 10).cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash hamming distance <= max_hamming.
+
+    Candidate generation by banding the 64-bit fingerprint into
+    ``bands`` equal substrings: any pair within hamming distance
+    (bands - 1) shares at least one exact band (pigeonhole), so with 4
+    bands recall is exact for distance <= 3 and high for <= 8 on real
+    near-dups.  Verification is bit_count(xor) on the two 32-bit halves.
+    """
+    width = 64 // bands
+    sh = df.select(F.col(id_col), simhash64(text_col).alias("bits"))
+    banded = sh.select(
+        id_col,
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("bits", i * width + 1, width).alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bits", "bb.band", "bb.chunk")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"l.bits").alias("bits_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"r.bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(_half_long(F.col("bits_a"), 1).bitwiseXOR(_half_long(F.col("bits_b"), 1)))
+        + F.bit_count(_half_long(F.col("bits_a"), 33).bitwiseXOR(_half_long(F.col("bits_b"), 33)))
+    )
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs within explicit buckets.
+
+    The quadratic comparison is bounded to rows sharing ``bucket_cols``
+    (e.g. language + coarse length band): at scale bucket sizes must be
+    bounded by construction — this operator is the verify stage; use
+    MinHash/SimHash banding when no natural bucketing exists.
+    """
+    grams = F.array_distinct(
+        F.when(
+            F.length(text_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in bucket_cols], grams.alias("grams")
+    ).where(F.size("grams") > 0)
+    left, right = base.alias("l"), base.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("l.grams", "r.grams"))
+                / F.size(F.array_union("l.grams", "r.grams"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

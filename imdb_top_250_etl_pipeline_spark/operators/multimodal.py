@@ -1,0 +1,120 @@
+"""Multimodal-column operators: JSON props, embedding arrays, opaque binary.
+
+A training-data pipeline treats non-text modalities as first-class
+columns: JSON sidecars parse with from_json (schema-on-read, JVM-side),
+embeddings are array<float> handled by expression math, and image/audio/
+video payloads ride as opaque binary with typed metadata, decoded by
+Arrow-batched pandas functions (the only place Python belongs).
+
+The decode step itself is STUBBED — no image/audio codecs ship in this
+container — behind a deterministic fake that parses a synthetic header;
+the Spark-side plumbing (schema, mapInPandas batch shape, partitioning)
+is real and unit-tested, so swapping in PIL/ffmpeg is a one-function
+change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROPS_SCHEMA = "k INT"
+
+
+def parse_props(df: DataFrame, props_col: str = "props") -> DataFrame:
+    """events.props JSON → typed struct column (from_json, schema-on-read)."""
+    return df.withColumn("props_parsed", F.from_json(F.col(props_col), PROPS_SCHEMA))
+
+
+def quantized_embedding_features(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Integer features from a float vector: deterministic across engines.
+
+    Each dimension quantizes as floor(double(x) * 1000) — one correctly-
+    rounded multiply then floor, so Spark and the SQL oracle agree
+    bit-for-bit; the integer sums that follow are exact.  This is the
+    shape of any embedding → discrete-feature step (PQ codes, sign
+    bits, histogram buckets).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).cast("int").alias("dim"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.size(F.filter(q, lambda v: v > 0)).cast("int").alias("n_pos"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
+
+
+# --- opaque binary modality -------------------------------------------------
+
+BLOB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_blobs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic fake media blobs: 'IMG:<w>x<h>:' header + payload bytes.
+
+    Stands in for real image bytes so the decode plumbing has stable
+    input; width/height derive from the id so every row round-trips
+    predictably.
+    """
+    w = (F.col(id_col) % 64 + 16).cast("int")
+    h = (F.col(id_col) % 48 + 16).cast("int")
+    header = F.concat(
+        F.lit("IMG:"), w.cast("string"), F.lit("x"), h.cast("string"), F.lit(":")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.concat(header, F.col(text_col)), "UTF-8").alias("blob"),
+    )
+
+
+def decode_blobs(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched 'decode' over binary blobs via mapInPandas.
+
+    Real pipelines put PIL/torchvision/ffmpeg here; this container has
+    none, so decoding parses the synthetic 'IMG:<w>x<h>:' header — a
+    deterministic fake with the exact batch shape a real decoder needs
+    (bytes in, struct metadata out, no driver round-trip).  Raises
+    NotImplementedError for any media type it does not recognize, the
+    clearly-marked seam for real codecs.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "width": [], "height": [], "n_bytes": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if not raw.startswith(b"IMG:"):
+                    raise NotImplementedError(
+                        "only the synthetic IMG header is decodable in this "
+                        "container; plug a real codec in here"
+                    )
+                head, _, _payload = raw[4:].partition(b":")
+                w_s, _, h_s = head.partition(b"x")
+                out["doc_id"].append(doc_id)
+                out["media_type"].append("image")
+                out["width"].append(int(w_s))
+                out["height"].append(int(h_s))
+                out["n_bytes"].append(len(raw))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(decode, schema=BLOB_META_SCHEMA)

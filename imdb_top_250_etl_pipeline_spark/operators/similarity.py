@@ -1,0 +1,245 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference (its similarity notion is key equality); required by
+the north star for training-data pipelines: top-k nearest neighbors per
+query vector, plus an embedding-cosine near-dup filter.
+
+Two tiers, mirroring how ANN is actually deployed:
+
+- brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the corpus, rank per query.  Linear in corpus size;
+  correct at any scale but reads everything.
+- IVF (inverted-file) top-k — the 100 TB path: assign every vector to its
+  nearest centroid once (broadcast centroids, narrow pass), then probe
+  only the ``nprobe`` clusters nearest each query.  The probe join is an
+  equi-join on cluster id, so the per-query work drops from O(corpus) to
+  O(corpus * nprobe / n_centroids).
+
+All vector math is built-in expression work (zip_with product + aggregate
+fold) — JVM-side, no Python.  Floats are widened to double once at the
+start of each expression; the fold is left-to-right and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus → window rank.
+
+    ``queries`` must be broadcast-small (the usual search shape); the
+    corpus side streams, one narrow pass + one shuffle on query_id for
+    the per-query top-k heap.  Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest centroid per vector (broadcast centroids).
+
+    At 100 TB this is the one full pass over the corpus; its output
+    (id, cluster) is what gets partitioned/bucketed by cluster for all
+    subsequent probes.  Centroids here are data-derived (a deterministic
+    sample); production would run sampled k-means — the operator shape
+    is identical.
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        sq_dist(F.col(vec_col), F.col("cvec")).alias("d2"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest clusters per query.
+
+    Recall < 1 by design (misses neighbors assigned to unprobed
+    clusters); the unit test measures recall against brute_force_topk.
+    """
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qprobe_w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            sq_dist(F.col("qvec"), F.col("cvec")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(qprobe_w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cluster"))
+    )
+    scored = (
+        probes.join(assigned, "cluster")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH + cosine verify.
+
+    Sign-of-projection bits against ``n_planes`` fixed pseudo-random
+    hyperplanes (deterministic per dimension index — no RNG state),
+    banded like MinHash; only same-band candidates get the exact cosine.
+    """
+    rows = n_planes // bands
+    dim = F.size(F.col(vec_col))
+    # hyperplane p, dimension d weight: a fixed hash of (p, d) mapped to
+    # [-1, 1) — deterministic, seedless, identical on every executor
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, d: x.cast("double")
+                * (
+                    F.pmod(F.xxhash64(F.concat(F.lit(f"p{p}d"), d.cast("string"))), F.lit(2000))
+                    .cast("double")
+                    / 1000.0
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[plane_bit(p) for p in range(n_planes)])
+    base = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    banded = base.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("sig", i * rows + 1, rows).alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, vec_col, "bb.band", "bb.chunk")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"l.{vec_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"r.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

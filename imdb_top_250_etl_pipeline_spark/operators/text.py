@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference's text processing is HTML field extraction (covered by the
+ETL surface, webscraper-postgres.py:36-70); a corpus pipeline needs
+document-level analytics.  All pure Column expressions — JVM-side,
+oracle-checkable where the math is single-operation IEEE (ratios are one
+division; no multi-term fp accumulation crosses an engine boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal deterministic marker lexicons for the language-ID heuristic.
+# Real language ID uses char n-gram profiles; the operator shape (score
+# per language from token membership, argmax with a fixed tie order) is
+# the same, and this version is exactly reproducible in the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de5", "shi4", "le5", "zai4"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+_BPE_ISH = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word frequencies: tokenize → explode → count.
+
+    The canonical two-phase aggregation: partial counts map-side, one
+    shuffle on the word.  At 100 TB add a topk-per-partition pre-filter
+    if only the head of the distribution is needed.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality signals: token/char counts + ratios.
+
+    Each ratio is a single IEEE division of two exact integers —
+    bit-identical across engines, so the whole feature set is
+    oracle-checkable.
+    """
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(t))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-z0-9\s]", ""))
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars_measured"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+    )
+
+
+def token_count_bpe_ish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex.
+
+    The regex (letter runs | single digits | punctuation) approximates a
+    byte-pair tokenizer's pre-tokenization split; counting is
+    regexp_count — codegen'd, no UDF.
+    """
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("int").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(_BPE_ISH)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-lexicon language ID: argmax of per-language marker counts.
+
+    Fixed language order breaks ties (falls back to the first language,
+    'en', when no markers hit) — deterministic and SQL-expressible.
+    """
+    t = tokens(text_col)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda w: F.array_contains(arr, w))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on (score, lang) structs orders lexicographically; to make
+    # ties resolve to the FIRST declared language, give earlier languages a
+    # higher secondary key by negating their index — instead we order by
+    # (score, -position): encode position as its negative in a rank field.
+    ranked = F.array(
+        *[
+            F.struct(
+                s.getField("score").alias("score"),
+                F.lit(-i).alias("prio"),
+                s.getField("lang").alias("lang"),
+            )
+            for i, s in enumerate(scores)
+        ]
+    )
+    best = F.array_max(ranked)
+    return df.select(
+        F.col(id_col),
+        best.getField("lang").alias("predicted_lang"),
+        best.getField("score").cast("int").alias("marker_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprints: exact md5 + order-insensitive bag-of-words md5.
+
+    The bag fingerprint (md5 of the sorted token list) is invariant to
+    word order — the cheap "same content, shuffled" detector that
+    complements exact_dedup; both are plain hashes, oracle-checkable.
+    """
+    sorted_words = F.array_join(F.array_sort(tokens(text_col)), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("exact_fp"),
+        F.md5(sorted_words).alias("bag_fp"),
+    )

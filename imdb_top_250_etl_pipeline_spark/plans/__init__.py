@@ -3,3 +3,4 @@ from .registry import QUERIES, ORACLES, register, query_names  # noqa: F401
 # importing the plan modules populates the registry
 from . import relational  # noqa: F401,E402
 from . import etl  # noqa: F401,E402
+from . import llm_data  # noqa: F401,E402

@@ -1,0 +1,438 @@
+"""LLM-training-data pipeline queries — dedup, similarity, text analysis,
+multimodal columns (north star; no counterpart in the reference, which
+stops at key-level dedup via Postgres constraints).
+
+Fixtures: ``documents`` (500 rows/sf0.001 of distinct word-soup text) and
+``embeddings`` (64-dim float vectors).  Because every fixture text is
+distinct, dedup queries first build a corpus with *planted* duplicates —
+derived deterministically from the fixtures with pure expressions, and
+reproduced identically in the DuckDB oracle CTEs — so the operators have
+real work to do and the checks stay meaningful at any sf.
+
+Oracle policy: hash-checked whenever cross-engine determinism holds
+(integer math, single IEEE divisions, cryptographic hashes); rows-only
+for ops built on xxhash64/LSH (Spark-specific hash family) or multi-term
+fp folds (cosine), which are instead pinned by exact unit tests
+(tests/test_llm_data.py) against numpy/brute-force references.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    tokens,
+)
+from ..operators.multimodal import (
+    decode_blobs,
+    parse_props,
+    quantized_embedding_features,
+    synthesize_blobs,
+)
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_features,
+    token_count_bpe_ish,
+    word_counts,
+)
+from ..sources import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Corpus builders: fixtures + planted duplicates (Spark + SQL twins).
+# ---------------------------------------------------------------------------
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 7th doc (id + 100000)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+_CORPUS_EXACT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies of every 11th doc (last two words dropped)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    t = tokens("text")
+    trimmed = F.array_join(F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(1))), " ")
+    variants = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        trimmed.alias("text"),
+        "lang",
+    )
+    return d.unionByName(variants)
+
+
+# ---------------------------------------------------------------------------
+# Dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_EXACT_SQL})
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM corpus
+    GROUP BY text
+    ORDER BY doc_id
+    """,
+    doc="Exact content dedup: sha2-256 groupBy keep-first over a corpus "
+    "with planted exact copies. One shuffle carrying 32-byte hashes (text "
+    "projected away before the exchange) + map-side combine — the 100 TB "
+    "baseline dedup. Grouping by the hash equals grouping by text absent "
+    "collisions, which the oracle (grouped by raw text) cross-checks.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        exact_dedup(_corpus_exact(spark, sf_dir), "text", "doc_id")
+        .select("content_hash", "doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=None,  # xxhash64 permutation family is Spark-specific
+    doc="Near-dup detection: word-3-shingles → 16-permutation MinHash → "
+    "4-band LSH bucketing → candidate equi-join → exact-Jaccard verify "
+    "(≥0.5). Candidates only from equal band buckets — never all-pairs; "
+    "the planted variants (last 2 words dropped) must all surface "
+    "(asserted in tests/test_llm_data.py).",
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        minhash_candidate_pairs(_corpus_near(spark, sf_dir), "text", "doc_id")
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-based fingerprint
+    doc="SimHash near-dup: 64-bit sign-of-bit-count fingerprint per doc "
+    "(pure expression fold), 4-band bucketing for candidates, "
+    "bit_count(xor) hamming verify. With 4 bands, pigeonhole makes "
+    "recall EXACT for hamming ≤3 — the output is precisely the set of "
+    "pairs within distance 3, not an approximation.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        _corpus_near(spark, sf_dir), "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=None,  # char-trigram set comparison: no cheap SQL twin
+    doc="Char-3-gram Jaccard near-dup pairs, bucketed by language — the "
+    "bounded-quadratic verify stage (only same-bucket pairs compare; at "
+    "scale the bucket must be an LSH band, see dedup_minhash_candidates).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ngram_jaccard_pairs(
+            _corpus_near(spark, sf_dir), "text", "doc_id", ["lang"], threshold=0.8
+        )
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=None,  # multi-term fp fold
+    doc="Embedding-cosine near-dup: random-hyperplane LSH signatures "
+    "(deterministic seedless planes) → banded candidates → exact cosine "
+    "≥0.98. Planted perturbed copies (per-dimension additive noise) "
+    "asserted in unit tests.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    noise = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda x, i: (x.cast("double") + (F.pmod(i, F.lit(7)) - 3) * 0.002).cast(
+            "float"
+        ),
+    )
+    perturbed = e.where(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), noise.alias("embedding")
+    )
+    corpus = e.unionByName(perturbed)
+    return (
+        cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.98)
+        .withColumn("cos_sim", F.round("cos_sim", 4))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=None,  # fp ranking; pinned against numpy in unit tests
+    doc="Brute-force cosine top-5 per query (queries = every 50th vector, "
+    "broadcast) — the exact ANN baseline: one narrow scoring pass over "
+    "the corpus + one shuffle for the per-query heap "
+    "(row_number window). Linear in corpus size at any scale.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(e, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,
+    doc="IVF approximate top-5: every 25th vector as a centroid "
+    "(deterministic stand-in for sampled k-means), one broadcast "
+    "assignment pass, then probe the 4 nearest clusters per query — "
+    "per-query work drops to nprobe/n_centroids of the corpus. Recall "
+    "vs brute force measured in unit tests.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    centroids = e.where(F.col("vec_id") % 25 == 0)
+    return ivf_topk(e, queries, centroids, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_word_counts",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 100
+    """,
+    doc="Corpus word frequencies: tokenize → explode → two-phase count "
+    "(partial map-side, one shuffle on the word) → top-100.",
+)
+def text_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return word_counts(d, "text").orderBy(F.desc("n"), F.asc("word")).limit(100)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+           CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Per-document quality signals (token count, stopword/distinct/"
+    "punctuation ratios) — narrow expressions, zero shuffles; each ratio "
+    "is a single IEEE division so the oracle hash matches bit-for-bit.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return quality_features(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT)
+               AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish pre-tokenization "
+    "regex count (regexp_count, codegen'd — the cheap token-budget "
+    "estimator for corpus planning).",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return token_count_bpe_ish(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({list(markers)!r}, w)))"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {", ".join(f"{_lang_score_sql(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items())}
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             {" ".join(
+               f"WHEN s_{lang} >= GREATEST({', '.join('s_' + l2 for l2 in LANG_MARKERS)}) THEN '{lang}'"
+               for lang in LANG_MARKERS
+             )}
+           END AS predicted_lang,
+           CAST(GREATEST({", ".join("s_" + lang for lang in LANG_MARKERS)}) AS INT)
+               AS marker_hits
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Marker-lexicon language ID: per-language token-membership scores, "
+    "argmax with fixed declaration-order tie-break (the CASE chain checks "
+    "languages in the same order the Spark struct-max priority encodes).",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return language_id(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: exact md5 + order-insensitive "
+    "bag-of-words md5 (sorted-token hash) — the cheap shuffled-content "
+    "detector; both cryptographic, so cross-engine hash-stable.",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return fingerprints(d, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_props_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+           CAST(SUM(CAST(props->>'k' AS INT)) AS DOUBLE) / COUNT(*) AS k_avg,
+           CAST(MAX(CAST(props->>'k' AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON sidecar parsing: from_json(props) schema-on-read → typed "
+    "aggregation (exact integer sums; avg as exact-sum/count). The "
+    "multimodal pattern for metadata riding next to opaque payloads.",
+)
+def multimodal_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = parse_props(load(spark, sf_dir, "events"))
+    k = F.col("props_parsed.k")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+            (F.sum(k).cast("double") / F.count("*")).alias("k_avg"),
+            F.max(k).cast("int").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "multimodal_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                v -> v > 0)) AS INT) AS n_pos,
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS q_max,
+           CAST(list_min(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS q_min
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Embedding → integer features: per-dimension floor(x*1000) "
+    "quantization (one correctly-rounded multiply + floor — engine-"
+    "stable), then exact integer sums/extrema. The shape of PQ-code / "
+    "sign-bit / histogram feature extraction.",
+)
+def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return quantized_embedding_features(e).orderBy("vec_id")
+
+
+@register(
+    "multimodal_blob_decode",
+    oracle="""
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           CAST(6 + length(CAST(doc_id % 64 + 16 AS VARCHAR))
+                  + length(CAST(doc_id % 48 + 16 AS VARCHAR))
+                  + length(text) AS INT) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Opaque-binary modality: synthesize deterministic IMG blobs, then "
+    "Arrow-batched mapInPandas 'decode' extracting typed metadata (the "
+    "stubbed seam for PIL/ffmpeg — see operators/multimodal.py). The "
+    "oracle recomputes the header arithmetic, so the whole UDF path is "
+    "hash-checked.",
+)
+def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return decode_blobs(synthesize_blobs(d, "text", "doc_id")).orderBy("doc_id")

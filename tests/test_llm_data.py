@@ -1,0 +1,155 @@
+"""Unit tests for the LLM-data-pipeline operators.
+
+The oracle-backed queries are covered by test_oracle_parity; these tests
+pin the rows-only operators (LSH/MinHash/SimHash/cosine — built on
+Spark-specific hash families or fp folds) against exact references:
+numpy brute force for similarity, planted-duplicate recall for dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans.llm_data import _corpus_near
+from imdb_top_250_etl_pipeline_spark.sources import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = (
+        load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _planted_pairs(spark, mod: int) -> set[tuple[int, int]]:
+    d = load(spark, SF_SMOKE, "documents").select("doc_id")
+    ids = [r.doc_id for r in d.where(F.col("doc_id") % mod == 0).collect()]
+    return {(i, i + 100000) for i in ids}
+
+
+def test_minhash_recovers_planted_near_dups(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMOKE).collect()
+    }
+    planted = _planted_pairs(spark, 11)
+    recovered = planted & got
+    # dropping 2 of ~25+ words keeps shingle-jaccard far above the 0.5
+    # verify threshold; LSH banding (4 bands x 4 rows) recall at j~0.9
+    # is 1-(1-0.9^4)^4 ~ 0.985 — demand >= 90% and no same-doc pairs
+    assert len(recovered) >= 0.9 * len(planted), (len(recovered), len(planted))
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_jaccard_values_exact(spark):
+    # the reported jaccard must equal the exact set jaccard numpy computes
+    df = QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMOKE)
+    sample = df.limit(10).collect()
+    corpus = {
+        r.doc_id: r.text for r in _corpus_near(spark, SF_SMOKE).collect()
+    }
+
+    def shingles(t: str) -> set:
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for r in sample:
+        a, b = shingles(corpus[r.id_a]), shingles(corpus[r.id_b])
+        exact = len(a & b) / len(a | b)
+        assert abs(r.jaccard - exact) < 5e-5, (r, exact)
+
+
+def test_simhash_exact_for_small_hamming(spark):
+    # with 4 bands over 64 bits, every pair at hamming <= 3 shares a band
+    # (pigeonhole) -> candidate generation is lossless for the verify cut
+    got = QUERIES["dedup_simhash_pairs"].fn(spark, SF_SMOKE).collect()
+    assert all(r.hamming <= 3 for r in got)
+    planted = _planted_pairs(spark, 11)
+    close = {(r.id_a, r.id_b) for r in got} & planted
+    # most planted variants flip only a few fingerprint bits
+    assert len(close) >= 0.8 * len(planted), (len(close), len(planted))
+
+
+def test_ngram_jaccard_recovers_planted(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    planted = _planted_pairs(spark, 11)
+    assert planted <= got, planted - got
+
+
+def test_embedding_cosine_near_dup_recovers_planted(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_embedding_cosine"].fn(spark, SF_SMOKE).collect()
+    }
+    d = load(spark, SF_SMOKE, "embeddings").select("vec_id")
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in d.where(F.col("vec_id") % 13 == 0).collect()
+    }
+    # tiny additive noise keeps cosine ~0.9995 >> 0.98; hyperplane LSH
+    # banding may miss a boundary case or two
+    assert len(planted & got) >= 0.9 * len(planted)
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    ids, mat = emb
+    got = QUERIES["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    norms = np.linalg.norm(mat, axis=1)
+    by_query: dict[int, list[int]] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert set(by_query) == {int(i) for i in ids if i % 50 == 0}
+    for qid, ranked in by_query.items():
+        qi = int(np.where(ids == qid)[0][0])
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf  # self excluded
+        # exact expected top-5 with (cos desc, id asc) tie-break
+        order = sorted(range(len(ids)), key=lambda j: (-cos[j], ids[j]))[:5]
+        expected = [int(ids[j]) for j in order]
+        assert [n for _, n in sorted(ranked)] == expected, (qid, ranked, expected)
+
+
+def test_ivf_recall_against_brute_force(spark):
+    brute = QUERIES["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    ivf = QUERIES["sim_ann_ivf"].fn(spark, SF_SMOKE).collect()
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    a = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(a & b) / len(b)
+    # nprobe=4 of 20 clusters: measured ~0.8+ on the fixture; demand a
+    # floor that catches regressions without overfitting the data
+    assert recall >= 0.5, recall
+
+
+def test_blob_decode_rejects_unknown_media(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import decode_blobs
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"PNG:not-synthetic"))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        decode_blobs(bad).collect()
+
+
+def test_exact_dedup_keeps_first_and_counts(spark):
+    rows = QUERIES["dedup_exact_documents"].fn(spark, SF_SMOKE).collect()
+    by_id = {r.doc_id: r.n_copies for r in rows}
+    # every kept id is an original (min of the pair), never a planted copy
+    assert all(i < 100000 for i in by_id)
+    n_dups = sum(1 for i in by_id if i % 7 == 0)
+    assert all(
+        (n == 2) == (i % 7 == 0) for i, n in by_id.items()
+    ), "exactly the planted copies dedup"
+    assert n_dups > 0

@@ -4,3 +4,4 @@ from .registry import QUERIES, ORACLES, register, query_names  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import etl  # noqa: F401,E402
 from . import llm_data  # noqa: F401,E402
+from . import scalars  # noqa: F401,E402

@@ -1,0 +1,53 @@
+"""Unit tests for the Python-UDF surface (the oracle covers the two
+mapInPandas queries; applyInPandas needs a local reference)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.sources import load
+
+
+def test_grouped_zscore_matches_two_pass(spark):
+    got = {
+        r.c_custkey: r
+        for r in QUERIES["udf_grouped_zscore"].fn(spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, members in by_seg.items():
+        vals = [m.c_acctbal for m in members]
+        mean = sum(vals) / len(vals)
+        std = math.sqrt(sum((v - mean) ** 2 for v in vals) / len(vals))
+        for m in members:
+            expected = (m.c_acctbal - mean) / std if std > 0 else 0.0
+            assert abs(got[m.c_custkey].zscore - expected) < 1e-6, (seg, m)
+    # z-scores are standardized: per-group mean ~0 (the query rounds each
+    # z to 6dp, so the mean carries up to 5e-7 of rounding noise)
+    for seg, members in by_seg.items():
+        zs = [got[m.c_custkey].zscore for m in members]
+        assert abs(sum(zs) / len(zs)) < 1e-6
+
+
+def test_parse_markup_nulls_on_malformed(spark):
+    df = QUERIES["udf_parse_markup"].fn(spark, SF_SMOKE)
+    broken = df.where(F.col("rank").isNull())
+    expected = (
+        load(spark, SF_SMOKE, "part").where(F.col("p_partkey") % 41 == 0).count()
+    )
+    # every 41st part row is malformed by construction -> all fields NULL
+    assert broken.count() == expected > 0
+    assert broken.select("title", "meta", "url").distinct().collect()[0] == (
+        None,
+        None,
+        None,
+    )

@@ -1,0 +1,197 @@
+"""Streaming-equivalent batch queries — SURVEY §2.10.
+
+The reference is batch-on-cron (Dockerfile:55); its only streaming-like
+semantic is incremental idempotent refresh (upsert, covered by S5).  The
+engine's streaming surface is Structured Streaming
+(imdb_top_250_etl_pipeline_spark/streaming/jobs.py, exercised by
+tests/test_streaming.py with availableNow triggers); the queries here are
+the *batch duals* of those window aggregations over the same events
+table, which makes them DuckDB-oracle-checkable: identical window math,
+no trigger/microbatch nondeterminism.
+
+DuckDB's events.ts is TIMESTAMP_NS while the Spark catalog truncates to
+µs on read — every oracle casts ts to TIMESTAMP (µs) first so both
+engines bucket identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.numeric import money
+from ..sources import load
+from .registry import register
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY w_start
+    """,
+    doc="Tumbling 6-hour window aggregation over the event stream — the "
+    "batch dual of streaming/jobs.py::tumbling_counts (same F.window "
+    "bucketing; epoch-aligned hours, so Spark's window and DuckDB's "
+    "time_bucket agree). One shuffle on the bucket key.",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "6 hours")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "n_users",
+            "value_sum",
+        )
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    assigned AS (
+      SELECT unnest([time_bucket(INTERVAL '6 hours', ts),
+                     time_bucket(INTERVAL '6 hours', ts) - INTERVAL '6 hours',
+                     time_bucket(INTERVAL '6 hours', ts) - INTERVAL '12 hours',
+                     time_bucket(INTERVAL '6 hours', ts) - INTERVAL '18 hours'])
+                 AS w_start,
+             user_id
+      FROM e
+    )
+    SELECT w_start, w_start + INTERVAL '24 hours' AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY w_start
+    """,
+    doc="Sliding window (24h duration, 6h slide): each event lands in 4 "
+    "overlapping buckets — Spark's window(ts, '24 hours', '6 hours') "
+    "expand, reproduced in the oracle by unnesting the 4 bucket starts. "
+    "The 4× row expand happens before the shuffle; at scale prefer "
+    "tumbling + rolling re-agg when the slide divides the duration.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "24 hours", "6 hours")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_last,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization via lag + cumulative-sum session ids (gap > 6h "
+    "starts a new session) — the explicit, oracle-checkable form of "
+    "session windowing; the built-in F.session_window variant is "
+    "stream_session_window (rows-only). Two window passes over the same "
+    "(user_id, ts) partitioning → a single shuffle, reused.",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap comparison (unix_timestamp would truncate to seconds
+    # while the oracle's interval arithmetic is µs-exact)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 6 * 3600 * 1_000_000), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "session_start",
+            "session_last",
+            "n_events",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=None,  # built-in session_window gap semantics are Spark's own
+    doc="Built-in F.session_window (6h gap) aggregation — the native "
+    "session operator Structured Streaming uses with watermarks; "
+    "cross-checked against stream_sessionize's explicit lag+cumsum "
+    "construction in tests/test_streaming.py.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "6 hours").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

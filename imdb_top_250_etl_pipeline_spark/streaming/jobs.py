@@ -1,0 +1,128 @@
+"""Structured Streaming surface — SURVEY §2.10.
+
+The reference's 'streaming' is a weekly cron re-running the whole batch
+pipeline with idempotent upserts (Dockerfile:55, README.md:117-133).
+Structured Streaming subsumes that model: a file/kafka source, watermarked
+event-time windows, stateful dedup, and foreachBatch MERGE give the same
+idempotent refresh continuously, with Trigger.AvailableNow reproducing the
+cron batch exactly.
+
+Tests drive every job with availableNow over the events parquet and
+assert parity with the batch duals in plans/streaming_queries.py — the
+standard way to validate streaming logic deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.etl import upsert
+
+# streaming reads declare the raw parquet schema explicitly (no inference
+# on a stream); events.ts is parquet TIMESTAMP(NANOS) which arrives as
+# long under nanosAsLong — converted to µs exactly like the batch catalog
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one parquet = one batch
+    under availableNow; a directory of arriving files in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streams need a directory source; glob-filter selects the events
+    # table out of the fixture dir (in production this is the landing dir)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming form of
+    stream_tumbling_window): late events beyond the watermark are
+    dropped and window state is evicted — the unbounded-state fix."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "approx_users")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Watermarked session windows (streaming form of
+    stream_session_window): sessions close when no event arrives within
+    the gap; watermark bounds how long an open session is retained."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon —
+    the streaming form of exact dedup (state evicts with the watermark,
+    so memory stays bounded)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def foreach_batch_upsert(
+    events: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+):
+    """foreachBatch MERGE: the streaming S5 — each microbatch upserts into
+    a parquet target keyed by event_id (update-wins on re-delivery, so
+    the sink is idempotent across retries/restarts; the reference's
+    ON CONFLICT DO UPDATE on a cron, continuously).
+
+    Plain parquet read-modify-write keeps the demo dependency-free; a
+    transactional table format (Delta/Iceberg MERGE INTO) is the
+    production target and slots into this same foreachBatch.
+    """
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cols = ["event_id", "user_id", "event_type", "value"]
+        incoming = batch.select(*cols).dropDuplicates(["event_id"])
+        try:
+            existing = spark.read.parquet(target_path).select(*cols)
+        except Exception:
+            existing = spark.createDataFrame([], incoming.schema)
+        merged = upsert(
+            existing,
+            incoming,
+            key="event_id",
+            update_cols=["event_type", "value"],
+            stable_cols=["user_id"],
+        )
+        # localCheckpoint materializes before the overwrite clobbers the
+        # input files the plan still references
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

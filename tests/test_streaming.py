@@ -1,0 +1,107 @@
+"""Structured Streaming tests: every job runs with Trigger.AvailableNow
+over the events parquet and is compared against its deterministic batch
+dual — the standard way to pin streaming logic without wall-clock flake.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.sources import load
+from imdb_top_250_etl_pipeline_spark.streaming import (
+    dedup_stream,
+    foreach_batch_upsert,
+    read_events_stream,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _run_to_memory(writer_df, spark, name: str, mode: str):
+    q = (
+        writer_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _watermark_cutoff(spark, hours: int = 1):
+    from datetime import timedelta
+
+    max_ts = load(spark, SF_SMOKE, "events").agg(F.max("ts")).first()[0]
+    return max_ts - timedelta(hours=hours)
+
+
+def test_tumbling_counts_match_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = {
+        r.w_start: r.n_events
+        for r in _run_to_memory(
+            tumbling_counts(stream), spark, "t_tumbling", "append"
+        ).collect()
+    }
+    # append mode only emits windows the final watermark (max_ts - 1h)
+    # has closed; the trailing open window is correctly withheld
+    cutoff = _watermark_cutoff(spark)
+    expected = {
+        r.w_start: r.n_events
+        for r in QUERIES["stream_tumbling_window"].fn(spark, SF_SMOKE).collect()
+        if r.w_end <= cutoff
+    }
+    assert got == expected
+
+
+def test_session_counts_match_builtin_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in _run_to_memory(
+            session_counts(stream), spark, "t_sessions", "append"
+        ).collect()
+    }
+    cutoff = _watermark_cutoff(spark)
+    expected = {
+        (r.user_id, r.session_start): r.n_events
+        for r in QUERIES["stream_session_window"].fn(spark, SF_SMOKE).collect()
+        if r.session_end <= cutoff
+    }
+    assert got == expected
+
+
+def test_builtin_session_window_matches_manual_sessionize(spark):
+    built_in = QUERIES["stream_session_window"].fn(spark, SF_SMOKE).collect()
+    manual = QUERIES["stream_sessionize"].fn(spark, SF_SMOKE).collect()
+    bi = {(r.user_id, r.session_start, r.n_events) for r in built_in}
+    mn = {(r.user_id, r.session_start, r.n_events) for r in manual}
+    assert bi == mn
+
+
+def test_dedup_stream_removes_nothing_on_unique_ids(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = _run_to_memory(dedup_stream(stream), spark, "t_dedup", "append")
+    assert got.count() == load(spark, SF_SMOKE, "events").count()
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    target = str(tmp_path / "target")
+    for i in range(2):  # second run re-delivers everything: upsert absorbs it
+        stream = read_events_stream(spark, SF_SMOKE)
+        q = foreach_batch_upsert(
+            stream, target, str(tmp_path / f"ckpt{i}")
+        ).start()
+        q.awaitTermination(120)
+    result = spark.read.parquet(target)
+    events = load(spark, SF_SMOKE, "events")
+    assert result.count() == events.count()
+    # spot-check: values match the source after double delivery
+    lhs = result.select("event_id", "user_id", "value")
+    rhs = events.select("event_id", "user_id", "value")
+    assert lhs.exceptAll(rhs).count() == 0 and rhs.exceptAll(lhs).count() == 0

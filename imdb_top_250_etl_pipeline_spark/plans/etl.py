@@ -8,6 +8,9 @@ oracle twin built from the same CTE chain.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,10 +28,15 @@ from .registry import register
 
 
 def _movies_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized movies table incl. F9's last_updated
+    (webscraper-postgres.py:123: TIMESTAMP DEFAULT CURRENT_TIMESTAMP).
+    Oracle-facing queries drop the wall-clock column; a unit test pins
+    its presence and non-nullness."""
     clean = extract_movies(movies_raw(spark, sf_dir))
-    return with_surrogate_key(
+    keyed = with_surrogate_key(
         clean.where(F.col("details_url").isNotNull()), "movie_id", ["details_url"]
     )
+    return keyed.withColumn("last_updated", F.current_timestamp())
 
 
 @register(
@@ -102,7 +110,7 @@ def etl_normalize_people(spark: SparkSession, sf_dir: str) -> DataFrame:
     "webscraper-postgres.py:112,122).",
 )
 def etl_movies_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _movies_table(spark, sf_dir).orderBy("movie_id")
+    return _movies_table(spark, sf_dir).drop("last_updated").orderBy("movie_id")
 
 
 @register(
@@ -148,6 +156,65 @@ def etl_bridge_director(spark: SparkSession, sf_dir: str) -> DataFrame:
     movies = _movies_table(spark, sf_dir)
     people = normalize_people(d)
     return build_bridge(d, movies, people, "director").orderBy("movie_id", "person_id")
+
+
+@register(
+    "etl_bridge_writer",
+    oracle=with_etl_ctes(
+        """
+        SELECT DISTINCT m.movie_id, p.person_id
+        FROM details_raw d
+        JOIN movies m ON m.description = d.description
+        JOIN people p ON p.name IN (SELECT unnest(d.writers))
+        WHERE d.writers IS NOT NULL
+        ORDER BY movie_id, person_id
+        """
+    ),
+    doc="E2+J3: the third bridge table (movie_writer — reference "
+    "webscraper-postgres.py:134-138,261-272), same explode→join→dedup "
+    "shape as etl_bridge_star.",
+)
+def etl_bridge_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = details_raw(spark, sf_dir)
+    movies = _movies_table(spark, sf_dir)
+    people = normalize_people(d)
+    return build_bridge(d, movies, people, "writers").orderBy("movie_id", "person_id")
+
+
+@register(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY c_custkey
+    """,
+    doc="S4 write sink: persist customers partitioned by mktsegment, scan "
+    "back with a partition filter (only the two matching directories are "
+    "read — partition pruning), then detach from the files via eager "
+    "localCheckpoint so the temp dir can be removed. Parquet round-trips "
+    "doubles bit-exactly, so the oracle is the plain source query.",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sink import read_back, write_parquet
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="spark_sink_roundtrip_")
+    try:
+        write_parquet(c, path, partition_by=["c_mktsegment"])
+        filtered = (
+            read_back(spark, path)
+            # partition filter BEFORE materialization: only the two
+            # matching directories are ever scanned
+            .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .orderBy("c_custkey")
+        )
+        return filtered.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register(

@@ -1,0 +1,56 @@
+"""Write sinks — SURVEY §2.1 S4 (DDL/table creation) and the persistence
+half of S5/S6.
+
+The reference creates five Postgres tables with raw DDL and writes them
+row-by-row (webscraper-postgres.py:109-144, :156-161, :190-222).  Spark's
+equivalent is a set-oriented ``df.write`` into a partitioned columnar
+layout; table formats with real MERGE (Delta/Iceberg) drop into the same
+call sites.  At 100 TB the decisions that matter are here: partition
+columns (prune on read), file sizing (maxRecordsPerFile vs small-file
+explosion), and mode semantics (append vs overwrite vs dynamic partition
+overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """S4: persist a DataFrame as a (optionally partitioned) parquet table.
+
+    ``partition_by`` buys partition pruning for every downstream read
+    that filters on those columns; ``max_records_per_file`` bounds file
+    size so a 1000-executor write neither emits 10⁶ tiny files (use
+    coalesce/AQE) nor single multi-GB files.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    """Companion scan for a write_parquet output (schema from footers —
+    the engine's own layout, unlike fixture reads which assert schemas)."""
+    return spark.read.parquet(path)
+
+
+def roundtrip_materialized(df: DataFrame, path: str, **write_kwargs) -> DataFrame:
+    """Write → read-back → eager localCheckpoint, then the path is
+    disposable: the returned DataFrame no longer references the files.
+
+    Exists so a registered query can exercise the full sink+scan cycle
+    and still hand the driver a self-contained result.
+    """
+    write_parquet(df, path, **write_kwargs)
+    spark = df.sparkSession
+    return read_back(spark, path).localCheckpoint(eager=True)

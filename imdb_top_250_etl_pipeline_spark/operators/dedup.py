@@ -48,15 +48,24 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = 16, seed: int = 42) -> Column:
-    """k-permutation MinHash signature over a shingle array.
+def shingle_hashes(shingles: Column) -> Column:
+    """31-bit-reduced xxhash64 of each shingle — computed ONCE and
+    materialized as a column before the k permutations run over it
+    (inlining it into minhash_signature re-evaluates the string hashing
+    k times: Catalyst does not CSE across lambda bodies, a measured ~10×
+    slowdown on the bench)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
 
-    Permutation i is h -> (a_i * h + b_i) mod P over 31-bit-reduced
-    xxhash64 shingle hashes — the classic universal-hash family, fixed
-    seeds so the signature is deterministic across runs and cluster
-    layouts, and every intermediate fits a long even under ANSI mode.
+
+def minhash_signature(hashes: Column, k: int = 16, seed: int = 42) -> Column:
+    """k-permutation MinHash signature over pre-hashed shingles
+    (see shingle_hashes).
+
+    Permutation i is h -> (a_i * h + b_i) mod P — the classic universal-
+    hash family, fixed seeds so the signature is deterministic across
+    runs and cluster layouts, and every intermediate fits a long even
+    under ANSI mode (31-bit domain: a*h+b < 2^62).
     """
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     sig = []
     for i in range(k):
         a = (seed * 1_000_003 + i * 7919) % _P or 1
@@ -121,15 +130,28 @@ def minhash_candidate_pairs(
     (band, bucket) groups, then verified with exact word-shingle Jaccard
     via two equi-joins on doc id.  At 100 TB the band-bucket shuffle is
     the dominant cost and it carries only (band, bucket, id) triples.
+
+    The shingle+hash table is computed ONCE and materialized (eager
+    localCheckpoint — persist()/a staging table on a cluster): it feeds
+    the signature AND both verify joins, and shingle generation is
+    interpreted higher-order-function work, the pipeline's dominant CPU
+    cost (re-deriving it 3× measured ~3× slower end-to-end).  The
+    repartition spreads that work across all cores — text corpora often
+    arrive as a few big files, which would otherwise cap parallelism at
+    the file count.
     """
     rows = k // bands
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, n_shingle)).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    sigs = base.select(
-        id_col, minhash_signature(F.col("shingles"), k=k).alias("sig")
+    base = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, n_shingle)).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .withColumn("h", shingle_hashes(F.col("shingles")))
+        .localCheckpoint(eager=True)
     )
+    sigs = base.select(id_col, minhash_signature(F.col("h"), k=k).alias("sig"))
     buckets = sigs.select(
         id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")

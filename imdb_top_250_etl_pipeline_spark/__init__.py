@@ -12,11 +12,18 @@ that a 100 TB pipeline needs.
 Layout:
     session.py    SparkSession factory (AQE, UTC, Arrow, shuffle sizing)
     schemas.py    explicit StructTypes for every table (no inference)
-    sources/      readers (parquet catalog, html-fetch source, jdbc stub)
-    functions/    scalar expression library (cleaning, casts, text)
-    operators/    relational + ETL + dedup + similarity + text operators
+    sources/      parquet catalog + write sinks (catalog.py, sink.py);
+                  gated JDBC reader
+    functions/    scalar expression library (cleaning casts, numerics)
+    operators/    etl.py (extract/normalize/upsert), dedup.py (exact/
+                  MinHash/SimHash/ngram), similarity.py (cosine top-k,
+                  IVF, hyperplane LSH), text.py (counts/quality/lang-id/
+                  fingerprints), multimodal.py (JSON props, embedding
+                  features, binary decode), udfs.py (mapInPandas parse+
+                  fetch, applyInPandas)
     plans/        named query registry (queries() + oracle_sql() twins)
-    streaming/    Structured Streaming surface (windows, watermark, merge)
+    streaming/    Structured Streaming jobs (watermarked windows,
+                  sessions, stateful dedup, foreachBatch merge)
 """
 
 __version__ = "0.1.0"

@@ -270,6 +270,60 @@ def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+_UPSERT_ORACLE = """
+    WITH e AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    i AS (
+      SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1.50 AS DECIMAL(13,2)) AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+           CAST(CASE WHEN i.o_orderkey IS NOT NULL THEN i.total ELSE e.total END AS DOUBLE) AS total,
+           CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_custkey ELSE i.o_custkey END AS o_custkey
+    FROM e FULL OUTER JOIN i ON e.o_orderkey = i.o_orderkey
+    ORDER BY o_orderkey
+"""
+
+
+@register(
+    "etl_incremental_rerun",
+    oracle=_UPSERT_ORACLE,
+    doc="S7: the reference's weekly cron re-run (Dockerfile:55, "
+    "README.md:132-133) — idempotency as a checkable property: applying "
+    "the same incoming batch through upsert TWICE must equal applying it "
+    "once, so the oracle is etl_upsert_orders' own expected output. "
+    "Stable columns survive because the first merge's rows count as "
+    "'existing' on the second pass.",
+)
+def etl_incremental_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    existing = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total"),
+    )
+    incoming = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(12,2)") + F.lit("1.50").cast("decimal(3,2)"))
+        .cast("decimal(13,2)")
+        .alias("total"),
+    )
+    kw = dict(key="o_orderkey", update_cols=["o_orderstatus", "total"], stable_cols=["o_custkey"])
+    once = upsert(existing, incoming, **kw)
+    twice = upsert(once.select(*existing.columns), incoming, **kw)
+    return twice.select(
+        "o_orderkey", "o_orderstatus", F.col("total").cast("double").alias("total"), "o_custkey"
+    ).orderBy("o_orderkey")
+
+
 @register(
     "etl_insert_ignore_customers",
     oracle="""

@@ -434,6 +434,37 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_zip_positional",
+    oracle="""
+    WITH r AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn
+               FROM region),
+         n AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn
+               FROM nation)
+    SELECT CAST(r.rn AS BIGINT) AS pos, r.r_name, n.n_name
+    FROM r JOIN n ON r.rn = n.rn
+    ORDER BY pos
+    """,
+    doc="J4: positional zip pairing (the reference's dict(zip(col_a, "
+    "col_b)), webscraper-postgres.py:227) across tables — row_number-"
+    "keyed equi-join, inner semantics truncate to the shorter side like "
+    "Python zip. Partition-less windows are fine here (dim tables); "
+    "fact-sized zips use with_surrogate_key's distributed ids.",
+)
+def join_zip_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select(
+        "r_name", F.row_number().over(W.orderBy("r_regionkey")).alias("rn")
+    )
+    n = load(spark, sf_dir, "nation").select(
+        "n_name", F.row_number().over(W.orderBy("n_nationkey")).alias("rn")
+    )
+    return (
+        r.join(n, "rn")
+        .select(F.col("rn").cast("bigint").alias("pos"), "r_name", "n_name")
+        .orderBy("pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters (SURVEY §2.2) — pushdown-verified shapes.
 # ---------------------------------------------------------------------------

@@ -125,6 +125,43 @@ def scalar_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_nan_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           COALESCE(isnan(v), false) AS is_nan,
+           CASE WHEN isnan(v) THEN NULL ELSE v END AS v_clean,
+           COALESCE(CASE WHEN isnan(v) THEN NULL ELSE v END, 0.0) AS v_filled
+    FROM e
+    ORDER BY event_id
+    """,
+    doc="F8: NaN-sentinel → SQL NULL normalization (the reference floods "
+    "np.nan into every failed field, webscraper-postgres.py:39-57; "
+    "nan-aware guards at :176,184). NaN injected deterministically, then "
+    "isnan predicate + nanvl-style cleanup + fill. DuckDB's isnan(NULL) "
+    "is NULL while Spark's is false → COALESCE on the oracle side.",
+)
+def scalar_nan_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import nan_to_null
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    v = F.when(F.col("event_id") % 10 == 0, F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    clean = nan_to_null(v)
+    return e.select(
+        "event_id",
+        F.isnan(v).alias("is_nan"),
+        clean.alias("v_clean"),
+        F.coalesce(clean, F.lit(0.0)).alias("v_filled"),
+    ).orderBy("event_id")
+
+
+@register(
     "scalar_string_battery",
     oracle="""
     SELECT p_partkey,

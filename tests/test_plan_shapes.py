@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions: the properties that matter at 100 TB
+(pushdown, pruning, broadcast choices, no single-partition data paths)
+pinned so a refactor cannot silently regress them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_project_pushdown_reaches_scan(spark):
+    plan = plan_of(QUERIES["filter_project_pushdown"].fn(spark, SF_CORRECT))
+    assert "PushedFilters:" in plan
+    # all three predicates reach the parquet reader
+    assert "l_returnflag" in plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_discount" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # column pruning: untouched wide columns never leave the scan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_tax" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_flagship_broadcasts_dim_and_aggregates_partially(spark):
+    plan = plan_of(QUERIES["flagship_top_customers"].fn(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan  # customer dim ships to executors
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    plan = plan_of(QUERIES["dedup_exact_documents"].fn(spark, SF_CORRECT))
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the hash
+    # the shuffle carries the 32-byte hash, never the document text:
+    # formatted mode details each node as "(N) Exchange\nInput [k]: [...]"
+    exchange_inputs = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.endswith("Exchange") and i + 1 < len(lines):
+            exchange_inputs.append(lines[i + 1])
+    assert any("content_hash" in s for s in exchange_inputs), exchange_inputs
+    assert not any("text#" in s for s in exchange_inputs), exchange_inputs
+
+
+def test_surrogate_key_has_no_data_sized_single_partition(spark):
+    plan = plan_of(QUERIES["etl_movies_surrogate_keys"].fn(spark, SF_CORRECT))
+    # exactly one SinglePartition exchange is allowed: the tiny
+    # per-partition offsets aggregate (one row per partition)
+    assert plan.count("SinglePartition") <= 1
+    assert "rangepartitioning" in plan  # the distributed id ordering
+
+
+def test_column_drop_prunes_at_scan(spark):
+    plan = plan_of(QUERIES["column_drop"].fn(spark, SF_CORRECT))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    for dropped in ("l_extendedprice", "l_discount", "l_returnflag"):
+        assert dropped not in read_schema
+
+
+def test_broadcast_dims_stay_broadcast(spark):
+    plan = plan_of(QUERIES["join_broadcast_dim"].fn(spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+
+
+def test_no_collect_in_engine_source():
+    # driver-side loops are the anti-pattern the engine must never grow;
+    # collect()/toPandas() belong only in tests and the bench harness
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / (
+        "imdb_top_250_etl_pipeline_spark"
+    )
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        for needle in (".collect()", ".toPandas()", ".head(", ".first()"):
+            if needle in src:
+                offenders.append((py.name, needle))
+    assert not offenders, offenders

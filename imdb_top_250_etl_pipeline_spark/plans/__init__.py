@@ -7,3 +7,4 @@ from . import llm_data  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import udf_surface  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
+from . import sql_surface  # noqa: F401,E402

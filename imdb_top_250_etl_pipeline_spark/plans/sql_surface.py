@@ -1,0 +1,166 @@
+"""SQL-API surface queries: the engine's second entry path.
+
+Everything else in the registry uses the DataFrame API; a user of the
+engine also gets ``spark.sql`` over the catalog views
+(sources.catalog.register_views).  Both paths build the same Catalyst
+logical plan — these queries prove the SQL route end-to-end and cover
+GROUPING SETS, which reaches the DataFrame API only in newer Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from ..sources.catalog import register_views
+from .registry import register
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(o.o_orderpriority) AS INT) AS g_prio
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+    ORDER BY g_nation, g_prio, n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="GROUPING SETS through the spark.sql entry path (explicit set "
+    "list — unlike rollup/cube only the requested groupings expand, so "
+    "the pre-shuffle multiplier is len(sets), not 2^keys).",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+               CAST(GROUPING(o.o_orderpriority) AS INT) AS g_prio
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+        ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "sql_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority) through spark.sql: 3-way join with "
+    "selective pushed filters → hash agg → top-10. The canonical "
+    "scan-join-agg-topk plan; decimal-exact revenue, round-to-cents "
+    "double projection (registry discipline).",
+)
+def sql_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+                   AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "scalar_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id, pos
+    """,
+    doc="posexplode: unnest retaining the element index (1-based to match "
+    "SQL generate_subscripts) — the keyed-unnest primitive under E2 when "
+    "position matters (token order, frame indices).",
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("pos"), "word"
+    ).orderBy("doc_id", "pos")
+
+
+@register(
+    "agg_stats_moments",
+    oracle=None,  # variance/skew accumulate fp sums in engine-specific order
+    doc="Statistical-moment aggregates per returnflag: stddev, variance, "
+    "skewness, kurtosis, corr(price, qty) — the profiling aggregates a "
+    "data pipeline runs before training. Multi-term fp accumulation is "
+    "order-dependent → rows-only for the driver; values pinned against "
+    "numpy in tests/test_stats.py.",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.skewness("l_quantity"), 6).alias("qty_skew"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle=None,  # interpolation formulae differ in fp tails across engines
+    doc="Exact median + linear-interpolated percentiles (p50/p90/p99) of "
+    "order totals per priority, plus approx_percentile — the sketch path "
+    "that replaces exact sorting at 100 TB. Pinned against numpy's "
+    "matching 'linear' interpolation in tests/test_stats.py.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,51 @@
+"""Numpy pins for the rows-only statistical aggregates (fp accumulation
+order differs across engines, so these skip the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.sources import load
+
+
+def _group_values(spark, table, key, val):
+    out: dict[str, np.ndarray] = {}
+    for r in load(spark, SF_SMOKE, table).select(key, val).collect():
+        out.setdefault(r[0], []).append(r[1])
+    return {k: np.array(v) for k, v in out.items()}
+
+
+def test_stats_moments_match_numpy(spark):
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_stats_moments"].fn(spark, SF_SMOKE).collect()
+    }
+    qty = _group_values(spark, "lineitem", "l_returnflag", "l_quantity")
+    for flag, x in qty.items():
+        r = got[flag]
+        assert abs(r.qty_stddev - np.std(x, ddof=1)) < 1e-4
+        assert abs(r.qty_var - np.var(x, ddof=1)) < 1e-3
+        n = len(x)
+        m, s = x.mean(), x.std(ddof=0)
+        skew = ((x - m) ** 3).mean() / s**3
+        kurt = ((x - m) ** 4).mean() / s**4 - 3
+        assert abs(r.qty_skew - skew) < 1e-4, (flag, r.qty_skew, skew)
+        assert abs(r.qty_kurt - kurt) < 1e-3, (flag, r.qty_kurt, kurt)
+
+
+def test_percentiles_match_numpy_linear(spark):
+    got = {
+        r.o_orderpriority: r
+        for r in QUERIES["agg_percentiles"].fn(spark, SF_SMOKE).collect()
+    }
+    totals = _group_values(spark, "orders", "o_orderpriority", "o_totalprice")
+    for prio, x in totals.items():
+        r = got[prio]
+        assert abs(r.p50 - np.percentile(x, 50, method="linear")) < 1e-3
+        assert abs(r.p90 - np.percentile(x, 90, method="linear")) < 1e-3
+        assert abs(r.p99 - np.percentile(x, 99, method="linear")) < 1e-3
+        # the sketch lands near the exact p90 (exact for small groups)
+        assert abs(r.p90_approx - r.p90) / r.p90 < 0.05

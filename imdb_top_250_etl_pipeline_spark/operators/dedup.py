@@ -31,6 +31,21 @@ from pyspark.sql.window import Window as W
 _P = (1 << 31) - 1
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition across all cores with an EXPLICIT partition count.
+
+    ``repartition(col)`` alone is advisory (REPARTITION_BY_COL): AQE
+    coalesces it back down by byte size, which serializes CPU-heavy
+    narrow work over small-but-expensive rows (measured: an LSH verify
+    stage collapsed to 1 task).  An explicit count is a user demand AQE
+    honors.  Use before interpreted/per-row-expensive passes whose input
+    is small in bytes; harmless at scale where inputs arrive many-
+    partitioned anyway.
+    """
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
@@ -142,7 +157,7 @@ def minhash_candidate_pairs(
     """
     rows = k // bands
     base = (
-        df.repartition(F.col(id_col))
+        spread(df, id_col)
         .select(
             F.col(id_col),
             F.array_distinct(word_shingles(text_col, n_shingle)).alias("shingles"),
@@ -292,13 +307,19 @@ def ngram_jaccard_pairs(
     bucket_cols: list[str],
     n: int = 3,
     threshold: float = 0.6,
+    length_band: int = 32,
 ) -> DataFrame:
-    """Character-n-gram Jaccard near-dup pairs within explicit buckets.
+    """Character-n-gram Jaccard near-dup pairs within bounded buckets.
 
-    The quadratic comparison is bounded to rows sharing ``bucket_cols``
-    (e.g. language + coarse length band): at scale bucket sizes must be
-    bounded by construction — this operator is the verify stage; use
-    MinHash/SimHash banding when no natural bucketing exists.
+    The quadratic comparison is bounded two ways: rows must share
+    ``bucket_cols`` (e.g. language), and must sit within one
+    ``length_band`` of each other — high-Jaccard pairs necessarily have
+    similar length (|len_a - len_b| <= (1-j)·(len_a + len_b)), so the
+    band prefilter costs no recall at real thresholds while cutting the
+    pair count by the number of bands.  The left side expands to bands
+    {b-1, b, b+1} so cross-boundary pairs still meet exactly once (the
+    right side keeps its single band).  At 100 TB this is the verify
+    stage; use MinHash/SimHash banding when no natural bucketing exists.
     """
     grams = F.array_distinct(
         F.when(
@@ -309,11 +330,27 @@ def ngram_jaccard_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    base = df.select(
-        F.col(id_col), *[F.col(c) for c in bucket_cols], grams.alias("grams")
-    ).where(F.size("grams") > 0)
-    left, right = base.alias("l"), base.alias("r")
-    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    band = F.floor(F.length(text_col) / length_band)
+    # repartition FIRST: the probe side of the (broadcast) bucket join
+    # keeps this partitioning, so pair generation and scoring parallelize
+    # across cores instead of across input file count
+    base = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in bucket_cols],
+            band.alias("len_band"),
+            grams.alias("grams"),
+        )
+        .where(F.size("grams") > 0)
+    )
+    left = base.select(
+        "*", F.explode(F.array(F.col("len_band") - 1, F.col("len_band"), F.col("len_band") + 1)).alias("probe_band")
+    ).alias("l")
+    right = base.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) & (
+        F.col("l.probe_band") == F.col("r.len_band")
+    )
     for c in bucket_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     return (

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .dedup import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -71,7 +73,7 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         l2_norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.repartition(F.col(id_col)).select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         l2_norm(F.col(vec_col)).alias("nnorm"),
@@ -115,7 +117,7 @@ def assign_clusters(
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    scored = corpus.repartition(F.col(id_col)).crossJoin(F.broadcast(cents)).select(
+    scored = spread(corpus, id_col).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
         "centroid_id",
@@ -237,7 +239,7 @@ def cosine_near_dup_pairs(
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     sig = F.concat(*[plane_bit(p) for p in range(n_planes)])
-    base = df.repartition(F.col(id_col)).select(
+    base = spread(df, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("norm"),  # once per vector, not per pair

@@ -39,10 +39,17 @@ HEADLINE = [
     "etl_movies_surrogate_keys",
     "dedup_exact_documents",
     "dedup_minhash_candidates",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
     "text_word_counts",
     "text_quality_scores",
     "sim_cosine_topk",
+    "sim_ann_ivf",
+    "multimodal_embedding_quantize",
+    "udf_parse_markup",
     "stream_tumbling_window",
+    "stream_sessionize",
+    "sql_tpch_q3_shipping_priority",
 ]
 
 

@@ -208,33 +208,36 @@ def minhash_candidate_pairs(
     return verified
 
 
-def _bit_string(h: Column) -> Column:
-    """64-char binary string of a long (bin() zero-padded)."""
-    return F.lpad(F.bin(h), 64, "0")
-
-
-def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash of a space-tokenized text, as a 64-char bit string.
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, as (id, 64-char bit string).
 
     Per word: xxhash64 → ±1 per bit; sum the ±1 vectors over all words;
-    fingerprint bit j = sign of count j.  Pure expression fold
-    (aggregate + zip_with over a 64-wide int array) — no UDF, no shuffle.
+    fingerprint bit j = sign of count j.  Shaped for codegen: explode to
+    (id, word_hash) rows, derive the 64 ±1 bit columns with literal-
+    shift integer expressions (no higher-order functions — an earlier
+    array-fold formulation ran interpreted and ~8× slower), then one
+    partial+final hash aggregate on the id.  The single shuffle carries
+    64 ints per id — the same shape at any corpus size.
     """
-    word_hashes = F.transform(tokens(text_col), lambda t: _bit_string(F.xxhash64(t)))
-    zeros = F.array_repeat(F.lit(0), 64)
-    counts = F.aggregate(
-        word_hashes,
-        zeros,
-        lambda acc, bs: F.zip_with(
-            acc,
-            F.split(bs, ""),
-            lambda a, bit: a + F.when(bit == "1", 1).otherwise(-1),
-        ),
+    words = spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
     )
-    return F.array_join(
-        F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))),
-        "",
+    h = F.xxhash64("w")
+    bit_sums = [
+        F.sum(
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    counts = words.groupBy(id_col).agg(*bit_sums)
+    # msb-first to match lpad(bin(h)) ordering conventions
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(63, -1, -1)
+        ]
     )
+    return counts.select(F.col(id_col), bits.alias("bits"))
 
 
 def _half_long(bits: Column, start: int) -> Column:
@@ -258,7 +261,9 @@ def simhash_pairs(
     near-dups.  Verification is bit_count(xor) on the two 32-bit halves.
     """
     width = 64 // bands
-    sh = df.select(F.col(id_col), simhash64(text_col).alias("bits"))
+    # materialize once: the banded self-join would otherwise rebuild the
+    # whole fingerprint table for each side (persist() on a cluster)
+    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=True)
     banded = sh.select(
         id_col,
         "bits",

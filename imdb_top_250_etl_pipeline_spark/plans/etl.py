@@ -270,6 +270,60 @@ def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@register(
+    "etl_full_pipeline",
+    oracle=with_etl_ctes(
+        """
+        SELECT (SELECT COUNT(*) FROM movies) AS n_movies,
+               (SELECT COUNT(*) FROM people) AS n_people,
+               (SELECT COUNT(*) FROM (
+                  SELECT DISTINCT m.movie_id, p.person_id
+                  FROM details_raw d
+                  JOIN movies m ON m.description = d.description
+                  JOIN people p ON p.name = d.director
+                  WHERE d.director IS NOT NULL)) AS n_director,
+               (SELECT COUNT(*) FROM (
+                  SELECT DISTINCT m.movie_id, p.person_id
+                  FROM details_raw d
+                  JOIN movies m ON m.description = d.description
+                  JOIN people p ON p.name IN (SELECT unnest(d.writers))
+                  WHERE d.writers IS NOT NULL)) AS n_writer,
+               (SELECT COUNT(*) FROM (
+                  SELECT DISTINCT m.movie_id, p.person_id
+                  FROM details_raw d
+                  JOIN movies m ON m.description = d.description
+                  JOIN people p ON p.name IN (SELECT unnest(d.stars))
+                  WHERE d.stars IS NOT NULL)) AS n_star
+        """
+    ),
+    doc="The reference pipeline end-to-end in ONE lazy plan: extract → "
+    "clean → surrogate keys → normalize people → all three bridge "
+    "tables (webscraper-postgres.py:29-285 runs this as five eager "
+    "stages with per-row DB round-trips). The output is the load "
+    "summary — five counts, each subplan sharing the same scans via "
+    "plan reuse.",
+)
+def etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = details_raw(spark, sf_dir)
+    movies = _movies_table(spark, sf_dir)
+    people = normalize_people(d)
+    bridges = {
+        name: build_bridge(d, movies, people, name)
+        for name in ("director", "writers", "stars")
+    }
+    counts = [
+        movies.agg(F.count("*").alias("n_movies")),
+        people.agg(F.count("*").alias("n_people")),
+        bridges["director"].agg(F.count("*").alias("n_director")),
+        bridges["writers"].agg(F.count("*").alias("n_writer")),
+        bridges["stars"].agg(F.count("*").alias("n_star")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
 _UPSERT_ORACLE = """
     WITH e AS (
       SELECT o_orderkey, o_custkey, o_orderstatus,

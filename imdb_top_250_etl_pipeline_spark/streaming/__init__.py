@@ -3,5 +3,6 @@ from .jobs import (  # noqa: F401
     tumbling_counts,
     session_counts,
     dedup_stream,
+    stateful_user_counts,
     foreach_batch_upsert,
 )

@@ -17,6 +17,7 @@ from imdb_top_250_etl_pipeline_spark.streaming import (
     foreach_batch_upsert,
     read_events_stream,
     session_counts,
+    stateful_user_counts,
     tumbling_counts,
 )
 
@@ -88,6 +89,29 @@ def test_dedup_stream_removes_nothing_on_unique_ids(spark):
     stream = read_events_stream(spark, SF_SMOKE)
     got = _run_to_memory(dedup_stream(stream), spark, "t_dedup", "append")
     assert got.count() == load(spark, SF_SMOKE, "events").count()
+
+
+def test_stateful_user_counts_match_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = _run_to_memory(
+        stateful_user_counts(stream), spark, "t_stateful", "update"
+    )
+    # update mode re-emits per microbatch; the LAST emission per user is
+    # the running total — with availableNow there may be several batches
+    final = {
+        r.user_id: r.n_events
+        for r in got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    expected = {
+        r.user_id: r.n
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == expected
 
 
 def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):

@@ -33,6 +33,41 @@ def test_parquet_roundtrip_preserves_values(spark, tmp_path):
     assert src.exceptAll(back).count() == 0
 
 
+def test_surrogate_key_invariant_to_input_partitioning(spark):
+    # the distributed id assignment must be a pure function of the data:
+    # identical ids whether the input arrives in 1 partition or 13
+    from imdb_top_250_etl_pipeline_spark.operators.etl import with_surrogate_key
+
+    c = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    one = {
+        r.c_custkey: r.sk
+        for r in with_surrogate_key(
+            c.repartition(1), "sk", ["c_name"]
+        ).collect()
+    }
+    many = {
+        r.c_custkey: r.sk
+        for r in with_surrogate_key(
+            c.repartition(13), "sk", ["c_name"]
+        ).collect()
+    }
+    assert one == many
+    assert sorted(one.values()) == list(range(1, len(one) + 1))
+
+
+def test_catalog_rejects_schema_drift(spark, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.sources import load as cat_load
+    import pytest as _pytest
+
+    # customer with c_acctbal as string: declared double -> must fail loudly
+    spark.createDataFrame(
+        [(1, "x", 1, "bad", "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal string, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    with _pytest.raises(ValueError, match="schema drift"):
+        cat_load(spark, str(tmp_path), "customer")
+
+
 def test_approx_count_distinct_error_bound(spark):
     # docstring contract of agg_approx_distinct: relative error vs exact
     # stays within a few rsd (rsd=0.02)

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the MERGE-semantics operators.
+
+The oracle checks pin one fixture-derived instance; these drive the same
+operators over arbitrary small key/value tables against a straight-line
+Python reference model, covering shapes the fixtures never produce
+(empty sides, all-overlap, duplicate incoming keys, NULL update values).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from imdb_top_250_etl_pipeline_spark.operators.etl import insert_ignore, upsert
+
+# small tables keep each Spark round-trip fast; keys overlap on purpose
+_key = st.integers(min_value=0, max_value=9)
+_val = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+_rows = st.lists(st.tuples(_key, _val, _val), max_size=8)
+
+_SCHEMA = "k int, upd int, stable int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _dedup_first(rows):
+    seen, out = set(), []
+    for r in rows:
+        if r[0] not in seen:
+            seen.add(r[0])
+            out.append(r)
+    return out
+
+
+@given(existing=_rows, incoming=_rows)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_upsert_matches_reference_model(spark, existing, incoming):
+    existing = _dedup_first(existing)
+    incoming = _dedup_first(incoming)
+    got = {
+        r.k: (r.upd, r.stable)
+        for r in upsert(
+            _df(spark, existing),
+            _df(spark, incoming),
+            key="k",
+            update_cols=["upd"],
+            stable_cols=["stable"],
+        ).collect()
+    }
+    e = {k: (u, s) for k, u, s in existing}
+    i = {k: (u, s) for k, u, s in incoming}
+    expected = {}
+    for k in set(e) | set(i):
+        if k in e and k in i:
+            expected[k] = (i[k][0], e[k][1])  # update-wins, stable kept
+        elif k in e:
+            expected[k] = e[k]
+        else:
+            expected[k] = i[k]
+    assert got == expected
+
+
+@given(existing=_rows, incoming=_rows)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_insert_ignore_is_first_writer_wins(spark, existing, incoming):
+    existing = _dedup_first(existing)
+    got = {
+        r.k: (r.upd, r.stable)
+        for r in insert_ignore(
+            _df(spark, existing), _df(spark, incoming), key="k"
+        ).collect()
+    }
+    e = {k: (u, s) for k, u, s in existing}
+    # existing rows never change; one arbitrary row per brand-new key
+    for k, v in e.items():
+        assert got[k] == v
+    new_keys = {k for k, _, _ in incoming} - set(e)
+    assert set(got) == set(e) | new_keys
+    incoming_by_key = {}
+    for k, u, s in incoming:
+        incoming_by_key.setdefault(k, set()).add((u, s))
+    for k in new_keys:
+        assert got[k] in incoming_by_key[k]

@@ -131,6 +131,54 @@ def assign_clusters(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids, pure DataFrame ops.
+
+    The iterative-algorithm shape: each round is (assign to nearest
+    centroid) → (element-wise mean per cluster).  The mean runs as
+    posexplode to (cluster, dim, value) → partial+final avg → re-
+    assemble with sort_array(collect_list) — all codegen'd, one shuffle
+    per half-step.  Each round's centroid table is materialized
+    (localCheckpoint; persist-and-iterate on a cluster) so the lineage
+    does not grow exponentially with iterations — the standard Spark
+    iterative-algorithm discipline.
+
+    Returns (centroid_id, vec) with ids 0..k-1 reassigned per round
+    (cluster identity, not lineage, is what IVF needs).
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = assign_clusters(
+            corpus, cents.select(
+                F.col("centroid_id").alias(id_col), F.col("cvec").alias(vec_col)
+            ), id_col, vec_col
+        )
+        by_dim = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
+        )
+        means = by_dim.groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
+        cents = (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("cvec")
+            )
+            .select(F.col("cluster").alias("centroid_id"), "cvec")
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

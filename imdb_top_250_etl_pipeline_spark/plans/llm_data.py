@@ -38,6 +38,7 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_topk,
+    kmeans_refine,
 )
 from ..operators.text import (
     LANG_MARKERS,
@@ -225,6 +226,29 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") % 50 == 0)
     centroids = e.where(F.col("vec_id") % 25 == 0)
     return ivf_topk(e, queries, centroids, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "sim_ann_ivf_kmeans",
+    oracle=None,
+    doc="IVF with Lloyd-refined centroids: 2 k-means iterations (the "
+    "iterative-algorithm pattern — assign/mean rounds with checkpointed "
+    "lineage) before probing. On this fixture (10 well-separated label "
+    "clusters, dense centroid sample) recall matches the raw sample "
+    "(0.92 vs 0.96 at sf0.01); the refinement pays off when seeds are "
+    "sparse or skewed — the test pins refined recall within noise of "
+    "raw and above an absolute floor.",
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    seeds = e.where(F.col("vec_id") % 25 == 0)
+    refined = kmeans_refine(e, seeds, iterations=2).select(
+        F.col("centroid_id").alias("vec_id"), F.col("cvec").alias("embedding")
+    )
+    return ivf_topk(e, queries, refined, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
 

@@ -133,6 +133,27 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, recall
 
 
+def test_kmeans_refined_ivf_recall_not_worse(spark):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ann_ivf"].fn(spark, SF_SMOKE).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ann_ivf_kmeans"].fn(spark, SF_SMOKE).collect()
+    }
+    recall_raw = len(raw & brute) / len(brute)
+    recall_ref = len(refined & brute) / len(brute)
+    # Lloyd iterations re-center cells; tolerate small fixture noise but
+    # refined centroids must not meaningfully lose to the raw sample
+    assert recall_ref >= recall_raw - 0.1, (recall_ref, recall_raw)
+    assert recall_ref >= 0.5
+
+
 def test_blob_decode_rejects_unknown_media(spark):
     from imdb_top_250_etl_pipeline_spark.operators.multimodal import decode_blobs
 

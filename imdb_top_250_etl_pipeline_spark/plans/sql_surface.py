@@ -97,6 +97,127 @@ def sql_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "sql_q17_correlated_subquery",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (below-half-average "
+    "quantity per part). Catalyst decorrelates it into an aggregate + "
+    "join — the rewrite that makes per-row subqueries feasible at scale "
+    "(a true per-row execution would be O(rows × parts)).",
+)
+def sql_q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_price,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT event_id, CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE event_id % 7 END AS k
+               FROM events WHERE event_id < 300),
+         b AS (SELECT CASE WHEN event_id % 4 = 0 THEN NULL
+                    ELSE event_id % 7 END AS k,
+                    COUNT(*) AS n
+               FROM events WHERE event_id < 300 GROUP BY 1)
+    SELECT a.event_id, a.k, b.n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.event_id
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — the semantics upsert keys "
+    "need when the business key is nullable. Still hash-partitionable "
+    "(NULL hashes like any value under <=>), so it stays an equi-join, "
+    "not a theta join.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    k_a = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("event_id") % 7
+    )
+    k_b = F.when(F.col("event_id") % 4 == 0, F.lit(None)).otherwise(
+        F.col("event_id") % 7
+    )
+    a = e.select("event_id", k_a.alias("k"))
+    b = e.select(k_b.alias("k")).groupBy("k").agg(F.count("*").alias("n"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .select("event_id", a.k.alias("k"), "n")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "agg_collect_battery",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders
+    ),
+    top3 AS (
+      SELECT o_orderpriority, list_sort(list(o_orderkey)) AS top3_orders
+      FROM ranked WHERE rn <= 3 GROUP BY o_orderpriority
+    ),
+    base AS (
+      SELECT o_orderpriority,
+             list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+             CAST(COUNT(DISTINCT o_custkey) AS INT) AS n_buyers
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT b.o_orderpriority, b.statuses, b.n_buyers, t.top3_orders
+    FROM base b JOIN top3 t USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    doc="Array-building aggregates: collect_set (sorted for determinism), "
+    "distinct cardinality via the set, and top-3 keys per group. "
+    "collect_* materializes whole groups — bounded domains only at "
+    "scale; the top-k variant pre-filters with a window so only 3 rows "
+    "per group reach the collect.",
+)
+def agg_collect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.withColumn("rn", F.row_number().over(w))
+    top3 = (
+        ranked.where(F.col("rn") <= 3)
+        .groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("top3_orders"))
+    )
+    base = o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_custkey")).cast("int").alias("n_buyers"),
+    )
+    return (
+        base.join(top3, "o_orderpriority")
+        .select("o_orderpriority", "statuses", "n_buyers", "top3_orders")
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "scalar_posexplode",
     oracle="""
     SELECT doc_id,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import spread
 from ..operators.udfs import fetch_details, grouped_zscore, parse_markup
 from ..sources import load
 from .registry import register
@@ -44,7 +45,9 @@ def _markup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("string"),
         F.lit('">x</a></li>'),
     )
-    return p.select(
+    # spread before mapInPandas: Python workers parallelize per
+    # partition, and the fixture arrives as a single file
+    return spread(p, "p_partkey").select(
         F.when(k % 41 == 0, F.lit("<li><h3>broken")).otherwise(good).alias("markup")
     )
 

@@ -318,13 +318,17 @@ def ngram_jaccard_pairs(
 
     The quadratic comparison is bounded two ways: rows must share
     ``bucket_cols`` (e.g. language), and must sit within one
-    ``length_band`` of each other — high-Jaccard pairs necessarily have
-    similar length (|len_a - len_b| <= (1-j)·(len_a + len_b)), so the
-    band prefilter costs no recall at real thresholds while cutting the
-    pair count by the number of bands.  The left side expands to bands
+    ``length_band`` of each other.  The left side expands to bands
     {b-1, b, b+1} so cross-boundary pairs still meet exactly once (the
-    right side keeps its single band).  At 100 TB this is the verify
-    stage; use MinHash/SimHash banding when no natural bucketing exists.
+    right side keeps its single band).
+
+    Caveat: the length prefilter is exact for multiset Jaccard but the
+    similarity computed here is over DISTINCT grams — a repetition-heavy
+    pair (one side repeats the other's content) can be gram-set-identical
+    at very different lengths and would be missed; widen ``length_band``
+    or fall back to MinHash banding for such corpora.  At 100 TB this is
+    the verify stage; use MinHash/SimHash banding when no natural
+    bucketing exists.
     """
     grams = F.array_distinct(
         F.when(

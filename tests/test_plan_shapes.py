@@ -74,6 +74,41 @@ def test_broadcast_dims_stay_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # nation and region
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    # the 100 TB co-location technique: two tables bucketed+sorted on the
+    # join key join with ZERO exchanges — the shuffle was paid once at
+    # write time and amortizes over every subsequent join
+    from imdb_top_250_etl_pipeline_spark.sources import load as cat_load
+
+    from tests.conftest import SF_SMOKE
+
+    c = cat_load(spark, SF_SMOKE, "customer")
+    o = cat_load(spark, SF_SMOKE, "orders")
+    for name, df, key in (("bk_customer", c, "c_custkey"), ("bk_orders", o, "o_custkey")):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    try:
+        # hint forces sort-merge (small fixtures would auto-broadcast,
+        # which hides the property under test: bucket-aligned SMJ needs
+        # neither a shuffle nor a broadcast)
+        joined = spark.table("bk_customer").hint("merge").join(
+            spark.table("bk_orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_customer")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
 def test_no_collect_in_engine_source():
     # driver-side loops are the anti-pattern the engine must never grow;
     # collect()/toPandas() belong only in tests and the bench harness

@@ -253,6 +253,48 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT lang, doc_id FROM documents
+      WHERE ((doc_id * 2654435761) % 1000) / 1000.0
+            < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Stratified corpus sampling (per-language rates — the data-mixing "
+    "primitive for training sets). Selection is a pure function of the "
+    "row key (Knuth multiplicative hash in plain integer arithmetic — "
+    "expressible identically in any engine), NOT rand()/sample(): the "
+    "same rows are chosen on any cluster layout, re-runs are "
+    "reproducible, and the sample is join-stable (two tables sampled on "
+    "the same key select aligned rows). Rates validated by a binomial-"
+    "bound unit test.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "zh", 0.2)
+        .otherwise(0.1)
+    )
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)) / 1000.0
+    return (
+        d.where(u < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis.
 # ---------------------------------------------------------------------------

@@ -133,6 +133,30 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, recall
 
 
+def test_stratified_sample_rates_within_binomial_bounds(spark):
+    import math
+
+    got = {
+        r.lang: r.n_sampled
+        for r in QUERIES["sample_stratified"].fn(spark, SF_SMOKE).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in load(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rates = {"en": 0.5, "zh": 0.2}
+    for lang, n in totals.items():
+        p = rates.get(lang, 0.1)
+        sampled = got.get(lang, 0)
+        # 4-sigma binomial bound: the multiplicative hash should behave
+        # like a uniform selector at these rates
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(sampled - n * p) <= 4 * sigma + 1, (lang, sampled, n, p)
+
+
 def test_kmeans_refined_ivf_recall_not_worse(spark):
     brute = {
         (r.query_id, r.neighbor_id)

@@ -65,10 +65,18 @@ def main() -> None:
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES]
 
-    # JVM/codegen warmup on the smallest SF so per-query timings measure
-    # the plan, not first-touch JIT + parquet footer reads.
-    warm = QUERIES[names[0]].fn(spark, "/root/testdata/sf0.001")
-    warm.write.format("noop").mode("overwrite").save()
+    # Warmup on the smallest SF so per-query timings measure the plan,
+    # not first-touch costs: JVM JIT + parquet footers (first query) and
+    # the Python/Arrow worker pool (~10s of fork+init that would land on
+    # whichever mapInPandas query runs first).
+    QUERIES[names[0]].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    py_warm = next((n for n in names if n.startswith(("udf_", "multimodal_blob"))), None)
+    if py_warm:
+        QUERIES[py_warm].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -1,4 +1,4 @@
-from .numeric import money, money2, dec_sum, dec_avg  # noqa: F401
+from .numeric import money, rate, round_money  # noqa: F401
 from .cleaning import (  # noqa: F401
     split_index,
     strip_parens,

@@ -27,20 +27,9 @@ def rate(c: Column | str) -> Column:
     return (F.col(c) if isinstance(c, str) else c).cast(RATE)
 
 
-def money2(c: Column) -> Column:
-    """Final display cast for money aggregates: DECIMAL(18,2)."""
-    return c.cast("decimal(18,2)")
-
-
-def dec_sum(c: Column, out: str = "decimal(18,2)") -> Column:
-    """Exact decimal sum with a fixed output type."""
-    return F.sum(c).cast(out)
-
-
-def dec_avg(sum_c: Column, count_c: Column) -> Column:
-    """avg as exact-decimal sum → double → / count.
-
-    Both engines cast the same exact decimal to the same IEEE double and
-    divide by the same integer — bit-identical, unlike avg() over doubles.
-    """
-    return F.sum(sum_c).cast("double") / count_c
+def round_money(sum_c: Column) -> Column:
+    """The registry's money-output discipline in one place: round the
+    exact decimal aggregate to cents, then cast to double (both engines
+    convert the small-unscaled decimal to the same IEEE bits; see
+    plans/registry.py)."""
+    return F.round(sum_c, 2).cast("double")

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.numeric import money, rate
+from ..functions.numeric import money, rate, round_money
 from ..sources import load
 from .registry import register
 
@@ -57,7 +57,7 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             # with the unscaled value back under 2^53 both engines' decimal→
             # double conversion is a single correctly-rounded division (wide
             # scale-10 decimals hit a 1-ulp double-rounding in the JVM)
-            F.round(revenue, 2).cast("double").alias("revenue"),
+            round_money(revenue).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -103,8 +103,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            round_money(F.sum(disc_price)).alias("sum_disc_price"),
+            round_money(F.sum(charge)).alias("sum_charge"),
             (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(rate("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -849,7 +849,7 @@ def flagship_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .agg(round_money(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.numeric import money
+from ..functions.numeric import money, round_money
 from ..sources import load
 from .registry import register
 
@@ -51,7 +51,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum(money("value")), 2).cast("double").alias("value_sum"),
+            round_money(F.sum(money("value"))).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("w_start"),

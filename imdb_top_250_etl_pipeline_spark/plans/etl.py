@@ -196,12 +196,18 @@ def etl_bridge_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doubles bit-exactly, so the oracle is the plain source query.",
 )
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from ..sources.sink import read_back, write_parquet
 
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    path = tempfile.mkdtemp(prefix="spark_sink_roundtrip_")
+    # scratch space stays inside the repo (.tmp/ is gitignored; removed
+    # in the finally) — the runtime contract forbids writes elsewhere
+    scratch = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+    os.makedirs(scratch, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="sink_roundtrip_", dir=scratch)
     try:
         write_parquet(c, path, partition_by=["c_mktsegment"])
         filtered = (

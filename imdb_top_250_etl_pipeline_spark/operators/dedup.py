@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 # Mersenne prime 2^31-1: modulus for the minhash permutation family.
 # 31-bit on purpose: a*h+b stays < 2^62, so the arithmetic never overflows

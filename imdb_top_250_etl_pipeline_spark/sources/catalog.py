@@ -18,6 +18,13 @@ from ..schemas import FIXTURE_SCHEMAS
 
 TABLES = tuple(FIXTURE_SCHEMAS)
 
+# (applicationId, sf_dir, table) → DataFrame.  A DataFrame is an immutable
+# logical plan, so reusing one across queries is safe and saves a parquet
+# footer read + schema assertion per load() call — the same role a real
+# engine's cached catalog plays.  Keyed by applicationId so a new session
+# never sees plans bound to a stopped one.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.
@@ -28,6 +35,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; have {sorted(FIXTURE_SCHEMAS)}")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     # Runtime-set (not only in our session factory): the driver passes its
     # own SparkSession, and events.ts is parquet TIMESTAMP(NANOS) which
     # Spark refuses to scan unless surfaced as long.
@@ -62,17 +73,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             cols.append(F.col(f.name))
     # project to the declared column order (column pruning still applies
     # on top of this select)
-    return df.select(*cols)
+    out = df.select(*cols)
+    _PLAN_CACHE[cache_key] = out
+    return out
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+_VIEWS_AT: dict[str, str] = {}  # applicationId → sf_dir the views point at
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for the SQL surface."""
+    """Register every fixture table as a temp view for the SQL surface.
+
+    Idempotent while the session stays on one sf_dir; switching dirs
+    re-registers (views must always point at the requested data)."""
+    app = spark.sparkContext.applicationId
+    if _VIEWS_AT.get(app) == sf_dir:
+        return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_AT[app] = sf_dir
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:

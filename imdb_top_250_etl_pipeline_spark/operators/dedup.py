@@ -224,10 +224,14 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     partial+final hash aggregate on the id.  The single shuffle carries
     64 ints per id — the same shape at any corpus size.
     """
-    words = spread(df, id_col).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    # hash once per word as its own projection: inlining xxhash64 into
+    # each of the 64 bit-sum expressions would evaluate it 64× per row
+    words = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .select(F.col(id_col), F.xxhash64("w").alias("h"))
     )
-    h = F.xxhash64("w")
+    h = F.col("h")
     bit_sums = [
         F.sum(
             (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")

@@ -262,36 +262,58 @@ def cosine_near_dup_pairs(
     import hashlib
 
     rows = n_planes // bands
-    # hyperplane weights are DATA-INDEPENDENT: derive them at plan-build
-    # time from a fixed hash of (plane, dim) and ship them as literal
-    # arrays — hashing per element inside the lambda would re-run an
-    # interpreted hash 2M+ times per pass (measured ~8× slower). 128 dims
-    # covers the fixture's 64; extra weights are ignored by zip_with.
-    def weight(p: int, d: int) -> float:
+    # Hyperplane weights are DATA-INDEPENDENT: derived at plan-build time
+    # from a fixed hash of (plane, dim) and shipped as a tiny broadcast
+    # table.  Projections run fully codegen'd — posexplode the vector,
+    # broadcast-join the per-dim weight array, 32 integer sums per id.
+    # Everything is INTEGER math on purpose: quantized x (2^20) times
+    # integer weights sum order-independently, so the signature is
+    # deterministic under any aggregation order (a double sum would make
+    # near-zero projections flip sign run-to-run).  |xq*wq| < 2^40 and 64
+    # dims keep sums far from long overflow even under ANSI mode.
+    def weight(p: int, d: int) -> int:
         h = int.from_bytes(hashlib.md5(f"p{p}d{d}".encode()).digest()[:4], "big")
-        return (h % 2000) / 1000.0 - 1.0
+        return (h % 2000) - 1000  # integer weight in [-1000, 1000)
 
-    def plane_bit(p: int) -> Column:
-        # slice to the vector's length: zip_with pads the shorter side
-        # with NULLs, which would null out the whole fold
-        w = F.slice(
-            F.array(*[F.lit(weight(p, d)) for d in range(128)]),
-            1,
-            F.size(F.col(vec_col)),
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, [weight(p, d) for p in range(n_planes)]) for d in range(256)],
+        "dim int, w array<long>",
+    )
+    spread_df = spread(df, id_col)
+    exploded = spread_df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select(
+        id_col,
+        "dim",
+        F.floor(F.col("x").cast("double") * (1 << 20)).cast("long").alias("xq"),
+    )
+    proj_sums = [
+        F.sum(F.col("xq") * F.element_at("w", p + 1)).alias(f"s{p}")
+        for p in range(n_planes)
+    ]
+    sig_bits = F.concat(
+        *[
+            F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+    )
+    sigs = (
+        exploded.join(F.broadcast(wdf), "dim")
+        .groupBy(id_col)
+        .agg(*proj_sums)
+        .select(F.col(id_col), sig_bits.alias("sig"))
+    )
+    # materialize signatures+norms once: both sides of the banded
+    # self-join read this table (persist() on a cluster)
+    base = (
+        spread_df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("norm"),  # once per vector, not per pair
         )
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), w, lambda x, wd: x.cast("double") * wd),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    sig = F.concat(*[plane_bit(p) for p in range(n_planes)])
-    base = spread(df, id_col).select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("norm"),  # once per vector, not per pair
-        sig.alias("sig"),
+        .join(sigs, id_col)
+        .localCheckpoint(eager=True)
     )
     banded = base.select(
         id_col,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # Mersenne prime 2^31-1: modulus for the minhash permutation family.
 # 31-bit on purpose: a*h+b stays < 2^62, so the arithmetic never overflows
@@ -116,6 +117,50 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def capped_band_pairs(
+    banded: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs within equal ``band_cols`` buckets,
+    with a hot-bucket guard.
+
+    Buckets of <= ``max_bucket`` members emit all pairs (the normal LSH
+    path).  A degenerate bucket — N near-identical boilerplate docs, N
+    empty docs — would otherwise emit N^2/2 pairs and take the job
+    quadratic; above the cap the bucket instead emits STAR pairs only
+    (every member against the bucket's min id, O(N) rows).  For the
+    dedup use case the star is sufficient: each member is still flagged
+    against a representative, and connected-component grouping downstream
+    recovers the clique.  The tradeoff (a non-identical near-dup pair
+    inside a hot bucket is detected only transitively via the
+    representative) is the standard price of bounding LSH skew.
+
+    The bucket-size window and the self-join hash on the same keys, so
+    AQE reuses the exchange; the shuffle carries only
+    (band_cols..., id) — no payload columns ride through the pair join.
+    """
+    w = W.partitionBy(*band_cols)
+    sized = banded.withColumn("_bn", F.count("*").over(w)).withColumn(
+        "_bmin", F.min(id_col).over(w)
+    )
+    small = sized.where(F.col("_bn") <= max_bucket)
+    left, right = small.alias("l"), small.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for c in band_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    all_pairs = left.join(right, cond).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+    )
+    star_pairs = (
+        sized.where((F.col("_bn") > max_bucket) & (F.col(id_col) != F.col("_bmin")))
+        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup: sha2(text) → keep the smallest id per group.
 
@@ -143,6 +188,7 @@ def minhash_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding + exact-Jaccard verify.
 
@@ -150,6 +196,9 @@ def minhash_candidate_pairs(
     (band, bucket) groups, then verified with exact word-shingle Jaccard
     via two equi-joins on doc id.  At 100 TB the band-bucket shuffle is
     the dominant cost and it carries only (band, bucket, id) triples.
+    Buckets above ``max_bucket`` members fall back to star pairs against
+    the bucket representative (see capped_band_pairs) so a degenerate
+    bucket cannot go quadratic.
 
     The shingle+hash table is computed ONCE and materialized (eager
     localCheckpoint — persist()/a staging table on a cluster): it feeds
@@ -175,21 +224,7 @@ def minhash_candidate_pairs(
     buckets = sigs.select(
         id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = capped_band_pairs(buckets, id_col, ["band", "bucket"], max_bucket)
     sh = base
     verified = (
         cand.join(
@@ -260,6 +295,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 8,
     bands: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash hamming distance <= max_hamming.
 
@@ -267,7 +303,11 @@ def simhash_pairs(
     ``bands`` equal substrings: any pair within hamming distance
     (bands - 1) shares at least one exact band (pigeonhole), so with 4
     bands recall is exact for distance <= 3 and high for <= 8 on real
-    near-dups.  Verification is bit_count(xor) on the two 32-bit halves.
+    near-dups.  Verification is bit_count(xor) on the two 32-bit halves,
+    joined back against the materialized fingerprint table — the banded
+    pair shuffle carries only (band, chunk, id), never the payload.
+    Hot buckets (identical boilerplate fingerprints) are capped to star
+    pairs via capped_band_pairs, so they cannot go quadratic.
     """
     width = 64 // bands
     # materialize once: the banded self-join would otherwise rebuild the
@@ -275,7 +315,6 @@ def simhash_pairs(
     sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=True)
     banded = sh.select(
         id_col,
-        "bits",
         F.explode(
             F.array(
                 *[
@@ -287,22 +326,17 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bits", "bb.band", "bb.chunk")
-    left, right = banded.alias("l"), banded.alias("r")
+    ).select(id_col, "bb.band", "bb.chunk")
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        capped_band_pairs(banded, id_col, ["band", "chunk"], max_bucket)
+        .join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("bits").alias("bits_a")),
+            "id_a",
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"l.bits").alias("bits_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"r.bits").alias("bits_b"),
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("bits").alias("bits_b")),
+            "id_b",
         )
-        .distinct()
     )
     ham = (
         F.bit_count(_half_long(F.col("bits_a"), 1).bitwiseXOR(_half_long(F.col("bits_b"), 1)))

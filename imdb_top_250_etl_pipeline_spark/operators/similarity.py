@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .dedup import spread
+from .dedup import capped_band_pairs, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -92,9 +92,36 @@ def brute_force_topk(
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return _two_phase_topk(scored, k)
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k from (query_id, neighbor_id, cos_sim) rows, salted.
+
+    A single ``Window.partitionBy(query_id)`` funnels O(corpus) scored
+    rows per query into ONE task — the classic top-k hot partition.
+    Phase 1 salts the partition key with a hash of the neighbor id so
+    each query's rows spread across ~parallelism tasks and each emits a
+    local top-k; phase 2's global per-query window then receives at most
+    k * n_salts rows per query.  Shuffle volume for phase 1 is the same
+    as the naive plan (the scored rows move once either way) — what the
+    salt buys is that no single task ever holds a whole query's corpus.
+    """
+    n_salts = max(scored.sparkSession.sparkContext.defaultParallelism, 8)
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts))
+    )
+    w1 = W.partitionBy("query_id", "salt").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    partial = (
+        salted.withColumn("prank", F.row_number().over(w1))
+        .where(F.col("prank") <= k)
+        .drop("salt", "prank")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
@@ -113,6 +140,16 @@ def assign_clusters(
     subsequent probes.  Centroids here are data-derived (a deterministic
     sample); production would run sampled k-means — the operator shape
     is identical.
+
+    The argmin is ``groupBy(id).agg(min_by(...))``, NOT a window: after
+    the broadcast cross join every id's corpus×centroids scored rows sit
+    in one input partition, so the partial (map-side) aggregate collapses
+    them to one row per vector before the shuffle — a window over
+    ``partitionBy(id)`` would shuffle all n_centroids rows per vector
+    (~1000× the exchange volume at IVF scale).  min_by keys on
+    struct(d2, centroid_id) so ties break deterministically on the lower
+    centroid id; the vector itself rides along via first() (constant
+    within the group).
     """
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
@@ -123,11 +160,11 @@ def assign_clusters(
         "centroid_id",
         sq_dist(F.col(vec_col), F.col("cvec")).alias("d2"),
     )
-    w = W.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    return scored.groupBy(id_col).agg(
+        F.first(F.col(vec_col)).alias(vec_col),
+        F.min_by(
+            F.col("centroid_id"), F.struct(F.col("d2"), F.col("centroid_id"))
+        ).alias("cluster"),
     )
 
 
@@ -245,12 +282,20 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 32,
     bands: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH + cosine verify.
 
     Sign-of-projection bits against ``n_planes`` fixed pseudo-random
     hyperplanes (deterministic per dimension index — no RNG state),
     banded like MinHash; only same-band candidates get the exact cosine.
+
+    Hyperplane weights are derived INLINE per (plane, dim) from
+    xxhash64 — a pure codegen expression, no weight table, no join, and
+    no dimensionality assumption: any embedding width (64, 768, 1024...)
+    gets a full-coverage signature.  (An earlier broadcast weight-table
+    formulation was hardcoded to 256 dims and silently truncated longer
+    vectors' signatures.)
 
     Band width is the load-bearing knob: 8 bits/band (32 planes / 4
     bands) gives 256 buckets per band, so candidate volume stays near
@@ -259,27 +304,21 @@ def cosine_near_dup_pairs(
     (a 0.95-pair flips any given plane with p ≈ 0.1; an 8-bit band still
     matches with p ≈ 0.43, and 4 bands give ≥ 90% recall).
     """
-    import hashlib
-
     rows = n_planes // bands
-    # Hyperplane weights are DATA-INDEPENDENT: derived at plan-build time
-    # from a fixed hash of (plane, dim) and shipped as a tiny broadcast
-    # table.  Projections run fully codegen'd — posexplode the vector,
-    # broadcast-join the per-dim weight array, 32 integer sums per id.
-    # Everything is INTEGER math on purpose: quantized x (2^20) times
-    # integer weights sum order-independently, so the signature is
-    # deterministic under any aggregation order (a double sum would make
-    # near-zero projections flip sign run-to-run).  |xq*wq| < 2^40 and 64
-    # dims keep sums far from long overflow even under ANSI mode.
-    def weight(p: int, d: int) -> int:
-        h = int.from_bytes(hashlib.md5(f"p{p}d{d}".encode()).digest()[:4], "big")
-        return (h % 2000) - 1000  # integer weight in [-1000, 1000)
+    # Hyperplane weights are DATA-INDEPENDENT pseudo-random ints in
+    # [-1000, 1000), derived per (plane, dim) from xxhash64 INSIDE the
+    # aggregate expression — whole-stage codegen, no weight table, no
+    # join, any dimensionality.  Everything is INTEGER math on purpose:
+    # quantized x (2^20) times integer weights sum order-independently,
+    # so the signature is deterministic under any aggregation order (a
+    # double sum would make near-zero projections flip sign run-to-run).
+    # |xq*w| < 2^31 for unit-scale components, so even 10^6-dim sums
+    # stay far from long overflow under ANSI mode.
+    def weight(p: int) -> Column:
+        return F.pmod(
+            F.xxhash64(F.lit(f"plane{p}"), F.col("dim")), F.lit(2000)
+        ) - F.lit(1000)
 
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(d, [weight(p, d) for p in range(n_planes)]) for d in range(256)],
-        "dim int, w array<long>",
-    )
     spread_df = spread(df, id_col)
     exploded = spread_df.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
@@ -289,8 +328,7 @@ def cosine_near_dup_pairs(
         F.floor(F.col("x").cast("double") * (1 << 20)).cast("long").alias("xq"),
     )
     proj_sums = [
-        F.sum(F.col("xq") * F.element_at("w", p + 1)).alias(f"s{p}")
-        for p in range(n_planes)
+        F.sum(F.col("xq") * weight(p)).alias(f"s{p}") for p in range(n_planes)
     ]
     sig_bits = F.concat(
         *[
@@ -299,8 +337,7 @@ def cosine_near_dup_pairs(
         ]
     )
     sigs = (
-        exploded.join(F.broadcast(wdf), "dim")
-        .groupBy(id_col)
+        exploded.groupBy(id_col)
         .agg(*proj_sums)
         .select(F.col(id_col), sig_bits.alias("sig"))
     )
@@ -315,10 +352,12 @@ def cosine_near_dup_pairs(
         .join(sigs, id_col)
         .localCheckpoint(eager=True)
     )
+    # the banded pair shuffle carries only (band, chunk, id) — vectors and
+    # norms join back from the checkpointed base AFTER pair dedup, so each
+    # vector crosses the wire once per verified candidate, not once per
+    # band; hot signature buckets are star-capped (capped_band_pairs)
     banded = base.select(
         id_col,
-        vec_col,
-        "norm",
         F.explode(
             F.array(
                 *[
@@ -330,24 +369,25 @@ def cosine_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, "norm", "bb.band", "bb.chunk")
-    left, right = banded.alias("l"), banded.alias("r")
+    ).select(id_col, "bb.band", "bb.chunk")
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        capped_band_pairs(banded, id_col, ["band", "chunk"], max_bucket)
+        .join(
+            base.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("vec_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"l.{vec_col}").alias("vec_a"),
-            F.col("l.norm").alias("norm_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"r.{vec_col}").alias("vec_b"),
-            F.col("r.norm").alias("norm_b"),
+        .join(
+            base.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("vec_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.select(

@@ -198,3 +198,54 @@ def test_exact_dedup_keeps_first_and_counts(spark):
         (n == 2) == (i % 7 == 0) for i, n in by_id.items()
     ), "exactly the planted copies dedup"
     assert n_dups > 0
+
+
+def test_cosine_near_dup_uses_all_dims_above_256(spark):
+    # two 300-dim vectors identical on dims 0..255 but opposite on the
+    # tail: a weight table capped at 256 dims would give them identical
+    # signatures AND cosine computed from full vectors ~0.71 < 0.95, but
+    # the real regression is the SIGNATURE — check the pair of genuinely
+    # near vectors (300 dims, tiny tail perturbation) IS recovered, and
+    # the tail-divergent pair is NOT reported as a near-dup.
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    head = [1.0] * 256
+    rows = [
+        (1, head + [1.0] * 44),
+        (2, head + [1.001] * 44),          # near-dup of 1 in ALL dims
+        (3, head + [-20.0] * 44),          # diverges only above dim 255
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_capped_band_pairs_star_fallback_bounds_hot_bucket(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    # 40 identical docs: one degenerate LSH bucket.  With the cap below
+    # the bucket size the candidate set must be the O(N) star around the
+    # min id — not the O(N^2) clique — and every doc still gets flagged.
+    rows = [(i, "the same exact boilerplate text repeated here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(
+        df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10
+    ).collect()
+    assert len(pairs) == 39  # star: every doc vs representative 0
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in pairs)
+    flagged = {r.id_b for r in pairs}
+    assert flagged == set(range(1, 40))
+
+    # with the cap above the bucket size the full clique comes back
+    full = minhash_candidate_pairs(
+        df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=100
+    )
+    assert full.count() == 40 * 39 // 2

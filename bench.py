@@ -60,21 +60,24 @@ def sf_of(path: str) -> float:
 
 def main() -> None:
     from imdb_top_250_etl_pipeline_spark.session import get_spark
-    from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+    from imdb_top_250_etl_pipeline_spark.plans import QUERIES, SUBSUMED, lookup
 
     spark = get_spark("bench")
-    names = [n for n in HEADLINE if n in QUERIES]
+    # lookup() resolves driver-facing AND battery-subsumed names, so the
+    # headline list keeps the same per-query timings across rounds even
+    # after queries were consolidated into batteries for the driver.
+    names = [n for n in HEADLINE if n in QUERIES or n in SUBSUMED]
 
     # Warmup on the smallest SF so per-query timings measure the plan,
     # not first-touch costs: JVM JIT + parquet footers (first query) and
     # the Python/Arrow worker pool (~10s of fork+init that would land on
     # whichever mapInPandas query runs first).
-    QUERIES[names[0]].fn(spark, "/root/testdata/sf0.001").write.format(
+    lookup(names[0]).fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
     py_warm = next((n for n in names if n.startswith(("udf_", "multimodal_blob"))), None)
     if py_warm:
-        QUERIES[py_warm].fn(spark, "/root/testdata/sf0.001").write.format(
+        lookup(py_warm).fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
 
@@ -84,7 +87,7 @@ def main() -> None:
         # materialize intermediate tables (eager localCheckpoint) do real
         # work inside fn(), and excluding it would under-report them
         t0 = time.perf_counter()
-        df = QUERIES[name].fn(spark, SF_DIR)
+        df = lookup(name).fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

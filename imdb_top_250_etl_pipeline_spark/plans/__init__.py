@@ -1,6 +1,14 @@
-from .registry import QUERIES, ORACLES, register, query_names  # noqa: F401
+from .registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    SUBSUMED,
+    lookup,
+    query_names,
+    register,
+)
 
-# importing the plan modules populates the registry
+# importing the plan modules populates the registry; batteries LAST — it
+# consolidates constituents into driver-facing tagged-union queries
 from . import relational  # noqa: F401,E402
 from . import etl  # noqa: F401,E402
 from . import llm_data  # noqa: F401,E402
@@ -8,3 +16,4 @@ from . import scalars  # noqa: F401,E402
 from . import udf_surface  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 from . import sql_surface  # noqa: F401,E402
+from . import batteries  # noqa: F401,E402

@@ -1,0 +1,863 @@
+"""Driver-facing battery queries: tagged unions of related operators.
+
+The driver's correctness harness checks a bounded number of registry
+entries (round-2 lesson: 78 registered queries, only the first 50 got a
+CORRECTNESS row).  This module consolidates families of related queries
+into tagged-union batteries so the whole surface fits the driver's
+window — every constituent's FULL row multiset still flows into the
+battery output (a `part` tag column per branch), so the driver's
+order-insensitive value hash still verifies each constituent exactly;
+a mismatch in any branch breaks the battery hash.
+
+Constituents stay individually registered in SUBSUMED (see registry):
+tests/test_oracle_parity checks each one against its own oracle, which
+is what localizes a battery failure to a single branch.
+
+Branch projections normalize heterogeneous schemas to a shared column
+list with explicit casts ON BOTH SIDES (Spark select / oracle SELECT),
+because the driver compares schemas and hashes values after sorting
+columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .registry import ORACLES, QUERIES, register, subsume
+
+# Capture constituent fns + oracle SQL before subsume() detaches them
+# from the driver-facing dicts.
+_FN = {name: q.fn for name, q in QUERIES.items()}
+_SQL = dict(ORACLES)
+
+
+def _tag(t: str) -> Column:
+    return F.lit(t).alias("part")
+
+
+def _null(sql_type: str) -> Column:
+    return F.lit(None).cast(sql_type)
+
+
+def _wrap(tag: str, cols_sql: str, inner: str) -> str:
+    """Oracle branch: tag + projected columns over a constituent's SQL."""
+    return f"SELECT '{tag}' AS part, {cols_sql} FROM ({inner}) t"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation batteries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_battery",
+    oracle=_wrap(
+        "exact",
+        "o_orderpriority, n_customers, n_orders, true AS approx_ok",
+        _SQL["agg_count_distinct"],
+    ),
+    doc="countDistinct (exact, hash-checked) + approx_count_distinct "
+    "verified AS AN INVARIANT: the HLL++ estimate per l_returnflag must "
+    "sit within 3*rsd of the exact count, folded to one boolean the "
+    "oracle pins to true — which upgrades the sketch from rows-only to "
+    "a driver-checked property (sketch values themselves are "
+    "engine-specific). Subsumes agg_count_distinct, agg_approx_distinct.",
+)
+def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _FN["agg_count_distinct"](spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    flag = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .select(
+            (F.abs(F.col("approx") - F.col("exact")) <= 0.06 * F.col("exact")).alias(
+                "ok"
+            )
+        )
+        .agg(F.min("ok").alias("approx_ok"))
+    )
+    return exact.select(_tag("exact"), "*").crossJoin(flag)
+
+
+@register(
+    "agg_grouping_battery",
+    oracle=(
+        _wrap(
+            "rollup",
+            "n_name AS k1, o_orderpriority AS k2, n_orders, total, "
+            "g_nation AS g1, g_prio AS g2",
+            _SQL["agg_rollup"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "cube",
+            "l_returnflag AS k1, l_linestatus AS k2, CAST(NULL AS BIGINT) "
+            "AS n_orders, sum_qty AS total, g_rf AS g1, g_ls AS g2",
+            _SQL["agg_cube"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "gsets",
+            "n_name AS k1, o_orderpriority AS k2, n_orders, "
+            "CAST(NULL AS DOUBLE) AS total, g_nation AS g1, g_prio AS g2",
+            _SQL["sql_grouping_sets"],
+        )
+    ),
+    doc="ROLLUP + CUBE + GROUPING SETS (the spark.sql path) in one tagged "
+    "union. Subsumes agg_rollup, agg_cube, sql_grouping_sets.",
+)
+def agg_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _FN["agg_rollup"](spark, sf_dir).select(
+        _tag("rollup"),
+        F.col("n_name").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n_orders",
+        "total",
+        F.col("g_nation").alias("g1"),
+        F.col("g_prio").alias("g2"),
+    )
+    c = _FN["agg_cube"](spark, sf_dir).select(
+        _tag("cube"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        _null("bigint").alias("n_orders"),
+        F.col("sum_qty").alias("total"),
+        F.col("g_rf").alias("g1"),
+        F.col("g_ls").alias("g2"),
+    )
+    g = _FN["sql_grouping_sets"](spark, sf_dir).select(
+        _tag("gsets"),
+        F.col("n_name").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n_orders",
+        _null("double").alias("total"),
+        F.col("g_nation").alias("g1"),
+        F.col("g_prio").alias("g2"),
+    )
+    return r.unionByName(c).unionByName(g)
+
+
+@register(
+    "agg_stats_battery",
+    oracle=None,  # moment/percentile fp accumulation is engine-ordered
+    doc="Statistical moments (stddev/var/skew/kurt/corr per returnflag) + "
+    "exact & approx percentiles per priority, normalized to (part, k, "
+    "v1..v6). Rows-only for the driver; every value numpy-pinned in "
+    "tests/test_stats.py. Subsumes agg_stats_moments, agg_percentiles.",
+)
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _FN["agg_stats_moments"](spark, sf_dir).select(
+        _tag("moments"),
+        F.col("l_returnflag").alias("k"),
+        F.col("n").cast("double").alias("v1"),
+        F.col("qty_stddev").alias("v2"),
+        F.col("qty_var").alias("v3"),
+        F.col("qty_skew").alias("v4"),
+        F.col("qty_kurt").alias("v5"),
+        F.col("price_qty_corr").alias("v6"),
+    )
+    p = _FN["agg_percentiles"](spark, sf_dir).select(
+        _tag("percentiles"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+        F.col("p99").alias("v3"),
+        F.col("p90_approx").cast("double").alias("v4"),
+        _null("double").alias("v5"),
+        _null("double").alias("v6"),
+    )
+    return m.unionByName(p)
+
+
+# ---------------------------------------------------------------------------
+# Join batteries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_anti",
+    oracle=(
+        _wrap("semi", "c_custkey, c_name", _SQL["join_semi"])
+        + "\nUNION ALL\n"
+        + _wrap("anti", "c_custkey, c_name", _SQL["join_anti"])
+    ),
+    doc="Left-semi (EXISTS) + left-anti (NOT EXISTS) membership joins, "
+    "tagged. Subsumes join_semi, join_anti.",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _FN["join_semi"](spark, sf_dir).select(_tag("semi"), "c_custkey", "c_name")
+    a = _FN["join_anti"](spark, sf_dir).select(_tag("anti"), "c_custkey", "c_name")
+    return s.unionByName(a)
+
+
+@register(
+    "join_outer_battery",
+    oracle=(
+        _wrap(
+            "right",
+            "c_custkey AS k1, o_orderkey AS k2, c_mktsegment AS s1",
+            _SQL["join_right"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "full",
+            "custkey AS k1, CAST(NULL AS BIGINT) AS k2, "
+            "CAST(has_open_order AS VARCHAR) || '|' || "
+            "CAST(is_rich AS VARCHAR) AS s1",
+            _SQL["join_full_outer"],
+        )
+    ),
+    doc="Right outer + full outer (MERGE core) joins, tagged and "
+    "normalized. Subsumes join_right, join_full_outer.",
+)
+def join_outer_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _FN["join_right"](spark, sf_dir).select(
+        _tag("right"),
+        F.col("c_custkey").alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("c_mktsegment").alias("s1"),
+    )
+    f = _FN["join_full_outer"](spark, sf_dir).select(
+        _tag("full"),
+        F.col("custkey").alias("k1"),
+        _null("bigint").alias("k2"),
+        F.concat(
+            F.col("has_open_order").cast("string"),
+            F.lit("|"),
+            F.col("is_rich").cast("string"),
+        ).alias("s1"),
+    )
+    return r.unionByName(f)
+
+
+@register(
+    "join_misc_battery",
+    oracle=(
+        _wrap(
+            "cross",
+            "CAST(NULL AS BIGINT) AS k, r_name AS a, n_name AS b",
+            _SQL["join_cross"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap("zip", "pos AS k, r_name AS a, n_name AS b", _SQL["join_zip_positional"])
+        + "\nUNION ALL\n"
+        + _wrap(
+            "range",
+            "p_partkey AS k, CAST(p_size AS VARCHAR) AS a, bucket_name AS b",
+            _SQL["join_range_theta"],
+        )
+    ),
+    doc="Cross join + positional zip pairing (J4) + theta/range banding "
+    "join, tagged and normalized. Subsumes join_cross, "
+    "join_zip_positional, join_range_theta.",
+)
+def join_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _FN["join_cross"](spark, sf_dir).select(
+        _tag("cross"),
+        _null("bigint").alias("k"),
+        F.col("r_name").alias("a"),
+        F.col("n_name").alias("b"),
+    )
+    z = _FN["join_zip_positional"](spark, sf_dir).select(
+        _tag("zip"),
+        F.col("pos").alias("k"),
+        F.col("r_name").alias("a"),
+        F.col("n_name").alias("b"),
+    )
+    r = _FN["join_range_theta"](spark, sf_dir).select(
+        _tag("range"),
+        F.col("p_partkey").alias("k"),
+        F.col("p_size").cast("string").alias("a"),
+        F.col("bucket_name").alias("b"),
+    )
+    return c.unionByName(z).unionByName(r)
+
+
+# ---------------------------------------------------------------------------
+# Filter / set-op / window batteries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_null_battery",
+    oracle=(
+        _wrap(
+            "nulls",
+            "event_id AS k1, CAST(NULL AS BIGINT) AS k2, "
+            "CAST(NULL AS BIGINT) AS k3, CAST(NULL AS BIGINT) AS k4, "
+            "value AS v1, value_filled AS v2, value_missing AS flag",
+            _SQL["filter_null_handling"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "drop",
+            "l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2, "
+            "l_partkey AS k3, l_suppkey AS k4, "
+            "CAST(l_quantity AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2, "
+            "CAST(NULL AS BOOLEAN) AS flag",
+            _SQL["column_drop"],
+        )
+    ),
+    doc="Null predicates/coalesce fill (P5/P7) + column drop with pruning "
+    "(P3), tagged and normalized. Subsumes filter_null_handling, "
+    "column_drop.",
+)
+def filter_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _FN["filter_null_handling"](spark, sf_dir).select(
+        _tag("nulls"),
+        F.col("event_id").alias("k1"),
+        _null("bigint").alias("k2"),
+        _null("bigint").alias("k3"),
+        _null("bigint").alias("k4"),
+        F.col("value").alias("v1"),
+        F.col("value_filled").alias("v2"),
+        F.col("value_missing").alias("flag"),
+    )
+    d = _FN["column_drop"](spark, sf_dir).select(
+        _tag("drop"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+        F.col("l_partkey").alias("k3"),
+        F.col("l_suppkey").alias("k4"),
+        F.col("l_quantity").cast("double").alias("v1"),
+        _null("double").alias("v2"),
+        _null("boolean").alias("flag"),
+    )
+    return n.unionByName(d)
+
+
+@register(
+    "set_ops_battery",
+    oracle=(
+        _wrap("union", "custkey", _SQL["set_union_distinct"])
+        + "\nUNION ALL\n"
+        + _wrap("intersect", "custkey", _SQL["set_intersect"])
+        + "\nUNION ALL\n"
+        + _wrap("except", "custkey", _SQL["set_except"])
+    ),
+    doc="UNION DISTINCT (A1) + INTERSECT + EXCEPT, tagged. Subsumes "
+    "set_union_distinct, set_intersect, set_except.",
+)
+def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _FN["set_union_distinct"](spark, sf_dir).select(_tag("union"), "custkey")
+    i = _FN["set_intersect"](spark, sf_dir).select(_tag("intersect"), "custkey")
+    e = _FN["set_except"](spark, sf_dir).select(_tag("except"), "custkey")
+    return u.unionByName(i).unionByName(e)
+
+
+@register(
+    "window_events_battery",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT)
+               AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Frame-spec running sum + lag/lead navigation over the SAME "
+    "(user_id, ts) window — one shuffle serves all four window "
+    "expressions. Subsumes window_running_sum, window_lag_lead.",
+)
+def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.numeric import money
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(money("value")).over(run).cast("double").alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias(
+            "secs_since_prev"
+        ),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# ETL batteries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_bridges",
+    oracle=(
+        _wrap("star", "movie_id, person_id", _SQL["etl_bridge_star"])
+        + "\nUNION ALL\n"
+        + _wrap("director", "movie_id, person_id", _SQL["etl_bridge_director"])
+        + "\nUNION ALL\n"
+        + _wrap("writer", "movie_id, person_id", _SQL["etl_bridge_writer"])
+    ),
+    doc="All three bridge tables (E2/E3 keyed unnest -> broadcast people "
+    "join -> composite-PK dedup; reference webscraper-postgres.py:"
+    "239-285), tagged. Subsumes etl_bridge_star, etl_bridge_director, "
+    "etl_bridge_writer.",
+)
+def etl_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _FN["etl_bridge_star"](spark, sf_dir).select(
+        _tag("star"), "movie_id", "person_id"
+    )
+    d = _FN["etl_bridge_director"](spark, sf_dir).select(
+        _tag("director"), "movie_id", "person_id"
+    )
+    w = _FN["etl_bridge_writer"](spark, sf_dir).select(
+        _tag("writer"), "movie_id", "person_id"
+    )
+    return s.unionByName(d).unionByName(w)
+
+
+@register(
+    "etl_upsert_idempotent",
+    oracle=(
+        _wrap(
+            "once",
+            "o_orderkey, o_orderstatus, total, o_custkey",
+            _SQL["etl_upsert_orders"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "twice",
+            "o_orderkey, o_orderstatus, total, o_custkey",
+            _SQL["etl_incremental_rerun"],
+        )
+    ),
+    doc="S5 MERGE upsert + S7 idempotent re-run (apply the same batch "
+    "twice -> identical table; both branches share one oracle result by "
+    "construction). Subsumes etl_upsert_orders, etl_incremental_rerun.",
+)
+def etl_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    once = _FN["etl_upsert_orders"](spark, sf_dir).select(
+        _tag("once"), "o_orderkey", "o_orderstatus", "total", "o_custkey"
+    )
+    twice = _FN["etl_incremental_rerun"](spark, sf_dir).select(
+        _tag("twice"), "o_orderkey", "o_orderstatus", "total", "o_custkey"
+    )
+    return once.unionByName(twice)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data batteries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_pairs_battery",
+    oracle=None,  # LSH/banded candidate generation is Spark-hash-specific
+    doc="SimHash banded near-dup pairs + char-n-gram Jaccard pairs, "
+    "normalized to (part, id_a, id_b, score). Rows-only; exactness "
+    "pinned in tests/test_llm_data.py (lossless-<=3-hamming, planted "
+    "recall). Subsumes dedup_simhash_pairs, dedup_ngram_jaccard.",
+)
+def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _FN["dedup_simhash_pairs"](spark, sf_dir).select(
+        _tag("simhash"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    g = _FN["dedup_ngram_jaccard"](spark, sf_dir).select(
+        _tag("ngram"), "id_a", "id_b", F.col("jaccard").alias("score")
+    )
+    return s.unionByName(g)
+
+
+@register(
+    "sim_topk_battery",
+    oracle=None,  # ANN assignments depend on Spark-side hash families
+    doc="Top-k similarity three ways: exact brute-force cosine baseline, "
+    "IVF probe, and IVF over k-means-refined centroids — tagged "
+    "(part, query_id, neighbor_id, rank). Rows-only; numpy-exactness "
+    "and recall floors pinned in tests/test_llm_data.py. Subsumes "
+    "sim_cosine_topk, sim_ann_ivf, sim_ann_ivf_kmeans.",
+)
+def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _FN["sim_cosine_topk"](spark, sf_dir).select(
+        _tag("brute"), "query_id", "neighbor_id", "rank"
+    )
+    i = _FN["sim_ann_ivf"](spark, sf_dir).select(
+        _tag("ivf"), "query_id", "neighbor_id", "rank"
+    )
+    k = _FN["sim_ann_ivf_kmeans"](spark, sf_dir).select(
+        _tag("ivf_kmeans"), "query_id", "neighbor_id", "rank"
+    )
+    return b.unionByName(i).unionByName(k)
+
+
+@register(
+    "text_tokens_battery",
+    oracle=(
+        _wrap(
+            "word_counts",
+            "CAST(NULL AS BIGINT) AS k1, n AS k2, word",
+            _SQL["text_word_counts"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "posexplode",
+            "doc_id AS k1, CAST(pos AS BIGINT) AS k2, word",
+            _SQL["scalar_posexplode"],
+        )
+    ),
+    doc="Corpus word frequencies (tokenize -> explode -> two-phase count) "
+    "+ posexplode indexed unnest, tagged. Subsumes text_word_counts, "
+    "scalar_posexplode.",
+)
+def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _FN["text_word_counts"](spark, sf_dir).select(
+        _tag("word_counts"),
+        _null("bigint").alias("k1"),
+        F.col("n").alias("k2"),
+        "word",
+    )
+    pe = _FN["scalar_posexplode"](spark, sf_dir).select(
+        _tag("posexplode"),
+        F.col("doc_id").alias("k1"),
+        F.col("pos").cast("bigint").alias("k2"),
+        "word",
+    )
+    return wc.unionByName(pe)
+
+
+@register(
+    "text_doc_battery",
+    oracle=f"""
+    WITH q AS ({_SQL["text_quality_scores"]}),
+         t AS ({_SQL["text_token_counts"]}),
+         l AS ({_SQL["text_language_id"]}),
+         f AS ({_SQL["text_fingerprints"]}),
+         a AS ({_SQL["scalar_array_battery"]})
+    SELECT q.doc_id, q.n_tokens, q.n_chars_measured, q.avg_token_len,
+           q.stopword_ratio, q.distinct_ratio, q.punct_ratio,
+           t.n_ws_tokens, t.n_bpe_tokens,
+           l.predicted_lang, l.marker_hits,
+           f.exact_fp, f.bag_fp,
+           a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted
+    FROM q
+    JOIN t USING (doc_id)
+    JOIN l USING (doc_id)
+    JOIN f USING (doc_id)
+    JOIN a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Per-document analysis joined wide on doc_id: quality signals, "
+    "token counts, language ID, fingerprints, and the array battery — "
+    "five narrow passes over documents, one row per doc. Subsumes "
+    "text_quality_scores, text_token_counts, text_language_id, "
+    "text_fingerprints, scalar_array_battery.",
+)
+def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _FN["text_quality_scores"](spark, sf_dir)
+    t = _FN["text_token_counts"](spark, sf_dir)
+    lang = _FN["text_language_id"](spark, sf_dir)
+    fp = _FN["text_fingerprints"](spark, sf_dir)
+    arr = _FN["scalar_array_battery"](spark, sf_dir)
+    return (
+        q.join(t, "doc_id")
+        .join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .join(arr, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "scalar_events_battery",
+    oracle=f"""
+    WITH j AS ({_SQL["scalar_json_battery"]}),
+         n AS ({_SQL["scalar_nan_normalize"]})
+    SELECT j.event_id, j.k_typed, j.k_raw, j.k_high, j.k_band,
+           n.is_nan, n.v_clean, n.v_filled
+    FROM j JOIN n USING (event_id)
+    ORDER BY event_id
+    """,
+    doc="JSON extraction (from_json / get_json_object) + NaN-sentinel "
+    "normalization (F8) joined on event_id — same filtered row set, one "
+    "wide row per event. Subsumes scalar_json_battery, "
+    "scalar_nan_normalize.",
+)
+def scalar_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _FN["scalar_json_battery"](spark, sf_dir)
+    n = _FN["scalar_nan_normalize"](spark, sf_dir)
+    return j.join(n, "event_id").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL-text and streaming batteries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_text_battery",
+    oracle=(
+        _wrap(
+            "q3",
+            "l_orderkey AS k, revenue AS v, o_orderdate AS d, "
+            "o_orderpriority AS s",
+            _SQL["sql_tpch_q3_shipping_priority"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "q17",
+            "n_small AS k, total_price AS v, CAST(NULL AS TIMESTAMP) AS d, "
+            "CAST(NULL AS VARCHAR) AS s",
+            _SQL["sql_q17_correlated_subquery"],
+        )
+    ),
+    doc="The spark.sql text path: TPC-H Q3 (scan-join-agg-topk) + Q17 "
+    "(correlated scalar subquery, Catalyst-decorrelated), tagged and "
+    "normalized. Subsumes sql_tpch_q3_shipping_priority, "
+    "sql_q17_correlated_subquery.",
+)
+def sql_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q3 = _FN["sql_tpch_q3_shipping_priority"](spark, sf_dir).select(
+        _tag("q3"),
+        F.col("l_orderkey").alias("k"),
+        F.col("revenue").alias("v"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("s"),
+    )
+    q17 = _FN["sql_q17_correlated_subquery"](spark, sf_dir).select(
+        _tag("q17"),
+        F.col("n_small").alias("k"),
+        F.col("total_price").alias("v"),
+        _null("timestamp").alias("d"),
+        _null("string").alias("s"),
+    )
+    return q3.unionByName(q17)
+
+
+_SESSION_BUILTIN_ORACLE = """
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '6 hours' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_battery",
+    oracle=(
+        _wrap(
+            "tumble",
+            "CAST(NULL AS BIGINT) AS uid, w_start AS t1, w_end AS t2, "
+            "n_events AS n, n_users AS n2, value_sum AS v",
+            _SQL["stream_tumbling_window"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "slide",
+            "CAST(NULL AS BIGINT) AS uid, w_start AS t1, w_end AS t2, "
+            "n_events AS n, n_users AS n2, CAST(NULL AS DOUBLE) AS v",
+            _SQL["stream_sliding_window"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "session",
+            "user_id AS uid, session_start AS t1, session_last AS t2, "
+            "n_events AS n, session_id AS n2, CAST(NULL AS DOUBLE) AS v",
+            _SQL["stream_sessionize"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "session_builtin",
+            "user_id AS uid, session_start AS t1, session_end AS t2, "
+            "n_events AS n, CAST(NULL AS BIGINT) AS n2, "
+            "CAST(NULL AS DOUBLE) AS v",
+            _SESSION_BUILTIN_ORACLE,
+        )
+    ),
+    doc="The streaming batch-dual surface in one battery: tumbling window, "
+    "sliding window, lag+cumsum sessionization, AND the built-in "
+    "F.session_window — whose oracle is the manual sessionization with "
+    "end = last_event + gap, which upgrades the built-in operator from "
+    "rows-only to hash-checked (boundary convention: a gap of exactly "
+    "6h starts a new session on both paths). Subsumes "
+    "stream_tumbling_window, stream_sliding_window, stream_sessionize, "
+    "stream_session_window.",
+)
+def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _FN["stream_tumbling_window"](spark, sf_dir).select(
+        _tag("tumble"),
+        _null("bigint").alias("uid"),
+        F.col("w_start").alias("t1"),
+        F.col("w_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("n_users").alias("n2"),
+        F.col("value_sum").alias("v"),
+    )
+    s = _FN["stream_sliding_window"](spark, sf_dir).select(
+        _tag("slide"),
+        _null("bigint").alias("uid"),
+        F.col("w_start").alias("t1"),
+        F.col("w_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("n_users").alias("n2"),
+        _null("double").alias("v"),
+    )
+    m = _FN["stream_sessionize"](spark, sf_dir).select(
+        _tag("session"),
+        F.col("user_id").alias("uid"),
+        F.col("session_start").alias("t1"),
+        F.col("session_last").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("session_id").alias("n2"),
+        _null("double").alias("v"),
+    )
+    b = _FN["stream_session_window"](spark, sf_dir).select(
+        _tag("session_builtin"),
+        F.col("user_id").alias("uid"),
+        F.col("session_start").alias("t1"),
+        F.col("session_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        _null("bigint").alias("n2"),
+        _null("double").alias("v"),
+    )
+    return t.unionByName(s).unionByName(m).unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# UDF pipeline battery.
+# ---------------------------------------------------------------------------
+
+
+from .udf_surface import _BASE, _MARKUP_SQL, _markup_df  # noqa: E402
+
+
+@register(
+    "udf_scan_parse_pipeline",
+    oracle=f"""
+    WITH raw AS ({_MARKUP_SQL}),
+    parsed AS (
+      SELECT CAST(NULLIF(regexp_extract(markup, '<li><h3>(\\d+)\\. ', 1), '') AS INT)
+                 AS rank,
+             NULLIF(regexp_extract(markup, '\\. ([^<]*)</h3>', 1), '') AS title,
+             NULLIF(regexp_extract(markup, 'class="meta">([^<]*)</span>', 1), '')
+                 AS meta,
+             CASE WHEN regexp_extract(markup, 'href="([^"]*)"', 1) = '' THEN NULL
+                  ELSE '{_BASE}' || regexp_extract(markup, 'href="([^"]*)"', 1)
+             END AS url
+      FROM raw
+    ),
+    pages AS (
+      SELECT url,
+             200 AS status,
+             CAST(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 97 + 10
+                  AS INT) AS body_len,
+             CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS page_id
+      FROM (SELECT DISTINCT url FROM parsed WHERE url IS NOT NULL)
+    )
+    SELECT p.rank, p.title, p.meta, p.url, g.status, g.body_len, g.page_id
+    FROM parsed p LEFT JOIN pages g ON p.url = g.url
+    ORDER BY rank NULLS FIRST, title NULLS FIRST
+    """,
+    doc="The reference's scrape pipeline end-to-end (webscraper-"
+    "postgres.py:30-101): mapInPandas markup parse (F10) -> URL fan-out "
+    "dependent scan (S2, stubbed deterministic fetch) -> left join pages "
+    "back to listings. Both Python stages are Arrow-batched and the "
+    "oracle recomputes every field, so the whole UDF surface is "
+    "hash-checked in one query. Subsumes udf_parse_markup, "
+    "udf_dependent_scan.",
+)
+def udf_scan_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udfs import fetch_details, parse_markup
+
+    parsed = parse_markup(_markup_df(spark, sf_dir), "markup", _BASE)
+    urls = parsed.where(F.col("url").isNotNull()).select("url").distinct()
+    pages = fetch_details(urls)
+    return (
+        parsed.join(pages, "url", "left")
+        .select("rank", "title", "meta", "url", "status", "body_len", "page_id")
+        .orderBy(F.col("rank").asc_nulls_first(), F.col("title").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Detach the constituents from the driver-facing registry.
+# ---------------------------------------------------------------------------
+
+subsume(
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "sql_grouping_sets",
+    "agg_stats_moments",
+    "agg_percentiles",
+    "join_semi",
+    "join_anti",
+    "join_right",
+    "join_full_outer",
+    "join_cross",
+    "join_zip_positional",
+    "join_range_theta",
+    "filter_null_handling",
+    "column_drop",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "window_running_sum",
+    "window_lag_lead",
+    "etl_bridge_star",
+    "etl_bridge_director",
+    "etl_bridge_writer",
+    "etl_upsert_orders",
+    "etl_incremental_rerun",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "text_word_counts",
+    "scalar_posexplode",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_language_id",
+    "text_fingerprints",
+    "scalar_array_battery",
+    "scalar_json_battery",
+    "scalar_nan_normalize",
+    "sql_tpch_q3_shipping_priority",
+    "sql_q17_correlated_subquery",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_sessionize",
+    "stream_session_window",
+    "udf_parse_markup",
+    "udf_dependent_scan",
+)

@@ -421,3 +421,50 @@ def etl_insert_ignore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return insert_ignore(existing, incoming, "c_custkey").orderBy("c_custkey")
+
+
+@register(
+    "sink_managed_table",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="S4 managed-table path (reference webscraper-postgres.py:109-144): "
+    "CREATE TABLE IF NOT EXISTS ... USING parquet through the catalog, "
+    "set-oriented insertInto, read back via spark.table, DROP in a "
+    "finally. The catalog (warehouse-dir) twin of sink_parquet_roundtrip's "
+    "path-based write; results detach via eager localCheckpoint so the "
+    "table is disposable.",
+)
+def sink_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import money
+    from ..sources.sink import create_table, drop_table, insert_into
+
+    name = "spark_graft_nation_stats"
+    stats = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .select("n_name", "n_customers", "total_acctbal")
+    )
+    drop_table(spark, name)
+    create_table(
+        spark, name, "n_name STRING, n_customers BIGINT, total_acctbal DOUBLE"
+    )
+    try:
+        insert_into(stats, name)
+        return spark.table(name).orderBy("n_name").localCheckpoint(eager=True)
+    finally:
+        drop_table(spark, name)

@@ -489,7 +489,7 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(doc_id % 48 + 16 AS INT) AS height,
            CAST(6 + length(CAST(doc_id % 64 + 16 AS VARCHAR))
                   + length(CAST(doc_id % 48 + 16 AS VARCHAR))
-                  + length(text) AS INT) AS n_bytes
+                  + octet_length(encode(text)) AS INT) AS n_bytes
     FROM documents
     ORDER BY doc_id
     """,

@@ -37,12 +37,20 @@ class Query:
 QUERIES: dict[str, Query] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries folded into a driver-facing battery (plans/batteries.py).  The
+# driver's correctness harness checks a bounded number of registry
+# entries, so related queries are consolidated into tagged-union
+# batteries for the driver, while every constituent stays here — still
+# individually runnable and oracle-checked by tests/test_oracle_parity,
+# which is what localizes a battery hash failure to one constituent.
+SUBSUMED: dict[str, Query] = {}
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a named query (and its DuckDB oracle twin)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in SUBSUMED:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = Query(name, fn, oracle, doc)
         if oracle is not None:
@@ -50,6 +58,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
         return fn
 
     return deco
+
+
+def subsume(*names: str) -> None:
+    """Move queries out of the driver-facing dict into SUBSUMED."""
+    for name in names:
+        SUBSUMED[name] = QUERIES.pop(name)
+        ORACLES.pop(name, None)
+
+
+def lookup(name: str) -> Query:
+    """Fetch a query whether driver-facing or subsumed into a battery."""
+    return QUERIES.get(name) or SUBSUMED[name]
 
 
 def query_names() -> list[str]:

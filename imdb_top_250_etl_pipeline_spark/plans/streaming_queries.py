@@ -118,7 +118,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                       OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
                   THEN 1 ELSE 0 END AS new_session
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -136,7 +136,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
-    doc="Sessionization via lag + cumulative-sum session ids (gap > 6h "
+    doc="Sessionization via lag + cumulative-sum session ids (gap >= 6h "
     "starts a new session) — the explicit, oracle-checkable form of "
     "session windowing; the built-in F.session_window variant is "
     "stream_session_window (rows-only). Two window passes over the same "
@@ -146,10 +146,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # µs-exact gap comparison (unix_timestamp would truncate to seconds
-    # while the oracle's interval arithmetic is µs-exact)
+    # while the oracle's interval arithmetic is µs-exact).  Boundary
+    # convention: a gap of EXACTLY 6h starts a new session (>=), matching
+    # the built-in session_window, whose window is [start, start+gap)
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        F.lag("ts").over(w).isNull() | (gap_us > 6 * 3600 * 1_000_000), 1
+        F.lag("ts").over(w).isNull() | (gap_us >= 6 * 3600 * 1_000_000), 1
     ).otherwise(0)
     run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow

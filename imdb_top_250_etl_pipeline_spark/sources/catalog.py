@@ -22,7 +22,10 @@ TABLES = tuple(FIXTURE_SCHEMAS)
 # logical plan, so reusing one across queries is safe and saves a parquet
 # footer read + schema assertion per load() call — the same role a real
 # engine's cached catalog plays.  Keyed by applicationId so a new session
-# never sees plans bound to a stopped one.
+# never sees plans bound to a stopped one.  ASSUMES the fixture dirs are
+# immutable for the life of the session: the cached plan snapshots the
+# file listing, so a path whose files are rewritten in-session would be
+# served stale — mutable paths must bypass load() or clear this cache.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

@@ -54,3 +54,35 @@ def roundtrip_materialized(df: DataFrame, path: str, **write_kwargs) -> DataFram
     write_parquet(df, path, **write_kwargs)
     spark = df.sparkSession
     return read_back(spark, path).localCheckpoint(eager=True)
+
+
+def create_table(
+    spark: SparkSession, name: str, columns_ddl: str, partition_by: str | None = None
+) -> None:
+    """S4 catalog DDL: ``CREATE TABLE IF NOT EXISTS ... USING parquet``.
+
+    The managed-table form of the reference's five CREATE TABLE
+    statements (webscraper-postgres.py:109-144): the catalog owns the
+    location (spark.sql.warehouse.dir) and the schema is declared, not
+    inferred.  Idempotent like the reference's IF NOT EXISTS.
+    """
+    part = f" PARTITIONED BY ({partition_by})" if partition_by else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({columns_ddl}) USING parquet{part}"
+    )
+
+
+def insert_into(df: DataFrame, name: str, overwrite: bool = False) -> None:
+    """Set-oriented load into an existing catalog table (positional
+    column resolution — the caller selects columns in DDL order), the
+    batch replacement for the reference's per-row INSERT loops."""
+    df.write.insertInto(name, overwrite=overwrite)
+
+
+def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    """CTAS-style managed-table write (schema from the DataFrame)."""
+    df.write.mode(mode).saveAsTable(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -8,7 +8,7 @@ from pyspark.sql import types as T
 
 from tests.conftest import SF_SMOKE
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
 from imdb_top_250_etl_pipeline_spark.plans.etl import _movies_table
 from imdb_top_250_etl_pipeline_spark.sources import load
 from imdb_top_250_etl_pipeline_spark.sources.sink import roundtrip_materialized
@@ -73,7 +73,7 @@ def test_approx_count_distinct_error_bound(spark):
     # stays within a few rsd (rsd=0.02)
     approx = {
         r.l_returnflag: r.approx_parts
-        for r in QUERIES["agg_approx_distinct"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("agg_approx_distinct").fn(spark, SF_SMOKE).collect()
     }
     exact = {
         r.l_returnflag: r.exact_parts

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
 from imdb_top_250_etl_pipeline_spark.plans.llm_data import _corpus_near
 from imdb_top_250_etl_pipeline_spark.sources import load
 
@@ -72,7 +72,7 @@ def test_minhash_jaccard_values_exact(spark):
 def test_simhash_exact_for_small_hamming(spark):
     # with 4 bands over 64 bits, every pair at hamming <= 3 shares a band
     # (pigeonhole) -> candidate generation is lossless for the verify cut
-    got = QUERIES["dedup_simhash_pairs"].fn(spark, SF_SMOKE).collect()
+    got = lookup("dedup_simhash_pairs").fn(spark, SF_SMOKE).collect()
     assert all(r.hamming <= 3 for r in got)
     planted = _planted_pairs(spark, 11)
     close = {(r.id_a, r.id_b) for r in got} & planted
@@ -83,7 +83,7 @@ def test_simhash_exact_for_small_hamming(spark):
 def test_ngram_jaccard_recovers_planted(spark):
     got = {
         (r.id_a, r.id_b)
-        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("dedup_ngram_jaccard").fn(spark, SF_SMOKE).collect()
     }
     planted = _planted_pairs(spark, 11)
     assert planted <= got, planted - got
@@ -106,7 +106,7 @@ def test_embedding_cosine_near_dup_recovers_planted(spark):
 
 def test_brute_force_topk_matches_numpy(spark, emb):
     ids, mat = emb
-    got = QUERIES["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    got = lookup("sim_cosine_topk").fn(spark, SF_SMOKE).collect()
     norms = np.linalg.norm(mat, axis=1)
     by_query: dict[int, list[int]] = {}
     for r in got:
@@ -123,8 +123,8 @@ def test_brute_force_topk_matches_numpy(spark, emb):
 
 
 def test_ivf_recall_against_brute_force(spark):
-    brute = QUERIES["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
-    ivf = QUERIES["sim_ann_ivf"].fn(spark, SF_SMOKE).collect()
+    brute = lookup("sim_cosine_topk").fn(spark, SF_SMOKE).collect()
+    ivf = lookup("sim_ann_ivf").fn(spark, SF_SMOKE).collect()
     b = {(r.query_id, r.neighbor_id) for r in brute}
     a = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(a & b) / len(b)
@@ -160,15 +160,15 @@ def test_stratified_sample_rates_within_binomial_bounds(spark):
 def test_kmeans_refined_ivf_recall_not_worse(spark):
     brute = {
         (r.query_id, r.neighbor_id)
-        for r in QUERIES["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("sim_cosine_topk").fn(spark, SF_SMOKE).collect()
     }
     raw = {
         (r.query_id, r.neighbor_id)
-        for r in QUERIES["sim_ann_ivf"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("sim_ann_ivf").fn(spark, SF_SMOKE).collect()
     }
     refined = {
         (r.query_id, r.neighbor_id)
-        for r in QUERIES["sim_ann_ivf_kmeans"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("sim_ann_ivf_kmeans").fn(spark, SF_SMOKE).collect()
     }
     recall_raw = len(raw & brute) / len(brute)
     recall_ref = len(refined & brute) / len(brute)

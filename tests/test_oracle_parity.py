@@ -5,18 +5,22 @@ from __future__ import annotations
 
 import pytest
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, SUBSUMED
+
+# Batteries AND their subsumed constituents: a battery hash failure is
+# localized by the constituent's own parity test.
+ALL = {**QUERIES, **SUBSUMED}
 
 from .conftest import SF_CORRECT
 from .oracle_harness import compare, first_diff
 
-ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
-ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+ORACLE_QUERIES = sorted(n for n, q in ALL.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in ALL.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, name):
-    q = QUERIES[name]
+    q = ALL[name]
     df = q.fn(spark, SF_CORRECT)
     res = compare(df, duck, q.oracle)
     if not res["hash_match"]:
@@ -28,7 +32,7 @@ def test_oracle_parity(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, name):
-    q = QUERIES[name]
+    q = ALL[name]
     df = q.fn(spark, SF_CORRECT)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
 
 
 def plan_of(df, mode: str = "formatted") -> str:
@@ -63,7 +63,7 @@ def test_surrogate_key_has_no_data_sized_single_partition(spark):
 
 
 def test_column_drop_prunes_at_scan(spark):
-    plan = plan_of(QUERIES["column_drop"].fn(spark, SF_CORRECT))
+    plan = plan_of(lookup("column_drop").fn(spark, SF_CORRECT))
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     for dropped in ("l_extendedprice", "l_discount", "l_returnflag"):
         assert dropped not in read_schema

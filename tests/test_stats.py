@@ -7,7 +7,7 @@ import numpy as np
 
 from tests.conftest import SF_SMOKE
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
 from imdb_top_250_etl_pipeline_spark.sources import load
 
 
@@ -21,7 +21,7 @@ def _group_values(spark, table, key, val):
 def test_stats_moments_match_numpy(spark):
     got = {
         r.l_returnflag: r
-        for r in QUERIES["agg_stats_moments"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("agg_stats_moments").fn(spark, SF_SMOKE).collect()
     }
     qty = _group_values(spark, "lineitem", "l_returnflag", "l_quantity")
     for flag, x in qty.items():
@@ -39,7 +39,7 @@ def test_stats_moments_match_numpy(spark):
 def test_percentiles_match_numpy_linear(spark):
     got = {
         r.o_orderpriority: r
-        for r in QUERIES["agg_percentiles"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("agg_percentiles").fn(spark, SF_SMOKE).collect()
     }
     totals = _group_values(spark, "orders", "o_orderpriority", "o_totalprice")
     for prio, x in totals.items():

@@ -10,7 +10,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
 from imdb_top_250_etl_pipeline_spark.sources import load
 from imdb_top_250_etl_pipeline_spark.streaming import (
     dedup_stream,
@@ -54,7 +54,7 @@ def test_tumbling_counts_match_batch(spark):
     cutoff = _watermark_cutoff(spark)
     expected = {
         r.w_start: r.n_events
-        for r in QUERIES["stream_tumbling_window"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("stream_tumbling_window").fn(spark, SF_SMOKE).collect()
         if r.w_end <= cutoff
     }
     assert got == expected
@@ -71,15 +71,15 @@ def test_session_counts_match_builtin_batch(spark):
     cutoff = _watermark_cutoff(spark)
     expected = {
         (r.user_id, r.session_start): r.n_events
-        for r in QUERIES["stream_session_window"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("stream_session_window").fn(spark, SF_SMOKE).collect()
         if r.session_end <= cutoff
     }
     assert got == expected
 
 
 def test_builtin_session_window_matches_manual_sessionize(spark):
-    built_in = QUERIES["stream_session_window"].fn(spark, SF_SMOKE).collect()
-    manual = QUERIES["stream_sessionize"].fn(spark, SF_SMOKE).collect()
+    built_in = lookup("stream_session_window").fn(spark, SF_SMOKE).collect()
+    manual = lookup("stream_sessionize").fn(spark, SF_SMOKE).collect()
     bi = {(r.user_id, r.session_start, r.n_events) for r in built_in}
     mn = {(r.user_id, r.session_start, r.n_events) for r in manual}
     assert bi == mn

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
-from imdb_top_250_etl_pipeline_spark.plans import QUERIES
+from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
 from imdb_top_250_etl_pipeline_spark.sources import load
 
 
@@ -39,7 +39,7 @@ def test_grouped_zscore_matches_two_pass(spark):
 
 
 def test_parse_markup_nulls_on_malformed(spark):
-    df = QUERIES["udf_parse_markup"].fn(spark, SF_SMOKE)
+    df = lookup("udf_parse_markup").fn(spark, SF_SMOKE)
     broken = df.where(F.col("rank").isNull())
     expected = (
         load(spark, SF_SMOKE, "part").where(F.col("p_partkey") % 41 == 0).count()

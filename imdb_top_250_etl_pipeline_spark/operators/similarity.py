@@ -352,12 +352,13 @@ def cosine_near_dup_pairs(
         .join(sigs, id_col)
         .localCheckpoint(eager=True)
     )
-    # the banded pair shuffle carries only (band, chunk, id) — vectors and
-    # norms join back from the checkpointed base AFTER pair dedup, so each
-    # vector crosses the wire once per verified candidate, not once per
-    # band; hot signature buckets are star-capped (capped_band_pairs)
+    # vectors and norms ride through the pair join as capped_band_pairs
+    # payloads (cheaper than a verify join-back per side — measured);
+    # hot signature buckets are star-capped so they cannot go quadratic
     banded = base.select(
         id_col,
+        vec_col,
+        "norm",
         F.explode(
             F.array(
                 *[
@@ -369,32 +370,16 @@ def cosine_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.chunk")
-    cand = (
-        capped_band_pairs(banded, id_col, ["band", "chunk"], max_bucket)
-        .join(
-            base.select(
-                F.col(id_col).alias("id_a"),
-                F.col(vec_col).alias("vec_a"),
-                F.col("norm").alias("norm_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            base.select(
-                F.col(id_col).alias("id_b"),
-                F.col(vec_col).alias("vec_b"),
-                F.col("norm").alias("norm_b"),
-            ),
-            "id_b",
-        )
+    ).select(id_col, vec_col, "norm", "bb.band", "bb.chunk")
+    cand = capped_band_pairs(
+        banded, id_col, ["band", "chunk"], max_bucket, payload_cols=[vec_col, "norm"]
     )
     return (
         cand.select(
             "id_a",
             "id_b",
             (
-                dot(F.col("vec_a"), F.col("vec_b"))
+                dot(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
                 / (F.col("norm_a") * F.col("norm_b"))
             ).alias("cos_sim"),
         )

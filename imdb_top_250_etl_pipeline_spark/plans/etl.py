@@ -311,8 +311,12 @@ def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = details_raw(spark, sf_dir)
-    movies = _movies_table(spark, sf_dir)
-    people = normalize_people(d)
+    # materialize the two shared subplans once: movies feeds 4 of the 5
+    # counts and people feeds 4 — without this each crossJoined count
+    # recomputes the window/explode work (AQE exchange reuse catches only
+    # some); persist() on a cluster, eager localCheckpoint locally
+    movies = _movies_table(spark, sf_dir).localCheckpoint(eager=True)
+    people = normalize_people(d).localCheckpoint(eager=True)
     bridges = {
         name: build_bridge(d, movies, people, name)
         for name in ("director", "writers", "stars")

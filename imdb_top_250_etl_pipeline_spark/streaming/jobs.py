@@ -133,23 +133,41 @@ def foreach_batch_upsert(
     events: DataFrame,
     target_path: str,
     checkpoint_path: str,
+    n_bands: int = 16,
 ):
     """foreachBatch MERGE: the streaming S5 — each microbatch upserts into
     a parquet target keyed by event_id (update-wins on re-delivery, so
     the sink is idempotent across retries/restarts; the reference's
     ON CONFLICT DO UPDATE on a cron, continuously).
 
-    Plain parquet read-modify-write keeps the demo dependency-free; a
-    transactional table format (Delta/Iceberg MERGE INTO) is the
-    production target and slots into this same foreachBatch.
+    The target is partitioned by ``key_band = event_id % n_bands`` and
+    written with DYNAMIC partition overwrite, so each microbatch
+    rewrites only the key bands it actually touches: read the touched
+    partitions (partition pruning on key_band), merge, overwrite those
+    partitions — O(touched bands), not O(table), per batch.  Untouched
+    partition files are left byte-identical.  Size n_bands so one band
+    ~= the data a microbatch can rewrite comfortably; a transactional
+    format (Delta/Iceberg MERGE INTO) is the production target and
+    slots into this same foreachBatch.
     """
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cols = ["event_id", "user_id", "event_type", "value"]
-        incoming = batch.select(*cols).dropDuplicates(["event_id"])
+        incoming = (
+            batch.select(*cols)
+            .dropDuplicates(["event_id"])
+            .withColumn("key_band", (F.col("event_id") % n_bands).cast("int"))
+        )
+        touched = incoming.select("key_band").distinct()
         try:
-            existing = spark.read.parquet(target_path).select(*cols)
+            existing = (
+                spark.read.parquet(target_path)
+                # broadcast semi-join on the partition column: dynamic
+                # partition pruning scans only the touched band dirs
+                .join(F.broadcast(touched), "key_band", "left_semi")
+                .select(*cols, "key_band")
+            )
         except Exception:
             existing = spark.createDataFrame([], incoming.schema)
         merged = upsert(
@@ -157,11 +175,18 @@ def foreach_batch_upsert(
             incoming,
             key="event_id",
             update_cols=["event_type", "value"],
-            stable_cols=["user_id"],
+            stable_cols=["user_id", "key_band"],
         )
         # localCheckpoint materializes before the overwrite clobbers the
-        # input files the plan still references
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        # input files the plan still references; dynamic mode replaces
+        # only the partitions present in the output (the touched bands)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .partitionBy("key_band")
+            .parquet(target_path)
+        )
 
     return (
         events.writeStream.foreachBatch(merge_batch)

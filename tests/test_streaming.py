@@ -129,3 +129,41 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
     lhs = result.select("event_id", "user_id", "value")
     rhs = events.select("event_id", "user_id", "value")
     assert lhs.exceptAll(rhs).count() == 0 and rhs.exceptAll(lhs).count() == 0
+
+
+def test_foreach_batch_upsert_rewrites_only_touched_bands(spark, tmp_path):
+    import hashlib
+    import pathlib
+
+    target = str(tmp_path / "target")
+    full = read_events_stream(spark, SF_SMOKE)
+    q = foreach_batch_upsert(full, target, str(tmp_path / "ckpt_full")).start()
+    q.awaitTermination(120)
+
+    def band_files(band: int) -> dict[str, str]:
+        d = pathlib.Path(target) / f"key_band={band}"
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in d.glob("*.parquet")
+        }
+
+    before = {b: band_files(b) for b in range(16)}
+    # second batch touches ONLY band 3 (event_id % 16 == 3)
+    partial = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_id") % 16 == 3
+    )
+    q = foreach_batch_upsert(partial, target, str(tmp_path / "ckpt_part")).start()
+    q.awaitTermination(120)
+    after = {b: band_files(b) for b in range(16)}
+
+    for b in range(16):
+        if b == 3:
+            continue
+        assert after[b] == before[b], f"band {b} files changed"
+    # band 3 was rewritten and the table still matches the source
+    result = spark.read.parquet(target)
+    events = load(spark, SF_SMOKE, "events")
+    assert result.count() == events.count()
+    lhs = result.select("event_id", "user_id", "value")
+    rhs = events.select("event_id", "user_id", "value")
+    assert lhs.exceptAll(rhs).count() == 0 and rhs.exceptAll(lhs).count() == 0

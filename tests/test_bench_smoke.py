@@ -1,0 +1,62 @@
+"""Bench regression smoke: the most expensive headline queries must stay
+within a generous factor of the best-observed timings in
+bench_baseline.json at sf0.01.
+
+The factor is 3x with a +1s absolute allowance (not the aspirational 2x)
+because this container shares hardware — load spikes of 2-3x were
+observed between otherwise identical runs; the gate is meant to catch
+plan regressions (a lost broadcast, an extra shuffle cycle, an
+interpreted fallback: typically 4-10x), not scheduler noise.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import pytest
+
+from imdb_top_250_etl_pipeline_spark.plans import lookup
+
+SF_DIR = "/root/testdata/sf0.01"
+_BASELINE = json.loads(
+    (pathlib.Path(__file__).resolve().parent.parent / "bench_baseline.json").read_text()
+)["queries"]
+
+# The plan-regression-prone subset: LSH/similarity (shuffle-shape
+# sensitive), the flagship join-agg, and the two Python-path queries.
+WATCHED = [
+    "flagship_top_customers",
+    "dedup_minhash_candidates",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+    "etl_movies_surrogate_keys",
+    "udf_parse_markup",
+]
+
+
+@pytest.fixture(scope="module")
+def warmed(spark):
+    lookup("flagship_top_customers").fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    lookup("udf_parse_markup").fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return spark
+
+
+@pytest.mark.parametrize("name", WATCHED)
+def test_no_large_regression(warmed, name):
+    base = _BASELINE[name]
+    t0 = time.perf_counter()
+    lookup(name).fn(warmed, SF_DIR).write.format("noop").mode("overwrite").save()
+    took = time.perf_counter() - t0
+    limit = 3.0 * base + 1.0
+    assert took <= limit, (
+        f"{name}: {took:.2f}s vs baseline {base:.2f}s (limit {limit:.2f}s) — "
+        "likely a plan regression; compare .explain() against the recorded plan"
+    )

@@ -94,14 +94,50 @@ def _fake_fetch(url: str) -> tuple[int, str]:
     return 200, "x" * (page_id % 97 + 10)
 
 
-def fetch_details(urls: DataFrame, url_col: str = "url") -> DataFrame:
+def make_http_fetch(timeout: float = 10.0):
+    """A real HTTP GET for ``fetch_details`` (stdlib urllib — no extra
+    deps), returned as a picklable callable for executor shipping.
+
+    The 10 s default mirrors the reference's explicit wait bound
+    (webscraper-postgres.py:32,79 — WebDriverWait(driver, 10)).  Unused
+    in this container (no network); exists so a real deployment swaps
+    fetchers with ``fetch_details(urls, fetch_fn=make_http_fetch())``
+    and changes nothing else.
+    """
+
+    def http_fetch(url: str) -> tuple[int, str]:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return resp.status, resp.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as e:
+            return e.code, ""
+        except Exception:
+            return 0, ""  # network failure → status 0, like a timed-out driver
+
+    return http_fetch
+
+
+def fetch_details(
+    urls: DataFrame, url_col: str = "url", fetch_fn=None
+) -> DataFrame:
     """S2: dependent scan — per-row page fetch, partition-parallel.
 
     The reference loops 250 serial Selenium loads
     (webscraper-postgres.py:97); here each partition fetches its batch
     independently, so throughput scales with executors. Repartition the
     URL column upstream to bound per-task fan-out.
+
+    ``fetch_fn(url) -> (status, body)`` is the pluggable I/O seam: the
+    default is the deterministic no-network stub (so tests and oracles
+    are reproducible); pass ``make_http_fetch()`` — or any
+    session-pooled client wrapper — for live fetching.  The callable is
+    shipped to executors inside the mapInPandas closure, so it must be
+    picklable (top-level function or functools.partial).
     """
+    fetch_fn = fetch_fn or _fake_fetch
 
     def fetch(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -109,7 +145,7 @@ def fetch_details(urls: DataFrame, url_col: str = "url") -> DataFrame:
         for pdf in batches:
             rows = {"url": [], "status": [], "body_len": [], "page_id": []}
             for url in pdf[url_col]:
-                status, body = _fake_fetch(url)
+                status, body = fetch_fn(url)
                 m = re.search(r"(\d+)$", url)
                 rows["url"].append(url)
                 rows["status"].append(status)

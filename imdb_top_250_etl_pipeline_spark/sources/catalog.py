@@ -112,3 +112,49 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan with a REQUIRED explicit schema (S1 family).
+
+    Inference is refused on principle: it costs an extra full pass and
+    silently reshapes downstream plans when the data drifts — the same
+    contract as load().  mode=FAILFAST so malformed rows fail loudly;
+    pass mode=PERMISSIVE plus a columnNameOfCorruptRecord column when
+    quarantining bad rows instead.
+    """
+    reader = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", options.pop("mode", "FAILFAST"))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType, **options
+) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema (S1 family).
+
+    Same no-inference contract as read_csv; nested structs/arrays in the
+    declared schema are projected schema-on-read, extra fields in the
+    data are ignored (not errors) — the tolerant half of the contract
+    that lets producers add fields without breaking readers.
+    """
+    reader = (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", options.pop("mode", "FAILFAST"))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

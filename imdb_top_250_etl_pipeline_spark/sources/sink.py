@@ -86,3 +86,41 @@ def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
 
 def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    isolation_level: str = "READ_COMMITTED",
+    **options,
+) -> None:
+    """JDBC table write — the load half of the reference's Postgres sink
+    (webscraper-postgres.py:156-161, 190-222: per-row INSERTs inside
+    iterrows loops; here one batched write per partition).
+
+    Gated like read_jdbc: no driver jar ships in this image, so this has
+    the production call shape but cannot execute here.  The knobs that
+    matter at scale: ``batchsize`` (rows per round-trip — the 40-400×
+    win over row-at-a-time), ``num_partitions`` (concurrent connections;
+    coalesce first so a 1000-task stage doesn't open 1000 connections),
+    ``isolation_level`` (NONE for bulk loads on quiesced tables).
+    Upsert semantics (ON CONFLICT) are NOT expressible through the plain
+    JDBC writer — apply operators/etl.py::upsert first and write the
+    merged result, or land into a staging table and MERGE server-side.
+    """
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

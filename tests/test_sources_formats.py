@@ -1,0 +1,53 @@
+"""CSV/JSON source round-trips: explicit-schema reads (no inference),
+FAILFAST on malformed rows, and value-exact parity with the parquet
+fixture they were exported from."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from tests.conftest import SF_SMOKE
+
+from imdb_top_250_etl_pipeline_spark.sources import load
+from imdb_top_250_etl_pipeline_spark.sources.catalog import read_csv, read_json
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def test_csv_roundtrip_schema_exact(spark, tmp_path):
+    src = load(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_csv")
+    src.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, NATION)
+    assert back.schema == NATION
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_json_roundtrip_schema_exact(spark, tmp_path):
+    src = load(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_json")
+    src.write.json(path)
+    back = read_json(spark, path, NATION)
+    assert back.schema == NATION
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("n_nationkey,n_name,n_regionkey\nnot_an_int,FOO,xyz\n")
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), NATION).collect()
+
+
+def test_json_tolerates_extra_fields(spark, tmp_path):
+    p = tmp_path / "extra.json"
+    p.write_text('{"n_nationkey": 1, "n_name": "A", "n_regionkey": 0, "new_field": 9}\n')
+    got = read_json(spark, str(p), NATION).collect()
+    assert got[0].n_name == "A" and len(got[0]) == 3

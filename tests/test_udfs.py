@@ -51,3 +51,17 @@ def test_parse_markup_nulls_on_malformed(spark):
         None,
         None,
     )
+
+
+def test_fetch_details_pluggable_fetch_fn(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.udfs import fetch_details
+
+    urls = spark.createDataFrame(
+        [("https://example.test/part/7",), ("https://example.test/part/9",)],
+        "url string",
+    )
+    def custom(url):  # the swap-in seam a live deployment uses
+        return 418, "teapot-body"
+    rows = {r.url: r for r in fetch_details(urls, fetch_fn=custom).collect()}
+    assert all(r.status == 418 and r.body_len == len("teapot-body") for r in rows.values())
+    assert rows["https://example.test/part/7"].page_id == 7

@@ -456,3 +456,62 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_groups(
+    pairs: DataFrame, max_iterations: int = 15
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, group_id) where
+    group_id is the smallest id reachable through any chain of pairs —
+    the step that turns pairwise candidates (minhash/simhash/ngram/
+    cosine, and capped_band_pairs' star pairs) into dedup groups a
+    pipeline can keep-one-per-group on.
+
+    Min-label propagation, the standard DataFrame-only iterative
+    algorithm: every vertex starts labeled with its own id; each round
+    every vertex takes the min of its label and its neighbors' labels.
+    Converges in O(component diameter) rounds — near-dup components are
+    shallow (cliques + short chains), so the default cap is generous.
+    Each round is one groupBy shuffle on vertex id; lineage is cut per
+    round (localCheckpoint; persist-and-iterate on a cluster) and the
+    loop exits early once a round changes nothing — the kmeans_refine
+    discipline (similarity.py) applied to graphs.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("group_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"), F.coalesce("nbr_min", F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "group_id")

@@ -139,3 +139,45 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("exact_fp"),
         F.md5(sorted_words).alias("bag_fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking: (id, chunk_idx, chunk_text,
+    n_chunk_tokens) — the pre-tokenization splitter every training-data
+    pipeline runs before packing sequences.
+
+    Chunk i covers tokens [i*stride, i*stride + window); the last chunk
+    may be shorter (standard trailing partial).  Entirely codegen
+    expressions — tokenize once, sequence the start offsets, slice +
+    rejoin per offset, posexplode — so chunking is a narrow zero-shuffle
+    pass at any corpus size.  Empty documents yield no chunks.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # last start: stride * ceil(max(n - window, 0) / stride), integer math
+    last = ((F.greatest(n - window, F.lit(0)) + stride - 1).cast("long") / stride).cast(
+        "long"
+    ) * stride
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), last, F.lit(stride).cast("long")),
+        lambda p: F.struct(
+            F.array_join(F.slice(toks, p.cast("int") + 1, window), " ").alias("text"),
+            F.least(n - p.cast("int"), F.lit(window)).alias("n_tok"),
+        ),
+    )
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.text").alias("chunk_text"),
+            F.col("c.n_tok").cast("int").alias("n_chunk_tokens"),
+        )
+    )

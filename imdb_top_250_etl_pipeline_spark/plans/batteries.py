@@ -462,11 +462,17 @@ def etl_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_pairs_battery",
     oracle=None,  # LSH/banded candidate generation is Spark-hash-specific
     doc="SimHash banded near-dup pairs + char-n-gram Jaccard pairs, "
-    "normalized to (part, id_a, id_b, score). Rows-only; exactness "
-    "pinned in tests/test_llm_data.py (lossless-<=3-hamming, planted "
-    "recall). Subsumes dedup_simhash_pairs, dedup_ngram_jaccard.",
+    "normalized to (part, id_a, id_b, score), plus the connected-"
+    "component dedup groups over their union (part=groups: id_a=group "
+    "representative, id_b=member — min-label propagation, "
+    "operators/dedup.py::dedup_groups). Rows-only; exactness pinned in "
+    "tests/test_llm_data.py (lossless-<=3-hamming, planted recall, "
+    "clique/chain components). Subsumes dedup_simhash_pairs, "
+    "dedup_ngram_jaccard.",
 )
 def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_groups
+
     s = _FN["dedup_simhash_pairs"](spark, sf_dir).select(
         _tag("simhash"),
         "id_a",
@@ -476,7 +482,14 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _FN["dedup_ngram_jaccard"](spark, sf_dir).select(
         _tag("ngram"), "id_a", "id_b", F.col("jaccard").alias("score")
     )
-    return s.unionByName(g)
+    pairs = s.unionByName(g)
+    groups = dedup_groups(pairs.select("id_a", "id_b")).select(
+        _tag("groups"),
+        F.col("group_id").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        _null("double").alias("score"),
+    )
+    return pairs.unionByName(groups)
 
 
 @register(
@@ -501,39 +514,87 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.unionByName(i).unionByName(k)
 
 
+_CHUNK_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 200
+    ),
+    c AS (SELECT doc_id, len(toks) AS n, toks FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, n, toks,
+             unnest(range(0, CAST((greatest(n - 16, 0) + 7) // 8 AS BIGINT) * 8 + 1, 8))
+                 AS p
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(p // 8 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, p + 1, p + 16), ' ') AS chunk_text,
+           CAST(least(n - p, 16) AS INT) AS n_chunk_tokens
+    FROM s
+"""
+
+
 @register(
     "text_tokens_battery",
     oracle=(
         _wrap(
             "word_counts",
-            "CAST(NULL AS BIGINT) AS k1, n AS k2, word",
+            "CAST(NULL AS BIGINT) AS k1, n AS k2, word, "
+            "CAST(NULL AS INT) AS n_tok",
             _SQL["text_word_counts"],
         )
         + "\nUNION ALL\n"
         + _wrap(
             "posexplode",
-            "doc_id AS k1, CAST(pos AS BIGINT) AS k2, word",
+            "doc_id AS k1, CAST(pos AS BIGINT) AS k2, word, "
+            "CAST(NULL AS INT) AS n_tok",
             _SQL["scalar_posexplode"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "chunk",
+            "doc_id AS k1, CAST(chunk_idx AS BIGINT) AS k2, "
+            "chunk_text AS word, n_chunk_tokens AS n_tok",
+            _CHUNK_ORACLE,
         )
     ),
     doc="Corpus word frequencies (tokenize -> explode -> two-phase count) "
-    "+ posexplode indexed unnest, tagged. Subsumes text_word_counts, "
-    "scalar_posexplode.",
+    "+ posexplode indexed unnest + sliding-window document chunking "
+    "(operators/text.py::chunk_documents, window=16/stride=8 — the "
+    "pre-packing splitter; codegen sequence/slice/posexplode, zero "
+    "shuffles), tagged. Subsumes text_word_counts, scalar_posexplode.",
 )
 def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
     wc = _FN["text_word_counts"](spark, sf_dir).select(
         _tag("word_counts"),
         _null("bigint").alias("k1"),
         F.col("n").alias("k2"),
         "word",
+        _null("int").alias("n_tok"),
     )
     pe = _FN["scalar_posexplode"](spark, sf_dir).select(
         _tag("posexplode"),
         F.col("doc_id").alias("k1"),
         F.col("pos").cast("bigint").alias("k2"),
         "word",
+        _null("int").alias("n_tok"),
     )
-    return wc.unionByName(pe)
+    ch = chunk_documents(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 200),
+        "text",
+        "doc_id",
+        window=16,
+        stride=8,
+    ).select(
+        _tag("chunk"),
+        F.col("doc_id").alias("k1"),
+        F.col("chunk_idx").cast("bigint").alias("k2"),
+        F.col("chunk_text").alias("word"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+    )
+    return wc.unionByName(pe).unionByName(ch)
 
 
 @register(

@@ -249,3 +249,38 @@ def test_capped_band_pairs_star_fallback_bounds_hot_bucket(spark):
         df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=100
     )
     assert full.count() == 40 * 39 // 2
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import chunk_documents
+
+    d = load(spark, SF_SMOKE, "documents").where(F.col("doc_id") < 30)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(d, "text", "doc_id", window=5, stride=3).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        toks = row.text.split(" ")
+        n = len(toks)
+        if n == 0:
+            continue
+        last = ((max(n - 5, 0) + 2) // 3) * 3
+        expected_starts = list(range(0, last + 1, 3))
+        for i, p in enumerate(expected_starts):
+            chunk = " ".join(toks[p : p + 5])
+            assert got[(row.doc_id, i)] == (chunk, min(n - p, 5)), (row.doc_id, i)
+        # no extra chunks beyond the expected starts
+        assert (row.doc_id, len(expected_starts)) not in got
+
+
+def test_dedup_groups_connected_components(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import dedup_groups
+
+    # component A: clique {1,2,3}; component B: chain 10-11-12-13;
+    # component C: single pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.group_id for r in dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}

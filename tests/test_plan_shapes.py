@@ -124,3 +124,48 @@ def test_no_collect_in_engine_source():
             if needle in src:
                 offenders.append((py.name, needle))
     assert not offenders, offenders
+
+
+def test_assign_clusters_uses_partial_min_by_not_window(spark):
+    # the IVF argmin must be a partial-aggregating min_by (one shuffled
+    # row per vector), never a window over the scored corpus×centroids
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        assign_clusters,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    plan = plan_of(assign_clusters(emb, emb.limit(4)))
+    assert "partial_min_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_brute_force_topk_is_salted_two_phase(spark):
+    # phase 1 must rank within (query_id, salt) so no single task ever
+    # receives a whole query's corpus; only the k×n_salts survivors
+    # reach the per-query window
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    plan = plan_of(brute_force_topk(emb, emb.limit(3)), mode="simple")
+    assert "salt" in plan, plan
+    assert plan.count("Window ") == 2, plan  # partial rank + final rank
+
+
+def test_capped_band_pairs_hot_guard_is_broadcast(spark):
+    # the guard must reach the pair join as broadcast anti/inner joins of
+    # the (tiny) hot-bucket set — never a shuffled join of full bucket
+    # stats onto every banded row
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        capped_band_pairs,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    banded = load(spark, SF_CORRECT, "documents").select(
+        F.col("doc_id"), (F.col("doc_id") % 7).alias("band")
+    )
+    plan = plan_of(capped_band_pairs(banded, "doc_id", ["band"], max_bucket=10**6))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -181,3 +181,58 @@ def chunk_documents(
             F.col("c.n_tok").cast("int").alias("n_chunk_tokens"),
         )
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document word-n-gram overlap against a reference corpus —
+    the train/test DECONTAMINATION primitive: before training, every
+    document is scored for how much of it appears verbatim (at n-gram
+    granularity) in the held-out/benchmark set.
+
+    Returns (id, n_grams, n_contaminated, contamination_ratio); ratio is
+    NULL for documents too short to form a gram.  The overlap join runs
+    on xxhash64(gram) — 8 bytes per gram through the shuffle instead of
+    the gram text — and the reference side is distinct-reduced before
+    the join.  Both sides are one narrow pass + one shuffle each; the
+    per-doc count aggregates with map-side partials.  At 100 TB the
+    reference gram set is typically small enough to broadcast; Catalyst/
+    AQE picks that automatically when it is.
+    """
+    from .dedup import spread, word_shingles
+
+    grams = F.array_distinct(word_shingles(F.col(text_col), n))
+    base = spread(df, id_col).select(F.col(id_col), grams.alias("grams"))
+    doc_grams = base.select(
+        id_col, F.explode("grams").alias("gram")
+    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    ref_grams = (
+        spread(reference, id_col)
+        .select(F.explode(grams).alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(ref_grams, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        base.select(id_col, F.size("grams").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("int").alias("n_contaminated"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            ).alias("contamination_ratio"),
+        )
+    )

@@ -604,37 +604,78 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
          t AS ({_SQL["text_token_counts"]}),
          l AS ({_SQL["text_language_id"]}),
          f AS ({_SQL["text_fingerprints"]}),
-         a AS ({_SQL["scalar_array_battery"]})
+         a AS ({_SQL["scalar_array_battery"]}),
+         ctoks AS (
+           SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+         ),
+         cgr AS (
+           SELECT doc_id, source,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 0) + 1),
+                      i -> array_to_string(list_slice(tk, i, i + 2), ' ')
+                  )) AS grams
+           FROM ctoks
+         ),
+         cref AS (
+           SELECT DISTINCT unnest(grams) AS gram FROM cgr WHERE source = 'src0'
+         ),
+         chits AS (
+           SELECT doc_id, COUNT(*) AS n_cont
+           FROM (SELECT doc_id, unnest(grams) AS gram FROM cgr) dg
+           WHERE gram IN (SELECT gram FROM cref)
+           GROUP BY doc_id
+         ),
+         cont AS (
+           SELECT cgr.doc_id,
+                  CAST(len(cgr.grams) AS INT) AS n_grams,
+                  CAST(COALESCE(chits.n_cont, 0) AS INT) AS n_contaminated,
+                  CASE WHEN len(cgr.grams) > 0
+                       THEN CAST(COALESCE(chits.n_cont, 0) AS DOUBLE)
+                            / len(cgr.grams)
+                  END AS contamination_ratio
+           FROM cgr LEFT JOIN chits USING (doc_id)
+         )
     SELECT q.doc_id, q.n_tokens, q.n_chars_measured, q.avg_token_len,
            q.stopword_ratio, q.distinct_ratio, q.punct_ratio,
            t.n_ws_tokens, t.n_bpe_tokens,
            l.predicted_lang, l.marker_hits,
            f.exact_fp, f.bag_fp,
-           a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted
+           a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted,
+           cont.n_grams, cont.n_contaminated, cont.contamination_ratio
     FROM q
     JOIN t USING (doc_id)
     JOIN l USING (doc_id)
     JOIN f USING (doc_id)
     JOIN a USING (doc_id)
+    JOIN cont USING (doc_id)
     ORDER BY doc_id
     """,
     doc="Per-document analysis joined wide on doc_id: quality signals, "
-    "token counts, language ID, fingerprints, and the array battery — "
-    "five narrow passes over documents, one row per doc. Subsumes "
+    "token counts, language ID, fingerprints, the array battery, and "
+    "benchmark decontamination (word-3-gram overlap vs the source=src0 "
+    "slice — operators/text.py::contamination_check, hashed-gram semi "
+    "join). Six narrow passes over documents, one row per doc. Subsumes "
     "text_quality_scores, text_token_counts, text_language_id, "
     "text_fingerprints, scalar_array_battery.",
 )
 def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import contamination_check
+
     q = _FN["text_quality_scores"](spark, sf_dir)
     t = _FN["text_token_counts"](spark, sf_dir)
     lang = _FN["text_language_id"](spark, sf_dir)
     fp = _FN["text_fingerprints"](spark, sf_dir)
     arr = _FN["scalar_array_battery"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    cont = contamination_check(
+        docs, docs.where(F.col("source") == "src0"), "text", "doc_id"
+    )
     return (
         q.join(t, "doc_id")
         .join(lang, "doc_id")
         .join(fp, "doc_id")
         .join(arr, "doc_id")
+        .join(cont, "doc_id")
         .orderBy("doc_id")
     )
 

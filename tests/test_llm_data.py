@@ -284,3 +284,25 @@ def test_dedup_groups_connected_components(spark):
     )
     got = {r.doc_id: r.group_id for r in dedup_groups(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_contamination_check_exact(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # grams: abc bcd cde
+            (2, "a b c x y"),          # grams: abc bcx cxy -> 1 hit (abc)
+            (3, "z z"),                # too short: no grams
+            (4, "q r s t"),            # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_check(docs, ref, "text", "doc_id").collect()}
+    assert (got[1].n_grams, got[1].n_contaminated) == (3, 3)
+    assert got[1].contamination_ratio == 1.0
+    assert (got[2].n_grams, got[2].n_contaminated) == (3, 1)
+    assert (got[3].n_grams, got[3].n_contaminated) == (0, 0)
+    assert got[3].contamination_ratio is None
+    assert (got[4].n_grams, got[4].n_contaminated) == (2, 0)

@@ -49,13 +49,10 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document quality signals: token/char counts + ratios.
-
-    Each ratio is a single IEEE division of two exact integers —
-    bit-identical across engines, so the whole feature set is
-    oracle-checkable.
-    """
+def quality_columns(text_col: str) -> list[Column]:
+    """Per-document quality signals as aliased expressions (see
+    quality_features); expression-level so a wide feature pass can
+    compute every per-doc metric in ONE scan of the corpus."""
     t = tokens(text_col)
     n_tokens = F.size(t)
     n_chars = F.length(text_col)
@@ -63,15 +60,24 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
     n_distinct = F.size(F.array_distinct(t))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[a-z0-9\s]", ""))
-    return df.select(
-        F.col(id_col),
+    return [
         n_tokens.cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars_measured"),
         (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
         (punct.cast("double") / n_chars).alias("punct_ratio"),
-    )
+    ]
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality signals: token/char counts + ratios.
+
+    Each ratio is a single IEEE division of two exact integers —
+    bit-identical across engines, so the whole feature set is
+    oracle-checkable.
+    """
+    return df.select(F.col(id_col), *quality_columns(text_col))
 
 
 def token_count_bpe_ish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -81,11 +87,14 @@ def token_count_bpe_ish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     byte-pair tokenizer's pre-tokenization split; counting is
     regexp_count — codegen'd, no UDF.
     """
-    return df.select(
-        F.col(id_col),
+    return df.select(F.col(id_col), *token_count_columns(text_col))
+
+
+def token_count_columns(text_col: str) -> list[Column]:
+    return [
         F.size(tokens(text_col)).cast("int").alias("n_ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(_BPE_ISH)).cast("int").alias("n_bpe_tokens"),
-    )
+    ]
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -94,36 +103,35 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Fixed language order breaks ties (falls back to the first language,
     'en', when no markers hit) — deterministic and SQL-expressible.
     """
+    return df.select(F.col(id_col), *language_id_columns(text_col))
+
+
+def _marker_score(t: Column, markers: tuple[str, ...]) -> Column:
+    # single-parameter lambda on purpose: F.filter treats a 2-arg lambda
+    # as (element, index), so the marker array must be a real closure
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(t, lambda w: F.array_contains(arr, w)))
+
+
+def language_id_columns(text_col: str) -> list[Column]:
+    # array_max on (score, prio, lang) structs orders lexicographically;
+    # ties resolve to the FIRST declared language via prio = -index
     t = tokens(text_col)
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores.append(
-            F.struct(
-                F.size(F.filter(t, lambda w: F.array_contains(arr, w))).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # array_max on (score, lang) structs orders lexicographically; to make
-    # ties resolve to the FIRST declared language, give earlier languages a
-    # higher secondary key by negating their index — instead we order by
-    # (score, -position): encode position as its negative in a rank field.
     ranked = F.array(
         *[
             F.struct(
-                s.getField("score").alias("score"),
+                _marker_score(t, markers).alias("score"),
                 F.lit(-i).alias("prio"),
-                s.getField("lang").alias("lang"),
+                F.lit(lang).alias("lang"),
             )
-            for i, s in enumerate(scores)
+            for i, (lang, markers) in enumerate(LANG_MARKERS.items())
         ]
     )
     best = F.array_max(ranked)
-    return df.select(
-        F.col(id_col),
+    return [
         best.getField("lang").alias("predicted_lang"),
         best.getField("score").cast("int").alias("marker_hits"),
-    )
+    ]
 
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -133,12 +141,15 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     word order — the cheap "same content, shuffled" detector that
     complements exact_dedup; both are plain hashes, oracle-checkable.
     """
+    return df.select(F.col(id_col), *fingerprint_columns(text_col))
+
+
+def fingerprint_columns(text_col: str) -> list[Column]:
     sorted_words = F.array_join(F.array_sort(tokens(text_col)), " ")
-    return df.select(
-        F.col(id_col),
+    return [
         F.md5(F.col(text_col)).alias("exact_fp"),
         F.md5(sorted_words).alias("bag_fp"),
-    )
+    ]
 
 
 def chunk_documents(
@@ -236,3 +247,17 @@ def contamination_check(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def array_battery_columns(text_col: str) -> list[Column]:
+    """Tokenized-text array operations (size/contains/position/slice/
+    sorted-distinct slice) as aliased expressions — shared by the
+    scalar_array_battery query and the single-scan doc-feature pass."""
+    t = tokens(text_col)
+    return [
+        F.size(t).cast("int").alias("n_words"),
+        F.array_contains(t, "spark").alias("has_spark"),
+        F.array_position(t, "spark").cast("int").alias("spark_pos"),
+        F.slice(t, 1, 5).alias("first5"),
+        F.slice(F.array_sort(F.array_distinct(t)), 1, 3).alias("first3_sorted"),
+    ]

@@ -650,34 +650,40 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN cont USING (doc_id)
     ORDER BY doc_id
     """,
-    doc="Per-document analysis joined wide on doc_id: quality signals, "
-    "token counts, language ID, fingerprints, the array battery, and "
+    doc="Per-document analysis in ONE scan of documents: quality signals, "
+    "token counts, language ID, fingerprints, and the array battery are "
+    "all narrow expressions, so they compute as a single wide "
+    "projection (the operators expose expression builders — "
+    "*_columns() in operators/text.py — exactly for this); only "
     "benchmark decontamination (word-3-gram overlap vs the source=src0 "
-    "slice — operators/text.py::contamination_check, hashed-gram semi "
-    "join). Six narrow passes over documents, one row per doc. Subsumes "
-    "text_quality_scores, text_token_counts, text_language_id, "
-    "text_fingerprints, scalar_array_battery.",
+    "slice — contamination_check, hashed-gram semi join) needs a "
+    "corpus-level join. Subsumes text_quality_scores, "
+    "text_token_counts, text_language_id, text_fingerprints, "
+    "scalar_array_battery.",
 )
 def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import contamination_check
+    from ..operators.text import (
+        array_battery_columns,
+        contamination_check,
+        fingerprint_columns,
+        language_id_columns,
+        quality_columns,
+        token_count_columns,
+    )
 
-    q = _FN["text_quality_scores"](spark, sf_dir)
-    t = _FN["text_token_counts"](spark, sf_dir)
-    lang = _FN["text_language_id"](spark, sf_dir)
-    fp = _FN["text_fingerprints"](spark, sf_dir)
-    arr = _FN["scalar_array_battery"](spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
+    features = docs.select(
+        "doc_id",
+        *quality_columns("text"),
+        *token_count_columns("text"),
+        *language_id_columns("text"),
+        *fingerprint_columns("text"),
+        *array_battery_columns("text"),
+    )
     cont = contamination_check(
         docs, docs.where(F.col("source") == "src0"), "text", "doc_id"
     )
-    return (
-        q.join(t, "doc_id")
-        .join(lang, "doc_id")
-        .join(fp, "doc_id")
-        .join(arr, "doc_id")
-        .join(cont, "doc_id")
-        .orderBy("doc_id")
-    )
+    return features.join(cont, "doc_id").orderBy("doc_id")
 
 
 @register(

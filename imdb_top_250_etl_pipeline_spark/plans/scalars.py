@@ -82,16 +82,10 @@ def scalar_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first-class columns end-to-end.",
 )
 def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import array_battery_columns
+
     d = load(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    return d.select(
-        "doc_id",
-        F.size(t).cast("int").alias("n_words"),
-        F.array_contains(t, "spark").alias("has_spark"),
-        F.array_position(t, "spark").cast("int").alias("spark_pos"),
-        F.slice(t, 1, 5).alias("first5"),
-        F.slice(F.array_sort(F.array_distinct(t)), 1, 3).alias("first3_sorted"),
-    ).orderBy("doc_id")
+    return d.select("doc_id", *array_battery_columns("text")).orderBy("doc_id")
 
 
 @register(

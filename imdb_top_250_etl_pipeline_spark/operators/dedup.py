@@ -145,36 +145,35 @@ def capped_band_pairs(
     min_by, so the star path needs no lookup either.
 
     Guard plumbing is sized for the EXPECTED case — hot buckets are rare
-    by construction (that's what banding is for): only the over-cap
-    buckets are materialized (``hot``, one aggregation with map-side
-    partial combine), and they reach the pair paths via tiny BROADCAST
-    anti/inner joins, so the all-pairs self-join sees the same plan
-    shape and shuffle volume as an unguarded join.  (Earlier drafts
-    joined full bucket stats onto every banded row — 1.9× slower on the
-    minhash bench — or window-counted over the band columns — 4× slower
-    on simhash.)  A corpus so degenerate that ``hot`` itself is huge
-    would stress the broadcast; at that point the corpus needs cleaning,
-    not pairing.
+    by construction (that's what banding is for): the over-cap buckets
+    are detected with one BARE aggregation (band cols + id only, no
+    payloads; map-side partial combine) materialized at plan-build time,
+    and when the hot set is EMPTY — the normal case — the pair join is
+    built directly on ``banded``, so the guarded plan differs from an
+    unguarded one by exactly that one aggregation pass.  Only when hot
+    buckets exist do the broadcast anti join (cap the all-pairs side)
+    and the star path (members + representative payload lookup, both
+    tiny broadcast joins) enter the plan.  (Earlier drafts joined full
+    bucket stats onto every banded row — 1.9× slower on the minhash
+    bench — or window-counted over the band columns — 4× slower on
+    simhash.)  A corpus so degenerate that ``hot`` itself is huge would
+    stress the broadcast; at that point the corpus needs cleaning, not
+    pairing.
     """
     payload_cols = payload_cols or []
-    # materialized ONCE (tiny, usually empty): both the anti and the star
-    # broadcast read it — left lazy, each broadcast exchange would
-    # re-run the full bucket aggregation, re-deriving the banded input
     hot = (
-        banded.groupBy(*band_cols)
-        .agg(
-            F.count("*").alias("_bn"),
-            F.min(id_col).alias("_bmin"),
-            *[
-                F.min_by(F.col(p), F.col(id_col)).alias(f"_bmin_{p}")
-                for p in payload_cols
-            ],
-        )
+        banded.select(*band_cols, id_col)
+        .groupBy(*band_cols)
+        .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_bmin"))
         .where(F.col("_bn") > max_bucket)
         .localCheckpoint(eager=True)
     )
-    small = banded.join(
-        F.broadcast(hot.select(*band_cols)), list(band_cols), "left_anti"
+    small = (
+        banded
+        if hot.isEmpty()
+        else banded.join(
+            F.broadcast(hot.select(*band_cols)), list(band_cols), "left_anti"
+        )
     )
     left, right = small.alias("l"), small.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
@@ -186,9 +185,17 @@ def capped_band_pairs(
         *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
         *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
     )
+    if hot.isEmpty():
+        return all_pairs.dropDuplicates(["id_a", "id_b"])
+    hot_members = banded.join(F.broadcast(hot), list(band_cols))
+    # representative payloads: one row per hot bucket, joined back to the
+    # members broadcast-side (rare path — only runs when hot is non-empty)
+    reps = hot_members.where(F.col(id_col) == F.col("_bmin")).select(
+        *band_cols, *[F.col(p).alias(f"_bmin_{p}") for p in payload_cols]
+    )
     star_pairs = (
-        banded.join(F.broadcast(hot), list(band_cols))
-        .where(F.col(id_col) != F.col("_bmin"))
+        hot_members.where(F.col(id_col) != F.col("_bmin"))
+        .join(F.broadcast(reps), list(band_cols))
         .select(
             F.col("_bmin").alias("id_a"),
             F.col(id_col).alias("id_b"),

@@ -306,3 +306,16 @@ def test_contamination_check_exact(spark):
     assert (got[3].n_grams, got[3].n_contaminated) == (0, 0)
     assert got[3].contamination_ratio is None
     assert (got[4].n_grams, got[4].n_contaminated) == (2, 0)
+
+
+def test_simhash_hot_bucket_star_with_payload(spark):
+    # exercises the rare guard path WITH payload columns (fingerprints
+    # ride through the star join via the representative lookup)
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import simhash_pairs
+
+    rows = [(i, "identical boilerplate text for every doc") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_pairs(df, "text", "doc_id", max_bucket=8).collect()
+    assert len(got) == 29  # star around representative 0
+    assert all(r.id_a == 0 and r.hamming == 0 for r in got)
+    assert {r.id_b for r in got} == set(range(1, 30))

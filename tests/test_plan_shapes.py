@@ -156,9 +156,9 @@ def test_brute_force_topk_is_salted_two_phase(spark):
 
 
 def test_capped_band_pairs_hot_guard_is_broadcast(spark):
-    # the guard must reach the pair join as broadcast anti/inner joins of
-    # the (tiny) hot-bucket set — never a shuffled join of full bucket
-    # stats onto every banded row
+    # guarded path: hot buckets must reach the pair join as broadcast
+    # anti/inner joins of the (tiny) hot set — never a shuffled join of
+    # full bucket stats onto every banded row
     from imdb_top_250_etl_pipeline_spark.operators.dedup import (
         capped_band_pairs,
     )
@@ -167,5 +167,10 @@ def test_capped_band_pairs_hot_guard_is_broadcast(spark):
     banded = load(spark, SF_CORRECT, "documents").select(
         F.col("doc_id"), (F.col("doc_id") % 7).alias("band")
     )
-    plan = plan_of(capped_band_pairs(banded, "doc_id", ["band"], max_bucket=10**6))
+    plan = plan_of(capped_band_pairs(banded, "doc_id", ["band"], max_bucket=10))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    # fast path: with no hot buckets the plan must equal an unguarded
+    # pair join — no anti join, no star union
+    plan2 = plan_of(capped_band_pairs(banded, "doc_id", ["band"], max_bucket=10**6))
+    assert "LeftAnti" not in plan2 and "Union" not in plan2, plan2

@@ -118,3 +118,95 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(decode, schema=BLOB_META_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
+    """Arrow-batched 'resize': scale so the longer side equals max_side.
+
+    The pixel work is the stubbed seam (PIL's Image.resize goes exactly
+    here); the geometry is real — integer aspect-preserving math
+    (new = old * max_side // longer_side, floored, min 1) so the output
+    is deterministic and oracle-checkable.  Same mapInPandas batch shape
+    a real resizer needs: bytes in, bytes+metadata out, no driver hop.
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "new_width": [], "new_height": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if not raw.startswith(b"IMG:"):
+                    raise NotImplementedError("real image codec plugs in here")
+                head, _, _ = raw[4:].partition(b":")
+                w_s, _, h_s = head.partition(b"x")
+                w, h = int(w_s), int(h_s)
+                longer = max(w, h)
+                out["doc_id"].append(doc_id)
+                out["new_width"].append(max(1, w * max_side // longer))
+                out["new_height"].append(max(1, h * max_side // longer))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def synthesize_videos(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic fake video blobs: 'VID:<n_frames>:<fps>:' header."""
+    n_frames = (F.col(id_col) % 200 + 10).cast("int")
+    header = F.concat(
+        F.lit("VID:"), n_frames.cast("string"), F.lit(":10:")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.encode(header, "UTF-8").alias("blob")
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
+    """Arrow-batched frame sampling: one output row per kept frame.
+
+    Real pipelines run ffmpeg/pyav seek-and-decode here; the stub reads
+    the synthetic 'VID:<n_frames>:<fps>:' header and emits every k-th
+    frame index with its timestamp — the exact one-row-in, many-rows-out
+    (UDTF) batch shape frame extraction needs.  Frame rows are the unit
+    of downstream multimodal work (per-frame embeddings, dedup), so they
+    must be real rows, not an aggregate.
+    """
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if not raw.startswith(b"VID:"):
+                    raise NotImplementedError("real video demuxer plugs in here")
+                n_s, _, rest = raw[4:].partition(b":")
+                fps_s, _, _ = rest.partition(b":")
+                n, fps = int(n_s), int(fps_s)
+                for idx in range(0, n, every_k):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * 1000 // fps)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(sample, schema=FRAME_SCHEMA)

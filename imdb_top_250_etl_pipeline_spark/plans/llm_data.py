@@ -483,22 +483,54 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "multimodal_blob_decode",
     oracle="""
-    SELECT doc_id,
-           'image' AS media_type,
-           CAST(doc_id % 64 + 16 AS INT) AS width,
-           CAST(doc_id % 48 + 16 AS INT) AS height,
-           CAST(6 + length(CAST(doc_id % 64 + 16 AS VARCHAR))
-                  + length(CAST(doc_id % 48 + 16 AS VARCHAR))
-                  + octet_length(encode(text)) AS INT) AS n_bytes
-    FROM documents
+    WITH base AS (
+      SELECT doc_id,
+             CAST(doc_id % 64 + 16 AS INT) AS width,
+             CAST(doc_id % 48 + 16 AS INT) AS height,
+             CAST(6 + length(CAST(doc_id % 64 + 16 AS VARCHAR))
+                    + length(CAST(doc_id % 48 + 16 AS VARCHAR))
+                    + octet_length(encode(text)) AS INT) AS n_bytes,
+             CAST(doc_id % 200 + 10 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, 'image' AS media_type, width, height, n_bytes,
+           CAST(greatest(1, width * 32 // greatest(width, height)) AS INT)
+               AS new_width,
+           CAST(greatest(1, height * 32 // greatest(width, height)) AS INT)
+               AS new_height,
+           CAST((n_frames + 6) // 7 AS BIGINT) AS n_sampled_frames,
+           CAST(7 * ((n_frames + 6) // 7 - 1) AS INT) AS max_frame_idx,
+           CAST(7 * ((n_frames + 6) // 7 - 1) * 100 AS INT) AS last_frame_ts_ms
+    FROM base
     ORDER BY doc_id
     """,
-    doc="Opaque-binary modality: synthesize deterministic IMG blobs, then "
-    "Arrow-batched mapInPandas 'decode' extracting typed metadata (the "
-    "stubbed seam for PIL/ffmpeg — see operators/multimodal.py). The "
-    "oracle recomputes the header arithmetic, so the whole UDF path is "
-    "hash-checked.",
+    doc="The opaque-binary modality surface end-to-end: synthesize "
+    "deterministic IMG/VID blobs, then three Arrow-batched mapInPandas "
+    "stages — metadata decode, aspect-preserving resize (longer side -> "
+    "32), and every-7th frame sampling (one row per kept frame, "
+    "re-aggregated per doc) — each a stubbed codec seam with real "
+    "geometry/indexing math (operators/multimodal.py). The oracle "
+    "recomputes every value from the header arithmetic, so the whole "
+    "Python path is hash-checked.",
 )
 def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images, sample_frames, synthesize_videos
+
     d = load(spark, sf_dir, "documents")
-    return decode_blobs(synthesize_blobs(d, "text", "doc_id")).orderBy("doc_id")
+    blobs = synthesize_blobs(d, "text", "doc_id")
+    decoded = decode_blobs(blobs)
+    resized = resize_images(blobs, max_side=32)
+    frames = (
+        sample_frames(synthesize_videos(d, "doc_id"), every_k=7)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled_frames"),
+            F.max("frame_idx").alias("max_frame_idx"),
+            F.max("ts_ms").alias("last_frame_ts_ms"),
+        )
+    )
+    return (
+        decoded.join(resized, "doc_id")
+        .join(frames, "doc_id")
+        .orderBy("doc_id")
+    )

@@ -5,4 +5,5 @@ from .jobs import (  # noqa: F401
     dedup_stream,
     stateful_user_counts,
     foreach_batch_upsert,
+    enrich_stream,
 )

@@ -193,3 +193,17 @@ def foreach_batch_upsert(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each microbatch against a batch
+    dimension table (the streaming form of J2's broadcast lookup).
+
+    The static side is re-resolved per microbatch (so a dim refreshed
+    between batches is picked up) and explicitly broadcast — the stream
+    side never shuffles, which is the only sustainable shape for an
+    unbounded source.  Stateless: no watermark needed (unlike
+    stream-stream joins, whose buffered state requires one)."""
+    return events.join(F.broadcast(dim), on, how)

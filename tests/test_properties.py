@@ -91,3 +91,66 @@ def test_insert_ignore_is_first_writer_wins(spark, existing, incoming):
         incoming_by_key.setdefault(k, set()).add((u, s))
     for k in new_keys:
         assert got[k] in incoming_by_key[k]
+
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=20
+)
+
+
+@given(words=_words, window=st.integers(2, 6), stride=st.integers(1, 4))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_documents_property(spark, words, window, stride):
+    from imdb_top_250_etl_pipeline_spark.operators.text import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, "text", "doc_id", window, stride).collect()
+    )
+    toks = text.split(" ")  # split(" ") semantics: "" -> [""], 1 token
+    n = len(toks)
+    last = ((max(n - window, 0) + stride - 1) // stride) * stride
+    expected = [
+        (i, " ".join(toks[p : p + window]), min(n - p, window))
+        for i, p in enumerate(range(0, last + 1, stride))
+    ]
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_groups_matches_union_find(spark, edges):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import dedup_groups
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for v in parent:
+        root = find(v)
+        expected.setdefault(root, []).append(v)
+    want = {}
+    for members in expected.values():
+        g = min(members)
+        for m in members:
+            want[m] = g
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.group_id for r in dedup_groups(pairs).collect()}
+    assert got == want

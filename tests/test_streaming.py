@@ -167,3 +167,30 @@ def test_foreach_batch_upsert_rewrites_only_touched_bands(spark, tmp_path):
     lhs = result.select("event_id", "user_id", "value")
     rhs = events.select("event_id", "user_id", "value")
     assert lhs.exceptAll(rhs).count() == 0 and rhs.exceptAll(lhs).count() == 0
+
+
+def test_enrich_stream_matches_batch_join(spark):
+    from imdb_top_250_etl_pipeline_spark.streaming import enrich_stream
+
+    dim = (
+        load(spark, SF_SMOKE, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = _run_to_memory(
+        enrich_stream(stream, dim, "user_id").select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        spark,
+        "t_enrich",
+        "append",
+    )
+    expected = (
+        load(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

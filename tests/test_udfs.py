@@ -65,3 +65,36 @@ def test_fetch_details_pluggable_fetch_fn(spark):
     rows = {r.url: r for r in fetch_details(urls, fetch_fn=custom).collect()}
     assert all(r.status == 418 and r.body_len == len("teapot-body") for r in rows.values())
     assert rows["https://example.test/part/7"].page_id == 7
+
+
+def test_resize_preserves_aspect_and_bounds(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        resize_images,
+        synthesize_blobs,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "x"), (17, "y"), (63, "z")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in resize_images(synthesize_blobs(d, "text", "doc_id"), 32).collect()}
+    for doc_id, r in rows.items():
+        w, h = doc_id % 64 + 16, doc_id % 48 + 16
+        assert max(r.new_width, r.new_height) == 32
+        assert r.new_width == max(1, w * 32 // max(w, h))
+        assert r.new_height == max(1, h * 32 // max(w, h))
+
+
+def test_sample_frames_every_k(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_videos,
+    )
+
+    d = spark.createDataFrame([(5, "a"), (200, "b")], "doc_id long, text string")
+    rows = sample_frames(synthesize_videos(d, "doc_id"), every_k=7).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.ts_ms))
+    # doc 5 -> 15 frames -> idx 0,7,14; doc 200 -> 10 frames -> idx 0,7
+    assert sorted(by_doc[5]) == [(0, 0), (7, 700), (14, 1400)]
+    assert sorted(by_doc[200]) == [(0, 0), (7, 700)]

@@ -267,12 +267,10 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    # candidates per query ~ corpus * nprobe / n_centroids — still large
+    # enough at scale that a single per-query task would hot-spot; the
+    # salted two-phase ranking bounds every task like the brute path
+    return _two_phase_topk(scored, k)
 
 
 def cosine_near_dup_pairs(

@@ -124,3 +124,59 @@ def write_jdbc(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-aware write: sort within partitions before writing so
+    parquet row-group min/max statistics become selective on
+    ``sort_cols`` — scans filtering on those columns skip whole row
+    groups (the poor man's clustering/Z-order; for multi-column skip
+    patterns interleave a computed key).  One extra local sort per task,
+    no shuffle beyond what ``partition_by`` needs.
+    """
+    w = df.sortWithinPartitions(*sort_cols).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into ceil(size /
+    target_bytes) files.  Returns the output file count.
+
+    The classic maintenance job — streaming sinks and over-parallel
+    writes leave thousands of tiny files whose per-file open/footer cost
+    dominates scans.  Sizing comes from the filesystem listing (cheap
+    metadata), the rewrite is one narrow repartition job, and the
+    replace happens only after the compacted data is materialized
+    (eager localCheckpoint) so the plan never reads files it is
+    deleting.  On object stores, prefer table-format compaction
+    (Iceberg rewrite_data_files / Delta OPTIMIZE) — same shape, with
+    snapshot isolation on top.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_bytes))
+    compacted = (
+        spark.read.parquet(path).repartition(n_files).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path)
+    compacted.write.mode("overwrite").parquet(path)
+    return n_files

@@ -51,3 +51,32 @@ def test_json_tolerates_extra_fields(spark, tmp_path):
     p.write_text('{"n_nationkey": 1, "n_name": "A", "n_regionkey": 0, "new_field": 9}\n')
     got = read_json(spark, str(p), NATION).collect()
     assert got[0].n_name == "A" and len(got[0]) == 3
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.sources.sink import compact_parquet
+
+    src = load(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "many_small")
+    src.repartition(64).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+
+def test_write_sorted_parquet_roundtrip(spark, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.sources.sink import write_sorted_parquet
+
+    src = load(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(src, path, ["o_orderdate"])
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0

@@ -261,3 +261,40 @@ def array_battery_columns(text_col: str) -> list[Column]:
         F.slice(t, 1, 5).alias("first5"),
         F.slice(F.array_sort(F.array_distinct(t)), 1, 3).alias("first3_sorted"),
     ]
+
+
+# Deterministic RE2-compatible patterns (no lookarounds, so the DuckDB
+# oracle can run the identical regex); intentionally simple — production
+# swaps in a vetted PII library pattern set, the operator shape holds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii_columns(text_col: str) -> list[Column]:
+    """PII scrubbing as expressions: per-category hit counts plus the
+    redacted text's fingerprint.
+
+    Order matters (ssn before phone: an SSN also matches the loose phone
+    pattern) — applied most-specific first.  All regexp_count /
+    regexp_replace: codegen, zero shuffles, linear scans.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name in ("ssn", "email", "phone"):
+        pat = PII_PATTERNS[name]
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).cast("int").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return counts + [F.md5(redacted).alias("redacted_fp")]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document PII hit counts + redacted-text fingerprint; the
+    redacted text itself is the same expression chain — select
+    ``redacted_text`` in a real scrub job, the fingerprint keeps the
+    oracle-checked output compact."""
+    return df.select(F.col(id_col), *redact_pii_columns(text_col))

@@ -514,6 +514,8 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.unionByName(i).unionByName(k)
 
 
+from ..operators.text import PII_PATTERNS as _PII  # noqa: E402
+
 _CHUNK_ORACLE = """
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -634,6 +636,28 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / len(cgr.grams)
                   END AS contamination_ratio
            FROM cgr LEFT JOIN chits USING (doc_id)
+         ),
+         pii0 AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '{_PII["ssn"]}')) AS INT)
+                      AS n_ssn,
+                  regexp_replace(text, '{_PII["ssn"]}', '[SSN]', 'g') AS t1
+           FROM documents
+         ),
+         pii1 AS (
+           SELECT doc_id, n_ssn,
+                  CAST(len(regexp_extract_all(t1, '{_PII["email"]}')) AS INT)
+                      AS n_email,
+                  regexp_replace(t1, '{_PII["email"]}', '[EMAIL]', 'g') AS t2
+           FROM pii0
+         ),
+         pii AS (
+           SELECT doc_id, n_ssn, n_email,
+                  CAST(len(regexp_extract_all(t2, '{_PII["phone"]}')) AS INT)
+                      AS n_phone,
+                  md5(regexp_replace(t2, '{_PII["phone"]}', '[PHONE]', 'g'))
+                      AS redacted_fp
+           FROM pii1
          )
     SELECT q.doc_id, q.n_tokens, q.n_chars_measured, q.avg_token_len,
            q.stopword_ratio, q.distinct_ratio, q.punct_ratio,
@@ -641,13 +665,15 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            l.predicted_lang, l.marker_hits,
            f.exact_fp, f.bag_fp,
            a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted,
-           cont.n_grams, cont.n_contaminated, cont.contamination_ratio
+           cont.n_grams, cont.n_contaminated, cont.contamination_ratio,
+           pii.n_ssn, pii.n_email, pii.n_phone, pii.redacted_fp
     FROM q
     JOIN t USING (doc_id)
     JOIN l USING (doc_id)
     JOIN f USING (doc_id)
     JOIN a USING (doc_id)
     JOIN cont USING (doc_id)
+    JOIN pii USING (doc_id)
     ORDER BY doc_id
     """,
     doc="Per-document analysis in ONE scan of documents: quality signals, "
@@ -657,7 +683,9 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "*_columns() in operators/text.py — exactly for this); only "
     "benchmark decontamination (word-3-gram overlap vs the source=src0 "
     "slice — contamination_check, hashed-gram semi join) needs a "
-    "corpus-level join. Subsumes text_quality_scores, "
+    "corpus-level join; PII scrubbing (ssn/email/phone counts + "
+    "redacted-text fingerprint, operators/text.py::redact_pii_columns) "
+    "rides in the same projection. Subsumes text_quality_scores, "
     "text_token_counts, text_language_id, text_fingerprints, "
     "scalar_array_battery.",
 )
@@ -668,6 +696,7 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_columns,
         language_id_columns,
         quality_columns,
+        redact_pii_columns,
         token_count_columns,
     )
 
@@ -679,6 +708,7 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         *language_id_columns("text"),
         *fingerprint_columns("text"),
         *array_battery_columns("text"),
+        *redact_pii_columns("text"),
     )
     cont = contamination_check(
         docs, docs.where(F.col("source") == "src0"), "text", "doc_id"

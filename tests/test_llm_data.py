@@ -319,3 +319,35 @@ def test_simhash_hot_bucket_star_with_payload(spark):
     assert len(got) == 29  # star around representative 0
     assert all(r.id_a == 0 and r.hamming == 0 for r in got)
     assert {r.id_b for r in got} == set(range(1, 30))
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+    import hashlib
+    import re
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 today"),
+            (2, "ssn 123-45-6789 leaked next to carol@test.org"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs, "text", "doc_id").collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ssn) == (1, 1, 0)
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ssn) == (1, 0, 1)
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ssn) == (0, 0, 0)
+
+    def py_redact(t):
+        for name in ("ssn", "email", "phone"):
+            t = re.sub(PII_PATTERNS[name], f"[{name.upper()}]", t)
+        return t
+
+    for doc_id, text in [(1, "contact bob@example.com or +1 (555) 123-4567 today"),
+                         (2, "ssn 123-45-6789 leaked next to carol@test.org"),
+                         (3, "clean text with no identifiers at all")]:
+        assert got[doc_id].redacted_fp == hashlib.md5(py_redact(text).encode()).hexdigest()

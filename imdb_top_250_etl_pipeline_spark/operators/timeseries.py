@@ -1,0 +1,92 @@
+"""Time-series operators: as-of (point-in-time) join.
+
+Not in the reference (pure batch snapshots); required for any pipeline
+that enriches events against a versioned dimension — "the dim row that
+was current WHEN the event happened" — and named by the north star as a
+canonical custom operator Spark lacks natively.
+
+Implemented as a composition of existing DataFrame ops (no UDF): union
+both sides on (key, ts), sort within the key partition, and carry the
+most recent right-side payload forward with last(ignoreNulls) over a
+running frame.  ONE shuffle on the key — the same cost as an equi-join —
+versus the naive theta-join (left.ts >= right.ts) which explodes to the
+full pairing before aggregation.  DuckDB's native ASOF JOIN provides the
+oracle semantics to check against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with
+    the greatest ``right_ts`` <= ``left_ts`` for the same ``key``
+    (inclusive — a right version effective exactly at the event time
+    matches).  Left rows with no prior right row keep NULL payloads.
+
+    ``right`` must be unique per (key, right_ts) — dedup versions first
+    (keep-latest) or the carried payload would be ambiguous; the forward
+    variant is the same construction with the sort reversed.
+
+    The union-sort-carry plan: right rows sort BEFORE left rows at equal
+    timestamps (src 0 < 1), each payload column forward-fills via
+    last(ignoreNulls) over rows UNBOUNDED PRECEDING..CURRENT, then only
+    left rows are kept.  At 100 TB this is one hash shuffle on the key +
+    a per-key sort — exactly a sort-merge join's cost profile, with no
+    row explosion for high-version keys.
+    """
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_src"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(
+            dict(right.dtypes)[right_ts]
+        ).alias("_matched_ts"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_p_{p}")
+            for p in payload_cols
+        ],
+    )
+    ldtypes = dict(left.dtypes)
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_src"),
+        *[F.lit(None).cast(ldtypes[c]).alias(c) for c in lcols],
+        F.col(right_ts).alias("_matched_ts"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_src")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        key,
+        "_ts",
+        "_src",
+        *lcols,
+        F.last("_matched_ts", ignorenulls=True).over(w).alias(f"asof_{right_ts}"),
+        *[
+            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p)
+            for p in payload_cols
+        ],
+    )
+    return (
+        carried.where(F.col("_src") == 1)
+        .drop("_src")
+        .withColumnRenamed("_ts", left_ts)
+    )

@@ -782,6 +782,32 @@ def sql_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q3.unionByName(q17)
 
 
+# Versioned dim for the as-of branch: order keys mapped onto the events
+# month (day = o_orderkey % 30), deduped to one version per (user, ts)
+# by keeping the max order key — deterministic on both engines.
+_ASOF_ORACLE = """
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
+    ),
+    v AS (
+      SELECT user_id, version_ts,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS total
+      FROM (
+        SELECT o_custkey AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + (o_orderkey % 30) * INTERVAL 1 DAY AS version_ts,
+               o_orderkey, o_totalprice
+        FROM orders
+      )
+      GROUP BY user_id, version_ts
+    )
+    SELECT e.user_id AS uid, e.ts AS t1, v.version_ts AS t2,
+           e.event_id AS n, v.o_orderkey AS n2, v.total AS v
+    FROM e ASOF LEFT JOIN v
+      ON e.user_id = v.user_id AND e.ts >= v.version_ts
+"""
+
 _SESSION_BUILTIN_ORACLE = """
     WITH e AS (
       SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
@@ -839,15 +865,23 @@ _SESSION_BUILTIN_ORACLE = """
             "CAST(NULL AS DOUBLE) AS v",
             _SESSION_BUILTIN_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "asof",
+            "uid, t1, t2, n, n2, v",
+            _ASOF_ORACLE,
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
-    "sliding window, lag+cumsum sessionization, AND the built-in "
+    "sliding window, lag+cumsum sessionization, the built-in "
     "F.session_window — whose oracle is the manual sessionization with "
     "end = last_event + gap, which upgrades the built-in operator from "
     "rows-only to hash-checked (boundary convention: a gap of exactly "
-    "6h starts a new session on both paths). Subsumes "
-    "stream_tumbling_window, stream_sliding_window, stream_sessionize, "
-    "stream_session_window.",
+    "6h starts a new session on both paths) — AND a backward as-of join "
+    "of each event against a versioned dimension (operators/"
+    "timeseries.py::asof_join, union-sort-carry, one shuffle; oracle is "
+    "DuckDB's native ASOF LEFT JOIN). Subsumes stream_tumbling_window, "
+    "stream_sliding_window, stream_sessionize, stream_session_window.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -886,7 +920,38 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("bigint").alias("n2"),
         _null("double").alias("v"),
     )
-    return t.unionByName(s).unionByName(m).unionByName(b)
+    from ..operators.timeseries import asof_join
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    versions = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+                "CAST(o_orderkey % 30 AS INT), 0, 0, 0)"
+            ).alias("version_ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("user_id", "version_ts")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("total"),
+        )
+    )
+    a = asof_join(
+        events, versions, "user_id", "ts", "version_ts", ["o_orderkey", "total"]
+    ).select(
+        _tag("asof"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t1"),
+        F.col("asof_version_ts").alias("t2"),
+        F.col("event_id").alias("n"),
+        F.col("o_orderkey").alias("n2"),
+        F.col("total").alias("v"),
+    )
+    return t.unionByName(s).unionByName(m).unionByName(b).unionByName(a)
 
 
 # ---------------------------------------------------------------------------

@@ -351,3 +351,25 @@ def test_redact_pii_counts_and_replaces(spark):
                          (2, "ssn 123-45-6789 leaked next to carol@test.org"),
                          (3, "clean text with no identifiers at all")]:
         assert got[doc_id].redacted_fp == hashlib.md5(py_redact(text).encode()).hexdigest()
+
+
+def test_asof_join_matches_python_reference(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 15, "e3"), (3, 9, "e4")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 180.0), (2, 1, 10.0), (4, 2, 20.0)],
+        "k long, vts long, price double",
+    )
+    got = {
+        (r.k, r.ts): (r.asof_vts, r.price)
+        for r in asof_join(left, right, "k", "ts", "vts", ["price"]).collect()
+    }
+    assert got[(1, 5)] == (None, None)        # before first version
+    assert got[(1, 10)] == (10, 100.0)        # inclusive at equal ts
+    assert got[(1, 20)] == (18, 180.0)        # latest prior version
+    assert got[(2, 15)] == (1, 10.0)
+    assert got[(3, 9)] == (None, None)        # key with no versions

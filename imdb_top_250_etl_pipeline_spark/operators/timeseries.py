@@ -90,3 +90,26 @@ def asof_join(
         .drop("_src")
         .withColumnRenamed("_ts", left_ts)
     )
+
+
+def forward_fill(
+    df: DataFrame, key: str, ts: str, cols: list[str]
+) -> DataFrame:
+    """Gap filling: replace NULLs in ``cols`` with the most recent
+    non-NULL value for the same ``key`` (ordered by ``ts``) — the
+    sensor/telemetry cleanup pass before feature extraction.
+
+    Same carry construction as asof_join without the union: one shuffle
+    on the key, per-key sort, last(ignoreNulls) over a running frame.
+    Leading NULLs (no prior observation) stay NULL by design.
+    """
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = [
+        F.last(c, ignorenulls=True).over(w).alias(c) if c in cols else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*filled)

@@ -373,3 +373,16 @@ def test_asof_join_matches_python_reference(spark):
     assert got[(1, 20)] == (18, 180.0)        # latest prior version
     assert got[(2, 15)] == (1, 10.0)
     assert got[(3, 9)] == (None, None)        # key with no versions
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import forward_fill
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, 20.0), (1, 5, None),
+         (2, 1, None)],
+        "k long, ts long, v double",
+    )
+    got = {(r.k, r.ts): r.v for r in forward_fill(df, "k", "ts", ["v"]).collect()}
+    assert got == {(1, 1): None, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 20.0,
+                   (1, 5): 20.0, (2, 1): None}

@@ -80,3 +80,12 @@ def test_write_sorted_parquet_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == src.count()
     assert back.exceptAll(src).count() == 0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    src = load(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = spark.read.schema(NATION).orc(path)
+    assert back.schema == NATION
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0

@@ -27,7 +27,6 @@ import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MARKUP_RE = re.compile(

@@ -474,15 +474,18 @@ def dedup_groups(
     cosine, and capped_band_pairs' star pairs) into dedup groups a
     pipeline can keep-one-per-group on.
 
-    Min-label propagation, the standard DataFrame-only iterative
-    algorithm: every vertex starts labeled with its own id; each round
-    every vertex takes the min of its label and its neighbors' labels.
-    Converges in O(component diameter) rounds — near-dup components are
-    shallow (cliques + short chains), so the default cap is generous.
-    Each round is one groupBy shuffle on vertex id; lineage is cut per
-    round (localCheckpoint; persist-and-iterate on a cluster) and the
-    loop exits early once a round changes nothing — the kmeans_refine
-    discipline (similarity.py) applied to graphs.
+    Min-label propagation accelerated with POINTER JUMPING: every vertex
+    starts labeled with its own id; each round takes (a) the min of its
+    own and its neighbors' labels, then (b) its label's label — path
+    halving, which turns the O(diameter) rounds of plain propagation
+    into O(log diameter) (a 1000-link chain converges in ~10 rounds, not
+    1000).  Each round is two shuffles (neighbor groupBy + the jump
+    join); lineage is cut per round (localCheckpoint; persist-and-
+    iterate on a cluster) and the loop exits once a round changes
+    nothing — the kmeans_refine discipline (similarity.py) applied to
+    graphs.  Raises if the cap is hit before convergence: a silently
+    non-converged grouping would under-merge components, which for dedup
+    means duplicate clusters survive.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -502,12 +505,25 @@ def dedup_groups(
             .groupBy("dst")
             .agg(F.min("group_id").alias("nbr_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.dst, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("group_id"), F.coalesce("nbr_min", F.col("group_id"))
+            ).alias("group_id"),
+        )
+        # pointer jump: label <- label(label); labels form a min-forest,
+        # so following one hop per round halves every path
+        parent = labels.select(
+            F.col("id").alias("p_id"), F.col("group_id").alias("p_group")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            propagated.join(parent, propagated.group_id == parent.p_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("group_id"), F.coalesce("nbr_min", F.col("group_id"))
+                    F.col("group_id"), F.coalesce("p_group", F.col("group_id"))
                 ).alias("group_id"),
             )
             .localCheckpoint(eager=True)
@@ -520,5 +536,8 @@ def dedup_groups(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"), "group_id")
+            return labels.select(F.col("id").alias("doc_id"), "group_id")
+    raise ValueError(
+        f"dedup_groups did not converge in {max_iterations} rounds — "
+        "component diameter exceeds 2^rounds; raise max_iterations"
+    )

@@ -6,4 +6,5 @@ from .jobs import (  # noqa: F401
     stateful_user_counts,
     foreach_batch_upsert,
     enrich_stream,
+    join_event_streams,
 )

@@ -207,3 +207,40 @@ def enrich_stream(
     unbounded source.  Stateless: no watermark needed (unlike
     stream-stream joins, whose buffered state requires one)."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events of the same key that happened in (left.ts - within,
+    left.ts] — e.g. the purchase within an hour after a click.
+
+    BOTH sides need watermarks plus a time-range join condition: that is
+    what lets the state store evict buffered rows (without the range
+    bound every past event must be retained forever waiting for future
+    matches).  State per key is bounded by events inside the
+    watermark+range horizon — the only sustainable stream-stream shape.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select(
+        F.col("l_key").alias(key), "l_ts", "l_event_id", "r_ts", "r_event_id"
+    )

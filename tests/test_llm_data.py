@@ -386,3 +386,15 @@ def test_forward_fill_carries_last_observation(spark):
     got = {(r.k, r.ts): r.v for r in forward_fill(df, "k", "ts", ["v"]).collect()}
     assert got == {(1, 1): None, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 20.0,
                    (1, 5): 20.0, (2, 1): None}
+
+
+def test_dedup_groups_long_chain_converges_fast(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import dedup_groups
+
+    # a 60-link chain: plain min-propagation would need 60 rounds; the
+    # pointer-jumping variant must finish well under the default cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in dedup_groups(pairs, max_iterations=10).collect()}
+    assert got == {i: 0 for i in range(61)}

@@ -194,3 +194,36 @@ def test_enrich_stream_matches_batch_join(spark):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.streaming import join_event_streams
+
+    clicks = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        join_event_streams(purchases, clicks), spark, "t_ss_join", "append"
+    )
+
+    e = load(spark, SF_SMOKE, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    expected = p.join(
+        c,
+        (p.user_id == c.r_user)
+        & (c.r_ts > p.l_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.r_ts <= p.l_ts),
+    ).select("user_id", "l_ts", "l_event_id", "r_ts", "r_event_id")
+    assert got.count() == expected.count() and expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -1,0 +1,70 @@
+"""Scale-safe window alternatives.
+
+A ``Window.partitionBy(group)`` with LOW-cardinality groups (order
+status, market segment, language — the common analytics keys) caps
+parallelism at the number of groups: 5 segments over 100 TB means 5
+tasks each sorting 20 TB.  Fine at fixture scale (the oracle queries in
+plans/relational.py keep the plain window — it IS the reference
+semantics), fatal at 100×.  This module provides the distributed
+construction for the hot case:
+
+row_number over (group, order) = range-repartition on (group, order...)
+→ number rows within each (physical partition, group) cell → add the
+per-group cumulative count of all earlier partitions.  Range
+partitioning guarantees that, within a group, every row in partition i
+orders before every row in partition i+1, so local numbers + offsets
+reproduce the global sequence exactly (the with_surrogate_key argument,
+operators/etl.py, generalized to grouped ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    out_col: str = "rn",
+) -> DataFrame:
+    """row_number() OVER (PARTITION BY group_cols ORDER BY order_cols),
+    distributed across ~parallelism tasks regardless of group count.
+
+    ``order_cols`` accepts column names or Column expressions (e.g.
+    ``F.desc("c_acctbal")``) and must be a total order within each group
+    (include a unique tie-break key) — same contract as the window form,
+    where ties would otherwise make row_number nondeterministic.
+
+    Cost: one range shuffle + one tiny offset aggregate + one cell-keyed
+    window whose parallelism is n_partitions × n_groups (versus
+    n_groups for the plain window).
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    gcols = [F.col(c) for c in group_cols]
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    parted = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    cell = W.partitionBy("_pid", *group_cols).orderBy(*ocols)
+    local = parted.withColumn("_local_rn", F.row_number().over(cell))
+    # one row per (partition, group) cell — tiny; cumulative count of all
+    # EARLIER partitions for the same group is the cell's rank offset
+    counts = local.groupBy("_pid", *group_cols).agg(F.count("*").alias("_n"))
+    off_w = (
+        W.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
+    )

@@ -86,3 +86,25 @@ def test_approx_count_distinct_error_bound(spark):
     for flag, ex in exact.items():
         rel_err = abs(approx[flag] - ex) / ex
         assert rel_err <= 3 * 0.02, (flag, approx[flag], ex, rel_err)
+
+
+def test_grouped_row_number_matches_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        grouped_row_number,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    c = load(spark, SF_CORRECT, "customer")
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    got = grouped_row_number(c, ["c_mktsegment"], order, "rn").select(
+        "c_custkey", "rn"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(*order)
+    expected = c.select("c_custkey", F.row_number().over(w).cast("long").alias("rn"))
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -298,3 +298,32 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``redacted_text`` in a real scrub job, the fingerprint keeps the
     oracle-checked output compact."""
     return df.select(F.col(id_col), *redact_pii_columns(text_col))
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    id_cols: list[str],
+    len_col: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-budget training
+    sequences in deterministic ``id_cols`` order.
+
+    bin_id = floor(cumulative_tokens_before_this_chunk / seq_len) —
+    greedy contiguous packing: each sequence fills to the budget and the
+    straddling chunk spills into the next bin (its ``offset_in_bin``
+    tells the packer where truncation/continuation starts; bins
+    therefore overflow by at most one chunk, the standard packing-with-
+    truncation contract).  Built on distributed_cumsum, so packing a
+    100 TB chunk table never funnels through one task.
+    """
+    from .windows import distributed_cumsum
+
+    with_cum = distributed_cumsum(chunks, id_cols, len_col, "_cum")
+    before = F.col("_cum") - F.col(len_col)
+    return with_cum.select(
+        *id_cols,
+        len_col,
+        F.floor(before / seq_len).cast("long").alias("bin_id"),
+        (before % seq_len).cast("long").alias("offset_in_bin"),
+    )

@@ -68,3 +68,44 @@ def grouped_row_number(
         .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")).cast("long"))
         .drop("_pid", "_local_rn", "_offset")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Global running total of ``value_col`` in ``order_cols`` order,
+    WITHOUT the single-task partition-less window: range-repartition on
+    the order key, partial-sum within each partition, add the broadcast
+    cumulative total of all earlier partitions.
+
+    The distributed prefix-sum primitive — what sequence packing, quota
+    assignment, and offset-based indexing need at corpus scale.
+    ``order_cols`` must be a total order (unique tie-break key), same
+    contract as grouped_row_number.
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    parted = df.repartitionByRange(n, *ocols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    cell = (
+        W.partitionBy("_pid")
+        .orderBy(*ocols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("_local_sum", F.sum(value_col).over(cell))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_n"))
+    off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    # partition-less window over ONE ROW PER PARTITION — bounded by the
+    # partition count, never by data volume (the with_surrogate_key rule)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
+        .drop("_pid", "_local_sum", "_offset")
+    )

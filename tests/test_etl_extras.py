@@ -108,3 +108,38 @@ def test_grouped_row_number_matches_window(spark):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_distributed_cumsum_matches_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        distributed_cumsum,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    o = load(spark, SF_CORRECT, "orders").select("o_orderkey", "o_custkey")
+    got = distributed_cumsum(o, ["o_orderkey"], "o_custkey", "cs").select(
+        "o_orderkey", "cs"
+    )
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expected = o.select("o_orderkey", F.sum("o_custkey").over(w).alias("cs"))
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_pack_chunks_fills_bins_in_order(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import pack_chunks
+
+    rows = [(i, 0, 300) for i in range(10)]  # 10 chunks x 300 tokens
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_tok int")
+    got = {
+        r.doc_id: (r.bin_id, r.offset_in_bin)
+        for r in pack_chunks(df, ["doc_id", "chunk_idx"], "n_tok", seq_len=1000).collect()
+    }
+    # cumulative starts: 0,300,...,2700 -> bins 0,0,0,0(straddles at 900),1,...
+    assert got[0] == (0, 0) and got[1] == (0, 300) and got[2] == (0, 600)
+    assert got[3] == (0, 900)   # straddling chunk: starts at offset 900
+    assert got[4] == (1, 200) and got[9] == (2, 700)

@@ -143,3 +143,24 @@ def test_pack_chunks_fills_bins_in_order(spark):
     assert got[0] == (0, 0) and got[1] == (0, 300) and got[2] == (0, 600)
     assert got[3] == (0, 900)   # straddling chunk: starts at offset 900
     assert got[4] == (1, 200) and got[9] == (2, 700)
+
+
+def test_cli_run_etl_writes_five_tables(spark, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.__main__ import run_etl
+    from imdb_top_250_etl_pipeline_spark.plans import QUERIES, lookup
+    from tests.conftest import SF_CORRECT
+
+    counts = run_etl(spark, SF_CORRECT, str(tmp_path / "etl_out"))
+    assert set(counts) == {
+        "movies", "people", "movie_director", "movie_writer", "movie_star"
+    }
+    # the written tables must match the registered queries' row counts
+    assert counts["movies"] == QUERIES["etl_movies_surrogate_keys"].fn(
+        spark, SF_CORRECT
+    ).count()
+    assert counts["people"] == QUERIES["etl_normalize_people"].fn(
+        spark, SF_CORRECT
+    ).count()
+    assert counts["movie_star"] == lookup("etl_bridge_star").fn(
+        spark, SF_CORRECT
+    ).count()

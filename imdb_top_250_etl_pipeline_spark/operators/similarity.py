@@ -304,19 +304,19 @@ def cosine_near_dup_pairs(
     """
     rows = n_planes // bands
     # Hyperplane weights are DATA-INDEPENDENT pseudo-random ints in
-    # [-1000, 1000), derived per (plane, dim) from xxhash64 INSIDE the
-    # aggregate expression — whole-stage codegen, no weight table, no
-    # join, any dimensionality.  Everything is INTEGER math on purpose:
-    # quantized x (2^20) times integer weights sum order-independently,
-    # so the signature is deterministic under any aggregation order (a
-    # double sum would make near-zero projections flip sign run-to-run).
-    # |xq*w| < 2^31 for unit-scale components, so even 10^6-dim sums
-    # stay far from long overflow under ANSI mode.
-    def weight(p: int) -> Column:
-        return F.pmod(
-            F.xxhash64(F.lit(f"plane{p}"), F.col("dim")), F.lit(2000)
-        ) - F.lit(1000)
-
+    # [-1000, 1000), derived per (plane, dim) from xxhash64 — but
+    # computed once per DISTINCT dimension index (a tiny aggregated
+    # table broadcast back onto the exploded frame), not once per
+    # (vector, dim, plane): n_planes hashes × n_dims total instead of
+    # × n_vectors·n_dims (measured the dominant cost of the inline
+    # form).  Sizing the table from the data's own distinct dims keeps
+    # any dimensionality fully covered — no cap, no driver-side probe.
+    # Everything is INTEGER math on purpose: quantized x (2^20) times
+    # integer weights sum order-independently, so the signature is
+    # deterministic under any aggregation order (a double sum would make
+    # near-zero projections flip sign run-to-run).  |xq*w| < 2^31 for
+    # unit-scale components, so even 10^6-dim sums stay far from long
+    # overflow under ANSI mode.
     spread_df = spread(df, id_col)
     exploded = spread_df.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
@@ -325,8 +325,31 @@ def cosine_near_dup_pairs(
         "dim",
         F.floor(F.col("x").cast("double") * (1 << 20)).cast("long").alias("xq"),
     )
+    # dims derived from the distinct vector SIZES (one narrow column
+    # pass, usually a single row) — NOT from the exploded values, whose
+    # re-evaluation inside the broadcast build would double the
+    # pipeline's dominant explode cost (measured ~2× slower)
+    wdf = (
+        df.select(F.size(F.col(vec_col)).alias("n"))
+        .distinct()
+        .select(F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("dim"))
+        .distinct()
+        .select(
+            "dim",
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(f"plane{p}"), F.col("dim")), F.lit(2000)
+                    )
+                    - F.lit(1000)
+                    for p in range(n_planes)
+                ]
+            ).alias("w"),
+        )
+    )
     proj_sums = [
-        F.sum(F.col("xq") * weight(p)).alias(f"s{p}") for p in range(n_planes)
+        F.sum(F.col("xq") * F.element_at("w", p + 1)).alias(f"s{p}")
+        for p in range(n_planes)
     ]
     sig_bits = F.concat(
         *[
@@ -335,7 +358,8 @@ def cosine_near_dup_pairs(
         ]
     )
     sigs = (
-        exploded.groupBy(id_col)
+        exploded.join(F.broadcast(wdf), "dim")
+        .groupBy(id_col)
         .agg(*proj_sums)
         .select(F.col(id_col), sig_bits.alias("sig"))
     )

@@ -57,14 +57,21 @@ def parse_markup(df: DataFrame, markup_col: str, base_url: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = {"rank": [], "title": [], "meta": [], "url": []}
-            for markup in pdf[markup_col]:
-                m = MARKUP_RE.search(markup) if markup is not None else None
-                out["rank"].append(int(m.group("rank")) if m else None)
-                out["title"].append(m.group("title") if m else None)
-                out["meta"].append(m.group("meta") if m else None)
-                out["url"].append(base_url + m.group("href") if m else None)
-            yield pd.DataFrame(out)
+            # vectorized C-level regex over the whole Arrow batch —
+            # pandas .str.extract, not a per-row Python loop (measured
+            # meaningfully faster at bench scale); non-matches yield NaN
+            # which maps to NULL per the reference's contract
+            ext = pdf[markup_col].str.extract(MARKUP_RE)
+            yield pd.DataFrame(
+                {
+                    "rank": pd.to_numeric(ext["rank"], errors="coerce").astype(
+                        "Int32"
+                    ),
+                    "title": ext["title"],
+                    "meta": ext["meta"],
+                    "url": (base_url + ext["href"]).where(ext["href"].notna()),
+                }
+            )
 
     return df.mapInPandas(parse, schema=PARSED_SCHEMA)
 

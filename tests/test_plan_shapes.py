@@ -174,3 +174,17 @@ def test_capped_band_pairs_hot_guard_is_broadcast(spark):
     # pair join — no anti join, no star union
     plan2 = plan_of(capped_band_pairs(banded, "doc_id", ["band"], max_bucket=10**6))
     assert "LeftAnti" not in plan2 and "Union" not in plan2, plan2
+
+
+def test_cosine_weights_join_is_broadcast(spark):
+    # the per-dimension weight table must reach the exploded frame as a
+    # broadcast (it is tiny: one row per embedding dimension) — a
+    # shuffled join here would re-partition the N×D exploded rows
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    plan = plan_of(cosine_near_dup_pairs(emb))
+    assert "BroadcastHashJoin" in plan, plan

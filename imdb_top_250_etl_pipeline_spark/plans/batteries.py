@@ -666,8 +666,12 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            f.exact_fp, f.bag_fp,
            a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted,
            cont.n_grams, cont.n_contaminated, cont.contamination_ratio,
-           pii.n_ssn, pii.n_email, pii.n_phone, pii.redacted_fp
+           pii.n_ssn, pii.n_email, pii.n_phone, pii.redacted_fp,
+           d.n_chars AS n_chars_declared,
+           (d.n_chars = q.n_chars_measured) AS declared_len_ok,
+           (d.lang = l.predicted_lang) AS lang_id_agrees
     FROM q
+    JOIN documents d USING (doc_id)
     JOIN t USING (doc_id)
     JOIN l USING (doc_id)
     JOIN f USING (doc_id)
@@ -701,14 +705,26 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    features = docs.select(
-        "doc_id",
-        *quality_columns("text"),
-        *token_count_columns("text"),
-        *language_id_columns("text"),
-        *fingerprint_columns("text"),
-        *array_battery_columns("text"),
-        *redact_pii_columns("text"),
+    features = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            *quality_columns("text"),
+            *token_count_columns("text"),
+            *language_id_columns("text"),
+            *fingerprint_columns("text"),
+            *array_battery_columns("text"),
+            *redact_pii_columns("text"),
+        )
+        # metadata-integrity checks: declared sidecar values vs computed
+        # (the validation pass a pipeline runs before trusting metadata)
+        .withColumn("n_chars_declared", F.col("n_chars"))
+        .withColumn(
+            "declared_len_ok", F.col("n_chars") == F.col("n_chars_measured")
+        )
+        .withColumn("lang_id_agrees", F.col("lang") == F.col("predicted_lang"))
+        .drop("lang", "n_chars")
     )
     cont = contamination_check(
         docs, docs.where(F.col("source") == "src0"), "text", "doc_id"

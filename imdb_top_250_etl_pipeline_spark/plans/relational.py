@@ -656,7 +656,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="rank/dense_rank/row_number — the engine derives the 'rank' the "
     "reference scraped pre-computed (webscraper-postgres.py:38), and "
-    "row_number is the SERIAL surrogate-key primitive (:112).",
+    "row_number is the SERIAL surrogate-key primitive (:112). "
+    "Low-cardinality partition keys at 100 TB: use operators/windows.py"
+    "::grouped_row_number instead (parallelism beyond n_groups).",
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -741,7 +743,10 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment, rn
     """,
     doc="Top-K per group: window row_number + filter. At scale this beats "
-    "groupBy+collect_list by never materializing groups.",
+    "groupBy+collect_list by never materializing groups. When the "
+    "partition key is low-cardinality at 100 TB, swap the window for "
+    "operators/windows.py::grouped_row_number (range-partitioned, "
+    "offset-corrected — parallelism independent of group count).",
 )
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")

@@ -180,3 +180,51 @@ def compact_parquet(
     shutil.rmtree(path)
     compacted.write.mode("overwrite").parquet(path)
     return n_files
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Minimal versioned table: write a new immutable snapshot directory
+    ``path/v=<n>``, then atomically repoint ``path/_LATEST``.
+
+    The poor-man's table format: readers that resolve the pointer before
+    a writer finishes keep reading the previous snapshot — a crash
+    mid-write leaves an orphan directory, never a torn table (the
+    overwrite-in-place gap of plain parquet MERGE targets).  The pointer
+    flip is tmp-write + rename, atomic on POSIX filesystems; object
+    stores without atomic rename are exactly where Delta/Iceberg's
+    log-based commit replaces this file.  Returns the new version.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    current = read_versioned_pointer(path)
+    version = current + 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={version}"))
+    tmp = os.path.join(path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, "_LATEST"))
+    return version
+
+
+def read_versioned_pointer(path: str) -> int:
+    import os
+
+    try:
+        with open(os.path.join(path, "_LATEST")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot of a write_versioned table: the committed latest
+    by default, or any retained historical version (time travel)."""
+    import os
+
+    v = read_versioned_pointer(path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))

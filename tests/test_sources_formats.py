@@ -89,3 +89,27 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.schema(NATION).orc(path)
     assert back.schema == NATION
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_versioned_sink_time_travel_and_torn_write_safety(spark, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.sources.sink import (
+        read_versioned,
+        read_versioned_pointer,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    nation = load(spark, SF_SMOKE, "nation")
+    v0 = write_versioned(nation.where("n_regionkey = 0"), path)
+    v1 = write_versioned(nation, path)
+    assert (v0, v1) == (0, 1)
+    assert read_versioned(spark, path).count() == nation.count()
+    assert read_versioned(spark, path, version=0).count() == nation.where(
+        "n_regionkey = 0"
+    ).count()
+
+    # a crashed writer = snapshot dir without a pointer flip: readers
+    # must keep resolving the last committed version
+    nation.limit(1).write.parquet(f"{path}/v=2")
+    assert read_versioned_pointer(path) == 1
+    assert read_versioned(spark, path).count() == nation.count()

@@ -82,22 +82,34 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in names:
         # the timed window includes plan construction: queries that
         # materialize intermediate tables (eager localCheckpoint) do real
-        # work inside fn(), and excluding it would under-report them
-        t0 = time.perf_counter()
-        df = lookup(name).fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # work inside fn(), and excluding it would under-report them.
+        # Each query runs twice: the FIRST run is the primary metric
+        # (cold plan, comparable with earlier rounds' single-run
+        # numbers); the min of both lands in "queries_steady" because
+        # this container shares hardware and single cold runs swing
+        # 1.5-3x with co-tenant load — the steady number is the one that
+        # reflects the plan.
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = lookup(name).fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = runs[0]
+        steady[name] = min(runs)
 
-    total = round(sum(timings.values()), 3)
     line = json.dumps(
         {
             "metric": "headline_total",
-            "value": total,
+            "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            "value_steady": round(sum(steady.values()), 3),
+            "queries_steady": steady,
             "sf": sf_of(SF_DIR),
         }
     )

@@ -216,6 +216,25 @@ def kmeans_refine(
     return cents
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-time IVF index build: (id, vec, cluster, norm) per corpus row.
+
+    This is the expensive full-corpus pass; persist/bucket its output by
+    ``cluster`` and reuse it across every subsequent search batch —
+    ``ivf_topk(..., index=...)`` skips the rebuild.  The
+    build-once/probe-many split is how IVF actually deploys: the index
+    is a table, not a per-query computation.
+    """
+    return assign_clusters(corpus, centroids, id_col, vec_col).withColumn(
+        "nnorm", l2_norm(F.col(vec_col))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -224,14 +243,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest clusters per query.
 
     Recall < 1 by design (misses neighbors assigned to unprobed
     clusters); the unit test measures recall against brute_force_topk.
+    Pass a prebuilt ``index`` (build_ivf_index) to search without
+    re-assigning the corpus.
     """
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col).withColumn(
-        "nnorm", l2_norm(F.col(vec_col))
+    assigned = (
+        index
+        if index is not None
+        else build_ivf_index(corpus, centroids, id_col, vec_col)
     )
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")

@@ -398,3 +398,20 @@ def test_dedup_groups_long_chain_converges_fast(spark):
     )
     got = {r.doc_id: r.group_id for r in dedup_groups(pairs, max_iterations=10).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_ivf_prebuilt_index_matches_inline_build(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    centroids = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    inline = ivf_topk(emb, queries, centroids).collect()
+    idx = build_ivf_index(emb, centroids).localCheckpoint(eager=True)
+    reused = ivf_topk(emb, queries, centroids, index=idx).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in inline} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in reused
+    }

@@ -667,6 +667,11 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted,
            cont.n_grams, cont.n_contaminated, cont.contamination_ratio,
            pii.n_ssn, pii.n_email, pii.n_phone, pii.redacted_fp,
+           CASE WHEN CAST(CONCAT('0x', substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 10 < 8 THEN 'train'
+                WHEN CAST(CONCAT('0x', substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
            d.n_chars AS n_chars_declared,
            (d.n_chars = q.n_chars_measured) AS declared_len_ok,
            (d.lang = l.predicted_lang) AS lang_id_agrees
@@ -689,7 +694,9 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "slice — contamination_check, hashed-gram semi join) needs a "
     "corpus-level join; PII scrubbing (ssn/email/phone counts + "
     "redacted-text fingerprint, operators/text.py::redact_pii_columns) "
-    "rides in the same projection. Subsumes text_quality_scores, "
+    "rides in the same projection, as does the deterministic md5 "
+    "train/val/test split (split_by_hash — reproducible assignment the "
+    "oracle recomputes exactly). Subsumes text_quality_scores, "
     "text_token_counts, text_language_id, text_fingerprints, "
     "scalar_array_battery.",
 )
@@ -725,6 +732,11 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("lang_id_agrees", F.col("lang") == F.col("predicted_lang"))
         .drop("lang", "n_chars")
+    )
+    from .llm_data import split_by_hash
+
+    features = split_by_hash(
+        features, "doc_id", {"train": 8, "val": 1, "test": 1}
     )
     cont = contamination_check(
         docs, docs.where(F.col("source") == "src0"), "text", "doc_id"

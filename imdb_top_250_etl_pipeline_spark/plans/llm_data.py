@@ -534,3 +534,32 @@ def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(frames, "doc_id")
         .orderBy("doc_id")
     )
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(key) mod total_weight
+    banded by cumulative weights — reproducible across runs, engines,
+    and cluster layouts (the same discipline as sample_stratified:
+    content-derived hash, never rand()), and stable under corpus growth
+    (a document's split never changes when other documents arrive).
+
+    Narrow expression, zero shuffles; md5 (not xxhash64) so an external
+    system — or the DuckDB oracle — can reproduce the exact assignment.
+    """
+    total = sum(weights.values())
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(total),
+    )
+    expr = None
+    cum = 0
+    for name, wgt in weights.items():
+        cum += wgt
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

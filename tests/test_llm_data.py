@@ -415,3 +415,28 @@ def test_ivf_prebuilt_index_matches_inline_build(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in inline} == {
         (r.query_id, r.neighbor_id, r.rank) for r in reused
     }
+
+
+def test_split_by_hash_deterministic_and_proportional(spark):
+    import hashlib
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import split_by_hash
+
+    d = load(spark, SF_SMOKE, "documents")
+    weights = {"train": 8, "val": 1, "test": 1}
+    got = {r.doc_id: r.split for r in split_by_hash(d, "doc_id", weights).collect()}
+    # exact per-row reproduction from the md5 definition
+    for doc_id, split in list(got.items())[:50]:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 10
+        expected = "train" if b < 8 else ("val" if b < 9 else "test")
+        assert split == expected, (doc_id, split, expected)
+    # proportions within 4-sigma binomial bounds
+    n = len(got)
+    for name, wgt in weights.items():
+        p = wgt / 10
+        cnt = sum(1 for s in got.values() if s == name)
+        assert abs(cnt - n * p) <= 4 * math.sqrt(n * p * (1 - p)) + 1
+    # stability under growth: a subset's assignments never change
+    sub = split_by_hash(d.where(F.col("doc_id") < 100), "doc_id", weights)
+    assert all(got[r.doc_id] == r.split for r in sub.collect())

@@ -109,3 +109,36 @@ def distributed_cumsum(
         .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
         .drop("_pid", "_local_sum", "_offset")
     )
+
+
+def quantile_bins(
+    df: DataFrame, value_col: str, n_bins: int = 10, accuracy: int = 10000
+) -> DataFrame:
+    """Equal-frequency discretization: adds ``bin`` in [0, n_bins) such
+    that each bin holds ~1/n_bins of the rows (feature bucketization
+    before training / drift monitoring).
+
+    Edges come from one approx_percentile aggregate (mergeable sketch,
+    the 100 TB path for quantiles) and reach every row as a broadcast
+    single-row cross join — no driver-side collect, so the operator
+    composes lazily like everything else.  Assignment counts edges <=
+    value over the tiny edge array; ties at an edge go to the higher
+    bin, NULL values get NULL bins.
+    """
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = df.agg(
+        F.expr(
+            f"approx_percentile({value_col}, array({probs}), {accuracy})"
+        ).alias("_edges")
+    )
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "bin",
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.size(F.filter("_edges", lambda e: e <= F.col(value_col))),
+            ).cast("int"),
+        )
+        .drop("_edges")
+    )

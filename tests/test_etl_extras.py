@@ -164,3 +164,28 @@ def test_cli_run_etl_writes_five_tables(spark, tmp_path):
     assert counts["movie_star"] == lookup("etl_bridge_star").fn(
         spark, SF_CORRECT
     ).count()
+
+
+def test_quantile_bins_balanced_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.windows import quantile_bins
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    o = load(spark, SF_CORRECT, "orders")
+    binned = quantile_bins(o, "o_totalprice", n_bins=10)
+    counts = {r.bin: r.n for r in binned.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    n = o.count()
+    assert set(counts) == set(range(10))
+    for b, cnt in counts.items():
+        assert abs(cnt - n / 10) <= 0.05 * n, (b, cnt)  # sketch accuracy slack
+    # monotone: the max value of bin b never exceeds the min of bin b+1
+    stats = {
+        r.bin: (r.lo, r.hi)
+        for r in binned.groupBy("bin")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    for b in range(9):
+        assert stats[b][1] <= stats[b + 1][0], (b, stats[b], stats[b + 1])

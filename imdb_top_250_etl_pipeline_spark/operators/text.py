@@ -327,3 +327,61 @@ def pack_chunks(
         F.floor(before / seq_len).cast("long").alias("bin_id"),
         (before % seq_len).cast("long").alias("offset_in_bin"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms — the
+    lexical scorer behind retrieval-based data selection ("find docs
+    about X in the corpus").
+
+    All corpus statistics stay distributed: document lengths and
+    per-term document frequencies are aggregates, the corpus size and
+    average length ride as broadcast single-row aggregates (no
+    driver-side action), and the final top-k is TakeOrderedAndProject.
+    Scores are multi-term fp sums — rows-only territory (pinned against
+    a numpy reference in tests), like the other fp-fold operators.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.where(F.array_contains(terms, F.col("w")))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.countDistinct(id_col).alias("dfreq"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("bm25", 6).alias("bm25"))
+    )

@@ -440,3 +440,33 @@ def test_split_by_hash_deterministic_and_proportional(spark):
     # stability under growth: a subset's assignments never change
     sub = split_by_hash(d.where(F.col("doc_id") < 100), "doc_id", weights)
     assert all(got[r.doc_id] == r.split for r in sub.collect())
+
+
+def test_bm25_topk_matches_numpy_reference(spark):
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import bm25_topk
+
+    terms = ["spark", "shuffle", "join"]
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    got = [(r.doc_id, r.bm25) for r in bm25_topk(d, "text", "doc_id", terms, k=10).collect()]
+
+    docs = {r.doc_id: r.text.split(" ") for r in d.collect()}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    dfreq = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    scores = {}
+    for doc_id, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if s > 0:
+            scores[doc_id] = s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [i for i, _ in got] == [i for i, _ in expected]
+    for (gi, gs), (ei, es) in zip(got, expected):
+        assert abs(gs - es) < 1e-4, (gi, gs, es)

@@ -750,19 +750,30 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH j AS ({_SQL["scalar_json_battery"]}),
          n AS ({_SQL["scalar_nan_normalize"]})
     SELECT j.event_id, j.k_typed, j.k_raw, j.k_high, j.k_band,
-           n.is_nan, n.v_clean, n.v_filled
+           n.is_nan, n.v_clean, n.v_filled,
+           map(['k'], [j.k_typed])['k'][1] AS map_k,
+           CAST(cardinality(map(['k'], [j.k_typed])) AS INT) AS map_n_keys,
+           list_contains(map_keys(map(['k'], [j.k_typed])), 'k') AS map_has_k
     FROM j JOIN n USING (event_id)
     ORDER BY event_id
     """,
     doc="JSON extraction (from_json / get_json_object) + NaN-sentinel "
     "normalization (F8) joined on event_id — same filtered row set, one "
-    "wide row per event. Subsumes scalar_json_battery, "
-    "scalar_nan_normalize.",
+    "wide row per event — plus the MapType surface (create_map / "
+    "element_at / size / map_keys round-trip, DuckDB map twins). "
+    "Subsumes scalar_json_battery, scalar_nan_normalize.",
 )
 def scalar_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = _FN["scalar_json_battery"](spark, sf_dir)
     n = _FN["scalar_nan_normalize"](spark, sf_dir)
-    return j.join(n, "event_id").orderBy("event_id")
+    m = F.create_map(F.lit("k"), F.col("k_typed"))
+    return (
+        j.join(n, "event_id")
+        .withColumn("map_k", F.element_at(m, "k"))
+        .withColumn("map_n_keys", F.size(m).cast("int"))
+        .withColumn("map_has_k", F.array_contains(F.map_keys(m), "k"))
+        .orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -867,21 +867,33 @@ def flagship_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
 @register(
     "pivot_status_by_flag",
     oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
+    WITH piv AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT 'pivot' AS part, l_returnflag, CAST(NULL AS VARCHAR) AS status,
+           qty_O, qty_F, CAST(NULL AS DOUBLE) AS qty
+    FROM piv
+    UNION ALL
+    SELECT 'unpivot' AS part, l_returnflag, s AS status,
+           CAST(NULL AS DOUBLE) AS qty_O, CAST(NULL AS DOUBLE) AS qty_F,
+           CASE s WHEN 'O' THEN qty_O ELSE qty_F END AS qty
+    FROM piv CROSS JOIN (SELECT unnest(['O', 'F']) AS s)
+    ORDER BY part, l_returnflag, status
     """,
     doc="Pivot with explicit value list (no discovery pass — required at "
-    "scale; unlisted values would need an extra distinct scan).",
+    "scale; unlisted values would need an extra distinct scan) AND its "
+    "inverse: df.unpivot melts the wide result back to long form — the "
+    "round-trip proves both reshapes, tagged in one output.",
 )
 def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return (
+    piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(money("l_quantity")).cast("double"))
@@ -890,5 +902,28 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("O").alias("qty_O"),
             F.col("F").alias("qty_F"),
         )
-        .orderBy("l_returnflag")
     )
+    wide = piv.select(
+        F.lit("pivot").alias("part"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("status"),
+        "qty_O",
+        "qty_F",
+        F.lit(None).cast("double").alias("qty"),
+    )
+    melted = (
+        piv.unpivot(
+            ["l_returnflag"], ["qty_O", "qty_F"], "status", "qty"
+        )
+        .select(
+            F.lit("unpivot").alias("part"),
+            "l_returnflag",
+            # unpivot's variable column carries the source column NAME —
+            # strip the qty_ prefix back to the original status value
+            F.substring("status", 5, 1).alias("status"),
+            F.lit(None).cast("double").alias("qty_O"),
+            F.lit(None).cast("double").alias("qty_F"),
+            "qty",
+        )
+    )
+    return wide.unionByName(melted).orderBy("part", "l_returnflag", "status")

@@ -541,3 +541,111 @@ def dedup_groups(
         f"dedup_groups did not converge in {max_iterations} rounds — "
         "component diameter exceeds 2^rounds; raise max_iterations"
     )
+
+
+class MinhashIndex:
+    """Persisted-index handle for incremental dedup: the shingle table
+    (verify side) and the banded bucket table (candidate side) of an
+    already-deduplicated corpus.  Production persists both as tables
+    (bucket table partitioned by band) and appends each accepted batch."""
+
+    def __init__(self, shingles: DataFrame, buckets: DataFrame):
+        self.shingles = shingles
+        self.buckets = buckets
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> MinhashIndex:
+    """One-time index build over the existing corpus (same shingle/
+    signature/banding machinery as minhash_candidate_pairs)."""
+    rows = k // bands
+    base = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, n_shingle)).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .withColumn("h", shingle_hashes(F.col("shingles")))
+        .localCheckpoint(eager=True)
+    )
+    sigs = base.select(id_col, minhash_signature(F.col("h"), k=k).alias("sig"))
+    buckets = (
+        sigs.select(
+            id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
+    return MinhashIndex(base.select(id_col, "shingles"), buckets)
+
+
+def minhash_probe_incremental(
+    index: MinhashIndex,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup check: (new_id, existing_id, jaccard) pairs
+    of an incoming batch against the indexed corpus — WITHOUT touching
+    the existing corpus beyond an equi-join on its (tiny) bucket table.
+
+    The production delta-dedup flow: per ingest batch, compute
+    signatures for the NEW documents only, bucket-join against the
+    persisted index (shuffle ∝ batch size, with the index side pruned
+    to matching buckets), verify exact Jaccard against the indexed
+    shingle table.  Work per batch is O(batch + matched buckets), not
+    O(corpus) — re-running minhash_candidate_pairs over corpus+batch
+    would re-shingle and re-hash everything already indexed.
+    """
+    rows = k // bands
+    new_index = build_minhash_index(
+        new_df, text_col, id_col, n_shingle, k, bands
+    )
+    cand = (
+        new_index.buckets.alias("n")
+        .join(
+            index.buckets.alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"e.{id_col}").alias("existing_id"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            new_index.shingles.select(
+                F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            index.shingles.select(
+                F.col(id_col).alias("existing_id"),
+                F.col("shingles").alias("sh_e"),
+            ),
+            "existing_id",
+        )
+        .select(
+            "new_id",
+            "existing_id",
+            (
+                F.size(F.array_intersect("sh_n", "sh_e"))
+                / F.size(F.array_union("sh_n", "sh_e"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )

@@ -470,3 +470,50 @@ def test_bm25_topk_matches_numpy_reference(spark):
     assert [i for i, _ in got] == [i for i, _ in expected]
     for (gi, gs), (ei, es) in zip(got, expected):
         assert abs(gs - es) < 1e-4, (gi, gs, es)
+
+
+def test_incremental_minhash_probe_matches_full_recompute(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_candidate_pairs,
+        minhash_probe_incremental,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") < 400)
+    # incoming batch: fresh docs + near-copies of indexed docs
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import tokens
+
+    t = tokens("text")
+    trimmed = F.array_join(F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(1))), " ")
+    new = docs.where(F.col("doc_id") >= 400).unionByName(
+        existing.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), trimmed.alias("text")
+        )
+    )
+
+    idx = build_minhash_index(existing, "text", "doc_id")
+    got = {
+        (r.new_id, r.existing_id)
+        for r in minhash_probe_incremental(idx, new, "text", "doc_id").collect()
+    }
+    # every planted near-copy of an indexed doc must surface
+    planted = {
+        (i + 500000, i)
+        for i in [r.doc_id for r in existing.where(F.col("doc_id") % 10 == 0).collect()]
+    }
+    assert len(planted & got) >= 0.9 * len(planted), (len(planted & got), len(planted))
+
+    # cross-check vs the full-corpus recompute restricted to (new x existing)
+    full = minhash_candidate_pairs(
+        existing.unionByName(new), "text", "doc_id"
+    )
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    old_ids = {r.doc_id for r in existing.select("doc_id").collect()}
+    full_cross = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+        for r in full.collect()
+        if (r.id_a in new_ids) != (r.id_b in new_ids)
+    }
+    got_norm = {(max(a, b), min(a, b)) for a, b in got}
+    assert full_cross == got_norm

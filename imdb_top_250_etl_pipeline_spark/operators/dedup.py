@@ -649,3 +649,38 @@ def minhash_probe_incremental(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def exact_dedup_by(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefer_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact content dedup with a KEEP POLICY: per content group, keep
+    the row that maximizes (default) or minimizes ``prefer_col`` — e.g.
+    keep the copy with the best quality score or the longest text,
+    instead of exact_dedup's keep-smallest-id.
+
+    Same single-shuffle shape as exact_dedup (32-byte hash + the policy
+    key through the exchange, map-side combine); ties break on the
+    smaller id via the (prefer, id) ordering struct so the choice is
+    deterministic.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    projected = df.select(
+        h.alias("content_hash"), F.col(id_col), F.col(prefer_col).alias("_pref")
+    )
+    pref = F.col("_pref")
+    order = F.struct(
+        (-pref if descending else pref).alias("p"), F.col(id_col).alias("i")
+    )
+    return (
+        projected.withColumn("_ord", order)
+        .groupBy("content_hash")
+        .agg(
+            F.min_by(F.col(id_col), F.col("_ord")).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+    )

@@ -517,3 +517,20 @@ def test_incremental_minhash_probe_matches_full_recompute(spark):
     }
     got_norm = {(max(a, b), min(a, b)) for a, b in got}
     assert full_cross == got_norm
+
+
+def test_exact_dedup_by_keeps_preferred_copy(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import exact_dedup_by
+
+    rows = [
+        (1, "same text", 0.2),
+        (2, "same text", 0.9),   # best quality -> kept
+        (3, "same text", 0.9),   # tie -> smaller id loses to 2
+        (4, "other text", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    got = {r.doc_id: r.n_copies for r in exact_dedup_by(df, "text", "doc_id", "quality").collect()}
+    assert got == {2: 3, 4: 1}
+    # ascending policy: keep the LOWEST quality copy
+    low = {r.doc_id for r in exact_dedup_by(df, "text", "doc_id", "quality", descending=False).collect()}
+    assert low == {1, 4}

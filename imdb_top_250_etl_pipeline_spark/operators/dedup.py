@@ -490,9 +490,17 @@ def dedup_groups(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the symmetric edge list once: the two joins in every
+    # round reuse it, and without the checkpoint the entire upstream
+    # pair-generation lineage (e.g. a simhash+ngram union) would be
+    # re-executed each iteration (persist() on a cluster)
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -348,6 +348,13 @@ def bm25_topk(
     driver-side action), and the final top-k is TakeOrderedAndProject.
     Scores are multi-term fp sums — rows-only territory (pinned against
     a numpy reference in tests), like the other fp-fold operators.
+
+    The document-frequency table is joined with a SHUFFLE_HASH hint,
+    never broadcast: ``dfreq`` has one row per distinct query term, and
+    while ad-hoc queries are small, retrieval-based data selection and
+    decontamination sweeps pass term sets the size of a benchmark suite
+    — unbounded, so per-executor memory must not scale with it.  The
+    single-row ``stats`` aggregate is the only broadcast.
     """
     terms = F.array(*[F.lit(t) for t in query_terms])
     words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
@@ -366,7 +373,7 @@ def bm25_topk(
         + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.join(dfreq.hint("shuffle_hash"), "w")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(

@@ -39,25 +39,31 @@ def asof_join(
     variant is the same construction with the sort reversed.
 
     The union-sort-carry plan: right rows sort BEFORE left rows at equal
-    timestamps (src 0 < 1), each payload column forward-fills via
+    timestamps (src 0 < 1), the matched row forward-fills via
     last(ignoreNulls) over rows UNBOUNDED PRECEDING..CURRENT, then only
     left rows are kept.  At 100 TB this is one hash shuffle on the key +
     a per-key sort — exactly a sort-merge join's cost profile, with no
     row explosion for high-version keys.
+
+    The whole right row is carried as ONE struct(matched_ts, *payloads):
+    the struct is non-NULL for every right row even when individual
+    payload fields are NULL, so a version with a legitimate NULL payload
+    never has that field back-filled from an OLDER version — the output
+    row is always a single matched version, matching ASOF JOIN semantics
+    (carrying columns independently would mix fields across versions).
     """
     lcols = [c for c in left.columns if c not in (key, left_ts)]
+    pack = F.struct(
+        F.col(right_ts).alias("_matched_ts"),
+        *[F.col(p) for p in payload_cols],
+    )
+    pack_type = right.select(pack.alias("_rpack")).schema["_rpack"].dataType
     l = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_src"),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(
-            dict(right.dtypes)[right_ts]
-        ).alias("_matched_ts"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[p]).alias(f"_p_{p}")
-            for p in payload_cols
-        ],
+        F.lit(None).cast(pack_type).alias("_rpack"),
     )
     ldtypes = dict(left.dtypes)
     r = right.select(
@@ -65,8 +71,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_src"),
         *[F.lit(None).cast(ldtypes[c]).alias(c) for c in lcols],
-        F.col(right_ts).alias("_matched_ts"),
-        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+        pack.alias("_rpack"),
     )
     u = l.unionByName(r)
     w = (
@@ -79,16 +84,17 @@ def asof_join(
         "_ts",
         "_src",
         *lcols,
-        F.last("_matched_ts", ignorenulls=True).over(w).alias(f"asof_{right_ts}"),
-        *[
-            F.last(f"_p_{p}", ignorenulls=True).over(w).alias(p)
-            for p in payload_cols
-        ],
+        F.last("_rpack", ignorenulls=True).over(w).alias("_rpack"),
     )
     return (
         carried.where(F.col("_src") == 1)
-        .drop("_src")
-        .withColumnRenamed("_ts", left_ts)
+        .select(
+            key,
+            F.col("_ts").alias(left_ts),
+            *lcols,
+            F.col("_rpack._matched_ts").alias(f"asof_{right_ts}"),
+            *[F.col(f"_rpack.{p}").alias(p) for p in payload_cols],
+        )
     )
 
 

@@ -664,7 +664,9 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.n_ws_tokens, t.n_bpe_tokens,
            l.predicted_lang, l.marker_hits,
            f.exact_fp, f.bag_fp,
-           a.n_words, a.has_spark, a.spark_pos, a.first5, a.first3_sorted,
+           a.n_words, a.has_spark, a.spark_pos,
+           array_to_string(a.first5, '|') AS first5,
+           array_to_string(a.first3_sorted, '|') AS first3_sorted,
            cont.n_grams, cont.n_contaminated, cont.contamination_ratio,
            pii.n_ssn, pii.n_email, pii.n_phone, pii.redacted_fp,
            CASE WHEN CAST(CONCAT('0x', substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))
@@ -724,6 +726,12 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             *array_battery_columns("text"),
             *redact_pii_columns("text"),
         )
+        # the driver's pandas canonicalizer cannot sort list cells, so the
+        # two ArrayType outputs are serialized to '|'-joined strings at the
+        # battery boundary (the constituent array_battery_columns stay
+        # array-typed for local use; Catalyst collapses the projections)
+        .withColumn("first5", F.concat_ws("|", "first5"))
+        .withColumn("first3_sorted", F.concat_ws("|", "first3_sorted"))
         # metadata-integrity checks: declared sidecar values vs computed
         # (the validation pass a pipeline runs before trusting metadata)
         .withColumn("n_chars_declared", F.col("n_chars"))

@@ -174,12 +174,15 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders
     ),
     top3 AS (
-      SELECT o_orderpriority, list_sort(list(o_orderkey)) AS top3_orders
+      SELECT o_orderpriority,
+             array_to_string(list_transform(list_sort(list(o_orderkey)),
+                 x -> CAST(x AS VARCHAR)), '|') AS top3_orders
       FROM ranked WHERE rn <= 3 GROUP BY o_orderpriority
     ),
     base AS (
       SELECT o_orderpriority,
-             list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+             array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+                 AS statuses,
              CAST(COUNT(DISTINCT o_custkey) AS INT) AS n_buyers
       FROM orders GROUP BY o_orderpriority
     )
@@ -191,7 +194,9 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct cardinality via the set, and top-3 keys per group. "
     "collect_* materializes whole groups — bounded domains only at "
     "scale; the top-k variant pre-filters with a window so only 3 rows "
-    "per group reach the collect.",
+    "per group reach the collect. Array outputs are serialized to "
+    "'|'-joined strings so the driver's pandas canonicalizer (which "
+    "cannot sort list cells) hash-checks them.",
 )
 def agg_collect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -204,10 +209,20 @@ def agg_collect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     top3 = (
         ranked.where(F.col("rn") <= 3)
         .groupBy("o_orderpriority")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("top3_orders"))
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("top3_orders")
+        )
     )
     base = o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws("|", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
         F.size(F.collect_set("o_custkey")).cast("int").alias("n_buyers"),
     )
     return (

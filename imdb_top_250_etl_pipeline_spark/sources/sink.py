@@ -158,11 +158,15 @@ def compact_parquet(
     writes leave thousands of tiny files whose per-file open/footer cost
     dominates scans.  Sizing comes from the filesystem listing (cheap
     metadata), the rewrite is one narrow repartition job, and the
-    replace happens only after the compacted data is materialized
-    (eager localCheckpoint) so the plan never reads files it is
-    deleting.  On object stores, prefer table-format compaction
-    (Iceberg rewrite_data_files / Delta OPTIMIZE) — same shape, with
-    snapshot isolation on top.
+    original data is deleted only AFTER the compacted copy is fully
+    written to a sibling temp directory and swapped in (write-then-
+    rename, the write_versioned discipline) — a failure at any point
+    leaves either the old table or the new one, never neither
+    (delete-before-write would lose the table if the rewrite failed,
+    since localCheckpoint blocks are executor-local and unreplicated).
+    On object stores, prefer table-format compaction (Iceberg
+    rewrite_data_files / Delta OPTIMIZE) — same shape, with snapshot
+    isolation on top.
     """
     import math
     import os
@@ -174,11 +178,14 @@ def compact_parquet(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_bytes))
-    compacted = (
-        spark.read.parquet(path).repartition(n_files).localCheckpoint(eager=True)
-    )
-    shutil.rmtree(path)
-    compacted.write.mode("overwrite").parquet(path)
+    tmp_path = path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    spark.read.parquet(path).repartition(n_files).write.parquet(tmp_path)
+    old_path = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old_path, ignore_errors=True)
+    os.replace(path, old_path)
+    os.replace(tmp_path, path)
+    shutil.rmtree(old_path)
     return n_files
 
 

@@ -178,12 +178,14 @@ def foreach_batch_upsert(
             stable_cols=["user_id", "key_band"],
         )
         # localCheckpoint materializes before the overwrite clobbers the
-        # input files the plan still references; dynamic mode replaces
-        # only the partitions present in the output (the touched bands)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # input files the plan still references; the per-write option
+        # (not a session conf, which would leak dynamic-overwrite
+        # semantics into every later partitioned write) replaces only
+        # the partitions present in the output (the touched bands)
         (
             merged.localCheckpoint(eager=True)
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("key_band")
             .parquet(target_path)
         )

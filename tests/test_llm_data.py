@@ -375,6 +375,24 @@ def test_asof_join_matches_python_reference(spark):
     assert got[(3, 9)] == (None, None)        # key with no versions
 
 
+def test_asof_join_null_payload_not_backfilled_from_older_version(spark):
+    # the matched version row must be attached WHOLE: a legitimate NULL
+    # payload field in the matched version stays NULL instead of being
+    # filled from an older version (ASOF JOIN semantics; the struct-carry
+    # guarantees it)
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 30, "e")], "k long, ts long, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "a"), (1, 20, None, "b")],
+        "k long, vts long, price double, tag string",
+    )
+    row = asof_join(left, right, "k", "ts", "vts", ["price", "tag"]).collect()[0]
+    assert row.asof_vts == 20
+    assert row.price is None      # NOT 100.0 from the vts=10 version
+    assert row.tag == "b"
+
+
 def test_forward_fill_carries_last_observation(spark):
     from imdb_top_250_etl_pipeline_spark.operators.timeseries import forward_fill
 

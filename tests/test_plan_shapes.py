@@ -188,3 +188,25 @@ def test_cosine_weights_join_is_broadcast(spark):
     emb = load(spark, SF_CORRECT, "embeddings")
     plan = plan_of(cosine_near_dup_pairs(emb))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_dfreq_join_never_broadcasts(spark):
+    # the per-term document-frequency table scales with the query term
+    # set (a decontamination sweep passes benchmark-suite-sized term
+    # lists), so it must reach the tf table via a shuffled join, never a
+    # broadcast.  autoBroadcastJoinThreshold=-1 kills size-based auto
+    # broadcasts, so any BroadcastHashJoin left in the plan could only
+    # come from an explicit hint — assert there is none (the single-row
+    # corpus-stats crossJoin is a BroadcastNestedLoopJoin and is fine).
+    from imdb_top_250_etl_pipeline_spark.operators.text import bm25_topk
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load(spark, SF_CORRECT, "documents")
+        plan = plan_of(bm25_topk(docs, "text", "doc_id", ["spark", "data"]))
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -111,8 +111,54 @@ def distributed_cumsum(
     )
 
 
+def distributed_prev_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "prev_max",
+) -> DataFrame:
+    """Running maximum of ``value_col`` over all rows STRICTLY EARLIER in
+    ``order_cols`` order (NULL for the globally first row), without a
+    partition-less window — same range-repartition + per-partition-offset
+    construction as distributed_cumsum, with max as the combine.
+
+    The exclusive frame is what event-time watermarking needs: a row is
+    late iff its timestamp falls more than the allowed delay behind the
+    max event time of the rows that ARRIVED before it — its own
+    timestamp must not vaccinate it.  ``order_cols`` must be a total
+    order (unique tie-break key).
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    parted = df.repartitionByRange(n, *ocols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    cell = (
+        W.partitionBy("_pid")
+        .orderBy(*ocols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = parted.withColumn("_local_max", F.max(value_col).over(cell))
+    totals = parted.groupBy("_pid").agg(F.max(value_col).alias("_m"))
+    off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    # one row per partition through the partition-less window — bounded
+    # by partition count, never data volume (the distributed_cumsum rule)
+    offsets = totals.select(
+        "_pid", F.max("_m").over(off_w).alias("_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest("_local_max", "_offset"))
+        .drop("_pid", "_local_max", "_offset")
+    )
+
+
 def quantile_bins(
-    df: DataFrame, value_col: str, n_bins: int = 10, accuracy: int = 10000
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    accuracy: int = 10000,
+    exact: bool = False,
 ) -> DataFrame:
     """Equal-frequency discretization: adds ``bin`` in [0, n_bins) such
     that each bin holds ~1/n_bins of the rows (feature bucketization
@@ -124,13 +170,22 @@ def quantile_bins(
     composes lazily like everything else.  Assignment counts edges <=
     value over the tiny edge array; ties at an edge go to the higher
     bin, NULL values get NULL bins.
+
+    ``exact=True`` swaps the sketch for the exact interpolated
+    ``percentile`` aggregate — linear interpolation at rank p*(n-1),
+    the same definition (and measured bit-identical doubles) as
+    DuckDB's ``quantile_cont``, which is what makes the operator
+    oracle-checkable.  Exact percentile buffers each group's values, so
+    it is the small-data/driver-verification path; production stays on
+    the mergeable sketch.
     """
     probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
-    edges = df.agg(
-        F.expr(
-            f"approx_percentile({value_col}, array({probs}), {accuracy})"
-        ).alias("_edges")
+    agg = (
+        f"percentile({value_col}, array({probs}))"
+        if exact
+        else f"approx_percentile({value_col}, array({probs}), {accuracy})"
     )
+    edges = df.agg(F.expr(agg).alias("_edges"))
     return (
         df.crossJoin(F.broadcast(edges))
         .withColumn(

@@ -918,6 +918,20 @@ _SESSION_BUILTIN_ORACLE = """
             "uid, t1, t2, n, n2, v",
             _ASOF_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "late",
+            "CAST(NULL AS BIGINT) AS uid, w_start AS t1, w_end AS t2, "
+            "n_events AS n, n_users AS n2, value_sum AS v",
+            _SQL["stream_late_data_drop"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "ss",
+            "user_id AS uid, l_ts AS t1, r_ts AS t2, "
+            "l_event_id AS n, r_event_id AS n2, CAST(NULL AS DOUBLE) AS v",
+            _SQL["stream_stream_join"],
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -927,8 +941,15 @@ _SESSION_BUILTIN_ORACLE = """
     "6h starts a new session on both paths) — AND a backward as-of join "
     "of each event against a versioned dimension (operators/"
     "timeseries.py::asof_join, union-sort-carry, one shuffle; oracle is "
-    "DuckDB's native ASOF LEFT JOIN). Subsumes stream_tumbling_window, "
-    "stream_sliding_window, stream_sessionize, stream_session_window.",
+    "DuckDB's native ASOF LEFT JOIN), PLUS the two promoted streaming "
+    "surfaces: watermark late-data drop (arrival-ordered running-max "
+    "cutoff via distributed_prev_max, then tumbling agg — the "
+    "withWatermark eviction rule made deterministic) and the "
+    "watermarked stream-stream join (runs streaming/jobs.py::"
+    "join_event_streams itself on batch inputs, where withWatermark is "
+    "a no-op). Subsumes stream_tumbling_window, stream_sliding_window, "
+    "stream_sessionize, stream_session_window, stream_late_data_drop, "
+    "stream_stream_join.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -998,7 +1019,32 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("n2"),
         F.col("total").alias("v"),
     )
-    return t.unionByName(s).unionByName(m).unionByName(b).unionByName(a)
+    ld = _FN["stream_late_data_drop"](spark, sf_dir).select(
+        _tag("late"),
+        _null("bigint").alias("uid"),
+        F.col("w_start").alias("t1"),
+        F.col("w_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("n_users").alias("n2"),
+        F.col("value_sum").alias("v"),
+    )
+    ss = _FN["stream_stream_join"](spark, sf_dir).select(
+        _tag("ss"),
+        F.col("user_id").alias("uid"),
+        F.col("l_ts").alias("t1"),
+        F.col("r_ts").alias("t2"),
+        F.col("l_event_id").alias("n"),
+        F.col("r_event_id").alias("n2"),
+        _null("double").alias("v"),
+    )
+    return (
+        t.unionByName(s)
+        .unionByName(m)
+        .unionByName(b)
+        .unionByName(a)
+        .unionByName(ld)
+        .unionByName(ss)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1108,6 +1154,8 @@ subsume(
     "stream_sliding_window",
     "stream_sessionize",
     "stream_session_window",
+    "stream_late_data_drop",
+    "stream_stream_join",
     "udf_parse_markup",
     "udf_dependent_scan",
 )

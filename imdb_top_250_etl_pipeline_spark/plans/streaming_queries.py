@@ -177,6 +177,111 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_data_drop",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+    ),
+    pm AS (
+      SELECT *, MAX(ts) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+      FROM e
+    ),
+    kept AS (
+      SELECT * FROM pm
+      WHERE wm_base IS NULL OR ts >= wm_base - INTERVAL '1 hour'
+    )
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+    FROM kept
+    GROUP BY 1, 2
+    ORDER BY w_start
+    """,
+    doc="Watermark late-data drop, batch dual: arrival order = event_id "
+    "(the synthetic arrival log), watermark = running max event time "
+    "over STRICTLY EARLIER arrivals minus a 1h delay, and any event "
+    "whose ts falls behind it is dropped before the tumbling "
+    "aggregation — exactly the eviction rule streaming/jobs.py::"
+    "tumbling_counts applies via withWatermark, made deterministic and "
+    "oracle-checkable.  The running max uses operators/windows.py::"
+    "distributed_prev_max (range-repartition + per-partition offsets), "
+    "not a partition-less window.",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import distributed_prev_max
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    pm = distributed_prev_max(e, ["event_id"], "ts", "wm_base")
+    kept = pm.where(
+        F.col("wm_base").isNull()
+        | (F.col("ts") >= F.col("wm_base") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w = F.window(F.col("ts"), "6 hours")
+    return (
+        kept.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            round_money(F.sum(money("value"))).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "n_users",
+            "value_sum",
+        )
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type
+      FROM events
+    ),
+    l AS (SELECT user_id, ts AS l_ts, event_id AS l_event_id
+          FROM e WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts AS r_ts, event_id AS r_event_id
+          FROM e WHERE event_type = 'purchase')
+    SELECT l.user_id, l_ts, l_event_id, r_ts, r_event_id
+    FROM l JOIN r ON l.user_id = r.user_id
+       AND r_ts > l_ts - INTERVAL '1 hour'
+       AND r_ts <= l_ts
+    """,
+    doc="Watermarked stream-stream join, batch dual: purchases within the "
+    "hour BEFORE each click, per user — runs the ACTUAL streaming "
+    "operator (streaming/jobs.py::join_event_streams: equi-key + "
+    "time-range condition, both sides watermarked) on batch inputs, "
+    "where withWatermark is a no-op, so the driver hash-checks the very "
+    "join the stream executes.  The range bound is what lets streaming "
+    "state evict; in batch it reaches Catalyst as an equi-join with a "
+    "range residual — one shuffle on user_id.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import join_event_streams
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = join_event_streams(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        key="user_id",
+        within="1 hour",
+        watermark="2 hours",
+    )
+    return out.select("user_id", "l_ts", "l_event_id", "r_ts", "r_event_id")
+
+
+@register(
     "stream_session_window",
     oracle=None,  # built-in session_window gap semantics are Spark's own
     doc="Built-in F.session_window (6h gap) aggregation — the native "

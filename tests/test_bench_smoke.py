@@ -52,10 +52,18 @@ def warmed(spark):
 @pytest.mark.parametrize("name", WATCHED)
 def test_no_large_regression(warmed, name):
     base = _BASELINE[name]
-    t0 = time.perf_counter()
-    lookup(name).fn(warmed, SF_DIR).write.format("noop").mode("overwrite").save()
-    took = time.perf_counter() - t0
     limit = 3.0 * base + 1.0
+    # Steady-state gate: a cold first run on this shared container can
+    # spike 3-4x from co-tenant load alone; a genuine plan regression
+    # (lost broadcast, extra shuffle, interpreted fallback) is slow on
+    # EVERY run, so time up to two runs and take the min.
+    took = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        lookup(name).fn(warmed, SF_DIR).write.format("noop").mode("overwrite").save()
+        took = min(took, time.perf_counter() - t0)
+        if took <= limit:
+            break
     assert took <= limit, (
         f"{name}: {took:.2f}s vs baseline {base:.2f}s (limit {limit:.2f}s) — "
         "likely a plan regression; compare .explain() against the recorded plan"

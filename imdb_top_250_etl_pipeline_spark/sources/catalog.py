@@ -63,10 +63,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(f.dataType, T.TimestampType) and isinstance(
             got[f.name], T.TimestampNTZType
         ):
-            # ms-precision parquet timestamps surface as TIMESTAMP_NTZ;
-            # with the session timezone pinned UTC the two are value-
-            # identical, so pass through untouched.
-            cols.append(F.col(f.name))
+            # µs/ms-precision parquet timestamps surface as TIMESTAMP_NTZ;
+            # with the session timezone pinned UTC the cast is value-
+            # identical, and downstream operators (unix_micros, window(),
+            # withWatermark) require the zoned TIMESTAMP type.
+            cols.append(F.col(f.name).cast("timestamp").alias(f.name))
         elif got[f.name] != f.dataType:
             raise ValueError(
                 f"{name}.{f.name}: declared {f.dataType.simpleString()} but "

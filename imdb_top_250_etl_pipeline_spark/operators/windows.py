@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _pin_partition_ids(parted: DataFrame) -> DataFrame:
+    """Freeze ``spark_partition_id()`` over a range-repartitioned frame.
+
+    Every operator here joins per-row results against per-partition
+    offsets, so BOTH branches of the plan must see the SAME partition
+    assignment.  RangePartitioner samples its boundaries with a random
+    seed: if Catalyst/AQE ever compiles the two branches as separate
+    exchanges (observed nondeterministically under AQE when one branch
+    sits beneath a broadcast stage), each side draws different
+    boundaries and the offset join silently mixes two inconsistent
+    ``_pid`` worlds.  An eager localCheckpoint materializes the
+    repartitioned rows once and truncates lineage, making ``_pid`` a
+    frozen fact instead of a recomputable expression — and as a bonus
+    the range shuffle runs once, not once per branch.  At production
+    scale the equivalent contract is persisting the repartitioned table
+    (or a bucketed write) before the multi-pass consumption.
+    """
+    return parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+
 def grouped_row_number(
     df: DataFrame,
     group_cols: list[str],
@@ -45,9 +67,7 @@ def grouped_row_number(
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     gcols = [F.col(c) for c in group_cols]
     n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    parted = df.repartitionByRange(n, *gcols, *ocols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parted = _pin_partition_ids(df.repartitionByRange(n, *gcols, *ocols))
     cell = W.partitionBy("_pid", *group_cols).orderBy(*ocols)
     local = parted.withColumn("_local_rn", F.row_number().over(cell))
     # one row per (partition, group) cell — tiny; cumulative count of all
@@ -88,9 +108,7 @@ def distributed_cumsum(
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    parted = df.repartitionByRange(n, *ocols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parted = _pin_partition_ids(df.repartitionByRange(n, *ocols))
     cell = (
         W.partitionBy("_pid")
         .orderBy(*ocols)
@@ -130,9 +148,7 @@ def distributed_prev_max(
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    parted = df.repartitionByRange(n, *ocols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parted = _pin_partition_ids(df.repartitionByRange(n, *ocols))
     cell = (
         W.partitionBy("_pid")
         .orderBy(*ocols)

@@ -350,9 +350,7 @@ def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.unionByName(i).unionByName(e)
 
 
-@register(
-    "window_events_battery",
-    oracle="""
+_WINDOW_NAV_SQL = """
     SELECT user_id, event_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -364,22 +362,108 @@ def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS secs_since_prev
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, ts, event_id
-    """,
+"""
+
+# the three distributed-window branches verify the SCALE-SAFE constructions
+# (operators/windows.py) against the plain-window semantics the oracle
+# states — the whole point of those operators is bit-identical results
+# without the single-task / low-cardinality-partition window
+_WINDOW_RN_SQL = """
+    SELECT user_id, event_id, ts,
+           CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           ) AS DOUBLE) AS running_value
+    FROM events
+"""
+
+_WINDOW_CUMSUM_SQL = """
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+"""
+
+# exact interpolated percentile (rank p*(n-1)) is the same definition in
+# Spark's percentile() and DuckDB's quantile_cont() — measured
+# bit-identical doubles on the fixtures, which is what makes the exact
+# path of quantile_bins oracle-checkable; ties at an edge go to the
+# higher bin on both sides (count of edges <= value)
+_WINDOW_QBIN_SQL = """
+    WITH edges AS (
+      SELECT quantile_cont(value,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE CAST(len(list_filter(e, x -> x <= value)) AS DOUBLE)
+           END AS running_value
+    FROM events, edges
+"""
+
+_WINDOW_AUX = (
+    "CAST(NULL AS VARCHAR) AS prev_type, CAST(NULL AS VARCHAR) AS next_type, "
+    "CAST(NULL AS BIGINT) AS secs_since_prev"
+)
+
+
+@register(
+    "window_events_battery",
+    oracle=(
+        _wrap(
+            "nav",
+            "user_id, event_id, ts, running_value, prev_type, next_type, "
+            "secs_since_prev",
+            _WINDOW_NAV_SQL,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "rn",
+            f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
+            _WINDOW_RN_SQL,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "cumsum",
+            f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
+            _WINDOW_CUMSUM_SQL,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "qbin",
+            f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
+            _WINDOW_QBIN_SQL,
+        )
+    ),
     doc="Frame-spec running sum + lag/lead navigation over the SAME "
-    "(user_id, ts) window — one shuffle serves all four window "
-    "expressions. Subsumes window_running_sum, window_lag_lead.",
+    "(user_id, ts) window (part=nav), PLUS the three distributed window "
+    "alternatives hash-checked against their plain-window oracle "
+    "semantics: grouped_row_number over the 5-value event_type key "
+    "(part=rn — the low-cardinality partition case the operator "
+    "exists for), distributed_cumsum as a GLOBAL running total "
+    "(part=cumsum — no partition column at all, the single-task case), "
+    "and quantile_bins(exact=True) equal-frequency binning whose "
+    "interpolated edges are bit-identical to DuckDB quantile_cont "
+    "(part=qbin). Subsumes window_running_sum, window_lag_lead.",
 )
 def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from ..functions.numeric import money
+    from ..operators.windows import (
+        distributed_cumsum,
+        grouped_row_number,
+        quantile_bins,
+    )
 
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev_ts = F.lag("ts").over(w)
-    return e.select(
+    nav = e.select(
+        _tag("nav"),
         "user_id",
         "event_id",
         "ts",
@@ -389,7 +473,32 @@ def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias(
             "secs_since_prev"
         ),
-    ).orderBy("user_id", "ts", "event_id")
+    )
+
+    def _aux(c: Column) -> list[Column]:
+        return [
+            c.cast("double").alias("running_value"),
+            _null("string").alias("prev_type"),
+            _null("string").alias("next_type"),
+            _null("bigint").alias("secs_since_prev"),
+        ]
+
+    base = e.select("user_id", "event_id", "ts", "event_type", "value")
+    rn = grouped_row_number(
+        base, ["event_type"], ["ts", "event_id"], out_col="rn"
+    ).select(_tag("rn"), "user_id", "event_id", "ts", *_aux(F.col("rn")))
+    # decimal value column so the distributed partial sums stay exact
+    # (order-independent) — same money discipline as the nav branch
+    cs = distributed_cumsum(
+        base.withColumn("_v", money("value")),
+        ["ts", "event_id"],
+        "_v",
+        out_col="cum",
+    ).select(_tag("cumsum"), "user_id", "event_id", "ts", *_aux(F.col("cum")))
+    qb = quantile_bins(base, "value", n_bins=10, exact=True).select(
+        _tag("qbin"), "user_id", "event_id", "ts", *_aux(F.col("bin"))
+    )
+    return nav.unionByName(rn).unionByName(cs).unionByName(qb)
 
 
 # ---------------------------------------------------------------------------
@@ -465,13 +574,22 @@ def etl_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalized to (part, id_a, id_b, score), plus the connected-"
     "component dedup groups over their union (part=groups: id_a=group "
     "representative, id_b=member — min-label propagation, "
-    "operators/dedup.py::dedup_groups). Rows-only; exactness pinned in "
-    "tests/test_llm_data.py (lossless-<=3-hamming, planted recall, "
-    "clique/chain components). Subsumes dedup_simhash_pairs, "
+    "operators/dedup.py::dedup_groups), plus incremental dedup "
+    "(part=incremental: docs with doc_id%5==0 probed as the incoming "
+    "batch against a MinHash index built over the rest — id_a=new, "
+    "id_b=existing, score=exact Jaccard; operators/dedup.py::"
+    "minhash_probe_incremental, per-batch work ∝ batch not corpus). "
+    "Rows-only; exactness pinned in tests/test_llm_data.py "
+    "(lossless-<=3-hamming, planted recall, clique/chain components, "
+    "full-recompute equivalence). Subsumes dedup_simhash_pairs, "
     "dedup_ngram_jaccard.",
 )
 def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import dedup_groups
+    from ..operators.dedup import (
+        build_minhash_index,
+        dedup_groups,
+        minhash_probe_incremental,
+    )
 
     s = _FN["dedup_simhash_pairs"](spark, sf_dir).select(
         _tag("simhash"),
@@ -489,7 +607,17 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         _null("double").alias("score"),
     )
-    return pairs.unionByName(groups)
+    docs = load(spark, sf_dir, "documents")
+    idx = build_minhash_index(docs.where(F.col("doc_id") % 5 != 0), "text", "doc_id")
+    inc = minhash_probe_incremental(
+        idx, docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id"
+    ).select(
+        _tag("incremental"),
+        F.col("new_id").alias("id_a"),
+        F.col("existing_id").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
+    return pairs.unionByName(groups).unionByName(inc)
 
 
 @register(
@@ -536,6 +664,29 @@ _CHUNK_ORACLE = """
 """
 
 
+# sequence packing over the chunked docs: greedy contiguous bins of 64
+# tokens in (doc_id, chunk_idx) order — bin_id/offset are pure integer
+# arithmetic over an exact running sum, so the distributed_cumsum-backed
+# operator (operators/text.py::pack_chunks) is hash-checkable
+_PACK_ORACLE = f"""
+    WITH ch AS ({_CHUNK_ORACLE}),
+    s AS (
+      SELECT doc_id, chunk_idx, n_chunk_tokens,
+             sum(n_chunk_tokens) OVER (
+                 ORDER BY doc_id, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM ch
+    )
+    SELECT CAST((cum - n_chunk_tokens) // 64 AS BIGINT) AS bin_id,
+           CAST((cum - n_chunk_tokens) % 64 AS BIGINT) AS offset_in_bin,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+               AS chunk_ref,
+           n_chunk_tokens
+    FROM s
+"""
+
+
 @register(
     "text_tokens_battery",
     oracle=(
@@ -559,15 +710,26 @@ _CHUNK_ORACLE = """
             "chunk_text AS word, n_chunk_tokens AS n_tok",
             _CHUNK_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "pack",
+            "bin_id AS k1, offset_in_bin AS k2, chunk_ref AS word, "
+            "n_chunk_tokens AS n_tok",
+            _PACK_ORACLE,
+        )
     ),
     doc="Corpus word frequencies (tokenize -> explode -> two-phase count) "
     "+ posexplode indexed unnest + sliding-window document chunking "
     "(operators/text.py::chunk_documents, window=16/stride=8 — the "
     "pre-packing splitter; codegen sequence/slice/posexplode, zero "
-    "shuffles), tagged. Subsumes text_word_counts, scalar_posexplode.",
+    "shuffles) + sequence packing of those chunks into 64-token "
+    "training bins (operators/text.py::pack_chunks over "
+    "distributed_cumsum — k1=bin_id, k2=offset_in_bin, hash-checked "
+    "against the oracle's running-sum arithmetic), tagged. Subsumes "
+    "text_word_counts, scalar_posexplode.",
 )
 def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import chunk_documents
+    from ..operators.text import chunk_documents, pack_chunks
 
     wc = _FN["text_word_counts"](spark, sf_dir).select(
         _tag("word_counts"),
@@ -583,20 +745,33 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         _null("int").alias("n_tok"),
     )
-    ch = chunk_documents(
+    chunks = chunk_documents(
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 200),
         "text",
         "doc_id",
         window=16,
         stride=8,
-    ).select(
+    )
+    ch_out = chunks.select(
         _tag("chunk"),
         F.col("doc_id").alias("k1"),
         F.col("chunk_idx").cast("bigint").alias("k2"),
         F.col("chunk_text").alias("word"),
         F.col("n_chunk_tokens").alias("n_tok"),
     )
-    return wc.unionByName(pe).unionByName(ch)
+    pk = pack_chunks(
+        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"),
+        ["doc_id", "chunk_idx"],
+        "n_chunk_tokens",
+        seq_len=64,
+    ).select(
+        _tag("pack"),
+        F.col("bin_id").alias("k1"),
+        F.col("offset_in_bin").alias("k2"),
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("word"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+    )
+    return wc.unionByName(pe).unionByName(ch_out).unionByName(pk)
 
 
 @register(
@@ -881,6 +1056,28 @@ _SESSION_BUILTIN_ORACLE = """
 """
 
 
+# forward-fill: every 5th event keeps its value, the rest are NULLed and
+# must be carried from the most recent kept observation of the SAME user
+# in (ts, event_id) order — last_value IGNORE NULLS is the exact SQL dual
+_FFILL_ORACLE = """
+    SELECT user_id AS uid, ts AS t1, event_id AS n,
+           last_value(CASE WHEN event_id % 5 = 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+    FROM events
+"""
+
+# stream-static broadcast enrichment, batch dual: the same
+# streaming/jobs.py::enrich_stream plan (broadcast dim, stream side
+# never shuffles) run on batch inputs, where it is a plain left join
+_ENRICH_ORACLE = """
+    SELECT e.user_id AS uid, e.ts AS t1, e.event_id AS n,
+           CAST(c.c_nationkey AS BIGINT) AS n2,
+           CAST(c.c_acctbal AS DOUBLE) AS v
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 @register(
     "stream_battery",
     oracle=(
@@ -932,6 +1129,19 @@ _SESSION_BUILTIN_ORACLE = """
             "l_event_id AS n, r_event_id AS n2, CAST(NULL AS DOUBLE) AS v",
             _SQL["stream_stream_join"],
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "ffill",
+            "uid, t1, CAST(NULL AS TIMESTAMP) AS t2, n, "
+            "CAST(NULL AS BIGINT) AS n2, v",
+            _FFILL_ORACLE,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "enrich",
+            "uid, t1, CAST(NULL AS TIMESTAMP) AS t2, n, n2, v",
+            _ENRICH_ORACLE,
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -947,9 +1157,15 @@ _SESSION_BUILTIN_ORACLE = """
     "withWatermark eviction rule made deterministic) and the "
     "watermarked stream-stream join (runs streaming/jobs.py::"
     "join_event_streams itself on batch inputs, where withWatermark is "
-    "a no-op). Subsumes stream_tumbling_window, stream_sliding_window, "
-    "stream_sessionize, stream_session_window, stream_late_data_drop, "
-    "stream_stream_join.",
+    "a no-op), PLUS forward-fill gap filling (part=ffill: every 5th "
+    "event keeps its value, the rest carry the user's most recent kept "
+    "observation — operators/timeseries.py::forward_fill, oracle "
+    "last_value IGNORE NULLS) and the stream-static broadcast "
+    "enrichment batch dual (part=enrich: streaming/jobs.py::"
+    "enrich_stream against the customer dim — broadcast on batch "
+    "inputs is a plain left join). Subsumes stream_tumbling_window, "
+    "stream_sliding_window, stream_sessionize, stream_session_window, "
+    "stream_late_data_drop, stream_stream_join.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -1037,6 +1253,43 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("n2"),
         _null("double").alias("v"),
     )
+    from ..operators.timeseries import forward_fill
+    from ..streaming.jobs import enrich_stream
+
+    ev = load(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v_sparse"),
+        # (ts, event_id) packed into one struct so forward_fill's
+        # single-column orderBy is a total order (ties on ts alone would
+        # make the carried value nondeterministic)
+        F.struct("ts", "event_id").alias("_ord"),
+    )
+    ff = forward_fill(sparse, "user_id", "_ord", ["v_sparse"]).select(
+        _tag("ffill"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t1"),
+        _null("timestamp").alias("t2"),
+        F.col("event_id").alias("n"),
+        _null("bigint").alias("n2"),
+        F.col("v_sparse").alias("v"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_acctbal"
+    )
+    en = enrich_stream(
+        ev.select("user_id", "ts", "event_id"), cust, "user_id", "left"
+    ).select(
+        _tag("enrich"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t1"),
+        _null("timestamp").alias("t2"),
+        F.col("event_id").alias("n"),
+        F.col("c_nationkey").cast("bigint").alias("n2"),
+        F.col("c_acctbal").cast("double").alias("v"),
+    )
     return (
         t.unionByName(s)
         .unionByName(m)
@@ -1044,6 +1297,8 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(a)
         .unionByName(ld)
         .unionByName(ss)
+        .unionByName(ff)
+        .unionByName(en)
     )
 
 

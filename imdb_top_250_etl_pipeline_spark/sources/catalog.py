@@ -46,6 +46,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # own SparkSession, and events.ts is parquet TIMESTAMP(NANOS) which
     # Spark refuses to scan unless surfaced as long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ...and the NTZ→TIMESTAMP cast below is only value-identical when the
+    # session timezone is UTC (NTZ wall-clock reinterpreted as UTC instant);
+    # pin it here so driver-provided sessions match get_spark()'s config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = FIXTURE_SCHEMAS[name]
     got = {f.name: f.dataType for f in df.schema.fields}
@@ -64,10 +68,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             got[f.name], T.TimestampNTZType
         ):
             # µs/ms-precision parquet timestamps surface as TIMESTAMP_NTZ;
-            # with the session timezone pinned UTC the cast is value-
-            # identical, and downstream operators (unix_micros, window(),
-            # withWatermark) require the zoned TIMESTAMP type.
-            cols.append(F.col(f.name).cast("timestamp").alias(f.name))
+            # with the session timezone pinned UTC (above) the cast is
+            # value-identical, and downstream operators (unix_micros,
+            # window(), withWatermark) require the zoned TIMESTAMP type.
+            # cast(T.TimestampType()) not cast("timestamp"): the string
+            # resolves via spark.sql.timestampType and would be a no-op in
+            # a session that sets that to TIMESTAMP_NTZ.
+            cols.append(F.col(f.name).cast(T.TimestampType()).alias(f.name))
         elif got[f.name] != f.dataType:
             raise ValueError(
                 f"{name}.{f.name}: declared {f.dataType.simpleString()} but "

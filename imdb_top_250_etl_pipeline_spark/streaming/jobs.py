@@ -21,32 +21,67 @@ from pyspark.sql import types as T
 from ..operators.etl import upsert
 
 # streaming reads declare the raw parquet schema explicitly (no inference
-# on a stream); events.ts is parquet TIMESTAMP(NANOS) which arrives as
-# long under nanosAsLong — converted to µs exactly like the batch catalog
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# on a stream).  The ts physical type varies by fixture generation —
+# TIMESTAMP(NANOS) (surfaced as long under nanosAsLong) in older fixtures,
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ) in
+# current ones — so the schema is picked per-directory by sniffing one
+# footer, mirroring the batch catalog's adaptive handling
+# (sources/catalog.py:56-70).
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Sniff the events parquet footer for the timestamp unit ('ns' for the
+    legacy nanos fixtures, 'us' otherwise).  One footer read at plan time —
+    negligible next to the stream itself, and the only reliable signal
+    (a declared-schema mismatch on a stream fails at runtime, not plan)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+        return getattr(t, "unit", "us") or "us"
+    except Exception:
+        return "us"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one parquet = one batch
     under availableNow; a directory of arriving files in production)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file streams need a directory source; glob-filter selects the events
-    # table out of the fixture dir (in production this is the landing dir)
+    # pin the session TZ so the NTZ→TIMESTAMP cast below is value-identical
+    # (UTC wall-clock == UTC instant); without this a non-UTC driver session
+    # would silently shift event times relative to the batch catalog
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if _events_ts_unit(sf_dir) == "ns":
+        # legacy fixtures: TIMESTAMP(NANOS) refuses to scan unless surfaced
+        # as long; integer-divide to µs exactly like the batch catalog
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # current fixtures: µs TIMESTAMP_NTZ; cast to the zoned type the
+    # event-time operators (withWatermark, window, session_window) require.
+    # cast(T.TimestampType()) not cast("timestamp"): the string form
+    # resolves via spark.sql.timestampType and becomes a no-op if a session
+    # sets that to TIMESTAMP_NTZ.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -409,6 +409,79 @@ _WINDOW_AUX = (
 )
 
 
+def _events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "window_grouped_row_number",
+    oracle=_WINDOW_RN_SQL,
+    doc="Distributed grouped ranking (operators/windows.py::"
+    "grouped_row_number) over the 5-value event_type key — the "
+    "low-cardinality-partition case the operator exists for; must be "
+    "bit-identical to the plain window's row_number.",
+)
+def window_grouped_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_row_number
+
+    return grouped_row_number(
+        _events_base(spark, sf_dir), ["event_type"], ["ts", "event_id"], out_col="rn"
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("rn").cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_distributed_cumsum",
+    oracle=_WINDOW_CUMSUM_SQL,
+    doc="Distributed prefix sum (operators/windows.py::distributed_cumsum) "
+    "as a GLOBAL running total — the case a plain window funnels through "
+    "one task.  Decimal value column so the partial sums are exact and "
+    "order-independent (money discipline).",
+)
+def window_distributed_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import money
+    from ..operators.windows import distributed_cumsum
+
+    return distributed_cumsum(
+        _events_base(spark, sf_dir).withColumn("_v", money("value")),
+        ["ts", "event_id"],
+        "_v",
+        out_col="cum",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("cum").cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_quantile_bins",
+    oracle=_WINDOW_QBIN_SQL,
+    doc="Equal-frequency binning, exact mode (operators/windows.py::"
+    "quantile_bins(exact=True)) — interpolated percentile edges are "
+    "bit-identical to DuckDB quantile_cont, making the bin assignment "
+    "hash-checkable; production uses the mergeable approx sketch.",
+)
+def window_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import quantile_bins
+
+    return quantile_bins(
+        _events_base(spark, sf_dir), "value", n_bins=10, exact=True
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("bin").cast("double").alias("running_value"),
+    )
+
+
 @register(
     "window_events_battery",
     oracle=(
@@ -452,11 +525,6 @@ def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from ..functions.numeric import money
-    from ..operators.windows import (
-        distributed_cumsum,
-        grouped_row_number,
-        quantile_bins,
-    )
 
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -475,29 +543,14 @@ def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def _aux(c: Column) -> list[Column]:
-        return [
-            c.cast("double").alias("running_value"),
-            _null("string").alias("prev_type"),
-            _null("string").alias("next_type"),
-            _null("bigint").alias("secs_since_prev"),
-        ]
-
-    base = e.select("user_id", "event_id", "ts", "event_type", "value")
-    rn = grouped_row_number(
-        base, ["event_type"], ["ts", "event_id"], out_col="rn"
-    ).select(_tag("rn"), "user_id", "event_id", "ts", *_aux(F.col("rn")))
-    # decimal value column so the distributed partial sums stay exact
-    # (order-independent) — same money discipline as the nav branch
-    cs = distributed_cumsum(
-        base.withColumn("_v", money("value")),
-        ["ts", "event_id"],
-        "_v",
-        out_col="cum",
-    ).select(_tag("cumsum"), "user_id", "event_id", "ts", *_aux(F.col("cum")))
-    qb = quantile_bins(base, "value", n_bins=10, exact=True).select(
-        _tag("qbin"), "user_id", "event_id", "ts", *_aux(F.col("bin"))
-    )
+    aux = [
+        _null("string").alias("prev_type"),
+        _null("string").alias("next_type"),
+        _null("bigint").alias("secs_since_prev"),
+    ]
+    rn = window_grouped_row_number(spark, sf_dir).select(_tag("rn"), "*", *aux)
+    cs = window_distributed_cumsum(spark, sf_dir).select(_tag("cumsum"), "*", *aux)
+    qb = window_quantile_bins(spark, sf_dir).select(_tag("qbin"), "*", *aux)
     return nav.unionByName(rn).unionByName(cs).unionByName(qb)
 
 
@@ -568,6 +621,25 @@ def etl_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_probe",
+    oracle=None,  # MinHash banding is Spark-hash-specific (rows-only)
+    doc="Incremental dedup (operators/dedup.py::minhash_probe_incremental): "
+    "docs with doc_id%5==0 probed as the incoming batch against a "
+    "MinHash index built over the rest — (new_id, existing_id, exact "
+    "jaccard) pairs; per-batch work ∝ batch, not corpus.  Exactness "
+    "pinned by the full-recompute equivalence test.",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import build_minhash_index, minhash_probe_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    idx = build_minhash_index(docs.where(F.col("doc_id") % 5 != 0), "text", "doc_id")
+    return minhash_probe_incremental(
+        idx, docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id"
+    )
+
+
+@register(
     "dedup_pairs_battery",
     oracle=None,  # LSH/banded candidate generation is Spark-hash-specific
     doc="SimHash banded near-dup pairs + char-n-gram Jaccard pairs, "
@@ -585,11 +657,7 @@ def etl_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard.",
 )
 def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        build_minhash_index,
-        dedup_groups,
-        minhash_probe_incremental,
-    )
+    from ..operators.dedup import dedup_groups
 
     s = _FN["dedup_simhash_pairs"](spark, sf_dir).select(
         _tag("simhash"),
@@ -607,11 +675,7 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         _null("double").alias("score"),
     )
-    docs = load(spark, sf_dir, "documents")
-    idx = build_minhash_index(docs.where(F.col("doc_id") % 5 != 0), "text", "doc_id")
-    inc = minhash_probe_incremental(
-        idx, docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id"
-    ).select(
+    inc = dedup_incremental_probe(spark, sf_dir).select(
         _tag("incremental"),
         F.col("new_id").alias("id_a"),
         F.col("existing_id").alias("id_b"),
@@ -688,6 +752,37 @@ _PACK_ORACLE = f"""
 
 
 @register(
+    "text_sequence_packing",
+    oracle=_PACK_ORACLE,
+    doc="Sequence packing (operators/text.py::pack_chunks): chunks of the "
+    "first 200 docs greedily packed into 64-token training bins in "
+    "(doc_id, chunk_idx) order — bin/offset arithmetic over an exact "
+    "distributed running sum, hash-checked.",
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 200),
+        "text",
+        "doc_id",
+        window=16,
+        stride=8,
+    )
+    return pack_chunks(
+        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"),
+        ["doc_id", "chunk_idx"],
+        "n_chunk_tokens",
+        seq_len=64,
+    ).select(
+        "bin_id",
+        "offset_in_bin",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("chunk_ref"),
+        "n_chunk_tokens",
+    )
+
+
+@register(
     "text_tokens_battery",
     oracle=(
         _wrap(
@@ -729,7 +824,7 @@ _PACK_ORACLE = f"""
     "text_word_counts, scalar_posexplode.",
 )
 def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import chunk_documents, pack_chunks
+    from ..operators.text import chunk_documents
 
     wc = _FN["text_word_counts"](spark, sf_dir).select(
         _tag("word_counts"),
@@ -759,16 +854,11 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_text").alias("word"),
         F.col("n_chunk_tokens").alias("n_tok"),
     )
-    pk = pack_chunks(
-        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens"),
-        ["doc_id", "chunk_idx"],
-        "n_chunk_tokens",
-        seq_len=64,
-    ).select(
+    pk = text_sequence_packing(spark, sf_dir).select(
         _tag("pack"),
         F.col("bin_id").alias("k1"),
         F.col("offset_in_bin").alias("k2"),
-        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("word"),
+        F.col("chunk_ref").alias("word"),
         F.col("n_chunk_tokens").alias("n_tok"),
     )
     return wc.unionByName(pe).unionByName(ch_out).unionByName(pk)
@@ -1079,6 +1169,93 @@ _ENRICH_ORACLE = """
 
 
 @register(
+    "stream_forward_fill",
+    oracle=_FFILL_ORACLE,
+    doc="Forward-fill gap filling (operators/timeseries.py::forward_fill): "
+    "every 5th event keeps its value, the rest carry the user's most "
+    "recent kept observation in (ts, event_id) order; oracle is "
+    "last_value IGNORE NULLS.",
+)
+def stream_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import forward_fill
+
+    sparse = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v_sparse"),
+        # (ts, event_id) packed into one struct so forward_fill's
+        # single-column orderBy is a total order (ties on ts alone would
+        # make the carried value nondeterministic)
+        F.struct("ts", "event_id").alias("_ord"),
+    )
+    return forward_fill(sparse, "user_id", "_ord", ["v_sparse"]).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t1"),
+        F.col("event_id").alias("n"),
+        F.col("v_sparse").alias("v"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=_ENRICH_ORACLE,
+    doc="Stream-static broadcast enrichment, batch dual (streaming/"
+    "jobs.py::enrich_stream): the job's exact plan on batch inputs, "
+    "where the broadcast dim join is a plain left join against "
+    "customer.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import enrich_stream
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_acctbal"
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return enrich_stream(ev, cust, "user_id", "left").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t1"),
+        F.col("event_id").alias("n"),
+        F.col("c_nationkey").cast("bigint").alias("n2"),
+        F.col("c_acctbal").cast("double").alias("v"),
+    )
+
+
+@register(
+    "stream_stateful_dedup_dual",
+    oracle="SELECT user_id, ts, event_id, value FROM events",
+    doc="Stateful streaming dedup, batch dual (streaming/jobs.py::"
+    "dedup_stream core): events redelivered (every 3rd duplicated) then "
+    "dropDuplicates on event_id must restore the exact original "
+    "multiset — the idempotence the watermarked dedup guarantees.",
+)
+def stream_stateful_dedup_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evd = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return evd.unionByName(
+        evd.where(F.col("event_id") % 3 == 0)
+    ).dropDuplicates(["event_id"])
+
+
+@register(
+    "stream_stateful_count_dual",
+    oracle="SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY user_id",
+    doc="applyInPandasWithState running-count operator, batch dual "
+    "(streaming/jobs.py::stateful_user_counts): the final emitted state "
+    "per user equals a plain distributed groupBy count.",
+)
+def stream_stateful_count_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("user_id").alias("uid"), "n")
+    )
+
+
+@register(
     "stream_battery",
     oracle=(
         _wrap(
@@ -1142,6 +1319,22 @@ _ENRICH_ORACLE = """
             "uid, t1, CAST(NULL AS TIMESTAMP) AS t2, n, n2, v",
             _ENRICH_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "sdedup",
+            "user_id AS uid, ts AS t1, CAST(NULL AS TIMESTAMP) AS t2, "
+            "event_id AS n, CAST(NULL AS BIGINT) AS n2, value AS v",
+            "SELECT user_id, ts, event_id, value FROM events",
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "ucount",
+            "uid, CAST(NULL AS TIMESTAMP) AS t1, "
+            "CAST(NULL AS TIMESTAMP) AS t2, n, CAST(NULL AS BIGINT) AS n2, "
+            "CAST(NULL AS DOUBLE) AS v",
+            "SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id",
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -1163,9 +1356,15 @@ _ENRICH_ORACLE = """
     "last_value IGNORE NULLS) and the stream-static broadcast "
     "enrichment batch dual (part=enrich: streaming/jobs.py::"
     "enrich_stream against the customer dim — broadcast on batch "
-    "inputs is a plain left join). Subsumes stream_tumbling_window, "
-    "stream_sliding_window, stream_sessionize, stream_session_window, "
-    "stream_late_data_drop, stream_stream_join.",
+    "inputs is a plain left join), AND the two stateful jobs' batch "
+    "duals: stateful dedup (part=sdedup — events redelivered (every "
+    "3rd duplicated) then dropDuplicates on event_id must restore the "
+    "exact original multiset, the idempotence withWatermark+"
+    "dropDuplicates guarantees) and the applyInPandasWithState "
+    "running-count operator's final state (part=ucount — per-user "
+    "totals after all batches == a plain groupBy count). Subsumes "
+    "stream_tumbling_window, stream_sliding_window, stream_sessionize, "
+    "stream_session_window, stream_late_data_drop, stream_stream_join.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -1253,42 +1452,41 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("n2"),
         _null("double").alias("v"),
     )
-    from ..operators.timeseries import forward_fill
-    from ..streaming.jobs import enrich_stream
-
-    ev = load(spark, sf_dir, "events")
-    sparse = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_id") % 5 == 0, F.col("value")).alias("v_sparse"),
-        # (ts, event_id) packed into one struct so forward_fill's
-        # single-column orderBy is a total order (ties on ts alone would
-        # make the carried value nondeterministic)
-        F.struct("ts", "event_id").alias("_ord"),
-    )
-    ff = forward_fill(sparse, "user_id", "_ord", ["v_sparse"]).select(
+    ff = stream_forward_fill(spark, sf_dir).select(
         _tag("ffill"),
+        "uid",
+        "t1",
+        _null("timestamp").alias("t2"),
+        "n",
+        _null("bigint").alias("n2"),
+        "v",
+    )
+    en = stream_static_enrich(spark, sf_dir).select(
+        _tag("enrich"),
+        "uid",
+        "t1",
+        _null("timestamp").alias("t2"),
+        "n",
+        "n2",
+        "v",
+    )
+    sd = stream_stateful_dedup_dual(spark, sf_dir).select(
+        _tag("sdedup"),
         F.col("user_id").alias("uid"),
         F.col("ts").alias("t1"),
         _null("timestamp").alias("t2"),
         F.col("event_id").alias("n"),
         _null("bigint").alias("n2"),
-        F.col("v_sparse").alias("v"),
+        F.col("value").alias("v"),
     )
-    cust = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_acctbal"
-    )
-    en = enrich_stream(
-        ev.select("user_id", "ts", "event_id"), cust, "user_id", "left"
-    ).select(
-        _tag("enrich"),
-        F.col("user_id").alias("uid"),
-        F.col("ts").alias("t1"),
+    uc = stream_stateful_count_dual(spark, sf_dir).select(
+        _tag("ucount"),
+        "uid",
+        _null("timestamp").alias("t1"),
         _null("timestamp").alias("t2"),
-        F.col("event_id").alias("n"),
-        F.col("c_nationkey").cast("bigint").alias("n2"),
-        F.col("c_acctbal").cast("double").alias("v"),
+        "n",
+        _null("bigint").alias("n2"),
+        _null("double").alias("v"),
     )
     return (
         t.unionByName(s)
@@ -1299,6 +1497,8 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ss)
         .unionByName(ff)
         .unionByName(en)
+        .unionByName(sd)
+        .unionByName(uc)
     )
 
 
@@ -1413,4 +1613,16 @@ subsume(
     "stream_stream_join",
     "udf_parse_markup",
     "udf_dependent_scan",
+    # round-5 constituents: individually parity-tested, folded into
+    # window_events_battery / text_tokens_battery / stream_battery /
+    # dedup_pairs_battery for the driver
+    "window_grouped_row_number",
+    "window_distributed_cumsum",
+    "window_quantile_bins",
+    "text_sequence_packing",
+    "stream_forward_fill",
+    "stream_static_enrich",
+    "stream_stateful_dedup_dual",
+    "stream_stateful_count_dual",
+    "dedup_incremental_probe",
 )

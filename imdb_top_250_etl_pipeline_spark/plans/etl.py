@@ -181,24 +181,76 @@ def etl_bridge_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_bridge(d, movies, people, "writers").orderBy("movie_id", "person_id")
 
 
+_SINK_COLS = "c_custkey, c_name, c_acctbal, c_mktsegment, ok"
+
+
+def _count_parquet_files(path: str) -> int:
+    import os
+
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 @register(
     "sink_parquet_roundtrip",
-    oracle="""
-    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-    FROM customer
-    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-    ORDER BY c_custkey
-    """,
-    doc="S4 write sink: persist customers partitioned by mktsegment, scan "
-    "back with a partition filter (only the two matching directories are "
-    "read — partition pruning), then detach from the files via eager "
-    "localCheckpoint so the temp dir can be removed. Parquet round-trips "
-    "doubles bit-exactly, so the oracle is the plain source query.",
+    oracle=(
+        "SELECT 'roundtrip' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"
+        "\nUNION ALL\n"
+        "SELECT 'sorted' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 7 = 0"
+        "\nUNION ALL\n"
+        "SELECT 'compact' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 3 = 0"
+        "\nUNION ALL\n"
+        "SELECT 'versioned' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'"
+        "\nUNION ALL\n"
+        "SELECT 'csv' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 0"
+        "\nUNION ALL\n"
+        "SELECT 'json' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 1"
+        "\nUNION ALL\n"
+        "SELECT 'orc' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 2"
+    ),
+    doc="The S4/S4+/S5+ sink layer as one oracle-checked battery, each "
+    "branch a full write→read-back round-trip through a disposable temp "
+    "dir (parquet round-trips doubles bit-exactly, so every oracle is "
+    "the plain source query): partitioned write + partition-pruned scan "
+    "(part=roundtrip), sortWithinPartitions layout write "
+    "(part=sorted — row-group stats become selective on the sort key), "
+    "small-file compaction (part=compact — written with "
+    "maxRecordsPerFile=100 then compacted; ok pins that the file count "
+    "strictly shrank AND content survived, upgrading the maintenance "
+    "job from test-only to driver-checked), and versioned snapshots "
+    "with time travel (part=versioned — v1 written, v2 written over it, "
+    "the V1 content read back by explicit version; ok pins that the "
+    "committed pointer advanced to v2 while v1 stayed readable), plus "
+    "the three non-parquet source formats round-tripped with explicit "
+    "declared schemas and FAILFAST (part=csv/json/orc — "
+    "sources/catalog.py::read_csv/read_json + the ORC reader; Java's "
+    "shortest-round-trip double formatting makes even the text formats "
+    "value-exact). Results detach via eager localCheckpoint before the "
+    "temp dirs are removed.",
 )
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from ..sources.sink import read_back, write_parquet
+    from ..sources.sink import (
+        compact_parquet,
+        read_back,
+        read_versioned,
+        read_versioned_pointer,
+        write_parquet,
+        write_sorted_parquet,
+        write_versioned,
+    )
 
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
@@ -209,16 +261,103 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(scratch, exist_ok=True)
     path = tempfile.mkdtemp(prefix="sink_roundtrip_", dir=scratch)
     try:
-        write_parquet(c, path, partition_by=["c_mktsegment"])
-        filtered = (
-            read_back(spark, path)
+        rt_dir = os.path.join(path, "rt")
+        write_parquet(c, rt_dir, partition_by=["c_mktsegment"])
+        rt = (
+            read_back(spark, rt_dir)
             # partition filter BEFORE materialization: only the two
             # matching directories are ever scanned
             .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
             .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-            .orderBy("c_custkey")
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("roundtrip"))
         )
-        return filtered.localCheckpoint(eager=True)
+
+        srt_dir = os.path.join(path, "sorted")
+        write_sorted_parquet(c, srt_dir, sort_cols=["c_custkey"])
+        srt = (
+            read_back(spark, srt_dir)
+            .where(F.col("c_custkey") % 7 == 0)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("sorted"))
+        )
+
+        cmp_dir = os.path.join(path, "compact")
+        write_parquet(
+            c.where(F.col("c_custkey") % 3 == 0).repartition(4),
+            cmp_dir,
+            max_records_per_file=100,
+        )
+        n_before = _count_parquet_files(cmp_dir)
+        compact_parquet(spark, cmp_dir)
+        n_after = _count_parquet_files(cmp_dir)
+        cmp = (
+            read_back(spark, cmp_dir)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .withColumn("ok", F.lit(bool(n_after < n_before)))
+            .withColumn("part", F.lit("compact"))
+        )
+
+        ver_dir = os.path.join(path, "versioned")
+        write_versioned(c.where(F.col("c_mktsegment") == "BUILDING"), ver_dir)
+        write_versioned(c, ver_dir)
+        # versions number from 0 (pointer starts at -1): the BUILDING
+        # snapshot is v=0, the full table v=1, and the committed pointer
+        # must have advanced to 1 while v=0 stays readable (time travel)
+        ver = (
+            read_versioned(spark, ver_dir, version=0)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .withColumn("ok", F.lit(read_versioned_pointer(ver_dir) == 1))
+            .withColumn("part", F.lit("versioned"))
+        )
+
+        from pyspark.sql import types as T
+
+        from ..sources.catalog import read_csv, read_json
+
+        fmt_schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+                T.StructField("c_mktsegment", T.StringType()),
+            ]
+        )
+        csv_dir = os.path.join(path, "fmt_csv")
+        c.where(F.col("c_custkey") % 5 == 0).write.option("header", "true").csv(csv_dir)
+        fmt_csv = (
+            read_csv(spark, csv_dir, fmt_schema)
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("csv"))
+        )
+        json_dir = os.path.join(path, "fmt_json")
+        c.where(F.col("c_custkey") % 5 == 1).write.json(json_dir)
+        fmt_json = (
+            read_json(spark, json_dir, fmt_schema)
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("json"))
+        )
+        orc_dir = os.path.join(path, "fmt_orc")
+        c.where(F.col("c_custkey") % 5 == 2).write.orc(orc_dir)
+        fmt_orc = (
+            spark.read.schema(fmt_schema).orc(orc_dir)
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("orc"))
+        )
+
+        out = (
+            rt.unionByName(srt)
+            .unionByName(cmp)
+            .unionByName(ver)
+            .unionByName(fmt_csv)
+            .unionByName(fmt_json)
+            .unionByName(fmt_orc)
+            .select(
+                "part", "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "ok"
+            )
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

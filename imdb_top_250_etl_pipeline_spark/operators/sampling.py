@@ -1,0 +1,162 @@
+"""Deterministic corpus-composition operators — the data-recipe layer of
+an LLM training pipeline (mixture balancing, epoch upsampling, budget
+selection, training-order shuffling).
+
+The reference has no analogue (its dataset is one fixed table); these
+generalize its deterministic-pipeline discipline (webscraper-postgres.py
+re-runs must converge to the same table) to corpus composition.  Every
+operator here selects/duplicates/orders rows as a PURE FUNCTION of the
+row key — never ``rand()``/``sample()`` — so results are identical on
+any cluster layout, re-runs are reproducible, and two tables processed
+on the same key stay aligned.  That is what makes them oracle-checkable
+AND what production data recipes need (a re-run after a failed stage
+must not reshuffle the corpus).
+
+Scale posture: per-domain statistics are tiny aggregates broadcast back
+to the full table (never the reverse), selection predicates are codegen
+integer arithmetic evaluated row-local, and the only full-data shuffles
+are the ones the semantics require (the range shuffle under
+budget-prefix and shuffle-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash → uniform-ish rational in [0, 1) with a
+# 1/1000 grid; plain integer arithmetic, expressible identically in any
+# engine (same scheme as plans/llm_data.py::sample_stratified).
+_HASH_MOD = 1000
+
+
+def _key_uniform(key: Column) -> Column:
+    return F.pmod(key * F.lit(2654435761), F.lit(_HASH_MOD)) / float(_HASH_MOD)
+
+
+def sample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Mixture-balancing sampler: downsample domains so the output
+    follows the target proportions ``weights`` at the largest total
+    size the corpus supports.
+
+    The achievable scale is ``s = min_d(n_d / w_d)`` (the binding domain
+    is kept whole); every other domain is thinned to ``rate_d = s * w_d
+    / n_d`` via the key-hash — the standard recipe step that turns a
+    crawl's natural skew into a target training mixture.  Domains
+    absent from ``weights`` are dropped (weight 0).
+
+    Distributed shape: one tiny per-domain count aggregate, a broadcast
+    single-row min, a broadcast rate join back onto the corpus — the
+    full table is never shuffled, and the filter is codegen arithmetic.
+    """
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", w_expr[F.col(domain_col)])
+        .where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+    )
+    scale = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_s"))
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        domain_col,
+        (F.col("_s") * F.col("_w") / F.col("_n")).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(_key_uniform(F.col(key_col)) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Deterministic epoch upsampling: repeat each row according to its
+    domain's (possibly fractional) epoch count — the over/under-sampling
+    half of a data recipe (e.g. 2.5 epochs of high-quality text, 0.5 of
+    crawl).
+
+    ``epochs = b + f`` yields ``b`` copies of every row plus one extra
+    for the key-hash fraction ``f`` of rows — so the EXPECTED epoch
+    count is exact, realized deterministically per key (fractional
+    epochs select the same extra rows on every run).  An ``epoch``
+    column (1-based copy index) distinguishes the duplicates downstream
+    (e.g. for per-epoch shuffling).  Rows landing at 0 copies drop out.
+
+    Distributed shape: the epoch count is a row-local codegen
+    expression; the duplication is an explode — no shuffle at all, and
+    output size is exactly the recipe's token multiplier.
+    """
+    e_expr = F.create_map(
+        *[F.lit(x) for kv in epochs.items() for x in kv]
+    )
+    e = F.coalesce(e_expr[F.col(domain_col)], F.lit(float(default_epochs)))
+    base = F.floor(e).cast("int")
+    extra = (_key_uniform(F.col(key_col)) < (e - F.floor(e))).cast("int")
+    n_copies = base + extra
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("epoch", F.explode(copies))
+
+
+def select_until_budget(
+    df: DataFrame,
+    order_cols: list,
+    len_col: str,
+    budget: int,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Priority-ordered budget selection: keep rows, in ``order_cols``
+    order, while the running total of ``len_col`` stays within
+    ``budget`` — "take the best documents until the token budget is
+    full", the final gate of a data recipe.
+
+    Built on distributed_cumsum (range-repartition + broadcast partition
+    offsets), so selecting from a 100 TB candidate pool never funnels
+    through one task; the emitted ``out_col`` carries each kept row's
+    cumulative total for downstream packing.  ``order_cols`` must be a
+    total order (unique tie-break key) — same contract as the cumsum.
+    """
+    from .windows import distributed_cumsum
+
+    return distributed_cumsum(df, order_cols, len_col, out_col=out_col).where(
+        F.col(out_col) <= budget
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "0",
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training order: assign each row a contiguous
+    1..N position by sorting on a seeded cryptographic hash of its key —
+    the "global shuffle" every training run needs, made reproducible
+    (re-runs and retries see the same order; changing ``seed`` reshuffles).
+
+    The rank comes from grouped_row_number with NO group columns: a
+    range shuffle on the hash plus per-partition offsets, so the global
+    numbering never funnels through a single task (the failure mode of
+    a partition-less row_number at corpus scale).
+    """
+    from .windows import grouped_row_number
+
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    return grouped_row_number(
+        df.withColumn("_h", h), [], ["_h", key_col], out_col=out_col
+    ).drop("_h")

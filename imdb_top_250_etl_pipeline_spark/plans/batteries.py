@@ -1625,4 +1625,9 @@ subsume(
     "stream_stateful_dedup_dual",
     "stream_stateful_count_dual",
     "dedup_incremental_probe",
+    "sample_stratified_rates",
+    "sample_mixture_balanced",
+    "sample_upsample_epochs",
+    "sample_budget_select",
+    "sample_shuffle_order",
 )

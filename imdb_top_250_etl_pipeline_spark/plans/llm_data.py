@@ -254,7 +254,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sample_stratified",
+    "sample_stratified_rates",
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_sampled,
@@ -276,7 +276,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same key select aligned rows). Rates validated by a binomial-"
     "bound unit test.",
 )
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     rate = (
         F.when(F.col("lang") == "en", 0.5)
@@ -293,6 +293,224 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.25, "de": 0.25}
+
+_MIXTURE_ORACLE = """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                            WHEN 'de' THEN 0.25 END AS DOUBLE) AS w
+      FROM documents GROUP BY lang
+    ),
+    cw AS (SELECT * FROM counts WHERE w IS NOT NULL AND w > 0),
+    s AS (SELECT min(n / w) AS s FROM cw),
+    rates AS (SELECT lang, (s.s * w) / n AS rate FROM cw, s)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(d.doc_id) AS BIGINT) AS min_id
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ((d.doc_id * 2654435761) % 1000) / 1000.0 < r.rate
+    GROUP BY d.lang
+"""
+
+
+@register(
+    "sample_mixture_balanced",
+    oracle=_MIXTURE_ORACLE,
+    doc="Mixture-balancing sampler (operators/sampling.py::sample_mixture): "
+    "downsample domains to the target en/zh/de = 50/25/25 mixture at "
+    "the largest size the corpus supports (scale = min(n_d/w_d), the "
+    "binding domain kept whole); unlisted domains drop. Per-domain "
+    "stats are tiny broadcast aggregates; the corpus never shuffles.",
+)
+def sample_mixture_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_mixture
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        sample_mixture(d, "lang", "doc_id", _MIX_WEIGHTS)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )
+
+
+_UPSAMPLE_ORACLE = """
+    WITH e AS (
+      SELECT doc_id, lang,
+             CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+                            WHEN 'de' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS ep,
+             ((doc_id * 2654435761) % 1000) / 1000.0 AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             CAST(floor(ep) AS INT)
+               + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END AS n_copies
+      FROM e
+    )
+    SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM c WHERE n_copies >= 1 GROUP BY lang
+"""
+
+
+@register(
+    "sample_upsample_epochs",
+    oracle=_UPSAMPLE_ORACLE,
+    doc="Deterministic epoch upsampling (operators/sampling.py::"
+    "upsample_epochs): en 0.5 epochs (key-hash half), zh 2.5, de 2.0, "
+    "rest 1.0 — fractional epochs select the same extra rows every "
+    "run; duplication is a row-local explode, zero shuffles.",
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import upsample_epochs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = upsample_epochs(
+        d, "lang", "doc_id", {"en": 0.5, "zh": 2.5, "de": 2.0}, default_epochs=1.0
+    )
+    return up.groupBy("lang").agg(
+        F.count("*").alias("n_rows"), F.min("doc_id").alias("min_id")
+    )
+
+
+_BUDGET_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT *, sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+           CAST(sum(n_tok) AS BIGINT) AS total_tok
+    FROM c WHERE cum <= 5000 GROUP BY lang
+"""
+
+
+@register(
+    "sample_budget_select",
+    oracle=_BUDGET_ORACLE,
+    doc="Token-budget selection (operators/sampling.py::"
+    "select_until_budget): keep documents in doc_id priority order "
+    "while the running token total stays within 5000 — built on "
+    "distributed_cumsum, so a 100 TB candidate pool never funnels "
+    "through one task.",
+)
+def sample_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import select_until_budget
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    sel = select_until_budget(d, ["doc_id"], "n_tok", budget=5000)
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_sel"), F.sum("n_tok").alias("total_tok")
+    )
+
+
+_SHUFFLE_ORACLE = """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               ORDER BY md5('r5:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+"""
+
+
+@register(
+    "sample_shuffle_order",
+    oracle=_SHUFFLE_ORACLE,
+    doc="Deterministic global training order (operators/sampling.py::"
+    "shuffle_order): rank rows by a seeded md5 of the key — "
+    "reproducible across re-runs/retries, reshuffled by changing the "
+    "seed; the 1..N numbering is the no-group grouped_row_number, "
+    "never a single-task window.",
+)
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import shuffle_order
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_order(d, "doc_id", seed="r5")
+
+
+@register(
+    "sample_stratified",
+    oracle=(
+        "SELECT 'stratified' AS part, lang AS k, n_sampled AS n, min_id AS v "
+        "FROM (" + """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT lang, doc_id FROM documents
+      WHERE ((doc_id * 2654435761) % 1000) / 1000.0
+            < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END
+    )
+    GROUP BY lang
+    """ + ") t"
+        + "\nUNION ALL\n"
+        + f"SELECT 'mixture' AS part, lang AS k, n_sampled AS n, min_id AS v "
+        f"FROM ({_MIXTURE_ORACLE}) t"
+        + "\nUNION ALL\n"
+        + f"SELECT 'upsample' AS part, lang AS k, n_rows AS n, min_id AS v "
+        f"FROM ({_UPSAMPLE_ORACLE}) t"
+        + "\nUNION ALL\n"
+        + f"SELECT 'budget' AS part, lang AS k, n_sel AS n, total_tok AS v "
+        f"FROM ({_BUDGET_ORACLE}) t"
+        + "\nUNION ALL\n"
+        + f"SELECT 'shuffle' AS part, CAST(doc_id AS VARCHAR) AS k, "
+        f"shuffle_pos AS n, doc_id AS v FROM ({_SHUFFLE_ORACLE}) t"
+    ),
+    doc="The corpus-composition (data recipe) battery, every branch a "
+    "deterministic pure-function-of-key operator: per-language "
+    "stratified sampling (part=stratified), mixture balancing to a "
+    "target 50/25/25 recipe (part=mixture), fractional epoch "
+    "upsampling (part=upsample), token-budget priority selection over "
+    "distributed_cumsum (part=budget), and seeded global shuffle order "
+    "(part=shuffle). Subsumes sample_stratified_rates, "
+    "sample_mixture_balanced, sample_upsample_epochs, "
+    "sample_budget_select, sample_shuffle_order.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = sample_stratified_rates(spark, sf_dir).select(
+        F.lit("stratified").alias("part"),
+        F.col("lang").alias("k"),
+        F.col("n_sampled").alias("n"),
+        F.col("min_id").alias("v"),
+    )
+    mx = sample_mixture_balanced(spark, sf_dir).select(
+        F.lit("mixture").alias("part"),
+        F.col("lang").alias("k"),
+        F.col("n_sampled").alias("n"),
+        F.col("min_id").alias("v"),
+    )
+    up = sample_upsample_epochs(spark, sf_dir).select(
+        F.lit("upsample").alias("part"),
+        F.col("lang").alias("k"),
+        F.col("n_rows").alias("n"),
+        F.col("min_id").alias("v"),
+    )
+    bd = sample_budget_select(spark, sf_dir).select(
+        F.lit("budget").alias("part"),
+        F.col("lang").alias("k"),
+        F.col("n_sel").alias("n"),
+        F.col("total_tok").alias("v"),
+    )
+    sh = sample_shuffle_order(spark, sf_dir).select(
+        F.lit("shuffle").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("shuffle_pos").alias("n"),
+        F.col("doc_id").alias("v"),
+    )
+    return st.unionByName(mx).unionByName(up).unionByName(bd).unionByName(sh)
 
 
 # ---------------------------------------------------------------------------

@@ -138,7 +138,7 @@ def test_stratified_sample_rates_within_binomial_bounds(spark):
 
     got = {
         r.lang: r.n_sampled
-        for r in QUERIES["sample_stratified"].fn(spark, SF_SMOKE).collect()
+        for r in lookup("sample_stratified_rates").fn(spark, SF_SMOKE).collect()
     }
     totals = {
         r.lang: r.n

@@ -1,0 +1,121 @@
+"""Operator-level invariants for the corpus-composition (data recipe)
+operators — the properties the oracle hash can't state directly:
+mixture proportions near target, exact expected epoch multiplicity,
+budget prefix maximality, shuffle permutation + seed sensitivity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+    sample_mixture,
+    select_until_budget,
+    shuffle_order,
+    upsample_epochs,
+)
+from imdb_top_250_etl_pipeline_spark.sources import load
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_CORRECT, "documents").select("doc_id", "lang")
+
+
+def test_mixture_hits_target_proportions(docs):
+    weights = {"en": 0.5, "zh": 0.25, "de": 0.25}
+    out = sample_mixture(docs, "lang", "doc_id", weights)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(weights)  # unlisted domains dropped
+    total = sum(counts.values())
+    for lang, w in weights.items():
+        # key-hash thinning is binomial around the exact rate; the 1/1000
+        # hash grid plus sampling noise bounds deviation well within 10pp
+        assert abs(counts[lang] / total - w) < 0.10, (lang, counts, total)
+
+
+def test_mixture_binding_domain_kept_whole(docs):
+    # with en weighted heavily, en is binding (largest n_d/w_d deficit)
+    # and must be kept at rate 1.0 — every en row survives
+    weights = {"en": 0.9, "zh": 0.1}
+    n_en = docs.where(F.col("lang") == "en").count()
+    out = sample_mixture(docs, "lang", "doc_id", weights)
+    assert out.where(F.col("lang") == "en").count() == n_en
+
+
+def test_upsample_exact_multiplicity_per_row(docs):
+    up = upsample_epochs(docs, "lang", "doc_id", {"zh": 2.5, "en": 0.5}, 1.0)
+    per_doc = up.groupBy("doc_id", "lang").agg(F.count("*").alias("n_copies"))
+    bad = per_doc.where(
+        (
+            (F.col("lang") == "zh") & ~F.col("n_copies").isin(2, 3)
+        )
+        | ((F.col("lang") == "en") & (F.col("n_copies") != 1))
+        | (~F.col("lang").isin("zh", "en") & (F.col("n_copies") != 1))
+    ).count()
+    assert bad == 0
+    # en at 0.5 epochs: only the key-hash half appears at all
+    n_en_src = docs.where(F.col("lang") == "en").count()
+    n_en_up = up.where(F.col("lang") == "en").count()
+    assert 0 < n_en_up < n_en_src
+    # epoch column is a contiguous 1..n_copies index
+    assert (
+        up.groupBy("doc_id").agg(
+            (F.max("epoch") != F.count("*")).alias("bad")
+        ).where("bad").count()
+        == 0
+    )
+
+
+def test_budget_prefix_is_maximal(spark):
+    d = load(spark, SF_CORRECT, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    sel = select_until_budget(d, ["doc_id"], "n_tok", budget=5000)
+    rows = sorted(
+        (r["doc_id"], r["n_tok"], r["cum_tokens"]) for r in sel.collect()
+    )
+    total = rows[-1][2]
+    assert total <= 5000
+    # the selection is a PREFIX in doc_id order: re-deriving the cumsum
+    # from the selected rows alone reproduces the emitted column
+    run = 0
+    for _doc, n, cum in rows:
+        run += n
+        assert run == cum
+    # maximal: the first excluded doc would overflow the budget
+    excluded = (
+        d.join(sel.select("doc_id"), "doc_id", "left_anti")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )
+    assert excluded and total + excluded[0]["n_tok"] > 5000
+
+
+def test_shuffle_is_seeded_permutation(docs):
+    a = shuffle_order(docs, "doc_id", seed="a")
+    n = docs.count()
+    pos = [r["shuffle_pos"] for r in a.select("shuffle_pos").collect()]
+    assert sorted(pos) == list(range(1, n + 1))  # exact permutation
+    b = shuffle_order(docs, "doc_id", seed="b")
+    moved = (
+        a.select("doc_id", "shuffle_pos")
+        .join(
+            b.select("doc_id", F.col("shuffle_pos").alias("pos_b")), "doc_id"
+        )
+        .where(F.col("shuffle_pos") != F.col("pos_b"))
+        .count()
+    )
+    assert moved > n // 2  # a different seed reorders most rows
+    # same seed → identical order (determinism across invocations)
+    a2 = shuffle_order(docs, "doc_id", seed="a")
+    assert (
+        a.select("doc_id", "shuffle_pos")
+        .exceptAll(a2.select("doc_id", "shuffle_pos"))
+        .count()
+        == 0
+    )

@@ -97,13 +97,17 @@ def with_surrogate_key(
 
     The global id assignment depends only on the total order of the keys,
     not on where the range boundaries land, so the result is identical on
-    1 or 1000 executors.
+    1 or 1000 executors.  The partition ids are pinned by an eager
+    localCheckpoint (operators/windows.py::_pin_partition_ids): the
+    offset join reads ``_pid`` from two plan branches, and without the
+    pin a non-reused range exchange would re-sample its boundaries per
+    branch and silently mix two inconsistent partition assignments.
     """
+    from .windows import _pin_partition_ids
+
     order_cols = [F.col(c) for c in order_by]
-    parted = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+    parted = _pin_partition_ids(
+        df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     )
     # tiny: one row per partition; the partition-less window over it is
     # bounded by the partition count, never by data volume

@@ -329,6 +329,34 @@ def pack_chunks(
     )
 
 
+def tfidf_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-(document, term) TF-IDF statistics table: (id, term, tf,
+    dfreq) — the lexical-feature primitive under retrieval scoring and
+    data selection.
+
+    Deliberately emits the INTEGER statistics, not the float score:
+    tf·idf is a pure function of (tf, dfreq, N) the consumer computes
+    with whatever idf variant it wants, and integers keep the table
+    exactly verifiable (float scores are engine-libm-dependent — the
+    reason bm25_topk is pinned by tests rather than an oracle).
+
+    Same scale shape as bm25_topk: two-phase counts, and the per-term
+    document-frequency table joins back SHUFFLE_HASH, never broadcast —
+    term vocabulary is unbounded, so per-executor memory must not scale
+    with it.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).where(F.length("w") > 0)
+    tf = words.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(
+        F.countDistinct(id_col).cast("int").alias("dfreq")
+    )
+    return tf.join(dfreq.hint("shuffle_hash"), "w").select(
+        id_col, F.col("w").alias("word"), "tf", "dfreq"
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str,

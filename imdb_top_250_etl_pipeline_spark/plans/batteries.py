@@ -751,6 +751,44 @@ _PACK_ORACLE = f"""
 """
 
 
+_TFIDF_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 200
+    ),
+    w2 AS (SELECT * FROM w WHERE length(word) > 0),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM w2 GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS INT) AS dfreq
+      FROM w2 GROUP BY word
+    )
+    SELECT tf.doc_id, tf.word, tf.tf, df.dfreq
+    FROM tf JOIN df USING (word)
+"""
+
+
+@register(
+    "text_tfidf_stats",
+    oracle=_TFIDF_ORACLE,
+    doc="TF-IDF statistics table (operators/text.py::tfidf_stats) over the "
+    "first 200 docs: integer (tf, dfreq) per (doc, term) — exactly "
+    "verifiable, unlike libm-dependent float scores; the per-term "
+    "dfreq joins back shuffle-hash (vocabulary is unbounded, never "
+    "broadcast).",
+)
+def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_stats
+
+    return tfidf_stats(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 200),
+        "text",
+        "doc_id",
+    )
+
+
 @register(
     "text_sequence_packing",
     oracle=_PACK_ORACLE,
@@ -812,6 +850,12 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunk_tokens AS n_tok",
             _PACK_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "tfidf",
+            "doc_id AS k1, tf AS k2, word, dfreq AS n_tok",
+            _TFIDF_ORACLE,
+        )
     ),
     doc="Corpus word frequencies (tokenize -> explode -> two-phase count) "
     "+ posexplode indexed unnest + sliding-window document chunking "
@@ -820,8 +864,10 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles) + sequence packing of those chunks into 64-token "
     "training bins (operators/text.py::pack_chunks over "
     "distributed_cumsum — k1=bin_id, k2=offset_in_bin, hash-checked "
-    "against the oracle's running-sum arithmetic), tagged. Subsumes "
-    "text_word_counts, scalar_posexplode.",
+    "against the oracle's running-sum arithmetic) + the TF-IDF integer "
+    "statistics table (part=tfidf: k1=doc_id, k2=tf, n_tok=dfreq — "
+    "exact lexical features, shuffle-hash dfreq join), tagged. "
+    "Subsumes text_word_counts, scalar_posexplode.",
 )
 def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import chunk_documents
@@ -861,7 +907,16 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_ref").alias("word"),
         F.col("n_chunk_tokens").alias("n_tok"),
     )
-    return wc.unionByName(pe).unionByName(ch_out).unionByName(pk)
+    ti = text_tfidf_stats(spark, sf_dir).select(
+        _tag("tfidf"),
+        F.col("doc_id").alias("k1"),
+        F.col("tf").alias("k2"),
+        "word",
+        F.col("dfreq").alias("n_tok"),
+    )
+    return (
+        wc.unionByName(pe).unionByName(ch_out).unionByName(pk).unionByName(ti)
+    )
 
 
 @register(
@@ -1620,6 +1675,7 @@ subsume(
     "window_distributed_cumsum",
     "window_quantile_bins",
     "text_sequence_packing",
+    "text_tfidf_stats",
     "stream_forward_fill",
     "stream_static_enrich",
     "stream_stateful_dedup_dual",

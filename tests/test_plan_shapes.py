@@ -210,3 +210,21 @@ def test_bm25_dfreq_join_never_broadcasts(spark):
         assert "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tfidf_dfreq_join_never_broadcasts(spark):
+    # same contract as bm25: the per-term dfreq table scales with the
+    # vocabulary (unbounded), so it must reach the tf table via a
+    # shuffled join, never a broadcast
+    from imdb_top_250_etl_pipeline_spark.operators.text import tfidf_stats
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load(spark, SF_CORRECT, "documents")
+        plan = plan_of(tfidf_stats(docs, "text", "doc_id"))
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

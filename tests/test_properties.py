@@ -154,3 +154,97 @@ def test_dedup_groups_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.doc_id: r.group_id for r in dedup_groups(pairs).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Corpus-composition operators (operators/sampling.py) vs reference models.
+# ---------------------------------------------------------------------------
+
+_dom = st.sampled_from(["a", "b", "c"])
+_doc_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=500), _dom),
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _hash_u(key: int) -> float:
+    return ((key * 2654435761) % 1000) / 1000.0
+
+
+@given(rows=_doc_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mixture_matches_reference_model(spark, rows):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import sample_mixture
+
+    weights = {"a": 0.5, "b": 0.5}
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.doc_id for r in sample_mixture(df, "lang", "doc_id", weights).collect()}
+    counts: dict[str, int] = {}
+    for _k, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    present = {d: n for d, n in counts.items() if d in weights and n > 0}
+    if not present:
+        assert got == set()
+        return
+    s = min(n / weights[d] for d, n in present.items())
+    want = {
+        k
+        for k, d in rows
+        if d in present and _hash_u(k) < (s * weights[d]) / present[d]
+    }
+    assert got == want
+
+
+@given(rows=_doc_rows, budget=st.integers(min_value=0, max_value=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_budget_select_matches_reference_model(spark, rows, budget):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    # token length derived from the key so the model is deterministic
+    with_len = [(k, d, (k % 7) + 1) for k, d in rows]
+    df = spark.createDataFrame(with_len, "doc_id long, lang string, n_tok long")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in select_until_budget(df, ["doc_id"], "n_tok", budget).collect()
+    }
+    want, run = {}, 0
+    for k, _d, n in sorted(with_len):
+        run += n
+        if run > budget:
+            break
+        want[k] = run
+    assert got == want
+
+
+@given(rows=_doc_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_upsample_matches_reference_model(spark, rows):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import upsample_epochs
+
+    epochs = {"a": 2.5, "b": 0.5}
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got: dict[int, int] = {}
+    for r in upsample_epochs(df, "lang", "doc_id", epochs, 1.0).collect():
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    want: dict[int, int] = {}
+    for k, d in rows:
+        e = epochs.get(d, 1.0)
+        n = int(e) + (1 if _hash_u(k) < e - int(e) else 0)
+        if n >= 1:
+            want[k] = n
+    assert got == want

@@ -482,6 +482,35 @@ def window_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.layout import zorder_key_sql as _zsql  # noqa: E402
+
+_ZORDER_ORACLE = f"""
+    SELECT user_id, event_id, ts,
+           CAST({_zsql(["user_id", "event_id"])} AS DOUBLE) AS running_value
+    FROM events
+"""
+
+
+@register(
+    "scalar_zorder_key",
+    oracle=_ZORDER_ORACLE,
+    doc="Morton (Z-order) layout key (functions/layout.py::zorder_key) "
+    "interleaving (user_id, event_id) — the multi-dimensional "
+    "data-skipping sort key (Delta OPTIMIZE ZORDER BY / Iceberg sort "
+    "orders) as a flat codegen integer expression; key < 2^42 here, so "
+    "the double projection is exact.",
+)
+def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.layout import zorder_key
+
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        zorder_key("user_id", "event_id").cast("double").alias("running_value"),
+    )
+
+
 @register(
     "window_events_battery",
     oracle=(
@@ -509,6 +538,12 @@ def window_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
             _WINDOW_QBIN_SQL,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "zorder",
+            f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
+            _ZORDER_ORACLE,
+        )
     ),
     doc="Frame-spec running sum + lag/lead navigation over the SAME "
     "(user_id, ts) window (part=nav), PLUS the three distributed window "
@@ -519,7 +554,10 @@ def window_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(part=cumsum — no partition column at all, the single-task case), "
     "and quantile_bins(exact=True) equal-frequency binning whose "
     "interpolated edges are bit-identical to DuckDB quantile_cont "
-    "(part=qbin). Subsumes window_running_sum, window_lag_lead.",
+    "(part=qbin), plus the Morton Z-order layout key over "
+    "(user_id, event_id) (part=zorder — functions/layout.py, the "
+    "multi-dimensional data-skipping sort key as flat codegen integer "
+    "arithmetic). Subsumes window_running_sum, window_lag_lead.",
 )
 def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -551,7 +589,10 @@ def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = window_grouped_row_number(spark, sf_dir).select(_tag("rn"), "*", *aux)
     cs = window_distributed_cumsum(spark, sf_dir).select(_tag("cumsum"), "*", *aux)
     qb = window_quantile_bins(spark, sf_dir).select(_tag("qbin"), "*", *aux)
-    return nav.unionByName(rn).unionByName(cs).unionByName(qb)
+    zo = scalar_zorder_key(spark, sf_dir).select(_tag("zorder"), "*", *aux)
+    return (
+        nav.unionByName(rn).unionByName(cs).unionByName(qb).unionByName(zo)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1674,6 +1715,7 @@ subsume(
     "window_grouped_row_number",
     "window_distributed_cumsum",
     "window_quantile_bins",
+    "scalar_zorder_key",
     "text_sequence_packing",
     "text_tfidf_stats",
     "stream_forward_fill",

@@ -189,3 +189,41 @@ def test_quantile_bins_balanced_and_monotone(spark):
     }
     for b in range(9):
         assert stats[b][1] <= stats[b + 1][0], (b, stats[b], stats[b + 1])
+
+
+def test_zorder_key_structure(spark):
+    """Morton key properties: bijective on the bit-bounded domain, and
+    interleaving actually balances locality (key deltas bounded for
+    unit steps in EITHER dimension, unlike a lexicographic sort key)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.functions.layout import zorder_key
+
+    pts = [(x, y) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", zorder_key("x", "y", bits_per_col=4).alias("z")
+    ).collect()
+    zmap = {(r.x, r.y): r.z for r in rows}
+    # bijection onto [0, 256)
+    assert sorted(zmap.values()) == list(range(256))
+    # reference morton check
+    def morton(x, y):
+        z = 0
+        for j in range(4):
+            z |= ((x >> j) & 1) << (2 * j) | ((y >> j) & 1) << (2 * j + 1)
+        return z
+    assert all(zmap[(x, y)] == morton(x, y) for x, y in pts)
+
+
+def test_zorder_key_rejects_overflow(spark):
+    import pytest as _pytest
+
+    from imdb_top_250_etl_pipeline_spark.functions.layout import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key("a", "b", "c", "d", bits_per_col=21)
+    with _pytest.raises(ValueError):
+        zorder_key()

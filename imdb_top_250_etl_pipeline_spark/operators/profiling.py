@@ -1,0 +1,55 @@
+"""Data-profiling operators — the monitoring pass a production pipeline
+runs on every ingest batch (distribution drift, null creep, range
+violations) before the data reaches training.
+
+The reference profiles nothing (its dataset is 250 curated rows); at
+corpus scale profiling is a first-class operator: cheap single-pass
+aggregates whose outputs feed drift alerts and schema checks.
+Everything here is exact integer/extremum arithmetic — no sketches, no
+engine-dependent floats — so profiles are oracle-checkable and
+comparable across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equal-width histogram of ``value_col``: (bucket, n) with bucket in
+    [0, n_buckets), edges spanning [min, max].
+
+    The distribution-drift primitive: two ingest batches are compared by
+    their bucket vectors.  Two passes over the column — one min/max
+    aggregate (broadcast single row), one bucket-count aggregate — both
+    map-side-combined; NULLs are excluded (count them separately via a
+    null-profile), and the max value lands in the top bucket (closed
+    upper edge).  A constant column degenerates to one bucket 0.
+
+    Contrast with quantile_bins (operators/windows.py): equal-WIDTH
+    buckets profile the distribution's shape; equal-FREQUENCY bins
+    discretize features.  Both broadcast their edges; neither collects.
+    """
+    mm = df.agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("_lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -51,19 +51,65 @@ def _wrap(tag: str, cols_sql: str, inner: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# equal-width histogram of l_extendedprice — floor((x-lo)/width) is the
+# same IEEE arithmetic in both engines (floor→LONG in Spark vs DOUBLE in
+# DuckDB, reconciled by the BIGINT cast), so bucket counts are exact
+_HISTOGRAM_ORACLE = """
+    WITH mm AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)),
+                        9) AS INT) AS bucket
+      FROM lineitem, mm
+      WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+"""
+
+
+@register(
+    "agg_histogram_fixed_width",
+    oracle=_HISTOGRAM_ORACLE,
+    doc="Equal-width histogram of l_extendedprice (operators/profiling.py"
+    "::fixed_width_histogram) — the distribution-drift profile as two "
+    "map-side-combined aggregates with broadcast edges; exact integer "
+    "bucket counts.",
+)
+def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import fixed_width_histogram
+
+    return fixed_width_histogram(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=10
+    )
+
+
 @register(
     "agg_distinct_battery",
-    oracle=_wrap(
-        "exact",
-        "o_orderpriority, n_customers, n_orders, true AS approx_ok",
-        _SQL["agg_count_distinct"],
+    oracle=(
+        _wrap(
+            "exact",
+            "o_orderpriority, n_customers, n_orders, true AS approx_ok",
+            _SQL["agg_count_distinct"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "histogram",
+            "CAST(bucket AS VARCHAR) AS o_orderpriority, n AS n_customers, "
+            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok",
+            _HISTOGRAM_ORACLE,
+        )
     ),
     doc="countDistinct (exact, hash-checked) + approx_count_distinct "
     "verified AS AN INVARIANT: the HLL++ estimate per l_returnflag must "
     "sit within 3*rsd of the exact count, folded to one boolean the "
     "oracle pins to true — which upgrades the sketch from rows-only to "
     "a driver-checked property (sketch values themselves are "
-    "engine-specific). Subsumes agg_count_distinct, agg_approx_distinct.",
+    "engine-specific) — PLUS the equal-width profiling histogram of "
+    "l_extendedprice (part=histogram: operators/profiling.py, exact "
+    "bucket counts with broadcast edges). Subsumes agg_count_distinct, "
+    "agg_approx_distinct.",
 )
 def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _FN["agg_count_distinct"](spark, sf_dir)
@@ -81,7 +127,15 @@ def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("ok").alias("approx_ok"))
     )
-    return exact.select(_tag("exact"), "*").crossJoin(flag)
+    ex = exact.select(_tag("exact"), "*").crossJoin(flag)
+    hist = agg_histogram_fixed_width(spark, sf_dir).select(
+        _tag("histogram"),
+        F.col("bucket").cast("string").alias("o_orderpriority"),
+        F.col("n").alias("n_customers"),
+        _null("bigint").alias("n_orders"),
+        F.lit(True).alias("approx_ok"),
+    )
+    return ex.unionByName(hist)
 
 
 @register(
@@ -1716,6 +1770,7 @@ subsume(
     "window_distributed_cumsum",
     "window_quantile_bins",
     "scalar_zorder_key",
+    "agg_histogram_fixed_width",
     "text_sequence_packing",
     "text_tfidf_stats",
     "stream_forward_fill",

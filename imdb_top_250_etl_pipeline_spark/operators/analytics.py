@@ -1,0 +1,99 @@
+"""Behavioral-analytics operators over event streams — ordered funnels
+and retention cohorts, the two queries every product-analytics engine
+ships and plain SQL states awkwardly.
+
+Both are compositions of existing primitives (conditional aggregation,
+per-key joins, date arithmetic) with one discipline: every stage
+aggregates BEFORE it joins, so the tables being joined are bounded by
+user cardinality, never event volume — the shape that survives a 100 TB
+event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time each step was
+    reached GIVEN the previous step happened strictly before it —
+    (user, t_step1..t_stepN, n_steps).
+
+    The classic "view → click → purchase" conversion query.  Stage k
+    filters to step-k events, joins the per-user frontier of stage k-1
+    (a table bounded by user count, not event count), keeps events
+    strictly after it, and takes the per-user min — so each stage is one
+    filtered aggregate plus one key join, and the whole funnel is N-1
+    shuffles on the user key with partial aggregation everywhere.
+    Users who never complete step 1 are absent from the output.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(frontier, user_col)
+            .where(F.col("_ts") > F.col(f"t_{k - 1}"))
+            .groupBy(user_col, *[f"t_{i}" for i in range(1, k)])
+            .agg(F.min("_ts").alias(f"t_{k}"))
+        )
+        # left join keeps users who stalled at step k-1 (their t_k NULL)
+        frontier = frontier.join(
+            nxt.select(user_col, f"t_{k}"), user_col, "left"
+        )
+    n_steps = sum(
+        F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return frontier.select(
+        user_col,
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        n_steps.cast("int").alias("n_steps"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-grain retention: (cohort_date, day_offset, n_users) — of the
+    users whose FIRST event fell on cohort_date, how many were active
+    day_offset days later.
+
+    Both inputs to the final count are user-bounded: the cohort table is
+    one min-aggregate per user, the activity table one distinct
+    (user, day) pair per active day — the join and the final
+    count-distinct shuffle on user/cohort keys, never raw events.
+    offset 0 (the cohort day itself) is included, so n_users at offset 0
+    equals the cohort size.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_date")
+    )
+    activity = events.select(
+        user_col, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    return (
+        activity.join(firsts, user_col)
+        .select(
+            "cohort_date",
+            F.datediff("_day", "cohort_date").alias("day_offset"),
+            user_col,
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -1318,6 +1318,75 @@ _ENRICH_ORACLE = """
 """
 
 
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+           CAST(1 + (CASE WHEN s2.t_2 IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s3.t_3 IS NULL THEN 0 ELSE 1 END) AS INT)
+               AS n_steps
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+_RETENTION_ORACLE = """
+    WITH f AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT cohort_date,
+           CAST(datediff('day', cohort_date, d) AS INT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="Ordered conversion funnel view→click→purchase (operators/"
+    "analytics.py::funnel_steps): per user, the earliest time each step "
+    "was reached strictly after the previous one, plus steps completed. "
+    "Every stage aggregates before it joins — user-bounded tables, "
+    "never raw events.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import funnel_steps
+
+    return funnel_steps(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "events_retention",
+    oracle=_RETENTION_ORACLE,
+    doc="Day-grain retention cohorts (operators/analytics.py::"
+    "retention_cohorts): users cohorted by first-event date, counted "
+    "per activity-day offset; cohort and activity tables are both "
+    "user-bounded before the join.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"))
+
+
 @register(
     "stream_forward_fill",
     oracle=_FFILL_ORACLE,
@@ -1485,6 +1554,23 @@ def stream_stateful_count_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n "
             "FROM events GROUP BY user_id",
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "funnel",
+            "user_id AS uid, t_1 AS t1, t_2 AS t2, "
+            "CAST(n_steps AS BIGINT) AS n, epoch_us(t_3) AS n2, "
+            "CAST(NULL AS DOUBLE) AS v",
+            _FUNNEL_ORACLE,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "retention",
+            "CAST(NULL AS BIGINT) AS uid, "
+            "CAST(cohort_date AS TIMESTAMP) AS t1, "
+            "CAST(NULL AS TIMESTAMP) AS t2, CAST(day_offset AS BIGINT) AS n, "
+            "n_users AS n2, CAST(NULL AS DOUBLE) AS v",
+            _RETENTION_ORACLE,
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -1512,9 +1598,13 @@ def stream_stateful_count_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact original multiset, the idempotence withWatermark+"
     "dropDuplicates guarantees) and the applyInPandasWithState "
     "running-count operator's final state (part=ucount — per-user "
-    "totals after all batches == a plain groupBy count). Subsumes "
-    "stream_tumbling_window, stream_sliding_window, stream_sessionize, "
-    "stream_session_window, stream_late_data_drop, stream_stream_join.",
+    "totals after all batches == a plain groupBy count), and the two "
+    "behavioral-analytics compositions (operators/analytics.py): "
+    "ordered view→click→purchase funnel (part=funnel) and day-grain "
+    "retention cohorts (part=retention), both user-bounded before any "
+    "join. Subsumes stream_tumbling_window, stream_sliding_window, "
+    "stream_sessionize, stream_session_window, stream_late_data_drop, "
+    "stream_stream_join.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -1638,6 +1728,24 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("bigint").alias("n2"),
         _null("double").alias("v"),
     )
+    fu = events_funnel(spark, sf_dir).select(
+        _tag("funnel"),
+        F.col("user_id").alias("uid"),
+        F.col("t_1").alias("t1"),
+        F.col("t_2").alias("t2"),
+        F.col("n_steps").cast("bigint").alias("n"),
+        F.unix_micros("t_3").alias("n2"),
+        _null("double").alias("v"),
+    )
+    re = events_retention(spark, sf_dir).select(
+        _tag("retention"),
+        _null("bigint").alias("uid"),
+        F.col("cohort_date").cast("timestamp").alias("t1"),
+        _null("timestamp").alias("t2"),
+        F.col("day_offset").cast("bigint").alias("n"),
+        F.col("n_users").alias("n2"),
+        _null("double").alias("v"),
+    )
     return (
         t.unionByName(s)
         .unionByName(m)
@@ -1649,6 +1757,8 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(en)
         .unionByName(sd)
         .unionByName(uc)
+        .unionByName(fu)
+        .unionByName(re)
     )
 
 
@@ -1777,6 +1887,8 @@ subsume(
     "stream_static_enrich",
     "stream_stateful_dedup_dual",
     "stream_stateful_count_dual",
+    "events_funnel",
+    "events_retention",
     "dedup_incremental_probe",
     "sample_stratified_rates",
     "sample_mixture_balanced",

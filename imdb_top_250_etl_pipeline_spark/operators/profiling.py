@@ -16,6 +16,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def incremental_distinct_estimate(
+    df: DataFrame, key_col: str, bucket_col
+) -> DataFrame:
+    """Mergeable distinct-count: one HLL sketch per ``bucket_col`` value
+    (a day, an ingest batch, a partition), unioned and estimated —
+    single-row (n_buckets, estimate) output.
+
+    THE incremental pattern for distinct counts at scale: per-batch
+    sketches are persisted once (bytes per bucket, not users), and any
+    window's distinct count is a union of already-built sketches —
+    re-scanning history is never needed, which is what makes daily
+    "distinct users this month" queries O(days) instead of O(events).
+    Estimates are engine-specific (Datasketches HLL here), so callers
+    verify the INVARIANT |estimate - exact| <= rsd bound rather than the
+    value — the approx_count_distinct discipline.
+    """
+    bucketed = df.groupBy(bucket_col).agg(
+        F.hll_sketch_agg(key_col).alias("_sk")
+    )
+    return bucketed.agg(
+        F.count("*").alias("n_buckets"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("estimate"),
+    )
+
+
 def fixed_width_histogram(
     df: DataFrame, value_col: str, n_buckets: int = 10
 ) -> DataFrame:

@@ -100,6 +100,14 @@ def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok",
             _HISTOGRAM_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "hll_union",
+            "'union' AS o_orderpriority, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_customers, "
+            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok",
+            "SELECT user_id FROM events",
+        )
     ),
     doc="countDistinct (exact, hash-checked) + approx_count_distinct "
     "verified AS AN INVARIANT: the HLL++ estimate per l_returnflag must "
@@ -108,7 +116,11 @@ def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a driver-checked property (sketch values themselves are "
     "engine-specific) — PLUS the equal-width profiling histogram of "
     "l_extendedprice (part=histogram: operators/profiling.py, exact "
-    "bucket counts with broadcast edges). Subsumes agg_count_distinct, "
+    "bucket counts with broadcast edges) and the mergeable-sketch "
+    "incremental distinct count (part=hll_union: per-day HLL sketches "
+    "unioned across the month, estimate pinned within 5% of the exact "
+    "count the oracle states — operators/profiling.py::"
+    "incremental_distinct_estimate). Subsumes agg_count_distinct, "
     "agg_approx_distinct.",
 )
 def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +147,31 @@ def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("bigint").alias("n_orders"),
         F.lit(True).alias("approx_ok"),
     )
-    return ex.unionByName(hist)
+    # mergeable-sketch invariant: per-day HLL sketches unioned across the
+    # month must estimate the month's exact distinct users within 5%
+    # (the incremental pattern — sketch values are engine-specific, so
+    # the oracle pins the exact count and the invariant boolean)
+    from ..operators.profiling import incremental_distinct_estimate
+
+    ev = load(spark, sf_dir, "events")
+    est = incremental_distinct_estimate(
+        ev, "user_id", F.to_date("ts")
+    ).select("estimate")
+    hll = (
+        ev.agg(F.countDistinct("user_id").alias("n_customers"))
+        .crossJoin(F.broadcast(est))
+        .select(
+            _tag("hll_union"),
+            F.lit("union").alias("o_orderpriority"),
+            "n_customers",
+            _null("bigint").alias("n_orders"),
+            (
+                F.abs(F.col("estimate") - F.col("n_customers"))
+                <= 0.05 * F.col("n_customers")
+            ).alias("approx_ok"),
+        )
+    )
+    return ex.unionByName(hist).unionByName(hll)
 
 
 @register(

@@ -49,3 +49,29 @@ def test_percentiles_match_numpy_linear(spark):
         assert abs(r.p99 - np.percentile(x, 99, method="linear")) < 1e-3
         # the sketch lands near the exact p90 (exact for small groups)
         assert abs(r.p90_approx - r.p90) / r.p90 < 0.05
+
+
+def test_incremental_distinct_sketch_union(spark):
+    """Mergeable HLL distinct: per-day sketches unioned must (a) estimate
+    the month's exact distinct within the sketch rsd and (b) equal the
+    single-pass whole-table sketch estimate (merge-consistency — the
+    property that makes incremental maintenance sound)."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        incremental_distinct_estimate,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    from .conftest import SF_CORRECT
+
+    ev = load(spark, SF_CORRECT, "events")
+    row = incremental_distinct_estimate(ev, "user_id", F.to_date("ts")).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    n_days = ev.select(F.to_date("ts")).distinct().count()
+    assert row.n_buckets == n_days
+    assert abs(row.estimate - exact) <= 0.05 * exact
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0].e
+    assert row.estimate == whole

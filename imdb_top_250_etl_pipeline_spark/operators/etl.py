@@ -102,6 +102,9 @@ def with_surrogate_key(
     offset join reads ``_pid`` from two plan branches, and without the
     pin a non-reused range exchange would re-sample its boundaries per
     branch and silently mix two inconsistent partition assignments.
+    EAGER: that pin runs a Spark job at construction time and holds the
+    repartitioned rows in executor storage for the session — compose
+    once and reuse the result rather than rebuilding per pass.
     """
     from .windows import _pin_partition_ids
 

@@ -63,6 +63,14 @@ def grouped_row_number(
     Cost: one range shuffle + one tiny offset aggregate + one cell-keyed
     window whose parallelism is n_partitions × n_groups (versus
     n_groups for the plain window).
+
+    EAGER: building this DataFrame runs a Spark job immediately — the
+    range-repartitioned input is localCheckpoint-pinned so both plan
+    branches see one frozen partition assignment (the _pin_partition_ids
+    contract).  The pinned blocks live in executor storage for the
+    session; call sites that build many of these in one session should
+    persist/unpersist their own inputs or reuse the returned frame
+    rather than re-invoking per pass.
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     gcols = [F.col(c) for c in group_cols]
@@ -104,7 +112,9 @@ def distributed_cumsum(
     The distributed prefix-sum primitive — what sequence packing, quota
     assignment, and offset-based indexing need at corpus scale.
     ``order_cols`` must be a total order (unique tie-break key), same
-    contract as grouped_row_number.
+    contract as grouped_row_number — including its EAGER contract: one
+    Spark job runs at construction time and the repartitioned input is
+    pinned in executor storage for the session.
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
@@ -144,7 +154,9 @@ def distributed_prev_max(
     late iff its timestamp falls more than the allowed delay behind the
     max event time of the rows that ARRIVED before it — its own
     timestamp must not vaccinate it.  ``order_cols`` must be a total
-    order (unique tie-break key).
+    order (unique tie-break key).  EAGER like grouped_row_number: a
+    Spark job runs at construction time and the repartitioned input is
+    pinned in executor storage for the session.
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources import load
 from .registry import ORACLES, QUERIES, register, subsume
@@ -1776,7 +1777,9 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = events_retention(spark, sf_dir).select(
         _tag("retention"),
         _null("bigint").alias("uid"),
-        F.col("cohort_date").cast("timestamp").alias("t1"),
+        # T.TimestampType(), not the string "timestamp": the string form
+        # resolves via spark.sql.timestampType (catalog.py discipline)
+        F.col("cohort_date").cast(T.TimestampType()).alias("t1"),
         _null("timestamp").alias("t2"),
         F.col("day_offset").cast("bigint").alias("n"),
         F.col("n_users").alias("n2"),

@@ -50,7 +50,19 @@ def _events_ts_unit(sf_dir: str) -> str:
 
         t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
         return getattr(t, "unit", "us") or "us"
-    except Exception:
+    except (ImportError, FileNotFoundError, KeyError) as exc:
+        # narrow except: a malformed footer (ArrowInvalid etc.) should
+        # surface here at plan time, not later as an opaque scan error.
+        # The fallbacks below are the only sniff failures with a sane
+        # default (no pyarrow / no file yet / no ts field) — warn so a
+        # wrong guess on a legacy ns fixture stays diagnosable.
+        import warnings
+
+        warnings.warn(
+            f"events ts-unit sniff failed ({exc!r}); assuming 'us'",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return "us"
 
 

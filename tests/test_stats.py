@@ -74,4 +74,8 @@ def test_incremental_distinct_sketch_union(spark):
     whole = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).collect()[0].e
-    assert row.estimate == whole
+    # merge-consistency within a small relative tolerance, not exact float
+    # equality: DataSketches estimates streamed sketches with HIP but
+    # union results with the composite estimator, so bit-equality only
+    # holds while fixture cardinality keeps sketches in exact/coupon mode.
+    assert abs(row.estimate - whole) <= max(0.02 * whole, 1.0)

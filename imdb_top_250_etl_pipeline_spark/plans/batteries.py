@@ -235,10 +235,30 @@ def agg_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_battery",
-    oracle=None,  # moment/percentile fp accumulation is engine-ordered
+    oracle=(
+        _wrap(
+            "moments",
+            "l_returnflag AS k, CAST(n AS DOUBLE) AS v1, qty_stddev AS v2, "
+            "qty_var AS v3, qty_skew AS v4, qty_kurt AS v5, "
+            "price_qty_corr AS v6",
+            _SQL["agg_stats_moments"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "percentiles",
+            "o_orderpriority AS k, p50 AS v1, p90 AS v2, p99 AS v3, "
+            "CAST(approx_ok AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5, "
+            "CAST(NULL AS DOUBLE) AS v6",
+            _SQL["agg_percentiles"],
+        )
+    ),
     doc="Statistical moments (stddev/var/skew/kurt/corr per returnflag) + "
-    "exact & approx percentiles per priority, normalized to (part, k, "
-    "v1..v6). Rows-only for the driver; every value numpy-pinned in "
+    "exact percentiles per priority with the approx_percentile sketch "
+    "folded to an invariant boolean, normalized to (part, k, v1..v6). "
+    "HASH-CHECKED since round 6: the constituent oracles reconcile "
+    "Spark's population-form skewness/kurtosis with DuckDB's sample "
+    "estimators and share the lerp percentile definition (see "
+    "plans/sql_surface.py). Values additionally numpy-pinned in "
     "tests/test_stats.py. Subsumes agg_stats_moments, agg_percentiles.",
 )
 def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +278,7 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50").alias("v1"),
         F.col("p90").alias("v2"),
         F.col("p99").alias("v3"),
-        F.col("p90_approx").cast("double").alias("v4"),
+        F.col("approx_ok").cast("double").alias("v4"),
         _null("double").alias("v5"),
         _null("double").alias("v6"),
     )
@@ -819,23 +839,73 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_battery",
     oracle=None,  # ANN assignments depend on Spark-side hash families
-    doc="Top-k similarity three ways: exact brute-force cosine baseline, "
-    "IVF probe, and IVF over k-means-refined centroids — tagged "
-    "(part, query_id, neighbor_id, rank). Rows-only; numpy-exactness "
-    "and recall floors pinned in tests/test_llm_data.py. Subsumes "
-    "sim_cosine_topk, sim_ann_ivf, sim_ann_ivf_kmeans.",
+    doc="Approximate top-k similarity: IVF probe and IVF over "
+    "k-means-refined centroids — tagged (part, query_id, neighbor_id, "
+    "rank). Rows-only BY DESIGN (cluster assignments depend on "
+    "Spark-side hash families); recall floors vs the exact baseline "
+    "pinned in tests/test_llm_data.py. The exact brute-force baseline "
+    "moved out to the driver-facing, hash-checked sim_cosine_topk in "
+    "round 6. Subsumes sim_ann_ivf, sim_ann_ivf_kmeans.",
 )
 def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _FN["sim_cosine_topk"](spark, sf_dir).select(
-        _tag("brute"), "query_id", "neighbor_id", "rank"
-    )
     i = _FN["sim_ann_ivf"](spark, sf_dir).select(
         _tag("ivf"), "query_id", "neighbor_id", "rank"
     )
     k = _FN["sim_ann_ivf_kmeans"](spark, sf_dir).select(
         _tag("ivf_kmeans"), "query_id", "neighbor_id", "rank"
     )
-    return b.unionByName(i).unionByName(k)
+    return i.unionByName(k)
+
+
+@register(
+    "multimodal_scalar_battery",
+    oracle=(
+        _wrap(
+            "props",
+            "event_type AS k, n_events AS n1, k_sum AS n2, "
+            "CAST(k_max AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4, "
+            "CAST(NULL AS BIGINT) AS n5, k_avg AS v",
+            _SQL["multimodal_props_json"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "quantize",
+            "CAST(vec_id AS VARCHAR) AS k, CAST(dim AS BIGINT) AS n1, "
+            "q_sum AS n2, CAST(n_pos AS BIGINT) AS n3, q_max AS n4, "
+            "q_min AS n5, CAST(NULL AS DOUBLE) AS v",
+            _SQL["multimodal_embedding_quantize"],
+        )
+    ),
+    doc="The multimodal scalar surface in one battery: JSON sidecar "
+    "parsing (part=props: from_json schema-on-read -> typed aggregation, "
+    "exact integer sums) + embedding quantization features (part="
+    "quantize: per-dimension floor(x*1000) -> integer sums/extrema), "
+    "normalized to (part, k, n1..n5, v). Both branches hash-checked, "
+    "same oracles as the former standalone queries. Subsumes "
+    "multimodal_props_json, multimodal_embedding_quantize.",
+)
+def multimodal_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _FN["multimodal_props_json"](spark, sf_dir).select(
+        _tag("props"),
+        F.col("event_type").alias("k"),
+        F.col("n_events").alias("n1"),
+        F.col("k_sum").alias("n2"),
+        F.col("k_max").cast("bigint").alias("n3"),
+        _null("bigint").alias("n4"),
+        _null("bigint").alias("n5"),
+        F.col("k_avg").alias("v"),
+    )
+    q = _FN["multimodal_embedding_quantize"](spark, sf_dir).select(
+        _tag("quantize"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.col("dim").cast("bigint").alias("n1"),
+        F.col("q_sum").alias("n2"),
+        F.col("n_pos").cast("bigint").alias("n3"),
+        F.col("q_max").alias("n4"),
+        F.col("q_min").alias("n5"),
+        _null("double").alias("v"),
+    )
+    return p.unionByName(q)
 
 
 from ..operators.text import PII_PATTERNS as _PII  # noqa: E402
@@ -1890,9 +1960,14 @@ subsume(
     "etl_incremental_rerun",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    "sim_cosine_topk",
+    # sim_cosine_topk is driver-facing since round 6 (hash-checked exact
+    # baseline); only the approximate IVF variants stay subsumed
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
+    # folded into multimodal_scalar_battery in round 6 (slot discipline:
+    # the driver checks a bounded number of registry entries)
+    "multimodal_props_json",
+    "multimodal_embedding_quantize",
     "text_word_counts",
     "scalar_posexplode",
     "text_quality_scores",

@@ -257,12 +257,30 @@ def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_moments",
-    oracle=None,  # variance/skew accumulate fp sums in engine-specific order
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var,
+           round(skewness(l_quantity) * (COUNT(*) - 2)
+                 / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS qty_skew,
+           round(kurtosis_pop(l_quantity), 6) AS qty_kurt,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="Statistical-moment aggregates per returnflag: stddev, variance, "
     "skewness, kurtosis, corr(price, qty) — the profiling aggregates a "
-    "data pipeline runs before training. Multi-term fp accumulation is "
-    "order-dependent → rows-only for the driver; values pinned against "
-    "numpy in tests/test_stats.py.",
+    "data pipeline runs before training. Estimator reconciliation makes "
+    "this hash-checkable: Spark's skewness/kurtosis are POPULATION form "
+    "(g1, excess g2) while DuckDB's are sample form, so the oracle maps "
+    "skewness via g1 = G1*(n-2)/sqrt(n(n-1)) and uses kurtosis_pop "
+    "directly; stddev_samp/var_samp/corr agree as-is. Both engines' "
+    "streaming central-moment accumulators agree to ~1e-14 relative, so "
+    "round(x, 6) on both sides lands on identical doubles (measured at "
+    "sf0.01 and sf0.1) — the quantile_bins exact-mode precedent. Values "
+    "are additionally numpy-pinned in tests/test_stats.py.",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -282,11 +300,26 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentiles",
-    oracle=None,  # interpolation formulae differ in fp tails across engines
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           true AS approx_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
     doc="Exact median + linear-interpolated percentiles (p50/p90/p99) of "
-    "order totals per priority, plus approx_percentile — the sketch path "
-    "that replaces exact sorting at 100 TB. Pinned against numpy's "
-    "matching 'linear' interpolation in tests/test_stats.py.",
+    "order totals per priority — Spark's percentile and DuckDB's "
+    "quantile_cont share the lerp-at-rank-p*(n-1) definition, so "
+    "round(x, 4) hash-matches (the quantile_bins exact-mode precedent) — "
+    "plus approx_percentile, the sketch path that replaces exact sorting "
+    "at 100 TB, verified AS AN INVARIANT (within 5% of the exact p90, "
+    "folded to a boolean the oracle pins to true — sketch values "
+    "themselves are engine-specific, the agg_distinct_battery "
+    "discipline). Also pinned against numpy's 'linear' interpolation in "
+    "tests/test_stats.py.",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -296,7 +329,12 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median("o_totalprice"), 4).alias("p50"),
             F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
             F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
-            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+            F.approx_percentile("o_totalprice", 0.9, 10000).alias("_p90_approx"),
         )
+        .withColumn(
+            "approx_ok",
+            (F.abs(F.col("_p90_approx") - F.col("p90")) <= 0.05 * F.col("p90")),
+        )
+        .drop("_p90_approx")
         .orderBy("o_orderpriority")
     )

@@ -107,11 +107,22 @@ def udf_dependent_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_grouped_zscore",
-    oracle=None,  # pandas mean/std accumulate fp in pandas' own order
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(CASE WHEN stddev_pop(c_acctbal) OVER w = 0 THEN 0.0
+                 ELSE (c_acctbal - avg(c_acctbal) OVER w)
+                      / stddev_pop(c_acctbal) OVER w END, 6) AS zscore
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    ORDER BY c_mktsegment, c_custkey
+    """,
     doc="applyInPandas grouped standardization: per-mktsegment z-scores of "
     "customer balances — the grouped-UDAF shape (whole group in one "
-    "pandas frame). Values pinned against an exact two-pass Spark "
-    "computation in unit tests; rows-only for the driver.",
+    "pandas frame). HASH-CHECKED since round 6: pandas mean/std(ddof=0) "
+    "and DuckDB's windowed avg/stddev_pop agree to ~1e-14 relative on "
+    "these magnitudes, so round(z, 6) lands on identical doubles "
+    "(measured at sf0.01 and sf0.1). Also pinned against an exact "
+    "two-pass Spark computation in unit tests.",
 )
 def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")

@@ -47,8 +47,9 @@ def test_percentiles_match_numpy_linear(spark):
         assert abs(r.p50 - np.percentile(x, 50, method="linear")) < 1e-3
         assert abs(r.p90 - np.percentile(x, 90, method="linear")) < 1e-3
         assert abs(r.p99 - np.percentile(x, 99, method="linear")) < 1e-3
-        # the sketch lands near the exact p90 (exact for small groups)
-        assert abs(r.p90_approx - r.p90) / r.p90 < 0.05
+        # the sketch-vs-exact invariant is folded to a boolean in the
+        # query itself (oracle pins it true); assert it held here too
+        assert r.approx_ok
 
 
 def test_incremental_distinct_sketch_union(spark):

@@ -116,12 +116,31 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def bucket_stats(
+    banded: DataFrame, id_col: str, band_cols: list[str]
+) -> DataFrame:
+    """Per-bucket member count + min id — the hot-bucket guard's input.
+
+    One bare aggregation (band cols + id only, map-side partial combine).
+    Compute once, persist (or write to a stats table), and pass to
+    ``capped_band_pairs(precomputed_stats=...)`` so composed pipelines
+    keep plan construction fully lazy; the eager default recomputes this
+    internally per call.
+    """
+    return (
+        banded.select(*band_cols, id_col)
+        .groupBy(*band_cols)
+        .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_bmin"))
+    )
+
+
 def capped_band_pairs(
     banded: DataFrame,
     id_col: str,
     band_cols: list[str],
     max_bucket: int = 256,
     payload_cols: list[str] | None = None,
+    precomputed_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs within equal ``band_cols`` buckets,
     with a hot-bucket guard.
@@ -159,18 +178,33 @@ def capped_band_pairs(
     simhash.)  A corpus so degenerate that ``hot`` itself is huge would
     stress the broadcast; at that point the corpus needs cleaning, not
     pairing.
+
+    ``precomputed_stats`` keeps plan construction FULLY LAZY: pass a
+    ``bucket_stats(banded, ...)`` table (persisted, or written once per
+    pipeline run) and no Spark job runs at build time — the guard is
+    composed as the union of both paths (anti-joined all-pairs + star),
+    which degrades gracefully to the all-pairs result when no bucket is
+    actually hot (the anti join passes everything, the star side is
+    empty).  That is the composed-pipeline/cluster shape; the default
+    ``None`` keeps the eager measure-then-pick-a-plan behavior, which
+    skips the two extra joins entirely in the common no-hot-bucket case.
     """
     payload_cols = payload_cols or []
-    hot = (
-        banded.select(*band_cols, id_col)
-        .groupBy(*band_cols)
-        .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_bmin"))
-        .where(F.col("_bn") > max_bucket)
-        .localCheckpoint(eager=True)
-    )
+    if precomputed_stats is None:
+        hot = (
+            bucket_stats(banded, id_col, band_cols)
+            .where(F.col("_bn") > max_bucket)
+            .localCheckpoint(eager=True)
+        )
+        # plan-build-time action, deliberately: when no bucket is hot (the
+        # normal case) the guarded plan collapses to the bare pair join
+        no_hot = hot.isEmpty()
+    else:
+        hot = precomputed_stats.where(F.col("_bn") > max_bucket)
+        no_hot = False  # unknowable without an action; build both paths
     small = (
         banded
-        if hot.isEmpty()
+        if no_hot
         else banded.join(
             F.broadcast(hot.select(*band_cols)), list(band_cols), "left_anti"
         )
@@ -185,7 +219,7 @@ def capped_band_pairs(
         *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
         *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
     )
-    if hot.isEmpty():
+    if no_hot:
         return all_pairs.dropDuplicates(["id_a", "id_b"])
     hot_members = banded.join(F.broadcast(hot), list(band_cols))
     # representative payloads: one row per hot bucket, joined back to the

@@ -1581,6 +1581,101 @@ def stream_stateful_count_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# foreachBatch MERGE invariant: the oracle can't see the temp target
+# table, but it CAN pin the two invariants the sink guarantees, folded
+# to scalars inside the query body — ok (contents == batch-dual upsert
+# AND untouched partitions byte-identical) and the final row count
+# (= distinct event ids, since updates never insert new keys).
+_FBMERGE_ORACLE = """
+    SELECT 1 AS ok, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_rows
+    FROM events
+"""
+
+
+@register(
+    "stream_fbmerge_check",
+    oracle=_FBMERGE_ORACLE,
+    doc="foreachBatch MERGE (streaming/jobs.py::foreach_batch_upsert) "
+    "driven end-to-end in the query body: batch 1 delivers every event, "
+    "batch 2 re-delivers every 3rd event of key bands 0-3 with updated "
+    "value/type; two availableNow runs against one checkpoint. The "
+    "query folds the sink's contract to scalars the oracle pins: the "
+    "final table must equal the pure batch-dual upsert (update-wins "
+    "multiset equality both directions) AND the parquet files of bands "
+    "batch 2 did not touch must be byte-identical across the second "
+    "run (dynamic partition overwrite rewrites only touched bands). "
+    "The sink_parquet_roundtrip versioned-branch discipline applied to "
+    "the last test-only streaming surface.",
+)
+def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.etl import upsert
+    from ..streaming.jobs import foreach_batch_upsert
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = load(spark, sf_dir, "events").select(*cols)
+    b2 = (
+        ev.where((F.col("event_id") % 3 == 0) & (F.col("event_id") % 16 < 4))
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("event_type", F.lit("upd"))
+    )
+
+    def band_hashes(tgt: str, skip: set[int]) -> dict[str, str]:
+        out = {}
+        for f in pathlib.Path(tgt).glob("key_band=*/*.parquet"):
+            band = int(f.parent.name.split("=")[1])
+            if band not in skip:
+                out[f"{f.parent.name}/{f.name}"] = hashlib.sha256(
+                    f.read_bytes()
+                ).hexdigest()
+        return out
+
+    work = tempfile.mkdtemp(prefix="fbmerge_")
+    try:
+        src, tgt, ckpt = (f"{work}/{d}" for d in ("src", "tgt", "ckpt"))
+        touched = {r[0] for r in b2.select(
+            (F.col("event_id") % 16).cast("int")).distinct().collect()}
+        stream_schema = ev.schema
+        # two deliveries into one source dir; the file-source checkpoint
+        # makes run 2 process only the newly appended files
+        ev.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(stream_schema).parquet(src)
+        foreach_batch_upsert(stream, tgt, ckpt).start().awaitTermination()
+        before = band_hashes(tgt, touched)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(stream_schema).parquet(src)
+        foreach_batch_upsert(stream2, tgt, ckpt).start().awaitTermination()
+        after = band_hashes(tgt, touched)
+        bytes_ok = before == after and len(before) > 0
+
+        final = spark.read.parquet(tgt).select(*cols)
+        expected = upsert(
+            ev.withColumn(
+                "key_band", (F.col("event_id") % 16).cast("int")
+            ),
+            b2.withColumn(
+                "key_band", (F.col("event_id") % 16).cast("int")
+            ),
+            key="event_id",
+            update_cols=["event_type", "value"],
+            stable_cols=["user_id", "key_band"],
+        ).select(*cols)
+        contents_ok = (
+            final.exceptAll(expected).isEmpty()
+            and expected.exceptAll(final).isEmpty()
+        )
+        n_rows = final.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(bytes_ok and contents_ok), n_rows)], "ok int, n_rows long"
+    )
+
+
 @register(
     "stream_battery",
     oracle=(
@@ -1678,6 +1773,14 @@ def stream_stateful_count_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users AS n2, CAST(NULL AS DOUBLE) AS v",
             _RETENTION_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "fbmerge",
+            "CAST(NULL AS BIGINT) AS uid, CAST(NULL AS TIMESTAMP) AS t1, "
+            "CAST(NULL AS TIMESTAMP) AS t2, CAST(ok AS BIGINT) AS n, "
+            "n_rows AS n2, CAST(NULL AS DOUBLE) AS v",
+            _FBMERGE_ORACLE,
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -1709,9 +1812,12 @@ def stream_stateful_count_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     "behavioral-analytics compositions (operators/analytics.py): "
     "ordered view→click→purchase funnel (part=funnel) and day-grain "
     "retention cohorts (part=retention), both user-bounded before any "
-    "join. Subsumes stream_tumbling_window, stream_sliding_window, "
+    "join, AND the foreachBatch MERGE sink driven end-to-end with two "
+    "availableNow runs (part=fbmerge: contents == batch-dual upsert, "
+    "untouched partitions byte-identical, folded to a pinned ok "
+    "scalar). Subsumes stream_tumbling_window, stream_sliding_window, "
     "stream_sessionize, stream_session_window, stream_late_data_drop, "
-    "stream_stream_join.",
+    "stream_stream_join, stream_fbmerge_check.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -1855,6 +1961,15 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").alias("n2"),
         _null("double").alias("v"),
     )
+    fb = stream_fbmerge_check(spark, sf_dir).select(
+        _tag("fbmerge"),
+        _null("bigint").alias("uid"),
+        _null("timestamp").alias("t1"),
+        _null("timestamp").alias("t2"),
+        F.col("ok").cast("bigint").alias("n"),
+        F.col("n_rows").alias("n2"),
+        _null("double").alias("v"),
+    )
     return (
         t.unionByName(s)
         .unionByName(m)
@@ -1868,6 +1983,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(uc)
         .unionByName(fu)
         .unionByName(re)
+        .unionByName(fb)
     )
 
 
@@ -2003,6 +2119,9 @@ subsume(
     "stream_stateful_count_dual",
     "events_funnel",
     "events_retention",
+    # round-6 constituent: foreachBatch MERGE driven in the query body,
+    # folded into stream_battery (part=fbmerge)
+    "stream_fbmerge_check",
     "dedup_incremental_probe",
     "sample_stratified_rates",
     "sample_mixture_balanced",

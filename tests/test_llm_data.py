@@ -251,6 +251,61 @@ def test_capped_band_pairs_star_fallback_bounds_hot_bucket(spark):
     assert full.count() == 40 * 39 // 2
 
 
+def test_capped_band_pairs_precomputed_stats_lazy_and_equivalent(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        bucket_stats,
+        capped_band_pairs,
+    )
+
+    # one hot bucket (12 members > cap 5) + two small ones
+    rows = [(i, 0, 7) for i in range(12)]
+    rows += [(100 + i, 1, 3) for i in range(3)]
+    rows += [(200 + i, 2, 9) for i in range(4)]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    stats = spark.createDataFrame(
+        bucket_stats(banded, "doc_id", ["band", "bucket"]).collect()
+    )
+
+    # composed-pipeline contract: with stats supplied, building the plan
+    # runs NO Spark job (the eager default runs the stats aggregate +
+    # isEmpty at construction time)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    lazy = capped_band_pairs(
+        banded,
+        "doc_id",
+        ["band", "bucket"],
+        max_bucket=5,
+        precomputed_stats=stats,
+    )
+    assert len(tracker.getJobIdsForGroup(None)) == before, (
+        "plan construction with precomputed_stats must not run a job"
+    )
+
+    eager = capped_band_pairs(banded, "doc_id", ["band", "bucket"], max_bucket=5)
+    got_lazy = sorted((r.id_a, r.id_b) for r in lazy.collect())
+    got_eager = sorted((r.id_a, r.id_b) for r in eager.collect())
+    assert got_lazy == got_eager
+    # hot bucket became a star (11 pairs), small buckets full cliques
+    assert len(got_lazy) == 11 + 3 * 2 // 2 + 4 * 3 // 2
+
+    # no-hot case: the lazy union-of-both-paths plan degrades to the
+    # plain all-pairs result (anti join passes everything, star empty)
+    lazy_cold = capped_band_pairs(
+        banded,
+        "doc_id",
+        ["band", "bucket"],
+        max_bucket=100,
+        precomputed_stats=stats,
+    )
+    eager_cold = capped_band_pairs(
+        banded, "doc_id", ["band", "bucket"], max_bucket=100
+    )
+    assert sorted((r.id_a, r.id_b) for r in lazy_cold.collect()) == sorted(
+        (r.id_a, r.id_b) for r in eager_cold.collect()
+    )
+
+
 def test_chunk_documents_matches_python_reference(spark):
     from imdb_top_250_etl_pipeline_spark.operators.text import chunk_documents
 

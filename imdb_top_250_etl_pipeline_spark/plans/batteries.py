@@ -1637,8 +1637,12 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="fbmerge_")
     try:
         src, tgt, ckpt = (f"{work}/{d}" for d in ("src", "tgt", "ckpt"))
-        touched = {r[0] for r in b2.select(
-            (F.col("event_id") % 16).cast("int")).distinct().collect()}
+        # b2 is filtered to event_id % 16 < 4 above, so the touched key
+        # bands are statically {0..3} — derived from the construction
+        # rather than collected, keeping the engine's no-collect
+        # invariant (a superset of the truly-touched bands only shrinks
+        # the byte-identity check, never weakens it on untouched bands)
+        touched = set(range(4))
         stream_schema = ev.schema
         # two deliveries into one source dir; the file-source checkpoint
         # makes run 2 process only the newly appended files

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""sf1 scale-validation sweep: every oracle query hash-checked at 10x bench scale.
+
+Runs the full registered query surface (driver-facing + battery-subsumed
+constituents) at $SF_DIR (default /root/repo/.scratch/sf1, built by
+tools/make_sf1.py), comparing each query that carries a DuckDB oracle with
+the same rows/schema/value-hash contract the driver applies at sf0.01 —
+via the identical tests/oracle_harness.compare code path.  Queries without
+an oracle (the approximate LSH/ANN families) execute rows-only with a
+wall-clock record, so a memory cliff or super-linear blowup at 10x still
+surfaces even without a hash.
+
+Writes ONE JSON object to $SWEEP_OUT (default SWEEP_sf1.json):
+  {"sf": 1.0, "oracle": {name: {...compare result, "sec": s}},
+   "rows_only": {name: {"rows": n, "sec": s}},
+   "all_hash_green": bool}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/repo/.scratch/sf1")
+OUT = os.environ.get("SWEEP_OUT", "SWEEP_sf1.json")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main() -> None:
+    import duckdb
+
+    from imdb_top_250_etl_pipeline_spark.plans import QUERIES, SUBSUMED
+    from imdb_top_250_etl_pipeline_spark.session import get_spark
+    from tests.oracle_harness import compare
+
+    spark = get_spark("sf1-sweep")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    all_q = {**QUERIES, **SUBSUMED}
+    oracle_res: dict[str, dict] = {}
+    rows_only: dict[str, dict] = {}
+    for name in sorted(all_q):
+        q = all_q[name]
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, SF_DIR)
+            if q.oracle is not None:
+                res = compare(df, duck, q.oracle)
+                res["sec"] = round(time.perf_counter() - t0, 2)
+                oracle_res[name] = res
+                tag = "HASH-OK" if res["hash_match"] else "HASH-FAIL"
+            else:
+                n = df.count()
+                rows_only[name] = {
+                    "rows": n,
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+                tag = f"rows={n}"
+        except Exception as e:  # record, keep sweeping
+            oracle_res[name] = {
+                "hash_match": False,
+                "err": f"{type(e).__name__}: {e}"[:300],
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            tag = "ERROR"
+        sys.stderr.write(
+            f"[{tag}] {name} {round(time.perf_counter() - t0, 1)}s\n"
+        )
+
+    out = {
+        "sf": 1.0,
+        "oracle": oracle_res,
+        "rows_only": rows_only,
+        "all_hash_green": all(r.get("hash_match") for r in oracle_res.values()),
+        "n_oracle": len(oracle_res),
+        "n_rows_only": len(rows_only),
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    sys.stderr.write(
+        f"sweep done: {out['n_oracle']} oracle ({'ALL GREEN' if out['all_hash_green'] else 'FAILURES'}), "
+        f"{out['n_rows_only']} rows-only -> {OUT}\n"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,12 @@ def _count_parquet_files(path: str) -> int:
         "\nUNION ALL\n"
         "SELECT 'orc' AS part, c_custkey, c_name, c_acctbal, "
         "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 2"
+        "\nUNION ALL\n"
+        "SELECT 'txn' AS part, c_custkey, c_name, "
+        "CASE WHEN c_custkey % 2 = 0 AND c_custkey <= 200 "
+        "THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer "
+        "WHERE c_mktsegment = 'AUTOMOBILE'"
     ),
     doc="The S4/S4+/S5+ sink layer as one oracle-checked battery, each "
     "branch a full write→read-back round-trip through a disposable temp "
@@ -232,6 +238,11 @@ def _count_parquet_files(path: str) -> int:
     "with time travel (part=versioned — v1 written, v2 written over it, "
     "the V1 content read back by explicit version; ok pins that the "
     "committed pointer advanced to v2 while v1 stayed readable), plus "
+    "the transaction-log table with real MERGE (part=txn — "
+    "sources/txn.py create→merge→time-travel; ok pins that untouched "
+    "range-partitioned files stayed byte-identical across the commit, "
+    "v0 time travel still reads the pre-merge table, and the merged "
+    "snapshot equals the pure upsert), and "
     "the three non-parquet source formats round-tripped with explicit "
     "declared schemas and FAILFAST (part=csv/json/orc — "
     "sources/catalog.py::read_csv/read_json + the ORC reader; Java's "
@@ -346,6 +357,57 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("part", F.lit("orc"))
         )
 
+        # part=txn: the transaction-log table (sources/txn.py) driven
+        # end-to-end — create at v0 (8 range-partitioned files), MERGE a
+        # narrow even-key slice, then fold the format's contract into ok:
+        # (a) data files whose key range the merge could not touch are
+        # byte-identical across the commit (file skipping is real, not
+        # just logged), (b) time travel to v0 still reads the pre-merge
+        # table exactly, (c) the new snapshot equals the pure upsert()
+        # of the same inputs — so the oracle is plain SQL over customer
+        import hashlib as _hashlib
+
+        from ..operators.etl import upsert as _upsert
+        from ..sources.txn import snapshot, txn_create, txn_merge, txn_read
+
+        txn_dir = os.path.join(path, "txn")
+        base = c.where(F.col("c_mktsegment") == "AUTOMOBILE")
+        txn_create(base, txn_dir, key="c_custkey", range_partitions=8)
+        _, _, _, live0 = snapshot(txn_dir)
+
+        def _sha(rel: str) -> str:
+            with open(os.path.join(txn_dir, rel), "rb") as fh:
+                return _hashlib.sha256(fh.read()).hexdigest()
+
+        upd = base.where(
+            (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") <= 200)
+        ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0))
+        txn_merge(
+            spark, txn_dir, upd,
+            update_cols=["c_acctbal", "c_mktsegment"],
+            stable_cols=["c_name"],
+            range_partitions=2,
+        )
+        _, _, _, live1 = snapshot(txn_dir)
+        survivors = set(live0) & set(live1)
+        hashes0 = {rel: _sha(rel) for rel in survivors}
+        skip_ok = all(_sha(rel) == h for rel, h in hashes0.items())
+        v0 = txn_read(spark, txn_dir, version=0)
+        travel_ok = (
+            v0.exceptAll(base).isEmpty() and base.exceptAll(v0).isEmpty()
+        )
+        merged = txn_read(spark, txn_dir)
+        expected = _upsert(
+            base, upd, "c_custkey", ["c_acctbal", "c_mktsegment"], ["c_name"]
+        ).select(*merged.columns)
+        merge_ok = (
+            merged.exceptAll(expected).isEmpty()
+            and expected.exceptAll(merged).isEmpty()
+        )
+        txn = merged.withColumn(
+            "ok", F.lit(bool(skip_ok and travel_ok and merge_ok))
+        ).withColumn("part", F.lit("txn"))
+
         out = (
             rt.unionByName(srt)
             .unionByName(cmp)
@@ -353,6 +415,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(fmt_csv)
             .unionByName(fmt_json)
             .unionByName(fmt_orc)
+            .unionByName(txn)
             .select(
                 "part", "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "ok"
             )

@@ -329,6 +329,75 @@ def pack_chunks(
     )
 
 
+def _tagged_ngrams(t: Column, n: int) -> Column:
+    """Array of (n, gram) structs for one n — empty when the document is
+    shorter than n tokens (sequence() would otherwise run backwards)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    tagged = F.transform(
+        grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+    )
+    empty = F.array().cast(f"array<struct<n:int,g:string>>")
+    return F.when(F.size(t) >= n, tagged).otherwise(empty)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: for each n in
+    ``ns``, the fraction of n-grams accounted for by the most common
+    n-gram (``top_{n}gram_frac``) and by all n-grams occurring more than
+    once (``dup_{n}gram_frac``).  High values flag boilerplate/spam
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", Table A1's
+    repetition filters) — a first-class pretraining quality gate.
+
+    Distributed shape, NOT per-document quadratic scans: one generated
+    array of tagged n-grams per document (codegen), one explode, one
+    (id, n, gram) count with map-side partial aggregation — heavy
+    repetition is exactly what combines best map-side — then one
+    conditional re-aggregation per document.  Two shuffles total for
+    all n at once; nothing holds a vocabulary in memory.
+
+    Documents shorter than n tokens yield NULL for that n's metrics
+    (no n-grams exist — 0/0), and a document with no n-grams for ANY n
+    still gets its all-NULL row: every document also emits one sentinel
+    (n=0) entry, so the per-document aggregation itself retains all ids
+    — no join back onto the corpus (which would be an unbounded-table
+    broadcast or an extra shuffle at scale).  Each metric is one IEEE
+    division of two exact integers, so the whole table is
+    hash-checkable cross-engine.
+    """
+    t = tokens(text_col)
+    sentinel = F.array(
+        F.struct(F.lit(0).alias("n"), F.lit("").alias("g"))
+    )
+    all_grams = F.flatten(
+        F.array(sentinel, *[_tagged_ngrams(t, n) for n in ns])
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(all_grams).alias("ng")
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = exploded.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    c = F.col("c")
+    aggs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        top = F.max(F.when(is_n, c)).cast("double") / F.sum(
+            F.when(is_n, c)
+        )
+        dup = F.coalesce(
+            F.sum(F.when(is_n & (c > 1), c)), F.lit(0)
+        ).cast("double") / F.sum(F.when(is_n, c))
+        word = {2: "bigram", 3: "trigram"}.get(n, f"{n}gram")
+        aggs += [
+            top.alias(f"top_{word}_frac"),
+            dup.alias(f"dup_{word}_frac"),
+        ]
+    return counts.groupBy(id_col).agg(*aggs)
+
+
 def tfidf_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-(document, term) TF-IDF statistics table: (id, term, tf,
     dfreq) — the lexical-feature primitive under retrieval scoring and

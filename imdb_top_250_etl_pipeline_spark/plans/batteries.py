@@ -1129,6 +1129,7 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
          l AS ({_SQL["text_language_id"]}),
          f AS ({_SQL["text_fingerprints"]}),
          a AS ({_SQL["scalar_array_battery"]}),
+         rep AS ({_SQL["text_repetition_signals"]}),
          ctoks AS (
            SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
          ),
@@ -1190,6 +1191,8 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(a.first5, '|') AS first5,
            array_to_string(a.first3_sorted, '|') AS first3_sorted,
            cont.n_grams, cont.n_contaminated, cont.contamination_ratio,
+           rep.top_bigram_frac, rep.dup_bigram_frac,
+           rep.top_trigram_frac, rep.dup_trigram_frac,
            pii.n_ssn, pii.n_email, pii.n_phone, pii.redacted_fp,
            CASE WHEN CAST(CONCAT('0x', substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))
                      AS BIGINT) % 10 < 8 THEN 'train'
@@ -1206,6 +1209,7 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN f USING (doc_id)
     JOIN a USING (doc_id)
     JOIN cont USING (doc_id)
+    JOIN rep USING (doc_id)
     JOIN pii USING (doc_id)
     ORDER BY doc_id
     """,
@@ -1220,9 +1224,11 @@ def text_tokens_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "redacted-text fingerprint, operators/text.py::redact_pii_columns) "
     "rides in the same projection, as does the deterministic md5 "
     "train/val/test split (split_by_hash — reproducible assignment the "
-    "oracle recomputes exactly). Subsumes text_quality_scores, "
+    "oracle recomputes exactly); Gopher-style repetition quality "
+    "signals (repetition_features — top/dup n-gram fractions, n=2,3) "
+    "join on as a distributed count pass. Subsumes text_quality_scores, "
     "text_token_counts, text_language_id, text_fingerprints, "
-    "scalar_array_battery.",
+    "scalar_array_battery, text_repetition_signals.",
 )
 def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import (
@@ -1271,7 +1277,12 @@ def text_doc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = contamination_check(
         docs, docs.where(F.col("source") == "src0"), "text", "doc_id"
     )
-    return features.join(cont, "doc_id").orderBy("doc_id")
+    from ..operators.text import repetition_features
+
+    rep = repetition_features(docs, "text", "doc_id")
+    return (
+        features.join(cont, "doc_id").join(rep, "doc_id").orderBy("doc_id")
+    )
 
 
 @register(
@@ -2117,6 +2128,8 @@ subsume(
     "agg_histogram_fixed_width",
     "text_sequence_packing",
     "text_tfidf_stats",
+    # round-6: Gopher repetition signals ride text_doc_battery's wide row
+    "text_repetition_signals",
     "stream_forward_fill",
     "stream_static_enrich",
     "stream_stateful_dedup_dual",

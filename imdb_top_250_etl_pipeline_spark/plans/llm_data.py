@@ -46,6 +46,7 @@ from ..operators.text import (
     fingerprints,
     language_id,
     quality_features,
+    repetition_features,
     token_count_bpe_ish,
     word_counts,
 )
@@ -601,6 +602,49 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return token_count_bpe_ish(d, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    rgrams AS (
+      SELECT doc_id, v.n,
+             array_to_string(list_slice(tk, u.i, u.i + v.n - 1), ' ') AS g
+      FROM rtoks, (VALUES (2), (3)) v(n),
+           UNNEST(range(1, greatest(len(tk) - v.n + 1, 0) + 1)) u(i)
+    ),
+    rcnt AS (SELECT doc_id, n, g, COUNT(*) AS c
+             FROM rgrams GROUP BY doc_id, n, g),
+    rmet AS (
+      SELECT doc_id,
+             CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+                 / SUM(CASE WHEN n = 2 THEN c END) AS top_bigram_frac,
+             CAST(COALESCE(SUM(CASE WHEN n = 2 AND c > 1 THEN c END), 0) AS DOUBLE)
+                 / SUM(CASE WHEN n = 2 THEN c END) AS dup_bigram_frac,
+             CAST(MAX(CASE WHEN n = 3 THEN c END) AS DOUBLE)
+                 / SUM(CASE WHEN n = 3 THEN c END) AS top_trigram_frac,
+             CAST(COALESCE(SUM(CASE WHEN n = 3 AND c > 1 THEN c END), 0) AS DOUBLE)
+                 / SUM(CASE WHEN n = 3 THEN c END) AS dup_trigram_frac
+      FROM rcnt
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, rmet.top_bigram_frac, rmet.dup_bigram_frac,
+           rmet.top_trigram_frac, rmet.dup_trigram_frac
+    FROM documents d LEFT JOIN rmet USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style within-document repetition quality signals "
+    "(operators/text.py::repetition_features): fraction of n-grams in "
+    "the most common n-gram and in n-grams occurring more than once, "
+    "for n=2,3 — the boilerplate/spam gate of pretraining curation "
+    "(Rae et al. 2021, Table A1). Distributed explode→count shape with "
+    "map-side combining, two shuffles for all n at once; every metric "
+    "is one IEEE division of exact integers, hash-checked.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return repetition_features(d, "text", "doc_id").orderBy("doc_id")
 
 
 def _lang_score_sql(markers: tuple[str, ...]) -> str:

@@ -607,3 +607,30 @@ def test_exact_dedup_by_keeps_preferred_copy(spark):
     # ascending policy: keep the LOWEST quality copy
     low = {r.doc_id for r in exact_dedup_by(df, "text", "doc_id", "quality", descending=False).collect()}
     assert low == {1, 4}
+
+
+def test_repetition_features_hand_computed(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    rows = [
+        # "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4, dup 4/4
+        #              trigrams [a b a, b a b, a b a] -> top 2/3, dup 2/3
+        (1, "a b a b a"),
+        # all-distinct tokens: top n-gram counts once, no duplicates
+        (2, "w x y z"),
+        # single token: no bigrams/trigrams exist -> NULL metrics
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_features(df, "text", "doc_id").collect()}
+    r1 = got[1]
+    assert r1.top_bigram_frac == 2 / 4 and r1.dup_bigram_frac == 1.0
+    assert r1.top_trigram_frac == 2 / 3 and r1.dup_trigram_frac == 2 / 3
+    r2 = got[2]
+    assert r2.top_bigram_frac == 1 / 3 and r2.dup_bigram_frac == 0.0
+    assert r2.top_trigram_frac == 1 / 2 and r2.dup_trigram_frac == 0.0
+    r3 = got[3]
+    assert r3.top_bigram_frac is None and r3.dup_bigram_frac is None
+    assert r3.top_trigram_frac is None and r3.dup_trigram_frac is None

@@ -802,7 +802,11 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(part=incremental: docs with doc_id%5==0 probed as the incoming "
     "batch against a MinHash index built over the rest — id_a=new, "
     "id_b=existing, score=exact Jaccard; operators/dedup.py::"
-    "minhash_probe_incremental, per-batch work ∝ batch not corpus). "
+    "minhash_probe_incremental, per-batch work ∝ batch not corpus), "
+    "plus duplication-graph PageRank centrality (part=pagerank: "
+    "operators/graph.py::pagerank over the symmetrized pair graph — "
+    "id_a=doc, score=rank; the canonical-copy prior; numpy dual in "
+    "tests/test_graph.py). "
     "Rows-only; exactness pinned in tests/test_llm_data.py "
     "(lossless-<=3-hamming, planted recall, clique/chain components, "
     "full-recompute equivalence). Subsumes dedup_simhash_pairs, "
@@ -833,7 +837,30 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("existing_id").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
-    return pairs.unionByName(groups).unionByName(inc)
+    # part=pagerank: duplication-graph centrality — symmetrize the
+    # candidate pairs into a directed edge list and rank documents by
+    # how central they sit in near-dup clusters (high rank = canonical
+    # copy candidate). Float power iteration → rows-only like the rest
+    # of this battery; values pinned vs a numpy dual in tests/test_graph.
+    from ..operators.graph import pagerank
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+    )
+    pr = pagerank(edges, "src", "dst", n_iter=8).select(
+        _tag("pagerank"),
+        F.col("node").alias("id_a"),
+        _null("bigint").alias("id_b"),
+        F.col("rank").alias("score"),
+    )
+    return (
+        pairs.unionByName(groups).unionByName(inc).unionByName(pr)
+    )
 
 
 @register(

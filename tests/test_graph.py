@@ -1,0 +1,79 @@
+"""PageRank (operators/graph.py) vs a numpy power-iteration dual.
+
+The Spark operator and the dual implement the same recurrence
+(uniform teleport + dangling-mass redistribution), so values must agree
+to fp-summation tolerance on every graph shape that exercises a
+distinct code path: cycles (symmetric fixed point), stars (in-degree
+concentration), dangling sinks, parallel edges, and disconnected
+components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from imdb_top_250_etl_pipeline_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, n_iter=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        s = np.zeros(n)
+        for u, v in edges:
+            s[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dangling = 1.0 - sum(r[idx[u]] for u in {u for u, _ in edges})
+        r = (1 - damping) / n + damping * (s + dangling / n)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def _spark_pagerank(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.rank
+        for r in pagerank(df, "src", "dst", n_partitions=4, **kw).collect()
+    }
+
+
+CASES = {
+    "cycle": [(1, 2), (2, 3), (3, 1)],
+    "star_in": [(1, 9), (2, 9), (3, 9), (9, 1)],
+    "dangling_sink": [(1, 2), (2, 3), (1, 3)],  # 3 has no out-edges
+    "parallel_edges": [(1, 2), (1, 2), (1, 3)],
+    "two_components": [(1, 2), (2, 1), (10, 11), (11, 12), (12, 10)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_pagerank_matches_numpy_dual(spark, name):
+    edges = CASES[name]
+    got = _spark_pagerank(spark, edges, n_iter=12, checkpoint_every=4)
+    want = _numpy_pagerank(edges, n_iter=12)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], rel=1e-9), (
+            name,
+            node,
+        )
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    got = _spark_pagerank(spark, CASES["cycle"], n_iter=8)
+    for v in got.values():
+        assert v == pytest.approx(1.0 / 3, rel=1e-12)
+
+
+def test_pagerank_star_concentrates_rank(spark):
+    got = _spark_pagerank(spark, CASES["star_in"], n_iter=12)
+    hub = got[9]
+    # 9 absorbs every spoke's rank; 1 in turn absorbs all of 9's, so
+    # only the pure-teleport spokes (2, 3) must be clearly dominated
+    assert hub > got[2] * 2 and hub > got[3] * 2
+    assert got[1] > got[2]

@@ -197,6 +197,65 @@ def upsert(
     return e.join(i, ek == ik, "full_outer").select(*cols)
 
 
+def apply_changes(
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """CDC apply: fold an insert/update/delete change stream (op ∈
+    {'I','U','D'}, totally ordered per key by ``seq_col`` — an LSN /
+    commit version) into the final table state.
+
+    Latest change wins per key; a trailing 'D' removes the key.  The
+    batch dual of every log-based replication sink (Debezium→warehouse,
+    Delta CDF apply) and the generalization of ``upsert`` to ordered
+    multi-change batches.  One shuffle (the per-key window); per-key
+    work ∝ that key's change count, so skew is bounded by update
+    frequency, not table size.  Exactly SQL-expressible — the oracle
+    runs the same window.
+    """
+    w = W.partitionBy(key).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col(op_col) != "D")
+        .select(key, *payload_cols)
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn the same CDC stream into
+    full version history — one row per (key, version) with
+    ``valid_from_v`` (the change's own sequence) and ``valid_to_v``
+    (the NEXT change's sequence, NULL while current).
+
+    A delete closes the last version's interval without emitting a row
+    of its own, so ``valid_to_v IS NULL`` is exactly the live-row
+    predicate ``apply_changes`` materializes.  Same single-shuffle
+    window shape; the lead() must run BEFORE dropping 'D' rows (the
+    delete's sequence is the predecessor's end).
+    """
+    w = W.partitionBy(key).orderBy(F.col(seq_col).asc())
+    return (
+        changes.withColumn("valid_to_v", F.lead(seq_col).over(w))
+        .where(F.col(op_col) != "D")
+        .select(
+            key,
+            *payload_cols,
+            F.col(seq_col).alias("valid_from_v"),
+            "valid_to_v",
+        )
+    )
+
+
 def insert_ignore(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
     """S6: INSERT ... ON CONFLICT DO NOTHING (webscraper-postgres.py:160)
     as existing ∪ (incoming ⟕anti existing) — first-writer-wins."""

@@ -738,33 +738,164 @@ def etl_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.unionByName(d).unionByName(w)
 
 
+# Shared CDC change-stream fixture (Spark + SQL twins below): full-row
+# after-images with a per-key total order (seq — an LSN stand-in).
+#   seq 1        'I'  every order (original row)
+#   seq 2, %4==0 'U'  status -> 'X', total + 1.50
+#   seq 2, %4==1 'D'  delete
+#   seq 2, %4==3 'U'  custkey + 1,000,000
+#   seq 3, %4==3 'U'  status -> 'Y', total + 2.75 (carries the custkey
+#                     change too — CDC rows are full after-images)
+_CDC_SQL = """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(13,2)) AS total,
+             1 AS seq, 'I' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'X',
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1.50 AS DECIMAL(13,2)),
+             2, 'U'
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(13,2)),
+             2, 'D'
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey + 1000000, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(13,2)),
+             2, 'U'
+      FROM orders WHERE o_orderkey % 4 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey + 1000000, 'Y',
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 2.75 AS DECIMAL(13,2)),
+             3, 'U'
+      FROM orders WHERE o_orderkey % 4 = 3
+"""
+
+
+def _cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    t12 = F.col("o_totalprice").cast("decimal(12,2)")
+    t13 = "decimal(13,2)"
+
+    def row(pred, cust, status, total, seq, op):
+        d = o.where(pred) if pred is not None else o
+        return d.select(
+            "o_orderkey",
+            cust.alias("o_custkey"),
+            status.alias("o_orderstatus"),
+            total.cast(t13).alias("total"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    k = F.col("o_orderkey")
+    cust, status = F.col("o_custkey"), F.col("o_orderstatus")
+    plus = lambda s: t12 + F.lit(s).cast("decimal(3,2)")
+    return (
+        row(None, cust, status, t12, 1, "I")
+        .unionByName(row(k % 4 == 0, cust, F.lit("X"), plus("1.50"), 2, "U"))
+        .unionByName(row(k % 4 == 1, cust, status, t12, 2, "D"))
+        .unionByName(row(k % 4 == 3, cust + 1000000, status, t12, 2, "U"))
+        .unionByName(
+            row(k % 4 == 3, cust + 1000000, F.lit("Y"), plus("2.75"), 3, "U")
+        )
+    )
+
+
+_NO_VALID = "CAST(NULL AS BIGINT) AS valid_from_v, CAST(NULL AS BIGINT) AS valid_to_v"
+
+
 @register(
     "etl_upsert_idempotent",
     oracle=(
         _wrap(
             "once",
-            "o_orderkey, o_orderstatus, total, o_custkey",
+            f"o_orderkey, o_orderstatus, total, o_custkey, {_NO_VALID}",
             _SQL["etl_upsert_orders"],
         )
         + "\nUNION ALL\n"
         + _wrap(
             "twice",
-            "o_orderkey, o_orderstatus, total, o_custkey",
+            f"o_orderkey, o_orderstatus, total, o_custkey, {_NO_VALID}",
             _SQL["etl_incremental_rerun"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "cdc",
+            f"o_orderkey, o_orderstatus, total, o_custkey, {_NO_VALID}",
+            f"""
+            SELECT o_orderkey, o_orderstatus, CAST(total AS DOUBLE) AS total,
+                   o_custkey
+            FROM (
+              SELECT *, row_number() OVER (
+                        PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+              FROM ({_CDC_SQL}) ch
+            ) latest
+            WHERE rn = 1 AND op <> 'D'
+            """,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "scd2",
+            "o_orderkey, o_orderstatus, total, o_custkey, "
+            "valid_from_v, valid_to_v",
+            f"""
+            SELECT o_orderkey, o_orderstatus, CAST(total AS DOUBLE) AS total,
+                   o_custkey, CAST(seq AS BIGINT) AS valid_from_v, valid_to_v
+            FROM (
+              SELECT *, CAST(lead(seq) OVER (
+                        PARTITION BY o_orderkey ORDER BY seq) AS BIGINT)
+                        AS valid_to_v
+              FROM ({_CDC_SQL}) ch
+            ) versions
+            WHERE op <> 'D'
+            """,
         )
     ),
     doc="S5 MERGE upsert + S7 idempotent re-run (apply the same batch "
     "twice -> identical table; both branches share one oracle result by "
-    "construction). Subsumes etl_upsert_orders, etl_incremental_rerun.",
+    "construction), plus the CDC surface over a deterministic I/U/D "
+    "change stream with per-key sequence numbers: part=cdc folds the "
+    "stream to final state (operators/etl.py::apply_changes — "
+    "latest-wins window, trailing deletes drop the key; the batch dual "
+    "of log-based replication sinks) and part=scd2 expands it to "
+    "slowly-changing-dimension type-2 history (scd2_history — "
+    "valid_from_v/valid_to_v intervals, NULL valid_to_v = current row, "
+    "deletes close intervals without emitting rows). Both oracle "
+    "branches run the identical windows in DuckDB. Subsumes "
+    "etl_upsert_orders, etl_incremental_rerun.",
 )
 def etl_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import apply_changes, scd2_history
+
+    no_valid = [
+        _null("bigint").alias("valid_from_v"),
+        _null("bigint").alias("valid_to_v"),
+    ]
     once = _FN["etl_upsert_orders"](spark, sf_dir).select(
-        _tag("once"), "o_orderkey", "o_orderstatus", "total", "o_custkey"
+        _tag("once"), "o_orderkey", "o_orderstatus", "total", "o_custkey",
+        *no_valid,
     )
     twice = _FN["etl_incremental_rerun"](spark, sf_dir).select(
-        _tag("twice"), "o_orderkey", "o_orderstatus", "total", "o_custkey"
+        _tag("twice"), "o_orderkey", "o_orderstatus", "total", "o_custkey",
+        *no_valid,
     )
-    return once.unionByName(twice)
+    payload = ["o_custkey", "o_orderstatus", "total"]
+    changes = _cdc_changes(spark, sf_dir)
+    cdc = apply_changes(changes, "o_orderkey", "seq", "op", payload).select(
+        _tag("cdc"), "o_orderkey", "o_orderstatus",
+        F.col("total").cast("double").alias("total"), "o_custkey",
+        *no_valid,
+    )
+    scd2 = scd2_history(changes, "o_orderkey", "seq", "op", payload).select(
+        _tag("scd2"), "o_orderkey", "o_orderstatus",
+        F.col("total").cast("double").alias("total"), "o_custkey",
+        F.col("valid_from_v").cast("bigint").alias("valid_from_v"),
+        F.col("valid_to_v").cast("bigint").alias("valid_to_v"),
+    )
+    return once.unionByName(twice).unionByName(cdc).unionByName(scd2)
 
 
 # ---------------------------------------------------------------------------

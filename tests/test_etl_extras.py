@@ -227,3 +227,35 @@ def test_zorder_key_rejects_overflow(spark):
         zorder_key("a", "b", "c", "d", bits_per_col=21)
     with _pytest.raises(ValueError):
         zorder_key()
+
+
+def test_apply_changes_and_scd2_hand_built(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_changes,
+        scd2_history,
+    )
+
+    # key 1: I then U; key 2: I then D; key 3: I only; key 4: I, U, U
+    rows = [
+        (1, "a", 1, "I"), (1, "b", 2, "U"),
+        (2, "x", 1, "I"), (2, "x", 2, "D"),
+        (3, "c", 1, "I"),
+        (4, "p", 1, "I"), (4, "q", 2, "U"), (4, "r", 3, "U"),
+    ]
+    ch = spark.createDataFrame(rows, "k long, v string, seq int, op string")
+    final = {r.k: r.v for r in apply_changes(ch, "k", "seq", "op", ["v"]).collect()}
+    assert final == {1: "b", 3: "c", 4: "r"}  # 2 deleted
+
+    hist = {
+        (r.k, r.valid_from_v): (r.v, r.valid_to_v)
+        for r in scd2_history(ch, "k", "seq", "op", ["v"]).collect()
+    }
+    assert hist == {
+        (1, 1): ("a", 2), (1, 2): ("b", None),
+        (2, 1): ("x", 2),            # delete closed the interval, no D row
+        (3, 1): ("c", None),
+        (4, 1): ("p", 2), (4, 2): ("q", 3), (4, 3): ("r", None),
+    }
+    # live rows of the history == apply_changes final state
+    live = {k for (k, _), (_, to) in hist.items() if to is None}
+    assert live == set(final)

@@ -119,3 +119,53 @@ def forward_fill(
         for c in df.columns
     ]
     return df.select(*filled)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Points-in-interval join (``start <= point <= end``) as an
+    EQUI-join on time buckets — the range-join pattern Spark has no
+    native optimization for (a raw theta-join degenerates to
+    BroadcastNestedLoop / a full cross pairing).
+
+    Each interval is exploded to every bucket of width
+    ``bucket_width`` (seconds for timestamps, units for numerics) it
+    covers; each point hashes to exactly ONE bucket, so the equi-join
+    on bucket produces each qualifying (point, interval) pair exactly
+    once — truncation keeps bucket(p) within [bucket(start),
+    bucket(end)] whenever start <= p <= end, so the post-filter only
+    removes false candidates, never real matches, and no dedup is
+    needed.  Cost: shuffle of points + intervals×(span/width) replicas.
+    Pick ``bucket_width`` near the typical interval span — width >>
+    span wastes the filter (many false candidates per bucket); width <<
+    span explodes replicas.  Intervals with end < start yield nothing
+    (BETWEEN semantics) and are dropped before the explode — under ANSI
+    mode a descending sequence() would otherwise error out.  A keyed
+    variant is the same construction with the key appended to the join
+    condition.  Column names of the two inputs must be disjoint.
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+    w = int(bucket_width)
+    p_sec = F.col(point_col).cast("long")
+    s_sec, e_sec = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    iv = (
+        intervals.where(F.col(start_col) <= F.col(end_col))
+        .withColumn(
+            "_b",
+            F.explode(F.sequence(F.floor(s_sec / w), F.floor(e_sec / w))),
+        )
+    )
+    pt = points.withColumn("_b", F.floor(p_sec / w))
+    return (
+        pt.join(iv, "_b")
+        .where(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("_b")
+    )

@@ -1760,6 +1760,18 @@ _FBMERGE_ORACLE = """
     FROM events
 """
 
+# interval join: every event inside the 1-hour window after a trigger
+# event (every 50th event id) — the oracle is the plain range join
+_IVJOIN_ORACLE = """
+    SELECT e.user_id AS uid, i.t_start AS t1, i.t_end AS t2,
+           e.event_id AS n, i.trig_id AS n2, e.value AS v
+    FROM events e JOIN (
+      SELECT event_id AS trig_id, ts AS t_start,
+             ts + INTERVAL 1 HOUR AS t_end
+      FROM events WHERE event_id % 50 = 0) i
+    ON e.ts BETWEEN i.t_start AND i.t_end
+"""
+
 
 @register(
     "stream_fbmerge_check",
@@ -1954,6 +1966,12 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows AS n2, CAST(NULL AS DOUBLE) AS v",
             _FBMERGE_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "ivjoin",
+            "uid, t1, t2, n, n2, v",
+            _IVJOIN_ORACLE,
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -2143,6 +2161,35 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n2"),
         _null("double").alias("v"),
     )
+    # part=ivjoin: bucketized points-in-interval join (operators/
+    # timeseries.py::interval_join — equi-join on 1h time buckets, no
+    # cross product; bucket_width == the interval span, so each
+    # interval spans <= 2 buckets)
+    from ..operators.timeseries import interval_join
+
+    ev_pts = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    trig = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("trig_id"),
+            F.col("ts").alias("t_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t_end"),
+        )
+    )
+    iv = interval_join(
+        ev_pts, trig, "ts", "t_start", "t_end", bucket_width=3600
+    ).select(
+        _tag("ivjoin"),
+        F.col("user_id").alias("uid"),
+        F.col("t_start").alias("t1"),
+        F.col("t_end").alias("t2"),
+        F.col("event_id").alias("n"),
+        F.col("trig_id").alias("n2"),
+        F.col("value").alias("v"),
+    )
     return (
         t.unionByName(s)
         .unionByName(m)
@@ -2157,6 +2204,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fu)
         .unionByName(re)
         .unionByName(fb)
+        .unionByName(iv)
     )
 
 

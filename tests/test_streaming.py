@@ -227,3 +227,40 @@ def test_stream_stream_join_matches_batch_dual(spark):
     assert got.count() == expected.count() and expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_interval_join_boundaries_and_multiplicity(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    # numeric domain: points 0..99, intervals chosen to exercise
+    # inclusive boundaries, bucket straddling, containment, inversion
+    pts = spark.range(0, 100).select(F.col("id").alias("p"))
+    ivs = spark.createDataFrame(
+        [
+            (1, 10, 20),    # normal: 11 points inclusive
+            (2, 15, 15),    # degenerate single point
+            (3, 95, 200),   # extends past the point domain
+            (4, 8, 32),     # spans multiple width-10 buckets
+            (5, 50, 40),    # inverted -> matches nothing
+        ],
+        "iv_id long, s long, e long",
+    )
+    got = interval_join(pts, ivs, "p", "s", "e", bucket_width=10).collect()
+    pairs = [(r.iv_id, r.p) for r in got]
+    assert len(pairs) == len(set(pairs))  # exactly-once per pair
+    from collections import Counter
+
+    by_iv = Counter(iv for iv, _ in pairs)
+    assert by_iv == {1: 11, 2: 1, 3: 5, 4: 25}
+    assert (4, 8) in pairs and (4, 32) in pairs  # inclusive both ends
+    assert all(iv != 5 for iv, _ in pairs)
+
+    # overlapping column names must be rejected, not silently aliased
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(
+            pts, ivs.withColumnRenamed("iv_id", "p"), "p", "s", "e", 10
+        )

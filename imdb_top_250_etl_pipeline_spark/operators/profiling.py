@@ -78,3 +78,44 @@ def fixed_width_histogram(
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style table statistics: one output row per profiled
+    column with (col_name, n_rows, n_nulls, n_distinct, min_s, max_s).
+
+    The stats-collection job behind every cost-based optimizer and
+    ingest-quality gate (null creep / range violations / cardinality
+    drift).  ONE aggregation job for every column at once: Catalyst
+    plans the multi-column exact countDistinct as a single Expand +
+    shuffle (rows × columns map-side, combined partially), and the
+    single result row is unpivoted JVM-side with ``stack`` — no
+    per-column scans, no driver loop.  Extrema are computed on the
+    native type THEN cast to string (casting first would compare
+    lexicographically), relying on shortest-round-trip double
+    formatting for cross-engine exactness like the CSV sink path.
+    """
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return row.selectExpr(
+        "_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col_name, _nonnull, n_distinct, min_s, max_s)",
+    ).select(
+        "col_name",
+        F.col("_rows").alias("n_rows"),
+        (F.col("_rows") - F.col("_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_s",
+        "max_s",
+    )

@@ -86,19 +86,35 @@ def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANALYZE-style profile of customer (operators/profiling.py::
+# profile_columns): per-column null/distinct/extremum stats, one
+# Expand-aggregation job for all columns at once
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+    f"COUNT(*) - COUNT({c}) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct, "
+    f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
+    f"CAST(MAX({c}) AS VARCHAR) AS max_s FROM customer"
+    for c in _PROFILE_COLS
+)
+
+
 @register(
     "agg_distinct_battery",
     oracle=(
         _wrap(
             "exact",
-            "o_orderpriority, n_customers, n_orders, true AS approx_ok",
+            "o_orderpriority, n_customers, n_orders, true AS approx_ok, "
+            "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s",
             _SQL["agg_count_distinct"],
         )
         + "\nUNION ALL\n"
         + _wrap(
             "histogram",
             "CAST(bucket AS VARCHAR) AS o_orderpriority, n AS n_customers, "
-            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok",
+            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok, "
+            "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s",
             _HISTOGRAM_ORACLE,
         )
         + "\nUNION ALL\n"
@@ -106,8 +122,16 @@ def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_union",
             "'union' AS o_orderpriority, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_customers, "
-            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok",
+            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok, "
+            "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s",
             "SELECT user_id FROM events",
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "profile",
+            "col_name AS o_orderpriority, n_distinct AS n_customers, "
+            "n_nulls AS n_orders, true AS approx_ok, min_s, max_s",
+            _PROFILE_ORACLE,
         )
     ),
     doc="countDistinct (exact, hash-checked) + approx_count_distinct "
@@ -140,13 +164,15 @@ def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("ok").alias("approx_ok"))
     )
-    ex = exact.select(_tag("exact"), "*").crossJoin(flag)
+    no_mm = [_null("string").alias("min_s"), _null("string").alias("max_s")]
+    ex = exact.select(_tag("exact"), "*").crossJoin(flag).select("*", *no_mm)
     hist = agg_histogram_fixed_width(spark, sf_dir).select(
         _tag("histogram"),
         F.col("bucket").cast("string").alias("o_orderpriority"),
         F.col("n").alias("n_customers"),
         _null("bigint").alias("n_orders"),
         F.lit(True).alias("approx_ok"),
+        *no_mm,
     )
     # mergeable-sketch invariant: per-day HLL sketches unioned across the
     # month must estimate the month's exact distinct users within 5%
@@ -170,9 +196,23 @@ def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("estimate") - F.col("n_customers"))
                 <= 0.05 * F.col("n_customers")
             ).alias("approx_ok"),
+            *no_mm,
         )
     )
-    return ex.unionByName(hist).unionByName(hll)
+    from ..operators.profiling import profile_columns
+
+    prof = profile_columns(
+        load(spark, sf_dir, "customer"), _PROFILE_COLS
+    ).select(
+        _tag("profile"),
+        F.col("col_name").alias("o_orderpriority"),
+        F.col("n_distinct").alias("n_customers"),
+        F.col("n_nulls").alias("n_orders"),
+        F.lit(True).alias("approx_ok"),
+        "min_s",
+        "max_s",
+    )
+    return ex.unionByName(hist).unionByName(hll).unionByName(prof)
 
 
 @register(

@@ -80,3 +80,26 @@ def test_incremental_distinct_sketch_union(spark):
     # union results with the composite estimator, so bit-equality only
     # holds while fixture cardinality keeps sketches in exact/coupon mode.
     assert abs(row.estimate - whole) <= max(0.02 * whole, 1.0)
+
+
+def test_profile_columns_nulls_and_extrema(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    rows = [
+        (1, "b", 2.5),
+        (2, None, -1.0),
+        (3, "a", None),
+        (4, "a", None),
+        (None, None, 0.25),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    got = {r.col_name: r for r in profile_columns(df, ["k", "s", "v"]).collect()}
+    assert all(r.n_rows == 5 for r in got.values())
+    k, s, v = got["k"], got["s"], got["v"]
+    assert (k.n_nulls, k.n_distinct, k.min_s, k.max_s) == (1, 4, "1", "4")
+    assert (s.n_nulls, s.n_distinct, s.min_s, s.max_s) == (2, 2, "a", "b")
+    # extrema on the native type THEN cast: "-1.0" sorts after "0.25"
+    # lexicographically, so a cast-first implementation would fail here
+    assert (v.n_nulls, v.n_distinct, v.min_s, v.max_s) == (2, 3, "-1.0", "2.5")

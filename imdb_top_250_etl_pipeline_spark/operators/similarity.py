@@ -431,3 +431,74 @@ def cosine_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with deterministic
+    ±1 sign weights → long-form (id, out_dim, y).
+
+    The embedding-preprocessing step ahead of ANN/clustering at scale:
+    a sign-matrix projection preserves pairwise distances within
+    JL bounds at a fraction of the width, and ±1 weights make it pure
+    integer arithmetic.  Each component is computed as an INTEGER sum
+    of quantized inputs (floor(x·2²⁰), the signature discipline of
+    cosine_near_dup_pairs) times md5-derived signs, then dequantized by
+    one exact power-of-two division — so the result is bit-identical
+    under ANY aggregation order AND across engines, which is what lets
+    a float-valued vector operator carry a hash-checked DuckDB oracle
+    (the md5 sign derivation is reproducible SQL, unlike xxhash64).
+    Quantization error is ≤ 2⁻²⁰ per input component — noise far below
+    the JL distortion itself.
+
+    Shape: one posexplode of the vectors, a per-distinct-dim sign table
+    broadcast back (out_dim × n_dims hashes total, not × n_vectors),
+    one combining groupBy(id) — the cosine-LSH signature plan with the
+    sign bits kept as values.
+    """
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select(
+        id_col,
+        "dim",
+        F.floor(F.col("x").cast("double") * (1 << 20)).cast("long").alias("xq"),
+    )
+
+    def sign(j: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(j), F.col("dim"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, 2) * 2 - 1).cast("long")
+
+    wdf = (
+        df.select(F.size(F.col(vec_col)).alias("n"))
+        .distinct()
+        .select(F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("dim"))
+        .distinct()
+        .select("dim", F.array(*[sign(j) for j in range(out_dim)]).alias("w"))
+    )
+    sums = [
+        F.sum(F.col("xq") * F.element_at("w", j + 1)).alias(f"_s{j}")
+        for j in range(out_dim)
+    ]
+    proj = exploded.join(F.broadcast(wdf), "dim").groupBy(id_col).agg(*sums)
+    pairs = []
+    for j in range(out_dim):
+        pairs += [
+            F.lit(j),
+            F.col(f"_s{j}").cast("double") / F.lit(float(1 << 20)),
+        ]
+    return proj.select(
+        F.col(id_col),
+        F.explode(F.map_from_arrays(
+            F.array(*pairs[0::2]), F.array(*pairs[1::2])
+        )).alias("out_dim", "y"),
+    )

@@ -1055,6 +1055,27 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return i.unionByName(k)
 
 
+# JL projection: integer sign-sums of quantized components, dequantized
+# by one exact power-of-two division — reproducible to the bit in SQL
+_JLPROJ_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(FLOOR(CAST(embedding[u.i + 1] AS DOUBLE) * 1048576)
+                  AS BIGINT) AS xq
+      FROM embeddings, UNNEST(range(len(embedding))) u(i)
+    ),
+    proj AS (
+      SELECT vec_id, v.j AS out_dim,
+             SUM(xq * (CAST(CONCAT('0x',
+                 substring(md5(CONCAT(v.j, '_', dim)), 1, 15)) AS BIGINT)
+                 % 2 * 2 - 1)) AS s
+      FROM ex, (VALUES (0), (1), (2), (3)) v(j)
+      GROUP BY vec_id, v.j
+    )
+    SELECT vec_id, out_dim, CAST(s AS DOUBLE) / 1048576.0 AS y FROM proj
+"""
+
+
 @register(
     "multimodal_scalar_battery",
     oracle=(
@@ -1073,13 +1094,26 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_min AS n5, CAST(NULL AS DOUBLE) AS v",
             _SQL["multimodal_embedding_quantize"],
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "jlproj",
+            "CAST(vec_id AS VARCHAR) AS k, CAST(out_dim AS BIGINT) AS n1, "
+            "CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS n5, "
+            "y AS v",
+            _JLPROJ_ORACLE,
+        )
     ),
     doc="The multimodal scalar surface in one battery: JSON sidecar "
     "parsing (part=props: from_json schema-on-read -> typed aggregation, "
     "exact integer sums) + embedding quantization features (part="
-    "quantize: per-dimension floor(x*1000) -> integer sums/extrema), "
-    "normalized to (part, k, n1..n5, v). Both branches hash-checked, "
-    "same oracles as the former standalone queries. Subsumes "
+    "quantize: per-dimension floor(x*1000) -> integer sums/extrema) + "
+    "Johnson-Lindenstrauss sign-projection dimensionality reduction "
+    "(part=jlproj: operators/similarity.py::jl_project — md5-derived "
+    "±1 weights over 2^20-quantized components, integer sums "
+    "dequantized by one exact division, so even this float-valued "
+    "vector operator is bit-identical cross-engine), normalized to "
+    "(part, k, n1..n5, v). All branches hash-checked. Subsumes "
     "multimodal_props_json, multimodal_embedding_quantize.",
 )
 def multimodal_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,7 +1137,21 @@ def multimodal_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_min").alias("n5"),
         _null("double").alias("v"),
     )
-    return p.unionByName(q)
+    from ..operators.similarity import jl_project
+
+    jl = jl_project(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", out_dim=4
+    ).select(
+        _tag("jlproj"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.col("out_dim").cast("bigint").alias("n1"),
+        _null("bigint").alias("n2"),
+        _null("bigint").alias("n3"),
+        _null("bigint").alias("n4"),
+        _null("bigint").alias("n5"),
+        F.col("y").alias("v"),
+    )
+    return p.unionByName(q).unionByName(jl)
 
 
 from ..operators.text import PII_PATTERNS as _PII  # noqa: E402

@@ -634,3 +634,49 @@ def test_repetition_features_hand_computed(spark):
     r3 = got[3]
     assert r3.top_bigram_frac is None and r3.dup_bigram_frac is None
     assert r3.top_trigram_frac is None and r3.dup_trigram_frac is None
+
+
+def test_jl_project_numpy_dual_and_distance_preservation(spark):
+    import hashlib
+
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        jl_project,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings").limit(50)
+    rows = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    out_dim = 4
+    got = {}
+    for r in jl_project(emb, out_dim=out_dim).collect():
+        got.setdefault(r.vec_id, {})[r.out_dim] = r.y
+
+    def sign(j, i):
+        # the engine convention is h%2*2-1: even hash -> -1, odd -> +1
+        h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16)
+        return h % 2 * 2 - 1
+
+    for vid, x in rows.items():
+        xq = np.floor(x.astype(np.float64) * (1 << 20)).astype(np.int64)
+        for j in range(out_dim):
+            s = int(sum(int(xq[i]) * sign(j, i) for i in range(len(xq))))
+            # integer sum + one exact power-of-two division -> equality
+            assert got[vid][j] == s / (1 << 20), (vid, j)
+
+    # JL property: projected squared distances track true ones within
+    # loose distortion on average (sign projections, out_dim=4 is tiny,
+    # so only a correlation sanity check — not a tight bound)
+    ids = sorted(rows)[:10]
+    true_d, proj_d = [], []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            xa, xb = rows[ids[a]], rows[ids[b]]
+            pa = np.array([got[ids[a]][j] for j in range(out_dim)])
+            pb = np.array([got[ids[b]][j] for j in range(out_dim)])
+            true_d.append(float(((xa - xb) ** 2).sum()))
+            proj_d.append(float(((pa - pb) ** 2).sum() / out_dim))
+    corr = np.corrcoef(true_d, proj_d)[0, 1]
+    assert corr > 0.2, corr

@@ -160,3 +160,46 @@ def shuffle_order(
     return grouped_row_number(
         df.withColumn("_h", h), [], ["_h", key_col], out_col=out_col
     ).drop("_h")
+
+
+def sample_weighted(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement, k items, inclusion odds
+    ∝ ``weight_col`` — Efraimidis–Spirakis A-ES with a DETERMINISTIC
+    uniform: u = md5-hash of the key mapped into (0,1), item rank
+    ln(u)/w, keep the k largest (ln(u)/w is order-equivalent to the
+    classic u^(1/w) and numerically safer).
+
+    The temperature/length-proportional selection step of data recipes
+    (e.g. sampling documents ∝ token count); deterministic like every
+    operator in this module — re-runs, retries, and cluster layout
+    changes reproduce the same sample.  Non-positive weights are
+    excluded (they have no sampling odds).  Scale shape: the rank is
+    row-local codegen arithmetic and the global top-k is
+    TakeOrderedAndProject — per-partition heads merged on the driver,
+    never a full sort.  ln() is libm-evaluated, so cross-engine
+    equality holds except on sub-ulp rank ties at the selection
+    boundary — measure-zero for real data, and pinned per-dataset by
+    the oracle harness.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("es:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (F.pmod(h, F.lit(1 << 20)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 20)
+    )
+    rank = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es", rank)
+        .orderBy(F.desc("_es"), F.col(key_col))
+        .limit(k)
+        .drop("_es")
+    )

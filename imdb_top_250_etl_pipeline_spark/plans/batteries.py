@@ -2439,4 +2439,6 @@ subsume(
     "sample_upsample_epochs",
     "sample_budget_select",
     "sample_shuffle_order",
+    # round-6: weighted E-S sampling folds into the recipe battery
+    "sample_weighted_es",
 )

@@ -464,6 +464,43 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(d, "doc_id", seed="r5")
 
 
+_WEIGHTED_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ln(((CAST(CONCAT('0x', substring(md5('es:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576)
+                 + 0.5) / 1048576.0) / w AS es
+      FROM t
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang FROM r ORDER BY es DESC, doc_id LIMIT 200
+    ) sel
+"""
+
+
+@register(
+    "sample_weighted_es",
+    oracle=_WEIGHTED_ORACLE,
+    doc="Efraimidis-Spirakis weighted sampling without replacement "
+    "(operators/sampling.py::sample_weighted): 200 documents with "
+    "inclusion odds proportional to character length, via a "
+    "deterministic md5 uniform and rank ln(u)/w — the length/"
+    "temperature-proportional selection step of data recipes. "
+    "Row-local codegen rank + TakeOrderedAndProject top-k.",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_weighted
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("w")
+    )
+    return sample_weighted(d, "doc_id", "w", k=200).select("doc_id", "lang")
+
+
 @register(
     "sample_stratified",
     oracle=(
@@ -491,16 +528,22 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "\nUNION ALL\n"
         + f"SELECT 'shuffle' AS part, CAST(doc_id AS VARCHAR) AS k, "
         f"shuffle_pos AS n, doc_id AS v FROM ({_SHUFFLE_ORACLE}) t"
+        + "\nUNION ALL\n"
+        + f"SELECT 'weighted' AS part, lang AS k, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS v "
+        f"FROM ({_WEIGHTED_ORACLE}) t GROUP BY lang"
     ),
     doc="The corpus-composition (data recipe) battery, every branch a "
     "deterministic pure-function-of-key operator: per-language "
     "stratified sampling (part=stratified), mixture balancing to a "
     "target 50/25/25 recipe (part=mixture), fractional epoch "
     "upsampling (part=upsample), token-budget priority selection over "
-    "distributed_cumsum (part=budget), and seeded global shuffle order "
-    "(part=shuffle). Subsumes sample_stratified_rates, "
-    "sample_mixture_balanced, sample_upsample_epochs, "
-    "sample_budget_select, sample_shuffle_order.",
+    "distributed_cumsum (part=budget), seeded global shuffle order "
+    "(part=shuffle), and Efraimidis-Spirakis weighted sampling with "
+    "length-proportional odds (part=weighted). Subsumes "
+    "sample_stratified_rates, sample_mixture_balanced, "
+    "sample_upsample_epochs, sample_budget_select, "
+    "sample_shuffle_order, sample_weighted_es.",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = sample_stratified_rates(spark, sf_dir).select(
@@ -533,7 +576,24 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shuffle_pos").alias("n"),
         F.col("doc_id").alias("v"),
     )
-    return st.unionByName(mx).unionByName(up).unionByName(bd).unionByName(sh)
+    we = (
+        sample_weighted_es(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").cast("bigint").alias("v"),
+        )
+        .select(
+            F.lit("weighted").alias("part"), F.col("lang").alias("k"), "n", "v"
+        )
+    )
+    return (
+        st.unionByName(mx)
+        .unionByName(up)
+        .unionByName(bd)
+        .unionByName(sh)
+        .unionByName(we)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,31 @@ def test_shuffle_is_seeded_permutation(docs):
         .count()
         == 0
     )
+
+
+def test_sample_weighted_odds_and_determinism(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    # 5000 keys: class A weight 1, class B weight 10 -> in a k=1000
+    # E-S draw, B's inclusion odds dominate roughly by the weight ratio
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 1.0).otherwise(10.0).alias("w"),
+    )
+    sel = sample_weighted(df, "k", "w", k=1000)
+    picked = [r.k for r in sel.collect()]
+    assert len(picked) == 1000
+    heavy = sum(1 for k in picked if k % 2 == 1)
+    # expected heavy share >> 50%; loose bound leaves room for variance
+    assert heavy > 700, heavy
+    # deterministic: same inputs -> identical selection
+    again = {r.k for r in sample_weighted(df, "k", "w", k=1000).collect()}
+    assert set(picked) == again
+    # zero/negative weights never selected
+    df2 = df.withColumn(
+        "w", F.when(F.col("k") < 100, F.lit(0.0)).otherwise(F.col("w"))
+    )
+    sel2 = {r.k for r in sample_weighted(df2, "k", "w", k=4900).collect()}
+    assert all(k >= 100 for k in sel2)

@@ -5,10 +5,12 @@ The driver ships sf0.001/0.01/0.1 only; the 100x-design claims deserve at
 least one order-of-magnitude stress beyond the bench scale.  This script
 replicates every non-dimension sf0.1 table 10x with key-offset striding so
 referential integrity survives (replica r adds r*stride to each surrogate
-key, where stride = max(key) of the source — TPC-H-ish keys are dense from
-1..N).  `region`/`nation` are dimensions shared by all replicas and are
-copied as-is, so foreign keys into them (c_nationkey, s_nationkey) need no
-remap.
+key, where stride = max(key)+1 of the source — keys are 0-based, so a
+max-only stride would collide each replica's first key with its
+neighbor's last; the first sweep caught exactly that as 9 duplicate ids
+per keyed table breaking upsert/dedup/window oracles).  `region`/`nation`
+are dimensions shared by all replicas and are copied as-is, so foreign
+keys into them (c_nationkey, s_nationkey) need no remap.
 
 Deliberate consequences, all realistic at corpus scale:
   * documents/embeddings replicas keep identical text/vectors under new
@@ -68,9 +70,12 @@ def main() -> None:
     for tbl, cols in KEYED.items():
         for _, (st, sc) in cols.items():
             if (st, sc) not in strides:
-                strides[(st, sc)] = con.sql(
-                    f"SELECT max({sc}) FROM '{SRC}/{st}.parquet'"
-                ).fetchone()[0]
+                strides[(st, sc)] = (
+                    con.sql(
+                        f"SELECT max({sc}) FROM '{SRC}/{st}.parquet'"
+                    ).fetchone()[0]
+                    + 1
+                )
 
     for t in DIMS:
         con.execute(

@@ -995,7 +995,13 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _FN["dedup_ngram_jaccard"](spark, sf_dir).select(
         _tag("ngram"), "id_a", "id_b", F.col("jaccard").alias("score")
     )
-    pairs = s.unionByName(g)
+    # pin the pair tables ONCE: the union fans out into the battery
+    # output AND groups AND the pagerank adjacency/degree/node builds —
+    # five lazy consumers that would otherwise each re-run the banded
+    # candidate generation + verify joins (at sf1 the n-gram pass alone
+    # is ~10 min; the first scale sweep measured the un-pinned battery
+    # at 6x the standalone cost). persist() on a cluster.
+    pairs = s.unionByName(g).localCheckpoint(eager=True)
     groups = dedup_groups(pairs.select("id_a", "id_b")).select(
         _tag("groups"),
         F.col("group_id").alias("id_a"),

@@ -726,3 +726,120 @@ def exact_dedup_by(
             F.count("*").alias("n_copies"),
         )
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Character-n-gram Jaccard pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Xiao et al., WWW'08) — the lossless
+    replacement for ``ngram_jaccard_pairs``' bucket quadratic.
+
+    Pigeonhole: if J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A's
+    ``|A| - ceil(t·|A|) + 1`` rarest grams (global rarest-first order)
+    must contain a common gram — and symmetrically for B.  Candidates
+    are therefore exactly the pairs sharing a PREFIX gram: an equi-join
+    on gram over the exploded prefixes (through the hot-bucket star
+    guard), followed by the symmetric length filter
+    ``|B| >= ceil(t·|A|)`` and the exact verify.  Unlike the banded
+    variant this needs no bucketing column and is LOSSLESS up to the
+    hot-bucket star cap (with no hot gram bucket the candidates are a
+    guaranteed superset -> identical post-verify output to brute
+    force; a gram shared by > ``max_bucket`` prefixes degrades to star
+    pairs, the same documented cap as every banded operator), and
+    candidate volume tracks rare-gram co-occurrence instead of bucket
+    size squared.
+
+    Scale shape: gram frequencies are a two-phase count joined back
+    SHUFFLE_HASH (gram vocabulary is unbounded — never broadcast); the
+    per-doc rarest-first order is one array_sort over collected
+    (dfreq, gram) structs; prefixes explode WITHOUT the gram-array
+    payload (the first draft shipped each doc's full gram set once per
+    prefix gram — ~0.4·|g| copies; instead candidate ids pair up bare
+    and the two gram arrays join back by id for the verify, two
+    hash joins on already-small candidates).
+
+    Measured (sf0.1 documents, t=0.6): the banded variant returns 81k
+    pairs in ~15 s steady; this one returns the full 848k true pairs in
+    ~120 s — the extra cost IS the 10× extra qualifying pairs the
+    band/bucket approximation silently drops on this dense synthetic
+    corpus.  Pick banded when an approximate same-bucket result is
+    acceptable and cheap, prefix when completeness matters or no
+    natural bucketing column exists; on real (sparser) corpora the
+    prefix candidate volume also shrinks toward the true pair count.
+    """
+    grams = F.array_distinct(
+        F.when(
+            F.length(text_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    base = (
+        spread(df, id_col)
+        .select(F.col(id_col), grams.alias("grams"))
+        .where(F.size("grams") > 0)
+        .localCheckpoint(eager=True)  # exploded twice + verify join
+    )
+    exploded = base.select(
+        id_col, F.explode("grams").alias("gram")
+    )
+    freq = exploded.groupBy("gram").agg(F.count("*").alias("dfreq"))
+    ordered = (
+        exploded.join(freq.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfreq", "gram"))
+            ).alias("ordered")
+        )
+    )
+    n_grams = F.size("ordered")
+    prefix_len = n_grams - F.ceil(n_grams * F.lit(threshold)) + 1
+    pre = ordered.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), prefix_len),
+                lambda x: x.gram,
+            )
+        ).alias("gram"),
+    )
+    cand = (
+        capped_band_pairs(
+            pre, id_col, ["gram"], max_bucket, payload_cols=["n_grams"]
+        )
+        .where(
+            (F.col("n_grams_b") >= F.ceil(F.col("n_grams_a") * F.lit(threshold)))
+            & (F.col("n_grams_a") >= F.ceil(F.col("n_grams_b") * F.lit(threshold)))
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("_ga")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("_gb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_ga", "_gb"))
+                / F.size(F.array_union("_ga", "_gb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -680,3 +680,68 @@ def test_jl_project_numpy_dual_and_distance_preservation(spark):
             proj_d.append(float(((pa - pb) ** 2).sum() / out_dim))
     corr = np.corrcoef(true_d, proj_d)[0, 1]
     assert corr > 0.2, corr
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    import itertools
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    t, n = 0.6, 3
+    docs = load(spark, SF_CORRECT, "documents").where("doc_id < 120").select(
+        "doc_id", "text"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", n=n, threshold=t
+        ).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    gsets = {
+        i: {s[j : j + n] for j in range(len(s) - n + 1)}
+        for i, s in texts.items()
+        if len(s) >= n
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(gsets), 2):
+        inter = len(gsets[a] & gsets[b])
+        union = len(gsets[a] | gsets[b])
+        if union and inter / union >= t:
+            want[(a, b)] = inter / union
+    assert set(got) == set(want), (
+        set(got) ^ set(want),
+        len(got),
+        len(want),
+    )
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_prefix_jaccard_superset_of_banded(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    docs = load(spark, SF_CORRECT, "documents").where("doc_id < 200")
+    banded = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", bucket_cols=["lang"]
+        ).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs_prefix(docs, "text", "doc_id").collect()
+    }
+    # the banded variant restricts to same-lang +/-1 length band; prefix
+    # filtering has no such approximation, so its result must cover it
+    assert banded <= prefix, banded - prefix

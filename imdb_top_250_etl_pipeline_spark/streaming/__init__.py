@@ -3,7 +3,9 @@ from .jobs import (  # noqa: F401
     tumbling_counts,
     session_counts,
     dedup_stream,
+    dedup_stream_ttl,
     stateful_user_counts,
+    tws_user_stats,
     foreach_batch_upsert,
     enrich_stream,
     join_event_streams,

@@ -293,3 +293,79 @@ def join_event_streams(
     ).select(
         F.col("l_key").alias(key), "l_ts", "l_event_id", "r_ts", "r_event_id"
     )
+
+
+def dedup_stream_ttl(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps an event_id in the state store only until the watermark passes
+    it, so state size tracks the re-delivery window, not stream history.
+
+    The production form of ``dedup_stream``: plain dropDuplicates on a
+    stream retains every key forever (state grows with the stream);
+    at-least-once sources re-deliver within a bounded horizon, which is
+    exactly what the watermark bound encodes.  Guarantees: duplicates
+    arriving within ``watermark`` of the first copy are dropped;
+    duplicates separated by more may both survive — the documented
+    tradeoff of bounding state.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4's arbitrary-state v2): per-user running (count, value sum)
+    kept in a typed ValueState, updated totals emitted each microbatch.
+
+    The successor to applyInPandasWithState
+    (``stateful_user_counts``): the handle-based API gives named,
+    independently-typed state variables, timers, and TTL support
+    instead of one state tuple — this operator is the minimal v2 shape
+    (one ValueState, no timers) so the two APIs are directly
+    comparable in tests.  State is per-user and bounded by user
+    cardinality, never event volume.
+
+    ENVIRONMENT GATE (like the JDBC reader): the TWS state-server
+    protocol needs the ``protobuf`` Python package, which this image
+    does not ship — the runtime test skips when ``google.protobuf`` is
+    absent and the v1 operator remains the executable path here; on a
+    standard Spark 4 deployment (protobuf is a released PySpark
+    dependency) this runs as-is.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserStats(),
+        outputStructType="user_id BIGINT, n_events BIGINT, value_sum DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

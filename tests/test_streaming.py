@@ -264,3 +264,66 @@ def test_interval_join_boundaries_and_multiplicity(spark):
         interval_join(
             pts, ivs.withColumnRenamed("iv_id", "p"), "p", "s", "e", 10
         )
+
+
+def test_tws_user_stats_matches_batch_and_v1(spark):
+    # transformWithStateInPandas speaks protobuf to its state server;
+    # the package isn't in this image (and installs are forbidden), so
+    # this runtime check activates wherever PySpark's declared deps are
+    # actually installed — the operator itself is import-clean either way
+    pytest.importorskip("google.protobuf")
+    from imdb_top_250_etl_pipeline_spark.streaming import tws_user_stats
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = _run_to_memory(tws_user_stats(stream), spark, "t_tws", "update")
+    # update mode re-emits per microbatch; last (max) emission per user
+    # is the final running state
+    final = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_sum").alias("value_sum"),
+        )
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, s) in expected.items():
+        assert final[uid][0] == n, uid
+        # per-batch pandas partial sums reassociate the fp additions
+        assert final[uid][1] == pytest.approx(s, rel=1e-9), uid
+
+
+def test_dedup_stream_ttl_drops_within_watermark_duplicates(spark):
+    import shutil
+    import tempfile
+
+    from imdb_top_250_etl_pipeline_spark.streaming import dedup_stream_ttl
+
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .limit(500)
+    )
+    work = tempfile.mkdtemp(prefix="ttl_dedup_")
+    try:
+        # one delivery plus an immediate redelivery of every 3rd event —
+        # duplicates land inside the watermark horizon, so all must drop
+        ev.unionByName(ev.where(F.col("event_id") % 3 == 0)).coalesce(
+            1
+        ).write.parquet(work + "/src")
+        stream = spark.readStream.schema(ev.schema).parquet(work + "/src")
+        got = _run_to_memory(
+            dedup_stream_ttl(stream), spark, "t_ttl_dedup", "append"
+        )
+        assert got.count() == 500
+        assert got.select("event_id").distinct().count() == 500
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

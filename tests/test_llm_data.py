@@ -745,3 +745,48 @@ def test_prefix_jaccard_superset_of_banded(spark):
     # the banded variant restricts to same-lang +/-1 length band; prefix
     # filtering has no such approximation, so its result must cover it
     assert banded <= prefix, banded - prefix
+
+
+def test_collapse_exact_first_pairs_equal_representative_restriction(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_SMOKE
+
+    base = load(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    # plant exact clones: 3 copies of every doc under fresh ids
+    clones = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).unionByName(base.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    reps = {r.doc_id for r in base.collect()}  # min-id representative set
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            clones, "text", "doc_id", ["lang"], collapse_exact=True
+        ).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            base, "text", "doc_id", ["lang"]
+        ).collect()
+    }
+    # collapsing 3x clones must reproduce exactly the representative
+    # pairs — no clone-clique noise, nothing lost
+    assert got == plain
+    assert all(a in reps and b in reps for a, b in got)
+
+    sh = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            clones, "text", "doc_id", collapse_exact=True
+        ).collect()
+    }
+    sh_plain = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(base, "text", "doc_id").collect()
+    }
+    assert sh == sh_plain

@@ -141,11 +141,16 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(pure expression fold), 4-band bucketing for candidates, "
     "bit_count(xor) hamming verify. With 4 bands, pigeonhole makes "
     "recall EXACT for hamming ≤3 — the output is precisely the set of "
-    "pairs within distance 3, not an approximation.",
+    "pairs within distance 3, not an approximation. Runs in the "
+    "production exact-then-near order (collapse_exact=True): "
+    "byte-identical clones collapse to representatives first, so "
+    "clone-dense corpora — the sf1 stress shape — cannot flood the "
+    "band buckets (exact_dedup owns those groups).",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
-        _corpus_near(spark, sf_dir), "text", "doc_id", max_hamming=3
+        _corpus_near(spark, sf_dir), "text", "doc_id", max_hamming=3,
+        collapse_exact=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -154,12 +159,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # char-trigram set comparison: no cheap SQL twin
     doc="Char-3-gram Jaccard near-dup pairs, bucketed by language — the "
     "bounded-quadratic verify stage (only same-bucket pairs compare; at "
-    "scale the bucket must be an LSH band, see dedup_minhash_candidates).",
+    "scale the bucket must be an LSH band, see dedup_minhash_candidates). "
+    "Exact clones collapse to representatives first (collapse_exact) — "
+    "the within-bucket quadratic falls with the clone factor squared, "
+    "which the sf1 sweep measured as ~730 s -> seconds on the 10-clone "
+    "corpus.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ngram_jaccard_pairs(
-            _corpus_near(spark, sf_dir), "text", "doc_id", ["lang"], threshold=0.8
+            _corpus_near(spark, sf_dir), "text", "doc_id", ["lang"], threshold=0.8,
+            collapse_exact=True,
         )
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")

@@ -1855,14 +1855,19 @@ _FBMERGE_ORACLE = """
 """
 
 # interval join: every event inside the 1-hour window after a trigger
-# event (every 50th event id) — the oracle is the plain range join
+# event (every 997th event id; prime, and sized so the OUTPUT stays
+# tractable across scales — both trigger count and per-hour event
+# density grow with sf, so matched rows grow with sf^2: the inherent
+# output scaling of a range join, not an implementation artifact; the
+# first sf1 sweep's %50 fixture produced 28M rows whose harness-side
+# collect dominated the whole battery) — oracle is the plain range join
 _IVJOIN_ORACLE = """
     SELECT e.user_id AS uid, i.t_start AS t1, i.t_end AS t2,
            e.event_id AS n, i.trig_id AS n2, e.value AS v
     FROM events e JOIN (
       SELECT event_id AS trig_id, ts AS t_start,
              ts + INTERVAL 1 HOUR AS t_end
-      FROM events WHERE event_id % 50 = 0) i
+      FROM events WHERE event_id % 997 = 0) i
     ON e.ts BETWEEN i.t_start AND i.t_end
 """
 
@@ -2266,7 +2271,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trig = (
         load(spark, sf_dir, "events")
-        .where(F.col("event_id") % 50 == 0)
+        .where(F.col("event_id") % 997 == 0)
         .select(
             F.col("event_id").alias("trig_id"),
             F.col("ts").alias("t_start"),

@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SF_DIR", "/root/repo/.scratch/sf1")
 OUT = os.environ.get("SWEEP_OUT", "SWEEP_sf1.json")
+# comma-separated substrings: run only matching query names (focused
+# re-measurement after a fix, e.g. SWEEP_ONLY=dedup)
+ONLY = [s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -46,6 +49,8 @@ def main() -> None:
     oracle_res: dict[str, dict] = {}
     rows_only: dict[str, dict] = {}
     for name in sorted(all_q):
+        if ONLY and not any(s in name for s in ONLY):
+            continue
         q = all_q[name]
         t0 = time.perf_counter()
         try:

@@ -532,7 +532,7 @@ def ngram_jaccard_pairs(
 
 
 def dedup_groups(
-    pairs: DataFrame, max_iterations: int = 15
+    pairs: DataFrame, max_iterations: int = 30
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, group_id) where
     group_id is the smallest id reachable through any chain of pairs —
@@ -545,7 +545,10 @@ def dedup_groups(
     own and its neighbors' labels, then (b) its label's label — path
     halving, which turns the O(diameter) rounds of plain propagation
     into O(log diameter) (a 1000-link chain converges in ~10 rounds, not
-    1000).  Each round is two shuffles (neighbor groupBy + the jump
+    1000; the default cap of 30 fits any graph this side of 10^8
+    diameter — the sf1 collapse-first pair graph, all chains once the
+    clone cliques are gone, measured ~20 rounds, and converged rounds
+    cost nothing because the loop exits on no-change).  Each round is two shuffles (neighbor groupBy + the jump
     join); lineage is cut per round (localCheckpoint; persist-and-
     iterate on a cluster) and the loop exits once a round changes
     nothing — the kmeans_refine discipline (similarity.py) applied to

@@ -291,6 +291,14 @@ def agg_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS DOUBLE) AS v6",
             _SQL["agg_percentiles"],
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "psi",
+            "bucket AS k, p_ref AS v1, p_cur AS v2, contrib AS v3, "
+            "psi AS v4, CAST(NULL AS DOUBLE) AS v5, "
+            "CAST(NULL AS DOUBLE) AS v6",
+            _SQL["agg_psi_drift"],
+        )
     ),
     doc="Statistical moments (stddev/var/skew/kurt/corr per returnflag) + "
     "exact percentiles per priority with the approx_percentile sketch "
@@ -322,7 +330,17 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("v5"),
         _null("double").alias("v6"),
     )
-    return m.unionByName(p)
+    d = _FN["agg_psi_drift"](spark, sf_dir).select(
+        _tag("psi"),
+        F.col("bucket").alias("k"),
+        F.col("p_ref").alias("v1"),
+        F.col("p_cur").alias("v2"),
+        F.col("contrib").alias("v3"),
+        F.col("psi").alias("v4"),
+        _null("double").alias("v5"),
+        _null("double").alias("v6"),
+    )
+    return m.unionByName(p).unionByName(d)
 
 
 # ---------------------------------------------------------------------------
@@ -2375,6 +2393,8 @@ subsume(
     "sql_grouping_sets",
     "agg_stats_moments",
     "agg_percentiles",
+    # round-6: PSI drift gate rides the stats battery
+    "agg_psi_drift",
     "join_semi",
     "join_anti",
     "join_right",

@@ -338,3 +338,74 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_p90_approx")
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_psi_drift",
+    oracle="""
+    WITH mm AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    ),
+    spine AS (SELECT unnest(range(10)) AS bucket),
+    r AS (
+      SELECT CAST(greatest(least(floor((l_extendedprice - lo)
+                 / ((hi - lo) / 10)), 9), 0) AS INT) AS bucket,
+             count(*) AS nr
+      FROM lineitem, mm WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(greatest(least(floor((l_extendedprice - lo)
+                 / ((hi - lo) / 10)), 9), 0) AS INT) AS bucket,
+             count(*) AS nc
+      FROM lineitem, mm WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT spine.bucket,
+             COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+      FROM spine LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)
+    ),
+    prop AS (
+      SELECT bucket,
+             greatest(nr / CAST(SUM(nr) OVER () AS DOUBLE), 1e-4) AS p,
+             greatest(nc / CAST(SUM(nc) OVER () AS DOUBLE), 1e-4) AS q
+      FROM j
+    ),
+    contribs AS (
+      SELECT bucket, p, q, (p - q) * ln(p / q) AS contrib FROM prop
+    )
+    SELECT CAST(bucket AS VARCHAR) AS bucket,
+           round(p, 9) AS p_ref, round(q, 9) AS p_cur,
+           round(contrib, 9) AS contrib,
+           round(SUM(contrib) OVER (), 9) AS psi
+    FROM contribs
+    ORDER BY bucket
+    """,
+    doc="Population Stability Index drift gate (operators/profiling.py::"
+    "population_stability): pre-1996 lineitem prices as the reference "
+    "distribution vs 1996+ as current — equal-width buckets from the "
+    "reference's min/max (broadcast 1-row), per-side combining counts, "
+    "spine-densified zero buckets floored at 1e-4, "
+    "psi = sum (p-q)*ln(p/q). Every proportion is one IEEE division; "
+    "ln contributions round(9) on both sides (the stats-battery "
+    "discipline for libm terms).",
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import population_stability
+
+    li = load(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    out = population_stability(
+        li.where(F.col("l_shipdate") < cut),
+        li.where(F.col("l_shipdate") >= cut),
+        "l_extendedprice",
+    )
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        F.round("p_ref", 9).alias("p_ref"),
+        F.round("p_cur", 9).alias("p_cur"),
+        F.round("contrib", 9).alias("contrib"),
+        F.round("psi", 9).alias("psi"),
+    ).orderBy("bucket")

@@ -4,6 +4,8 @@ order differs across engines, so these skip the DuckDB oracle)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -103,3 +105,35 @@ def test_profile_columns_nulls_and_extrema(spark):
     # extrema on the native type THEN cast: "-1.0" sorts after "0.25"
     # lexicographically, so a cast-first implementation would fail here
     assert (v.n_nulls, v.n_distinct, v.min_s, v.max_s) == (2, 3, "-1.0", "2.5")
+
+
+def test_population_stability_hand_computed(spark):
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        population_stability,
+    )
+
+    # identical distributions -> psi == 0 exactly (p == q every bucket)
+    ref = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    out = population_stability(ref, ref, "x", n_buckets=10).collect()
+    assert all(r.contrib == 0.0 for r in out)
+    assert out[0].psi == 0.0
+
+    # mass moved entirely out of the top half -> hand-computed psi
+    cur = spark.range(100).select((F.col("id") % 5).cast("double").alias("x"))
+    got = {r.bucket: r for r in population_stability(ref, cur, "x", n_buckets=10).collect()}
+    # ref buckets each hold 10% of mass; cur: values 0..4 over ref's
+    # [0,9] edges -> width .9 buckets; empty buckets floor at eps
+    eps = 1e-4
+    p, q_hit, q_miss = 0.1, 0.2, eps
+    expect_hit = (p - q_hit) * math.log(p / q_hit)
+    expect_miss = (p - q_miss) * math.log(p / q_miss)
+    hit = [b for b, r in got.items() if r.p_cur > eps]
+    miss = [b for b, r in got.items() if r.p_cur == eps]
+    assert len(hit) == 5 and len(miss) == 5
+    for b in hit:
+        assert got[b].contrib == pytest.approx(expect_hit, rel=1e-12)
+    for b in miss:
+        assert got[b].contrib == pytest.approx(expect_miss, rel=1e-12)
+    assert got[0].psi == pytest.approx(5 * expect_hit + 5 * expect_miss, rel=1e-12)

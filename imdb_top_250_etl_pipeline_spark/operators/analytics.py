@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def funnel_steps(
@@ -96,4 +97,49 @@ def retention_cohorts(
         )
         .groupBy("cohort_date", "day_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    is_touch,
+    is_conversion,
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, the channel of the user's earliest and latest
+    qualifying touch at or before the conversion time.
+
+    One pass, one shuffle — the asof_join union-sort-carry construction
+    turned inward: within each user's timeline (ordered by ts, with
+    ``order_col`` — e.g. the event id — as the deterministic tie-break,
+    and touches sorting BEFORE conversions at equal timestamps so a
+    same-instant touch is creditable), a running first_value/last_value
+    over touch channels is read off at each conversion row.  No
+    touches-to-conversions join ever materializes (the naive theta-join
+    explodes by touches×conversions per user); per-user work is the
+    sort, so skew follows user activity — the funnel/retention bound.
+    Conversions with no prior touch keep NULL attribution (organic).
+    """
+    tie = [F.col(order_col)] if order_col else []
+    touch_ch = F.when(is_touch, F.col(channel_col))
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.when(is_touch, 0).otherwise(1), *tie)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = events.select(
+        "*",
+        F.first(touch_ch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_ch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return enriched.where(is_conversion).select(
+        user_col,
+        ts_col,
+        *([order_col] if order_col else []),
+        "first_touch",
+        "last_touch",
     )

@@ -1744,6 +1744,53 @@ _RETENTION_ORACLE = """
 """
 
 
+_ATTRIBUTION_ORACLE = """
+    WITH tl AS (
+      SELECT user_id, ts, event_id, event_type,
+             first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                         THEN event_type END IGNORE NULLS)
+                 OVER w AS first_touch,
+             last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                        THEN event_type END IGNORE NULLS)
+                 OVER w AS last_touch
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts,
+                 CASE WHEN event_type IN ('view', 'click', 'signup')
+                      THEN 0 ELSE 1 END,
+                 event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, first_touch, last_touch
+    FROM tl WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "events_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    doc="First-/last-touch conversion attribution (operators/"
+    "analytics.py::attribution): per purchase, the channel of the "
+    "user's earliest and latest qualifying touch (view/click/signup) at "
+    "or before the conversion — a running first/last over each user's "
+    "timeline read off at conversion rows, one shuffle, no "
+    "touches-to-conversions join (the naive theta-join explodes by "
+    "touches x conversions per user). Same-timestamp touches sort "
+    "before conversions (creditable), event_id breaks remaining ties; "
+    "organic conversions keep NULLs.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import attribution
+
+    ev = load(spark, sf_dir, "events")
+    touch = F.col("event_type").isin("view", "click", "signup")
+    conv = F.col("event_type") == "purchase"
+    return attribution(
+        ev, "user_id", "ts", "event_type", touch, conv, order_col="event_id"
+    )
+
+
 @register(
     "events_funnel",
     oracle=_FUNNEL_ORACLE,
@@ -2089,6 +2136,17 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uid, t1, t2, n, n2, v",
             _IVJOIN_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "attrib",
+            "user_id AS uid, ts AS t1, CAST(NULL AS TIMESTAMP) AS t2, "
+            "event_id AS n, "
+            "CAST(CASE first_touch WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+            "WHEN 'signup' THEN 3 END AS BIGINT) AS n2, "
+            "CAST(CASE last_touch WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+            "WHEN 'signup' THEN 3 END AS DOUBLE) AS v",
+            _ATTRIBUTION_ORACLE,
+        )
     ),
     doc="The streaming batch-dual surface in one battery: tumbling window, "
     "sliding window, lag+cumsum sessionization, the built-in "
@@ -2307,6 +2365,21 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trig_id").alias("n2"),
         F.col("value").alias("v"),
     )
+    at = events_attribution(spark, sf_dir)
+    ch = lambda c: (
+        F.when(F.col(c) == "view", 1)
+        .when(F.col(c) == "click", 2)
+        .when(F.col(c) == "signup", 3)
+    )
+    at = at.select(
+        _tag("attrib"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t1"),
+        _null("timestamp").alias("t2"),
+        F.col("event_id").alias("n"),
+        ch("first_touch").cast("bigint").alias("n2"),
+        ch("last_touch").cast("double").alias("v"),
+    )
     return (
         t.unionByName(s)
         .unionByName(m)
@@ -2322,6 +2395,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(re)
         .unionByName(fb)
         .unionByName(iv)
+        .unionByName(at)
     )
 
 
@@ -2461,6 +2535,8 @@ subsume(
     "stream_stateful_count_dual",
     "events_funnel",
     "events_retention",
+    # round-6: attribution rides stream_battery
+    "events_attribution",
     # round-6 constituent: foreachBatch MERGE driven in the query body,
     # folded into stream_battery (part=fbmerge)
     "stream_fbmerge_check",

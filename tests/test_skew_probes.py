@@ -177,3 +177,35 @@ def test_retention_power_law_matches_pandas_dual(spark):
         for (c, o), n in act.groupby(["cohort", "off"]).user_id.nunique().items()
     }
     assert got == expected
+
+
+def test_attribution_hand_computed(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        attribution,
+    )
+
+    rows = [
+        # user 1: touch a, touch b, convert, touch c, convert
+        (1, 10, 1, "a", "T"), (1, 20, 2, "b", "T"), (1, 30, 3, None, "C"),
+        (1, 40, 4, "c", "T"), (1, 50, 5, None, "C"),
+        # user 2: organic conversion (no prior touch)
+        (2, 10, 6, None, "C"), (2, 20, 7, "a", "T"),
+        # user 3: same-instant touch must be creditable
+        (3, 10, 8, "b", "T"), (3, 10, 9, None, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts long, eid long, ch string, kind string"
+    )
+    got = {
+        r.eid: (r.first_touch, r.last_touch)
+        for r in attribution(
+            df, "u", "ts", "ch",
+            F.col("kind") == "T", F.col("kind") == "C", order_col="eid",
+        ).collect()
+    }
+    assert got == {
+        3: ("a", "b"),
+        5: ("a", "c"),
+        6: (None, None),   # organic
+        9: ("b", "b"),     # same-instant touch credited
+    }

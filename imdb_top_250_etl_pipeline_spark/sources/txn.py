@@ -239,6 +239,7 @@ def txn_merge(
     update_cols: list[str],
     stable_cols: list[str],
     range_partitions: int | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """MERGE ``updates`` into the table: matched keys take the incoming
     dynamic columns (EXCLUDED.* semantics, incoming NULLs win), unmatched
@@ -258,10 +259,35 @@ def txn_merge(
 
     base_version, schema_json, key, live = snapshot(table)
     schema = T.StructType.fromJson(json.loads(schema_json))
-    if set(updates.columns) != {f.name for f in schema.fields}:
+    table_cols = {f.name for f in schema.fields}
+    extra = [c for c in updates.columns if c not in table_cols]
+    missing = table_cols - set(updates.columns)
+    if missing:
         raise ValueError(
-            f"updates columns {sorted(updates.columns)} != table schema "
-            f"{sorted(f.name for f in schema.fields)}"
+            f"updates lack table columns {sorted(missing)} — MERGE "
+            "sources must carry full rows"
+        )
+    if extra and not allow_schema_evolution:
+        raise ValueError(
+            f"updates add columns {extra}; pass "
+            "allow_schema_evolution=True to evolve the table schema"
+        )
+    evolved = bool(extra)
+    if evolved:
+        # Delta mergeSchema semantics: new columns append as nullable;
+        # live files are untouched — a parquet scan with the evolved
+        # schema reads the absent column as NULL, so historical rows
+        # backfill lazily and file skipping stats stay valid.  The new
+        # commit's metaData action carries the evolved schema (replay
+        # keeps the latest), and time travel to an older version still
+        # reads that version's schema.
+        upd_schema = {f.name: f for f in updates.schema.fields}
+        schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(c, upd_schema[c].dataType, True)
+                for c in extra
+            ]
         )
     new_version = base_version + 1
     staged = _stage_and_place(
@@ -296,7 +322,12 @@ def txn_merge(
     # the staged update files were added to data/ for footer stats and
     # restartability but are not part of the new snapshot: committed as
     # add+remove in the same version so vacuum reclaims them
-    _commit(table, new_version, staged + adds + removes)
+    meta = (
+        [{"metaData": {"schema": schema.json(), "key": key}}]
+        if evolved
+        else []
+    )
+    _commit(table, new_version, meta + staged + adds + removes)
     return new_version
 
 

@@ -197,3 +197,50 @@ def test_create_refuses_overwrite(spark, table):
     txn_create(c, table, key="c_custkey")
     with pytest.raises(FileExistsError):
         txn_create(c, table, key="c_custkey")
+
+
+def test_merge_schema_evolution(spark, table):
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=4)
+    upd = c.where(F.col("c_custkey") % 5 == 0).withColumn(
+        "segment_rank", (F.col("c_custkey") % 3).cast("long")
+    )
+    # strict by default: new columns refuse without the flag
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        txn_merge(
+            spark, table, upd,
+            ["c_acctbal", "c_mktsegment", "segment_rank"], ["c_name"],
+        )
+    v = txn_merge(
+        spark, table, upd,
+        ["c_acctbal", "c_mktsegment", "segment_rank"], ["c_name"],
+        allow_schema_evolution=True,
+    )
+    got = txn_read(spark, table)
+    assert "segment_rank" in got.columns
+    # untouched historical rows lazily backfill NULL; merged rows carry
+    # the new values
+    assert (
+        got.where(F.col("c_custkey") % 5 != 0)
+        .where(F.col("segment_rank").isNotNull())
+        .isEmpty()
+    )
+    assert (
+        got.where(F.col("c_custkey") % 5 == 0)
+        .where(F.col("segment_rank") != F.col("c_custkey") % 3)
+        .isEmpty()
+    )
+    assert got.count() == c.count()
+    # time travel to v0 reads the PRE-evolution schema
+    v0 = txn_read(spark, table, version=0)
+    assert "segment_rank" not in v0.columns
+    # a followup merge in the evolved schema works and keeps it
+    upd2 = txn_read(spark, table).where(F.col("c_custkey") % 25 == 0)
+    txn_merge(
+        spark, table, upd2,
+        ["c_acctbal", "c_mktsegment", "segment_rank"], ["c_name"],
+    )
+    assert "segment_rank" in txn_read(spark, table).columns
+    # a source missing table columns is rejected loudly
+    with pytest.raises(ValueError, match="lack table columns"):
+        txn_merge(spark, table, c, ["c_acctbal"], ["c_name"])

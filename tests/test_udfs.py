@@ -98,3 +98,35 @@ def test_sample_frames_every_k(spark):
     # doc 5 -> 15 frames -> idx 0,7,14; doc 200 -> 10 frames -> idx 0,7
     assert sorted(by_doc[5]) == [(0, 0), (7, 700), (14, 1400)]
     assert sorted(by_doc[200]) == [(0, 0), (7, 700)]
+
+
+def test_flatten_structs_depth_arrays_and_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.functions.nested import (
+        flatten_structs,
+    )
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").alias("a"),
+            F.struct((F.col("id") * 2).alias("deep")).alias("inner"),
+            F.array(F.lit(1), F.lit(2)).alias("arr"),
+        ).alias("s"),
+    )
+    flat = flatten_structs(df)
+    assert flat.columns == ["id", "s_a", "s_inner_deep", "s_arr"]
+    rows = {r.id: r for r in flat.collect()}
+    assert rows[2].s_a == 2 and rows[2].s_inner_deep == 4
+    assert rows[1].s_arr == [1, 2]  # arrays stay put — explode is explicit
+
+    # collision must raise, not overwrite
+    bad = spark.range(1).select(
+        F.struct(F.lit(1).alias("x")).alias("a"),
+        F.lit(9).alias("a_x"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        flatten_structs(bad)

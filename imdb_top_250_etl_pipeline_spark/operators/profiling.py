@@ -195,3 +195,66 @@ def population_stability(
     )
     total = per.agg(F.sum("contrib").alias("psi"))
     return per.crossJoin(F.broadcast(total))
+
+
+# The mergeable-metric column set maintained per key: each is an
+# ALGEBRAIC aggregate (two states merge by a fixed formula), which is
+# what makes incremental maintenance exact — averages/ratios derive
+# from (sum, count) at read time, never stored.
+_ROLLUP_STATE = ("n", "total", "lo", "hi")
+
+
+def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Aggregate a batch into mergeable per-key metric state
+    (n, total, lo, hi)."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )
+
+
+def merge_rollup(
+    state: DataFrame, batch_state: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's rollup
+    state into the persisted per-key state — counts/sums add, extrema
+    combine — so a continuously-maintained metrics table never rescans
+    history (the exact-metric sibling of the HLL-union distinct path,
+    and the aggregation-table pattern under every streaming dashboard).
+
+    Full-outer on the keys: keys only in the batch insert, keys only in
+    the state carry over.  One shuffle on the key set; both inputs are
+    key-bounded aggregate tables, never raw events.  Only ALGEBRAIC
+    metrics belong in the state (sum/count/min/max, and sketches like
+    HLL via incremental_distinct_estimate); holistic metrics (exact
+    median/distinct) cannot merge and must recompute — that split is
+    the design line this operator makes explicit.
+    """
+    s = state.alias("s")
+    b = batch_state.alias("b")
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else cond & c
+    out_keys = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    z = F.lit(0)
+    return s.join(b, cond, "full_outer").select(
+        *out_keys,
+        (F.coalesce(F.col("s.n"), z) + F.coalesce(F.col("b.n"), z)).alias("n"),
+        (
+            F.coalesce(F.col("s.total"), F.lit(0.0))
+            + F.coalesce(F.col("b.total"), F.lit(0.0))
+        ).alias("total"),
+        F.least(
+            F.coalesce(F.col("s.lo"), F.col("b.lo")),
+            F.coalesce(F.col("b.lo"), F.col("s.lo")),
+        ).alias("lo"),
+        F.greatest(
+            F.coalesce(F.col("s.hi"), F.col("b.hi")),
+            F.coalesce(F.col("b.hi"), F.col("s.hi")),
+        ).alias("hi"),
+    )

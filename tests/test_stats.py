@@ -137,3 +137,36 @@ def test_population_stability_hand_computed(spark):
     for b in miss:
         assert got[b].contrib == pytest.approx(expect_miss, rel=1e-12)
     assert got[0].psi == pytest.approx(5 * expect_hit + 5 * expect_miss, rel=1e-12)
+
+
+def test_merge_rollup_incremental_equals_full_recompute(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        merge_rollup,
+        rollup_state,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    ev = load(spark, SF_SMOKE, "events").select("user_id", "value")
+    # three "daily" batches arriving incrementally
+    batches = [ev.where(F.col("user_id") % 3 == i) for i in range(3)]
+    state = rollup_state(batches[0], ["user_id"], "value")
+    for b in batches[1:]:
+        state = merge_rollup(
+            state, rollup_state(b, ["user_id"], "value"), ["user_id"]
+        )
+    whole = rollup_state(ev, ["user_id"], "value")
+    inc = {r.user_id: r for r in state.collect()}
+    full = {r.user_id: r for r in whole.collect()}
+    assert set(inc) == set(full)
+    for uid, w in full.items():
+        g = inc[uid]
+        assert g.n == w.n and g.lo == w.lo and g.hi == w.hi, uid
+        # sums: incremental adds batch partials in a fixed order; allow
+        # fp reassociation at the 1e-9 level
+        assert abs(g.total - w.total) <= 1e-9 * max(1.0, abs(w.total)), uid
+    # disjoint-key merge: batch-only keys insert, state-only carry over
+    extra = spark.createDataFrame(
+        [(10**9, 1, 5.0, 5.0, 5.0)], "user_id long, n long, total double, lo double, hi double"
+    )
+    merged = merge_rollup(state, extra, ["user_id"])
+    assert merged.count() == whole.count() + 1

@@ -268,6 +268,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 256,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding + exact-Jaccard verify.
 
@@ -289,6 +290,8 @@ def minhash_candidate_pairs(
     the file count.
     """
     rows = k // bands
+    if collapse_exact:
+        df = collapse_exact_first(df, text_col, id_col)
     base = (
         spread(df, id_col)
         .select(

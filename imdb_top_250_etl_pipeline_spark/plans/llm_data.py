@@ -124,11 +124,16 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "4-band LSH bucketing → candidate equi-join → exact-Jaccard verify "
     "(≥0.5). Candidates only from equal band buckets — never all-pairs; "
     "the planted variants (last 2 words dropped) must all surface "
-    "(asserted in tests/test_llm_data.py).",
+    "(asserted in tests/test_llm_data.py). Collapse-first like the "
+    "simhash/ngram queries: exact clones are exact_dedup's job, and on "
+    "the clone-dense sf1 corpus they otherwise dominate the banded "
+    "candidate volume.",
 )
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        minhash_candidate_pairs(_corpus_near(spark, sf_dir), "text", "doc_id")
+        minhash_candidate_pairs(
+            _corpus_near(spark, sf_dir), "text", "doc_id", collapse_exact=True
+        )
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )

@@ -674,3 +674,124 @@ def sink_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).orderBy("n_name").localCheckpoint(eager=True)
     finally:
         drop_table(spark, name)
+
+
+@register(
+    "sink_jdbc_roundtrip",
+    oracle=(
+        "SELECT 'write_read' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 4 = 1"
+        "\nUNION ALL\n"
+        "SELECT 'parallel' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 4 = 1"
+        "\nUNION ALL\n"
+        "SELECT 'pushdown' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer "
+        "WHERE c_custkey % 4 = 1 AND c_mktsegment = 'BUILDING'"
+    ),
+    doc="S3 JDBC read/write exercised END-TO-END against embedded Derby "
+    "(the JDBC engine Spark itself ships for its metastore — zero extra "
+    "jars), upgrading the last untested component: a batched "
+    "write_jdbc(overwrite) into a disposable Derby database, then three "
+    "read paths hash-checked against the plain customer oracle: a full "
+    "scan (part=write_read — JDBC round-trips BIGINT/VARCHAR/DOUBLE "
+    "value-exactly), a parallel partitioned read with "
+    "partitionColumn/numPartitions=4 (part=parallel — ok pins that the "
+    "scan really planned 4 JDBC partitions, i.e. 4 concurrent "
+    "connections each with a WHERE stride: the shape that extracts a "
+    "100 TB fact table at cluster parallelism), and a filtered read "
+    "(part=pushdown — ok pins PushedFilters contains the equality, i.e. "
+    "the predicate compiled into Derby's WHERE clause instead of "
+    "filtering post-transfer).  createTableColumnTypes maps the string "
+    "columns to VARCHAR (Derby's default CLOB mapping cannot be "
+    "compared, grouped, or pushed down).  Results detach via eager "
+    "localCheckpoint before the database directory is removed.",
+)
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.catalog import DERBY_EMBEDDED_DRIVER, read_jdbc
+    from ..sources.sink import write_jdbc
+
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .where(F.col("c_custkey") % 4 == 1)
+    )
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="jdbc_roundtrip_", dir=scratch)
+    try:
+        try:
+            # Derby writes derby.log into user.dir unless told otherwise;
+            # point it at the disposable dir BEFORE the engine boots
+            # (first connection).  Classic-session-only JVM access — on a
+            # Connect session the log lands in cwd, harmless.
+            spark._jvm.java.lang.System.setProperty(
+                "derby.stream.error.file", os.path.join(path, "derby.log")
+            )
+        except Exception:
+            pass
+        url = f"jdbc:derby:{os.path.join(path, 'db')};create=true"
+        write_jdbc(
+            c,
+            url,
+            "cust",
+            mode="overwrite",
+            driver=DERBY_EMBEDDED_DRIVER,
+            # Derby maps Spark StringType to CLOB by default, which cannot
+            # be =, GROUP BY'd, or pushed down — declare VARCHAR widths
+            createTableColumnTypes=(
+                "c_name VARCHAR(40), c_mktsegment VARCHAR(16)"
+            ),
+        )
+        cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+
+        full = (
+            read_jdbc(spark, url, "cust", driver=DERBY_EMBEDDED_DRIVER)
+            .select(*cols)
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("write_read"))
+        )
+
+        # stride bounds from the data (sf-proof): an aggregate action at
+        # build time, in line with this battery's write actions
+        lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+        par_df = read_jdbc(
+            spark,
+            url,
+            "cust",
+            driver=DERBY_EMBEDDED_DRIVER,
+            partitionColumn="c_custkey",
+            lowerBound=str(lo),
+            upperBound=str(hi + 1),
+            numPartitions="4",
+        )
+        ok_par = par_df.rdd.getNumPartitions() == 4
+        par = (
+            par_df.select(*cols)
+            .withColumn("ok", F.lit(bool(ok_par)))
+            .withColumn("part", F.lit("parallel"))
+        )
+
+        pushed_df = read_jdbc(
+            spark, url, "cust", driver=DERBY_EMBEDDED_DRIVER
+        ).where(F.col("c_mktsegment") == "BUILDING")
+        try:
+            phys = pushed_df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            phys = ""
+        ok_push = "EqualTo(c_mktsegment,BUILDING)" in phys
+        pushed = (
+            pushed_df.select(*cols)
+            .withColumn("ok", F.lit(bool(ok_push)))
+            .withColumn("part", F.lit("pushdown"))
+        )
+
+        return full.unionByName(par).unionByName(pushed).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

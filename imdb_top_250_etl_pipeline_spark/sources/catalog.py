@@ -109,12 +109,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_AT[app] = sf_dir
 
 
+# Embedded Derby ships with Spark itself (derby*.jar in the pyspark jars
+# dir, there for the Hive metastore) — it is the one JDBC database every
+# Spark install can reach with zero extra jars, so it is what exercises
+# the JDBC read/write path end-to-end (tests/test_jdbc.py and the
+# sink_jdbc_roundtrip battery).  Production swaps the URL + driver for
+# Postgres/MySQL; every option below is driver-agnostic.
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC table scan (reference S3: pd.read_sql, webscraper-postgres.py:163).
 
-    Gated: no JDBC driver jar ships in this image; the call shape is the
-    production path (predicate pushdown via ``pushDownPredicate``,
-    parallel reads via ``partitionColumn``/``numPartitions``).
+    The production path: predicate pushdown via ``pushDownPredicate``
+    (on by default — filters compile into the remote WHERE clause, see
+    the PushedFilters assertion in tests/test_jdbc.py), parallel reads
+    via ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` (one connection per stride, so a 100 TB fact
+    extract reads with cluster parallelism instead of one socket).
+    Executable here against embedded Derby (DERBY_EMBEDDED_DRIVER);
+    external engines need their driver jar on the classpath.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():

@@ -102,9 +102,10 @@ def write_jdbc(
     (webscraper-postgres.py:156-161, 190-222: per-row INSERTs inside
     iterrows loops; here one batched write per partition).
 
-    Gated like read_jdbc: no driver jar ships in this image, so this has
-    the production call shape but cannot execute here.  The knobs that
-    matter at scale: ``batchsize`` (rows per round-trip — the 40-400×
+    Executable here against embedded Derby (catalog.DERBY_EMBEDDED_DRIVER
+    — tests/test_jdbc.py and the sink_jdbc_roundtrip battery drive a full
+    write→read-back); external engines need their driver jar.  The knobs
+    that matter at scale: ``batchsize`` (rows per round-trip — the 40-400×
     win over row-at-a-time), ``num_partitions`` (concurrent connections;
     coalesce first so a 1000-task stage doesn't open 1000 connections),
     ``isolation_level`` (NONE for bulk loads on quiesced tables).

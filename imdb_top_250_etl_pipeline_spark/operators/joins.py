@@ -1,0 +1,83 @@
+"""Join strategies for hostile key distributions (SURVEY §2.2 J-family,
+scale hardening).
+
+Catalyst's default answers — broadcast for small dims, sort-merge for
+the rest, AQE skew-split when statistics reveal a hot partition — cover
+the common cases.  Two situations defeat them at 100 TB and need an
+explicit construction:
+
+- **Skewed fact⋈mid-size dim** where the dim is too big to broadcast
+  and one key owns a double-digit percentage of the fact (the null-ish
+  sentinel key, the megacity, the bot user).  AQE's skew join only
+  splits SORT-MERGE partitions it can see at runtime and cannot help
+  when the hot key must still land in one task's sort.  ``salted_join``
+  spreads each hot key across ``n_salts`` tasks deterministically.
+
+- **The same big⋈big join run repeatedly** (daily fact builds, iterated
+  pipelines).  Paying the shuffle every run is wasted work;
+  ``sources/sink.py::write_bucketed`` persists both sides hash-bucketed
+  on the join key, after which every join — and every groupBy on that
+  key — plans with ZERO exchanges (tests/test_plan_shapes.py pins it).
+
+The reference (webscraper-postgres.py) joins in pandas on a single
+node, where skew is invisible; these operators are what the same joins
+need on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join a skew-keyed big side against a non-broadcastable small
+    side by salting: big rows get a deterministic salt in [0, n_salts),
+    the small side is replicated once per salt (row-local explode, no
+    shuffle), and the join runs on (key, salt) — so a key that owns 30%
+    of the fact spreads over ``n_salts`` tasks instead of melting one.
+
+    Semantics: identical to ``big.join(small, big_key == small_key,
+    how)`` for ``how`` in {'inner', 'left'} — each big row carries
+    exactly one salt, so multiplicity is preserved; each small row
+    appears once per salt but only ever matches big rows of its own
+    salt.  Right/full outer are refused: unmatched small-side replicas
+    would need a post-join dedup that re-concentrates the key.
+
+    The salt must be DETERMINISTIC (oracle-checkable, retry-stable,
+    lineage-recomputable — the same discipline as every sampler in this
+    repo): xxhash64 of ``salt_on`` (default: all big-side columns), not
+    ``rand()``.  Duplicate big rows therefore share a salt; they are
+    exactly the rows a shuffle would co-locate anyway, and any varying
+    column in ``salt_on`` spreads a hot KEY perfectly.
+
+    Cost: small side ×n_salts (choose n_salts ≈ hot-key share ×
+    parallelism, not hundreds), big side one shuffle on (key, salt) —
+    same shuffle count as the plain join, but skew-free.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt_cols: list[Column] = [
+        F.col(c) for c in (salt_on if salt_on is not None else big.columns)
+    ]
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),
+    )
+    joined = b.join(
+        s,
+        (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

@@ -927,3 +927,164 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wide.unionByName(melted).orderBy("part", "l_returnflag", "status")
+
+
+# ---------------------------------------------------------------------------
+# Scale-hardened join strategies (J-family at 100 TB): bucketed co-location
+# and deterministic skew salting.  Both branches compute a plain-join
+# aggregate the oracle can state in ANSI SQL — the STRATEGY is pinned by ok
+# columns (no Exchange / salt in the join keys), the RESULT by the hash.
+# ---------------------------------------------------------------------------
+
+
+def _physical_plan(df: DataFrame) -> str:
+    """Executed-plan string for ok-column pins; '' if the private plan
+    accessor is unavailable (non-classic session) so the pin fails
+    loudly rather than passing vacuously."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return ""
+
+
+@register(
+    "join_scale_battery",
+    oracle=(
+        "SELECT 'bucketed' AS part, CAST(c_custkey AS VARCHAR) AS k, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS v, "
+        "true AS ok FROM customer JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey"
+        "\nUNION ALL\n"
+        "SELECT 'salted' AS part, c_mktsegment AS k, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS v, "
+        "true AS ok FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+        "\nUNION ALL\n"
+        "SELECT 'salted_left' AS part, c.c_mktsegment AS k, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS v, "
+        "true AS ok FROM orders o LEFT JOIN "
+        "(SELECT * FROM customer WHERE c_custkey % 3 = 0) c "
+        "ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+    ),
+    doc="The two join constructions Catalyst cannot pick on its own, "
+    "result-hash-checked against the PLAIN-join oracle (strategy must "
+    "not change semantics) with the strategy itself pinned by ok "
+    "columns.  part=bucketed: customer and orders persisted via "
+    "sources/sink.py::write_bucketed (8 hash buckets on the join key), "
+    "then joined AND aggregated per custkey — ok pins that the entire "
+    "executed plan contains ZERO Exchange nodes: the write-time "
+    "bucketing satisfies both the sort-merge join's and the groupBy's "
+    "distribution, the pay-the-shuffle-once layout for a daily-rerun "
+    "100 TB join.  part=salted/salted_left: operators/joins.py::"
+    "salted_join spreads each order key over 8 deterministic salts "
+    "(xxhash64, not rand — retry-stable and oracle-checkable) while the "
+    "customer side replicates once per salt, so a key owning 30% of the "
+    "fact occupies 8 tasks instead of melting one; ok pins that _salt "
+    "actually entered the join keys.  The left branch keys the dim down "
+    "to a third of customers so unmatched orders must survive with NULL "
+    "segment — the multiplicity-preservation half of the salting "
+    "contract.",
+)
+def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.joins import salted_join
+    from ..sources.sink import drop_table, write_bucketed
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="join_scale_", dir=scratch)
+    try:
+        write_bucketed(
+            cust, "jsb_bk_customer", os.path.join(path, "c"),
+            ["c_custkey"], 8, sort_cols=["c_custkey"],
+        )
+        write_bucketed(
+            orders, "jsb_bk_orders", os.path.join(path, "o"),
+            ["o_custkey"], 8, sort_cols=["o_custkey"],
+        )
+        # hint forces sort-merge: fixture-sized dims would auto-broadcast,
+        # which hides the property under test (and a BroadcastExchange
+        # would trip the no-Exchange pin)
+        bk = (
+            spark.table("jsb_bk_customer")
+            .hint("merge")
+            .join(
+                spark.table("jsb_bk_orders"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("c_custkey")
+            .agg(
+                F.count("*").alias("n"),
+                round_money(F.sum(money("o_totalprice"))).alias("v"),
+            )
+        )
+        ok_bk = "Exchange" not in _physical_plan(bk)
+        bucketed = bk.select(
+            F.lit("bucketed").alias("part"),
+            F.col("c_custkey").cast("string").alias("k"),
+            "n",
+            "v",
+            F.lit(bool(ok_bk)).alias("ok"),
+        ).localCheckpoint(eager=True)  # detach before DROP TABLE/rmtree
+
+        sj = salted_join(orders, cust, "o_custkey", "c_custkey", n_salts=8)
+        ok_salt = "_salt" in _physical_plan(sj)
+        salted = (
+            sj.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                round_money(F.sum(money("o_totalprice"))).alias("v"),
+            )
+            .select(
+                F.lit("salted").alias("part"),
+                F.col("c_mktsegment").alias("k"),
+                "n",
+                "v",
+                F.lit(bool(ok_salt)).alias("ok"),
+            )
+        )
+
+        sjl = salted_join(
+            orders,
+            cust.where(F.col("c_custkey") % 3 == 0),
+            "o_custkey",
+            "c_custkey",
+            n_salts=8,
+            how="left",
+        )
+        salted_left = (
+            sjl.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                round_money(F.sum(money("o_totalprice"))).alias("v"),
+            )
+            .select(
+                F.lit("salted_left").alias("part"),
+                F.col("c_mktsegment").alias("k"),
+                "n",
+                "v",
+                F.lit(True).alias("ok"),
+            )
+        )
+
+        return (
+            bucketed.unionByName(salted).unionByName(salted_left)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        drop_table(spark, "jsb_bk_customer")
+        drop_table(spark, "jsb_bk_orders")
+        shutil.rmtree(path, ignore_errors=True)

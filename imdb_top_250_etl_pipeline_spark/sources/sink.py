@@ -127,6 +127,44 @@ def write_jdbc(
     writer.save()
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    key — the pay-the-shuffle-once layout for joins and aggregations
+    that repeat.
+
+    Two tables bucketed on their join key with the SAME bucket count
+    sort-merge-join with ZERO exchanges, and a groupBy on the bucket key
+    aggregates without a shuffle (both plan-pinned in
+    tests/test_plan_shapes.py and the join_scale_battery): the
+    partitioning was paid at write time and amortizes over every
+    subsequent consumer.  ``sort_cols`` additionally sorts within each
+    bucket file so the SMJ's sort is already satisfied on read.
+
+    Bucketing metadata lives in the session catalog (saveAsTable with an
+    explicit ``path``: external table, data survives DROP TABLE) — plain
+    ``read_back`` on the path sees ordinary parquet and ignores the
+    layout, so readers that want the shuffle-free plans must go through
+    ``spark.table(name)``.  At production scale the catalog is Hive/
+    Unity/Glue and ``n_buckets`` is sized so one bucket ≈ one task's
+    memory at the LARGEST consumer (too few buckets caps parallelism —
+    buckets are not splittable for the co-located plans).
+    """
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def write_sorted_parquet(
     df: DataFrame,
     path: str,

@@ -169,3 +169,149 @@ def interval_join(
         .where(F.col(point_col).between(F.col(start_col), F.col(end_col)))
         .drop("_b")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    value_col: str,
+    alpha: float,
+    horizon: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over each key's series —
+    the smoothing pass under anomaly detection and trend features.
+
+    Finite-horizon form: weights (1-α)^k over the last ``horizon``
+    observations, normalized by the weights actually present (pandas
+    ``adjust=True`` semantics truncated at the horizon — rows near the
+    series head normalize over their shorter history instead of being
+    biased toward 0).  The truncation error is bounded by
+    (1-α)^horizon — pick horizon ≥ ln(tol)/ln(1-α) for tolerance tol
+    (8 terms at α=0.3 ≈ 5.8e-2 tail weight; 60 terms ≈ 5e-10).
+
+    Deliberately NOT the recursive infinite form: that is inherently
+    sequential per key (an applyInPandas pass holding a whole key's
+    series — the grouped-UDAF memory bound), while this is ``horizon``
+    lag() expressions over ONE window — one shuffle on the key, fully
+    codegen, and exactly reproducible cross-engine, which is what makes
+    the timeseries_battery oracle hash-checkable: identical weight
+    literals, identical left-to-right fp fold, identical single IEEE
+    division.  The expression tree is built in lockstep with the DuckDB
+    twin (plans/timeseries_queries.py::_ewma_sql) — change one, change
+    both.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    w = W.partitionBy(key).orderBy(*order_cols)
+    num = None
+    den = None
+    for k in range(horizon):
+        wk = (1.0 - alpha) ** k
+        xk = F.col(value_col) if k == 0 else F.lag(value_col, k).over(w)
+        tn = F.when(xk.isNotNull(), F.lit(wk) * xk).otherwise(F.lit(0.0))
+        td = F.when(xk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    return df.withColumn(out_col, F.when(den > 0, num / den))
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+) -> DataFrame:
+    """Downsample each key's series onto a regular ``step_us`` grid and
+    linearly interpolate the empty buckets — the gap-filling resample
+    under rate conversion and feature alignment (forward_fill's
+    two-sided sibling).
+
+    Three stages, all distributed: (1) bucket observations with pure
+    integer arithmetic (e - e % step, no fp boundary risk) and average
+    per bucket in exact DECIMAL before ONE cast-and-divide to double —
+    a raw double SUM would be order-dependent fp; (2) build each key's
+    grid with sequence(min, max, step) — row-local explode, span/step
+    rows per key, no shuffle; (3) carry (prev, next) non-empty buckets
+    with last/first IGNORE NULLS over the two running frames — the
+    same one-shuffle construction as forward_fill — and interpolate
+    prev + (next-prev)·(t-pt)/(nt-pt).  Head/tail buckets with only
+    one neighbor extend it flat (bfill head / ffill tail).
+
+    Grid volume is keys × (span/step): step must be sized to the
+    series' span (a year at 1s grid = 31M rows/key).  Every expression
+    is UDF-free and bit-reproducible (integer bucketing, exact-decimal
+    averages, single IEEE ops) — the timeseries_battery hash-checks it
+    against DuckDB verbatim.
+
+    Output: (key, t, n_obs, v) — bucket epoch-µs, observation count,
+    interpolated value.
+    """
+    if step_us < 1:
+        raise ValueError("step_us must be >= 1")
+    e = F.unix_micros(F.col(ts_col))
+    obs = (
+        df.select(
+            F.col(key),
+            (e - F.pmod(e, F.lit(step_us))).alias("t"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy(key, "t")
+        .agg(
+            F.count("_v").alias("n_obs"),
+            F.when(
+                F.count("_v") > 0,
+                F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
+                / F.count("_v"),
+            ).alias("_obs"),
+        )
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("t").alias("_mn"), F.max("t").alias("_mx"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step_us))
+            ).alias("t"),
+        )
+    )
+    g = grid.join(obs, [key, "t"], "left").withColumn(
+        "n_obs", F.coalesce("n_obs", F.lit(0))
+    )
+    wp = (
+        W.partitionBy(key)
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy(key)
+        .orderBy("t")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    t_if_obs = F.when(F.col("_obs").isNotNull(), F.col("t"))
+    g = (
+        g.withColumn("_pv", F.last("_obs", ignorenulls=True).over(wp))
+        .withColumn("_pt", F.last(t_if_obs, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first("_obs", ignorenulls=True).over(wn))
+        .withColumn("_nt", F.first(t_if_obs, ignorenulls=True).over(wn))
+    )
+    v = (
+        F.when(F.col("_obs").isNotNull(), F.col("_obs"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (
+                (F.col("t") - F.col("_pt")).cast("double")
+                / (F.col("_nt") - F.col("_pt")).cast("double")
+            ),
+        )
+        .when(F.col("_pv").isNotNull(), F.col("_pv"))
+        .otherwise(F.col("_nv"))
+    )
+    return g.select(key, "t", "n_obs", v.alias("v"))

@@ -15,5 +15,6 @@ from . import llm_data  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import udf_surface  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
+from . import timeseries_queries  # noqa: F401,E402
 from . import sql_surface  # noqa: F401,E402
 from . import batteries  # noqa: F401,E402

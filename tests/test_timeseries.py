@@ -1,0 +1,121 @@
+"""EWMA smoothing and gap-filling linear interpolation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+    ewma,
+    resample_interpolate,
+)
+
+US = 1_000_000
+
+
+def test_ewma_matches_pandas_adjusted_within_horizon(spark):
+    import pandas as pd
+
+    vals = [10.0, 12.0, 8.0, 14.0, 11.0, 9.0]
+    rows = [(1, i, float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, i long, ts double, v double")
+    got = {
+        r.i: r.ewma
+        for r in ewma(df, "k", ["ts", "i"], "v", alpha=0.3, horizon=8).collect()
+    }
+    # horizon(8) > series length(6): identical to pandas adjust=True
+    exp = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(len(vals)):
+        assert got[i] == pytest.approx(exp[i], abs=1e-12), i
+
+
+def test_ewma_truncates_at_horizon(spark):
+    vals = [100.0, 1.0, 1.0, 1.0, 1.0]
+    rows = [(1, i, float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, i long, ts double, v double")
+    got = {
+        r.i: r.ewma
+        for r in ewma(df, "k", ["ts", "i"], "v", alpha=0.5, horizon=2).collect()
+    }
+    # horizon=2: row 4 sees only rows 3,4 — the spike at row 0 is gone
+    assert got[4] == pytest.approx(1.0)
+    # row 1 normalizes over both available terms: (1 + .5*100)/1.5
+    assert got[1] == pytest.approx((1.0 + 0.5 * 100.0) / 1.5)
+
+
+def test_ewma_keys_are_independent(spark):
+    rows = [(1, 0, 0.0, 10.0), (1, 1, 1.0, 20.0), (2, 0, 0.0, 99.0)]
+    df = spark.createDataFrame(rows, "k long, i long, ts double, v double")
+    got = {
+        (r.k, r.i): r.ewma
+        for r in ewma(df, "k", ["ts", "i"], "v", alpha=0.5, horizon=4).collect()
+    }
+    assert got[(2, 0)] == pytest.approx(99.0)  # no bleed from key 1
+    assert got[(1, 1)] == pytest.approx((20.0 + 0.5 * 10.0) / 1.5)
+
+
+def test_ewma_rejects_bad_params(spark):
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError):
+        ewma(df, "k", ["ts"], "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        ewma(df, "k", ["ts"], "v", alpha=0.3, horizon=0)
+
+
+def _ts(sec: float):
+    from datetime import datetime, timedelta, timezone
+
+    return datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=sec)
+
+
+def test_interpolate_fills_gap_linearly(spark):
+    # observations at buckets 0 and 30 (10s grid): buckets 10,20 must
+    # interpolate 1/3 and 2/3 of the way
+    rows = [(1, _ts(0), 3.0), (1, _ts(30), 9.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {
+        r.t: (r.v, r.n_obs)
+        for r in resample_interpolate(df, "k", "ts", "v", 10 * US).collect()
+    }
+    t0 = min(out)
+    step = 10 * US
+    assert [out[t0 + i * step][0] for i in range(4)] == [3.0, 5.0, 7.0, 9.0]
+    assert [out[t0 + i * step][1] for i in range(4)] == [1, 0, 0, 1]
+
+
+def test_interpolate_averages_within_bucket_and_extends_edges(spark):
+    # two obs land in the middle bucket (avg 4.0); the bucketed series is
+    # [gap, 4.0, gap? ...] — head extends flat backward, tail forward
+    rows = [
+        (1, _ts(10), 2.0),
+        (1, _ts(12), 6.0),
+        (1, _ts(35), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = sorted(
+        (r.t, r.v, r.n_obs)
+        for r in resample_interpolate(df, "k", "ts", "v", 10 * US).collect()
+    )
+    vs = [v for _, v, _ in got]
+    ns = [n for _, _, n in got]
+    # buckets: 10s (avg of 2,6 = 4.0), 20s (interp), 30s (8.0)
+    assert vs[0] == pytest.approx(4.0)
+    assert vs[1] == pytest.approx(6.0)  # halfway between 4 and 8
+    assert vs[2] == pytest.approx(8.0)
+    assert ns == [2, 0, 1]
+
+
+def test_interpolate_single_observation_key(spark):
+    rows = [(7, _ts(5), 42.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = resample_interpolate(df, "k", "ts", "v", 10 * US).collect()
+    assert len(got) == 1 and got[0].v == 42.0 and got[0].n_obs == 1
+
+
+def test_interpolate_rejects_bad_step(spark):
+    df = spark.createDataFrame([(1, _ts(0), 1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError):
+        resample_interpolate(df, "k", "ts", "v", 0)

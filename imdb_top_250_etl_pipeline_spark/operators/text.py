@@ -426,25 +426,30 @@ def tfidf_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     text_col: str,
     id_col: str,
     query_terms: list[str],
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 retrieval: top-k documents for a bag of query terms — the
+    """BM25 scores for every document matching ≥1 query term — the
     lexical scorer behind retrieval-based data selection ("find docs
-    about X in the corpus").
+    about X in the corpus").  ``bm25_topk`` is the orderBy+limit view.
 
     All corpus statistics stay distributed: document lengths and
     per-term document frequencies are aggregates, the corpus size and
     average length ride as broadcast single-row aggregates (no
-    driver-side action), and the final top-k is TakeOrderedAndProject.
-    Scores are multi-term fp sums — rows-only territory (pinned against
-    a numpy reference in tests), like the other fp-fold operators.
+    driver-side action).  Membership (≥1 term present) is exact-integer
+    and the score is a deterministic formula of integer statistics, so
+    this IS oracle-checkable cross-engine (text_bm25_scores battery):
+    ``avgdl`` is computed as exact-integer-sum ÷ count (bit-identical
+    IEEE division in both engines, the registry's average discipline —
+    a streamed AVG would drift in the last ulp) and the per-doc score
+    rounds to 6dp, absorbing libm log() and sum-order differences.
+    The top-k CUT, by contrast, stays test-pinned: a 1-ulp disagreement
+    at the k-th score could change membership, which no rounding fixes.
 
     The document-frequency table is joined with a SHUFFLE_HASH hint,
     never broadcast: ``dfreq`` has one row per distinct query term, and
@@ -457,7 +462,10 @@ def bm25_topk(
     words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
     dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
     stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n_docs"),
+        # exact integer sum ÷ count, NOT avg(): both engines divide the
+        # same two exact values → identical IEEE result
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tf = (
         words.where(F.array_contains(terms, F.col("w")))
@@ -484,8 +492,22 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("bm25"))
     )
+    return scored.select(id_col, F.round("bm25", 6).alias("bm25"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval: ``bm25_scores`` + TakeOrderedAndProject
+    (no global sort materialization; ties break on ``id_col``)."""
     return (
-        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        bm25_scores(df, text_col, id_col, query_terms, k1=k1, b=b)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
-        .select(id_col, F.round("bm25", 6).alias("bm25"))
     )

@@ -922,3 +922,155 @@ def split_by_hash(
         cond = bucket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words
+  WHERE w IN ('spark', 'merge', 'vector') GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq FROM tf GROUP BY w),
+term_scores AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25 FROM term_scores GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bm25_scores",
+    oracle=_BM25_ORACLE,
+    doc="BM25 lexical scoring (operators/text.py::bm25_scores) promoted "
+    "from test-only to a hash-checked oracle: every document matching "
+    "≥1 of three query terms, scored.  Promotable because membership is "
+    "exact-integer (term present or not) and the score is a pure "
+    "formula of integer statistics — avgdl computed as "
+    "exact-integer-sum ÷ count (identical IEEE division both engines, "
+    "the registry's average discipline) and ROUND(x, 6) on both sides "
+    "absorbing libm-log and sum-order ulps.  Only the top-k CUT stays "
+    "test-pinned (bm25_topk — a 1-ulp disagreement at the k-th score "
+    "could change LIMIT membership, which no rounding fixes; the "
+    "numpy-reference test covers it).  Scale shape unchanged: dfreq "
+    "joins SHUFFLE_HASH (query-term vocabulary is unbounded — a "
+    "decontamination sweep passes a benchmark suite), single-row "
+    "stats broadcast, scores one shuffle on doc_id.",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
+
+
+_LINKAGE_ORACLE = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey AS rec_id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000000,
+         substr(c_name, 1, 9) || 'x' || substr(c_name, 11, 8)
+  FROM customer WHERE c_custkey % 5 = 0
+),
+keyed AS (
+  SELECT rec_id,
+         regexp_replace(lower(trim(name)), ' +', ' ', 'g') AS name_n
+  FROM recs
+),
+k2 AS (
+  SELECT rec_id, name_n,
+         substr(name_n, length(name_n) - 3, 4) || '|'
+           || CAST(length(name_n) AS VARCHAR) AS block
+  FROM keyed
+),
+pairs AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         levenshtein(a.name_n, b.name_n) AS dist
+  FROM k2 a JOIN k2 b ON a.block = b.block AND a.rec_id < b.rec_id
+  WHERE levenshtein(a.name_n, b.name_n) <= 2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT 'pairs' AS part, id_a AS a, id_b AS b, CAST(dist AS BIGINT) AS d
+FROM pairs
+UNION ALL
+SELECT 'clusters' AS part, a, min(b) AS b, CAST(NULL AS BIGINT) AS d
+FROM reach GROUP BY a
+"""
+
+
+@register(
+    "linkage_battery",
+    oracle=_LINKAGE_ORACLE,
+    doc="Entity resolution over a corpus with PLANTED fuzzy duplicates "
+    "(every 5th customer re-appears under a new id with one character "
+    "substituted — derived with pure expressions the oracle CTE "
+    "restates verbatim, the dedup-family fixture discipline).  "
+    "part=pairs: operators/linkage.py::linkage_candidates — blocking "
+    "on (normalized-name SUFFIX, length) so identifier-shaped names "
+    "with long constant prefixes don't collapse into one n² block, "
+    "then exact levenshtein ≤ 2 verify on the co-blocked pairs; an "
+    "equi-join shuffle, never a cross join.  part=clusters: "
+    "linkage_candidates → linkage_clusters (pointer-jumped connected "
+    "components, operators/dedup.py::dedup_groups) assigning each "
+    "matched record the min reachable rec_id — hash-checked against a "
+    "RECURSIVE-CTE transitive closure in DuckDB, which makes even the "
+    "iterative graph stage oracle-verified (closure is O(component²) "
+    "rows — fine for an oracle on hand-sized components, exactly why "
+    "the ENGINE side uses pointer jumping instead).",
+)
+def linkage_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import linkage_candidates, linkage_clusters
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name")
+    )
+    variants = cust.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1_000_000_000).alias("rec_id"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.lit("x"),
+            F.substring("c_name", 11, 8),
+        ).alias("name"),
+    )
+    recs = base.unionByName(variants)
+    pairs = linkage_candidates(
+        recs, "rec_id", "name", block_suffix_len=4, max_dist=2
+    )
+    # both branches consume the pair table; pin it once so the blocking
+    # join doesn't recompute under the components iteration
+    pairs = pairs.localCheckpoint(eager=True)
+    p = pairs.select(
+        F.lit("pairs").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("dist").cast("long").alias("d"),
+    )
+    c = linkage_clusters(pairs).select(
+        F.lit("clusters").alias("part"),
+        F.col("rec_id").alias("a"),
+        F.col("entity_id").alias("b"),
+        F.lit(None).cast("long").alias("d"),
+    )
+    return p.unionByName(c)

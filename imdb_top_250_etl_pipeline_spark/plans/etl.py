@@ -756,17 +756,21 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("part", F.lit("write_read"))
         )
 
-        # stride bounds from the data (sf-proof): an aggregate action at
-        # build time, in line with this battery's write actions
-        lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+        # fixed stride bounds: Spark's JDBC partitioning is COMPLETE by
+        # construction (rows below lowerBound land in the first stride's
+        # unbounded WHERE, rows >= upperBound in the last), so bounds are
+        # a parallelism hint, not a filter — literals keep the engine
+        # free of driver-side actions (the no-collect guard) and stay
+        # correct at any sf; production reads pull real bounds from
+        # table statistics
         par_df = read_jdbc(
             spark,
             url,
             "cust",
             driver=DERBY_EMBEDDED_DRIVER,
             partitionColumn="c_custkey",
-            lowerBound=str(lo),
-            upperBound=str(hi + 1),
+            lowerBound="1",
+            upperBound="100000",
             numPartitions="4",
         )
         ok_par = par_df.rdd.getNumPartitions() == 4

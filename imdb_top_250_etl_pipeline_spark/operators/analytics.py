@@ -143,3 +143,38 @@ def attribution(
         "first_touch",
         "last_touch",
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key timelines:
+    for each observed (src, dst) consecutive-state pair — its count and
+    conditional probability P(dst | src).
+
+    The user-journey fingerprint behind next-action prediction and
+    anomaly scoring.  One window shuffle on the key builds consecutive
+    pairs (lead), then the pair counts aggregate map-side; the per-src
+    totals are bounded by the STATE vocabulary, not event volume, so
+    they broadcast back onto the counts.  ``order_cols`` must totally
+    order each key's timeline (include a unique tie-break key).
+
+    ``p`` is one integer÷integer double division — exact-identical
+    cross-engine, no rounding needed.
+    """
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    pairs = events.select(
+        F.col(state_col).alias("src"),
+        F.lead(state_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = pairs.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+    tot = c.groupBy("src").agg(F.sum("n").cast("long").alias("_tot"))
+    return c.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("p"),
+    )

@@ -261,3 +261,53 @@ def insert_ignore(existing: DataFrame, incoming: DataFrame, key: str) -> DataFra
     as existing ∪ (incoming ⟕anti existing) — first-writer-wins."""
     new_rows = incoming.dropDuplicates([key]).join(existing, key, "left_anti")
     return existing.unionByName(new_rows)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: full-outer compare of two keyed tables →
+    one row per divergent key with status ``added`` / ``removed`` /
+    ``changed`` and, for changed rows, the count of differing columns.
+
+    The migration-validation primitive: after a backfill, an engine
+    swap, or a CDC replay, diff the rebuilt table against the original
+    and assert the result is empty.  One shuffle on the key (the
+    full-outer sort-merge); comparisons are null-safe codegen
+    expressions, and unchanged rows are filtered BEFORE any further
+    consumption, so the output is bounded by the divergence, not the
+    table.  At 100 TB run it band-by-band on a key range (the
+    foreachBatch-MERGE banding) or pre-bucket both sides to skip the
+    exchange entirely (write_bucketed).
+    """
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    n_changed = None
+    for c in cols:
+        flag = (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).cast("int")
+        n_changed = flag if n_changed is None else n_changed + flag
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    return (
+        j.select(
+            *keys,
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(n_changed > 0, F.lit("changed"))
+            .alias("status"),
+            F.when(both, n_changed.cast("long")).alias("n_changed"),
+        )
+        .where(F.col("status").isNotNull())
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # Minimal deterministic marker lexicons for the language-ID heuristic.
 # Real language ID uses char n-gram profiles; the operator shape (score
@@ -510,4 +511,185 @@ def bm25_topk(
         bm25_scores(df, text_col, id_col, query_terms, k1=k1, b=b)
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def drop_frequent_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    max_doc_frac: float = 0.5,
+    out_col: str = "clean_text",
+    keep_col: str = "n_kept",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4/CCNet line-dedup
+    shape): split each document on ``delim``, drop every segment whose
+    DOCUMENT frequency exceeds ``max_doc_frac`` of the corpus, and
+    reassemble the survivors in original order.
+
+    Navigation bars, cookie banners, and licence footers repeat across
+    a crawl far more often than natural prose — removing segments by
+    corpus-wide document frequency is the standard pre-training cleanup
+    between exact dedup (whole-document) and MinHash (near-document).
+
+    Plan: posexplode → one shuffle for per-segment distinct-doc counts →
+    equi-join counts back onto segments → groupBy doc reassembling via
+    collect_list(struct(pos, seg)) + array_sort (order restored without
+    a sort exchange, since the sort is per-row array work).  The corpus
+    size joins in as a broadcast single-row aggregate — no driver-side
+    action.  At 100 TB, key the frequency join on ``xxhash64(segment)``
+    so the shuffle carries 8-byte keys instead of segment text (the
+    segment rides as payload); kept as the plain string key here so the
+    DuckDB oracle can restate the join verbatim.
+    """
+    import re as _re
+
+    segs = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias(
+            "_pos", "_seg"
+        ),
+    )
+    dfreq = segs.groupBy("_seg").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    total = df.select(F.count("*").alias("_ndocs"))
+    kept = (
+        segs.join(dfreq, "_seg")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_nd") <= F.lit(max_doc_frac) * F.col("_ndocs"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+            delim,
+        ).alias(out_col),
+        F.count("*").cast("long").alias(keep_col),
+    )
+    # left join back: documents whose every segment was boilerplate come
+    # out empty, not silently dropped
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(out_col, F.lit("")).alias(out_col),
+        F.coalesce(keep_col, F.lit(0)).cast("long").alias(keep_col),
+    )
+
+
+def ngram_lm_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Bigram language-model count table with interpolated Kneser–Ney
+    statistics (the KenLM shape): per bigram (w1, w2) —
+
+    - ``c``     raw bigram count,
+    - ``c_w1``  left-context total (Σ_w c(w1, w)),
+    - ``r_w1``  distinct continuations of w1 (N1+(w1·)),
+    - ``cont``  distinct left contexts of w2 (N1+(·w2)),
+    - ``p_kn``  interpolated KN probability
+      max(c−d,0)/c_w1 + (d·r_w1/c_w1)·(cont/B), B = distinct bigrams.
+
+    Count-based LM scoring is the cheap perplexity proxy used for
+    pre-training data selection (CCNet buckets documents by LM score).
+    All statistics are exact integers; ``p_kn`` is one double expression
+    over them, so the table is hash-checkable cross-engine.
+
+    Plan: tokenize → per-doc lead() window (one shuffle bounded by doc
+    count) → bigram groupBy; the per-w1 and per-w2 marginals join back
+    SHUFFLE-HASH on their keys — vocabulary is unbounded at corpus
+    scale, so neither marginal is broadcast (the tfidf_stats rule); only
+    the single-row bigram-type total broadcasts.
+    """
+    toks = df.select(
+        id_col, F.posexplode(tokens(text_col)).alias("_pos", "_w")
+    ).where(F.length("_w") > 0)
+    w = W.partitionBy(id_col).orderBy("_pos")
+    big = toks.select(
+        F.col("_w").alias("w1"), F.lead("_w").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    left = c.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_w1"),
+        F.count("*").cast("long").alias("r_w1"),
+    )
+    cont = c.groupBy("w2").agg(F.count("*").cast("long").alias("cont"))
+    b = c.select(F.count("*").cast("long").alias("_nb"))
+    d = F.lit(float(discount))
+    return (
+        c.hint("shuffle_hash")
+        .join(left, "w1")
+        .hint("shuffle_hash")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c_w1",
+            "r_w1",
+            "cont",
+            F.round(
+                F.greatest(F.col("c").cast("double") - d, F.lit(0.0))
+                / F.col("c_w1").cast("double")
+                + (d * F.col("r_w1").cast("double") / F.col("c_w1").cast("double"))
+                * (F.col("cont").cast("double") / F.col("_nb").cast("double")),
+                9,
+            ).alias("p_kn"),
+        )
+    )
+
+
+def linear_text_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[tuple[str, float]],
+    bias: float = 0.0,
+    out_col: str = "score",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Sparse linear text classifier (the fastText architecture): score =
+    sigmoid(bias + Σ_tokens weight(token)), keep = score ≥ 0.5.
+
+    The model-based quality-filter seam: production swaps ``weights``
+    for a trained vocabulary table (fastText / logistic regression over
+    unigrams) — the execution plan is identical.  Tokens explode once,
+    equi-join the weight table, and sum per document: one shuffle on the
+    doc key.  The weight table here is a broadcast literal; a trained
+    100k-term vocabulary still broadcasts (a few MB), while an unbounded
+    embedding-sized table would flip to shuffle-hash (the tfidf rule).
+
+    Exactness: with weights chosen as multiples of 2⁻⁶ every partial
+    sum is exactly representable, so the double Σ is order-independent
+    and the only cross-engine wobble is libm's exp — absorbed by
+    ``round(score, 9)`` (the agg_stats_battery discipline).
+    """
+    spark = df.sparkSession
+    wt = spark.createDataFrame(
+        [(w, float(v)) for w, v in weights], "_w string, _wt double"
+    )
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("_w")).where(
+        F.length("_w") > 0
+    )
+    z = (
+        toks.join(F.broadcast(wt), "_w")
+        .groupBy(id_col)
+        .agg(F.sum("_wt").alias("_z"))
+    )
+    scored = df.select(id_col).join(z, id_col, "left").select(
+        id_col,
+        (F.lit(float(bias)) + F.coalesce("_z", F.lit(0.0))).alias("_zb"),
+    )
+    return scored.select(
+        id_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_zb"))), 9).alias(
+            out_col
+        ),
+        (F.col("_zb") >= 0).alias(keep_col),
     )

@@ -2456,6 +2456,475 @@ def udf_scan_parse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 constituents: corpus cleanup, LM statistics, model-based
+# quality filtering, journey analytics, snapshot reconciliation.
+# ---------------------------------------------------------------------------
+
+
+_SEGDEDUP_ORACLE = """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+segs AS (SELECT doc_id, unnest(arr) AS seg,
+                generate_subscripts(arr, 1) AS pos FROM arrs),
+dfreq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+tot AS (SELECT count(*) AS ndocs FROM documents),
+keep AS (
+  SELECT s.doc_id, s.pos, s.seg FROM segs s JOIN dfreq USING (seg)
+  CROSS JOIN tot WHERE nd <= 0.78 * ndocs
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register(
+    "text_segment_dedup",
+    oracle=_SEGDEDUP_ORACLE,
+    doc="Corpus-frequency boilerplate removal (operators/text.py::"
+    "drop_frequent_segments — the C4/CCNet line-dedup shape, "
+    "delimiter-parameterized): segments appearing in more than 78% of "
+    "documents are dropped and the survivors reassemble in original "
+    "order via collect_list(struct(pos, seg)) + array_sort — per-row "
+    "array work, no sort exchange.  The fixture corpus is single-line "
+    "so the driver checks token segments; the '\\n' line form is "
+    "unit-tested.  Hash-checked end to end including the empty-document "
+    "left-join-back.",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import drop_frequent_segments
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return drop_frequent_segments(
+        d, "doc_id", "text", delim=" ", max_doc_frac=0.78
+    )
+
+
+_BIGRAM_LM_ORACLE = """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+toks AS (SELECT doc_id, unnest(arr) AS w,
+                generate_subscripts(arr, 1) AS pos FROM arrs
+         WHERE TRUE),
+toks2 AS (SELECT * FROM toks WHERE length(w) > 0),
+big AS (SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks2),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big
+      WHERE w2 IS NOT NULL GROUP BY w1, w2),
+l AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+             CAST(count(*) AS BIGINT) AS r_w1 FROM c GROUP BY w1),
+rc AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont FROM c GROUP BY w2),
+b AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM c)
+SELECT c.w1, c.w2, c.c, l.c_w1, l.r_w1, rc.cont,
+       ROUND(greatest(CAST(c.c AS DOUBLE) - 0.75, 0.0)
+               / CAST(l.c_w1 AS DOUBLE)
+             + (0.75 * CAST(l.r_w1 AS DOUBLE) / CAST(l.c_w1 AS DOUBLE))
+               * (CAST(rc.cont AS DOUBLE) / CAST(b.nb AS DOUBLE)), 9)
+         AS p_kn
+FROM c JOIN l USING (w1) JOIN rc USING (w2) CROSS JOIN b
+"""
+
+
+@register(
+    "text_bigram_lm",
+    oracle=_BIGRAM_LM_ORACLE,
+    doc="Bigram LM count table with interpolated Kneser–Ney statistics "
+    "(operators/text.py::ngram_lm_counts — the KenLM shape): exact "
+    "integer bigram counts, left-context totals, distinct continuation "
+    "counts, and the KN probability as one double expression with "
+    "round(9) both sides.  Count-based LM scoring is the CCNet-style "
+    "perplexity proxy for pre-training data selection.  Marginals join "
+    "back SHUFFLE_HASH (vocabulary unbounded — the tfidf/bm25 rule); "
+    "only the single-row bigram-type total broadcasts.",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_lm_counts
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_lm_counts(d, "doc_id", "text")
+
+
+# weights are exact multiples of 2^-6, so every partial sum is exactly
+# representable and the Σ is order-independent (see linear_text_score)
+_QCLS_WEIGHTS = [
+    ("spark", 0.25),
+    ("fast", 0.1875),
+    ("data", 0.125),
+    ("query", 0.0625),
+    ("merge", 0.03125),
+    ("slow", -0.25),
+    ("dup", -0.5),
+    ("the", -0.015625),
+    ("a", -0.015625),
+]
+_QCLS_BIAS = -0.125
+
+_QCLS_ORACLE = """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+toks AS (SELECT doc_id, unnest(arr) AS w FROM arrs),
+toks2 AS (SELECT * FROM toks WHERE length(w) > 0),
+wt(w, wt) AS (VALUES ('spark', 0.25), ('fast', 0.1875), ('data', 0.125),
+              ('query', 0.0625), ('merge', 0.03125), ('slow', -0.25),
+              ('dup', -0.5), ('the', -0.015625), ('a', -0.015625)),
+z AS (
+  SELECT t.doc_id, sum(wt.wt) AS zsum
+  FROM toks2 t JOIN wt ON t.w = wt.w GROUP BY t.doc_id
+),
+sc AS (
+  SELECT d.doc_id, -0.125 + COALESCE(z.zsum, 0.0) AS z
+  FROM documents d LEFT JOIN z USING (doc_id)
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 9) AS score, z >= 0 AS keep
+FROM sc
+"""
+
+
+@register(
+    "text_quality_classifier",
+    oracle=_QCLS_ORACLE,
+    doc="Sparse linear quality classifier (operators/text.py::"
+    "linear_text_score — the fastText architecture): tokens explode "
+    "once, equi-join a broadcast weight vocabulary, sum per document, "
+    "sigmoid.  The model-based quality-filter seam: production swaps "
+    "the literal weights for a trained table with the identical plan.  "
+    "Weights are exact 2^-6 multiples so the Σ is order-independent; "
+    "round(score, 9) absorbs libm exp ulps; keep = z ≥ 0 is exact.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import linear_text_score
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return linear_text_score(
+        d, "doc_id", "text", _QCLS_WEIGHTS, bias=_QCLS_BIAS
+    )
+
+
+_MARKOV_ORACLE = """
+WITH t AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM t
+      WHERE dst IS NOT NULL GROUP BY src, dst),
+tots AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n, CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+FROM c JOIN tots t USING (src)
+"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=_MARKOV_ORACLE,
+    doc="First-order Markov transition matrix over user timelines "
+    "(operators/analytics.py::transition_counts): consecutive "
+    "event-type pairs via one per-user lead() window, pair counts "
+    "aggregated map-side, per-src totals broadcast back (bounded by "
+    "the state vocabulary, never event volume).  P(dst|src) is one "
+    "integer÷integer double division — exact cross-engine, no "
+    "rounding.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import transition_counts
+
+    ev = load(spark, sf_dir, "events")
+    return transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+_TDIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 3000000, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         CAST((o.c_name IS DISTINCT FROM n.c_name) AS INT)
+         + CAST((o.c_acctbal IS DISTINCT FROM n.c_acctbal) AS INT)
+         + CAST((o.c_mktsegment IS DISTINCT FROM n.c_mktsegment) AS INT)
+           AS nch
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+            WHEN nch > 0 THEN 'changed' END AS status,
+       CASE WHEN in_old AND in_new THEN CAST(nch AS BIGINT) END AS n_changed
+FROM j WHERE NOT in_old OR NOT in_new OR nch > 0
+"""
+
+
+@register(
+    "etl_table_diff",
+    oracle=_TDIFF_ORACLE,
+    doc="Snapshot reconciliation (operators/etl.py::table_diff): "
+    "full-outer null-safe compare of customer against a derived next "
+    "snapshot (keys %13 dropped, %7 rebalanced, %11 resegmented, %17 "
+    "re-added under offset ids — pure expressions the oracle CTE "
+    "restates verbatim, the dedup-fixture discipline).  One key "
+    "shuffle; output bounded by the divergence.  The "
+    "migration-validation primitive: diff a backfilled table against "
+    "the original and assert empty.",
+)
+def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import table_diff
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    changed = (
+        cust.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    added = cust.where(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    new = changed.unionByName(added)
+    return table_diff(cust, new, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Extension battery: round-7 surfaces consolidated for slot discipline.
+# ---------------------------------------------------------------------------
+
+# The driver checks the FIRST 50 registry entries in registration order
+# (round-2 lesson: with 78 registered, only 50 got CORRECTNESS rows).
+# Round 7 added five driver-facing queries, pushing the registry to 55 —
+# which would silently drop the LAST five registered (text_doc_battery,
+# scalar_events_battery, sql_text_battery, stream_battery,
+# udf_scan_parse_pipeline: five of the heaviest hash-green batteries).
+# This battery folds the five newcomers plus sim_cosine_topk into ONE
+# driver slot over a shared typed schema, bringing the registry back to
+# exactly 50; every constituent stays individually oracle-checked in
+# tests/test_oracle_parity via SUBSUMED.
+
+_NB = "CAST(NULL AS BIGINT)"
+_NS = "CAST(NULL AS VARCHAR)"
+_ND = "CAST(NULL AS DOUBLE)"
+
+_EXT_ORACLE = "\nUNION ALL\n".join(
+    [
+        f"SELECT 'jdbc_'||part AS part, c_custkey AS a, {_NB} AS b, "
+        f"{_NB} AS n, c_mktsegment AS k, c_name AS s, "
+        f"CAST(c_acctbal AS DOUBLE) AS v, ok "
+        f"FROM ({_SQL['sink_jdbc_roundtrip']}) t",
+        f"SELECT 'js_'||part AS part, {_NB} AS a, {_NB} AS b, n, k, "
+        f"{_NS} AS s, v, ok FROM ({_SQL['join_scale_battery']}) t",
+        f"SELECT 'bm25' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
+        f"{_NS} AS k, {_NS} AS s, bm25 AS v, true AS ok "
+        f"FROM ({_SQL['text_bm25_scores']}) t",
+        f"SELECT 'ts_'||part AS part, uid AS a, t AS b, n, {_NS} AS k, "
+        f"{_NS} AS s, v, true AS ok FROM ({_SQL['timeseries_battery']}) t",
+        f"SELECT 'lk_'||part AS part, a, b, d AS n, {_NS} AS k, "
+        f"{_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_SQL['linkage_battery']}) t",
+        f"SELECT 'cos' AS part, query_id AS a, neighbor_id AS b, "
+        f"CAST(rank AS BIGINT) AS n, {_NS} AS k, {_NS} AS s, {_ND} AS v, "
+        f"true AS ok FROM ({_SQL['sim_cosine_topk']}) t",
+        f"SELECT 'segdedup' AS part, doc_id AS a, {_NB} AS b, n_kept AS n, "
+        f"{_NS} AS k, clean_text AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_SEGDEDUP_ORACLE}) t",
+        f"SELECT 'lm' AS part, c_w1 AS a, cont AS b, c AS n, w1 AS k, "
+        f"w2 AS s, p_kn AS v, true AS ok FROM ({_BIGRAM_LM_ORACLE}) t",
+        f"SELECT 'qscore' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
+        f"{_NS} AS k, {_NS} AS s, score AS v, keep AS ok "
+        f"FROM ({_QCLS_ORACLE}) t",
+        f"SELECT 'markov' AS part, {_NB} AS a, {_NB} AS b, n, src AS k, "
+        f"dst AS s, p AS v, true AS ok FROM ({_MARKOV_ORACLE}) t",
+        f"SELECT 'tdiff' AS part, c_custkey AS a, {_NB} AS b, "
+        f"n_changed AS n, status AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_TDIFF_ORACLE}) t",
+    ]
+)
+
+
+@register(
+    "extension_battery",
+    oracle=_EXT_ORACLE,
+    doc="Cross-family extension surfaces in one driver slot (see the "
+    "slot-discipline note above): jdbc_* = Derby JDBC roundtrip/"
+    "parallel-stride/pushdown (sink_jdbc_roundtrip), js_* = bucketed "
+    "zero-Exchange and skew-salted joins (join_scale_battery), bm25 = "
+    "BM25 lexical scoring (text_bm25_scores), ts_* = EWMA + "
+    "grid-resample interpolation (timeseries_battery), lk_* = blocked "
+    "record linkage pairs + transitive clusters (linkage_battery), "
+    "cos = exact brute-force cosine top-k (sim_cosine_topk), "
+    "segdedup = corpus-frequency boilerplate removal "
+    "(text_segment_dedup), lm = Kneser–Ney bigram LM statistics "
+    "(text_bigram_lm), qscore = sparse linear quality classifier "
+    "(text_quality_classifier), markov = user-journey transition "
+    "matrix (events_markov_transitions), tdiff = snapshot "
+    "reconciliation (etl_table_diff).  Shared "
+    "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
+    "identically on both sides; each branch keeps its own ok pins "
+    "(JDBC stride partitioning, pushdown into Derby's WHERE, "
+    "zero-Exchange bucketed plan, _salt in join keys, classifier "
+    "keep flags).",
+)
+def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _nb() -> Column:
+        return F.lit(None).cast("long")
+
+    def _ns() -> Column:
+        return F.lit(None).cast("string")
+
+    def _nd() -> Column:
+        return F.lit(None).cast("double")
+
+    jdbc = _FN["sink_jdbc_roundtrip"](spark, sf_dir).select(
+        F.concat(F.lit("jdbc_"), F.col("part")).alias("part"),
+        F.col("c_custkey").cast("long").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        F.col("c_mktsegment").alias("k"),
+        F.col("c_name").alias("s"),
+        F.col("c_acctbal").cast("double").alias("v"),
+        "ok",
+    )
+    js = _FN["join_scale_battery"](spark, sf_dir).select(
+        F.concat(F.lit("js_"), F.col("part")).alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k"),
+        _ns().alias("s"),
+        F.col("v").cast("double").alias("v"),
+        "ok",
+    )
+    bm = _FN["text_bm25_scores"](spark, sf_dir).select(
+        F.lit("bm25").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("bm25").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    ts = _FN["timeseries_battery"](spark, sf_dir).select(
+        F.concat(F.lit("ts_"), F.col("part")).alias("part"),
+        F.col("uid").cast("long").alias("a"),
+        F.col("t").cast("long").alias("b"),
+        F.col("n").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("v").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    lk = _FN["linkage_battery"](spark, sf_dir).select(
+        F.concat(F.lit("lk_"), F.col("part")).alias("part"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("d").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    cos = _FN["sim_cosine_topk"](spark, sf_dir).select(
+        F.lit("cos").alias("part"),
+        F.col("query_id").cast("long").alias("a"),
+        F.col("neighbor_id").cast("long").alias("b"),
+        F.col("rank").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    seg = text_segment_dedup(spark, sf_dir).select(
+        F.lit("segdedup").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        F.col("n_kept").cast("long").alias("n"),
+        _ns().alias("k"),
+        F.col("clean_text").alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    lm = text_bigram_lm(spark, sf_dir).select(
+        F.lit("lm").alias("part"),
+        F.col("c_w1").cast("long").alias("a"),
+        F.col("cont").cast("long").alias("b"),
+        F.col("c").cast("long").alias("n"),
+        F.col("w1").alias("k"),
+        F.col("w2").alias("s"),
+        F.col("p_kn").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    qc = text_quality_classifier(spark, sf_dir).select(
+        F.lit("qscore").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("score").cast("double").alias("v"),
+        F.col("keep").alias("ok"),
+    )
+    mk = events_markov_transitions(spark, sf_dir).select(
+        F.lit("markov").alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n").cast("long").alias("n"),
+        F.col("src").alias("k"),
+        F.col("dst").alias("s"),
+        F.col("p").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    td = etl_table_diff(spark, sf_dir).select(
+        F.lit("tdiff").alias("part"),
+        F.col("c_custkey").cast("long").alias("a"),
+        _nb().alias("b"),
+        F.col("n_changed").cast("long").alias("n"),
+        F.col("status").alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    return (
+        jdbc.unionByName(js)
+        .unionByName(bm)
+        .unionByName(ts)
+        .unionByName(lk)
+        .unionByName(cos)
+        .unionByName(seg)
+        .unionByName(lm)
+        .unionByName(qc)
+        .unionByName(mk)
+        .unionByName(td)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Detach the constituents from the driver-facing registry.
 # ---------------------------------------------------------------------------
 
@@ -2490,8 +2959,8 @@ subsume(
     "etl_incremental_rerun",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    # sim_cosine_topk is driver-facing since round 6 (hash-checked exact
-    # baseline); only the approximate IVF variants stay subsumed
+    # sim_cosine_topk rides extension_battery (still hash-checked); only
+    # the approximate IVF variants stay rows-only
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
     # folded into multimodal_scalar_battery in round 6 (slot discipline:
@@ -2548,4 +3017,18 @@ subsume(
     "sample_shuffle_order",
     # round-6: weighted E-S sampling folds into the recipe battery
     "sample_weighted_es",
+    # round-7 newcomers consolidated into extension_battery (driver
+    # checks only the first 50 registry entries — see the note above)
+    "sink_jdbc_roundtrip",
+    "join_scale_battery",
+    "text_bm25_scores",
+    "timeseries_battery",
+    "linkage_battery",
+    "sim_cosine_topk",
+    # round-7 additions, riding extension_battery from the start
+    "text_segment_dedup",
+    "text_bigram_lm",
+    "text_quality_classifier",
+    "events_markov_transitions",
+    "etl_table_diff",
 )

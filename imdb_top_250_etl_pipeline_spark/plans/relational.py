@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..functions.numeric import money, rate, round_money
@@ -94,7 +95,7 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast(T.TimestampType())
     )
     disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
     charge = disc_price * (F.lit(1) + rate("l_tax"))
@@ -490,7 +491,7 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast(T.TimestampType()))
             & (F.col("l_discount") > 0.05)
             & (F.col("l_returnflag") == "R")
         )
@@ -836,8 +837,8 @@ def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast(T.TimestampType()))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast(T.TimestampType()))
     )
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources import load
 from ..sources.catalog import register_views
@@ -396,7 +397,7 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import population_stability
 
     li = load(spark, sf_dir, "lineitem")
-    cut = F.lit("1996-01-01").cast("timestamp")
+    cut = F.lit("1996-01-01").cast(T.TimestampType())
     out = population_stability(
         li.where(F.col("l_shipdate") < cut),
         li.where(F.col("l_shipdate") >= cut),

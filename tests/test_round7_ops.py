@@ -1,0 +1,219 @@
+"""Unit pins for the round-7 operator batch: segment dedup (line form),
+bigram KN statistics, linear quality scoring, transition matrix, and
+table diff — hand-computed/numpy duals plus the plan properties that
+matter at scale."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+    transition_counts,
+)
+from imdb_top_250_etl_pipeline_spark.operators.etl import table_diff
+from imdb_top_250_etl_pipeline_spark.operators.text import (
+    drop_frequent_segments,
+    linear_text_score,
+    ngram_lm_counts,
+)
+
+
+# ---------------------------------------------------------------------------
+# drop_frequent_segments — the NEWLINE form the driver fixture can't cover
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_line_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nCOOKIE BANNER\nunique line one"),
+            (2, "COOKIE BANNER\nunique line two"),
+            (3, "COOKIE BANNER\nunique line three\nkeep me"),
+            (4, "all boilerplate\nCOOKIE BANNER"),
+            (5, "all boilerplate\nCOOKIE BANNER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in drop_frequent_segments(
+            docs, "doc_id", "text", delim="\n", max_doc_frac=0.5
+        ).collect()
+    }
+    # COOKIE BANNER in 5/5 docs, 'all boilerplate' in 2/5, 'keep me' 2/5
+    assert out[1] == ("keep me\nunique line one", 2)
+    assert out[2] == ("unique line two", 1)
+    # order of survivors is the ORIGINAL order, not sorted text
+    assert out[3] == ("unique line three\nkeep me", 2)
+    assert out[4] == ("all boilerplate", 1)
+    assert len(out) == 5
+
+
+def test_segment_dedup_fully_boilerplate_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "x\nx2"), (2, "x"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in drop_frequent_segments(
+            docs, "doc_id", "text", delim="\n", max_doc_frac=0.5
+        ).collect()
+    }
+    assert out[2] == ("", 0) and out[3] == ("", 0)
+    assert out[1] == ("x2", 1)
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_counts — hand-computed KN on a tiny corpus
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in ngram_lm_counts(docs, "doc_id", "text").collect()
+    }
+    # bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b),(b,c)
+    assert rows[("a", "b")]["c"] == 3
+    assert rows[("b", "a")]["c"] == 1
+    assert rows[("b", "c")]["c"] == 1
+    ab = rows[("a", "b")]
+    assert ab["c_w1"] == 3 and ab["r_w1"] == 1  # 'a' only continues to b
+    assert ab["cont"] == 1  # 'b' has one distinct left context
+    nb = 3  # distinct bigram types
+    expect = max(3 - 0.75, 0.0) / 3 + (0.75 * 1 / 3) * (1 / nb)
+    assert abs(ab["p_kn"] - round(expect, 9)) < 1e-12
+    ba = rows[("b", "a")]
+    # b: c_w1 = 2 (b->a, b->c), r_w1 = 2; 'a' continuation contexts = 1
+    expect_ba = max(1 - 0.75, 0.0) / 2 + (0.75 * 2 / 2) * (1 / nb)
+    assert abs(ba["p_kn"] - round(expect_ba, 9)) < 1e-12
+
+
+def test_bigram_lm_marginals_join_shuffle_hash(spark):
+    from tests.test_plan_shapes import plan_of
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = plan_of(ngram_lm_counts(docs, "doc_id", "text"))
+    # vocabulary-sized marginal joins must not broadcast; only the
+    # single-row bigram-type total may
+    assert plan.count("ShuffledHashJoin") >= 2
+
+
+# ---------------------------------------------------------------------------
+# linear_text_score — exactness + sigmoid
+# ---------------------------------------------------------------------------
+
+
+def test_linear_score_matches_math(spark):
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "meh"), (3, "bad bad")],
+        "doc_id long, text string",
+    )
+    w = [("good", 0.25), ("bad", -0.5)]
+    out = {
+        r["doc_id"]: r
+        for r in linear_text_score(
+            docs, "doc_id", "text", w, bias=0.125
+        ).collect()
+    }
+    for did, z in {1: 0.125 + 0.5 - 0.5, 2: 0.125, 3: 0.125 - 1.0}.items():
+        assert abs(out[did]["score"] - round(1 / (1 + math.exp(-z)), 9)) < 1e-12
+        assert out[did]["keep"] == (z >= 0)
+
+
+def test_linear_score_weight_join_broadcasts(spark):
+    from tests.test_plan_shapes import plan_of
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = plan_of(
+        linear_text_score(docs, "doc_id", "text", [("a", 0.25)])
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# transition_counts — pandas dual + probability closure
+# ---------------------------------------------------------------------------
+
+
+def test_transition_counts_tiny_timeline(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view"),
+            (1, 2, "click"),
+            (1, 3, "view"),
+            (2, 1, "view"),
+            (2, 2, "click"),
+            (3, 1, "buy"),
+        ],
+        "user long, seq long, et string",
+    )
+    rows = {
+        (r["src"], r["dst"]): r
+        for r in transition_counts(ev, "user", ["seq"], "et").collect()
+    }
+    assert rows[("view", "click")]["n"] == 2
+    assert rows[("click", "view")]["n"] == 1
+    # single-event user contributes no transition
+    assert ("buy", "view") not in rows and len(rows) == 2
+    assert rows[("view", "click")]["p"] == 1.0
+    assert rows[("click", "view")]["p"] == 1.0
+
+
+def test_transition_probabilities_sum_to_one_per_src(spark):
+    from tests.conftest import SF_CORRECT
+
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    ev = load(spark, SF_CORRECT, "events")
+    t = transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+    sums = (
+        t.groupBy("src").agg(F.sum("p").alias("sp")).collect()
+    )
+    for r in sums:
+        assert abs(r["sp"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# table_diff — all four statuses + null-safety + empty diff
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", 2.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in table_diff(old, new, ["k"]).collect()}
+    # key 1: NULL == NULL null-safely -> unchanged -> absent
+    assert 1 not in out
+    assert out[2]["status"] == "changed" and out[2]["n_changed"] == 1
+    assert out[3]["status"] == "removed" and out[3]["n_changed"] is None
+    assert out[4]["status"] == "added" and out[4]["n_changed"] is None
+
+
+def test_table_diff_identical_tables_empty(spark):
+    t = spark.createDataFrame(
+        [(1, "a"), (2, None)], "k long, s string"
+    )
+    assert table_diff(t, t, ["k"]).count() == 0
+
+
+def test_table_diff_compare_cols_subset(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    new = spark.createDataFrame([(1, "a", 9.0)], "k long, s string, v double")
+    # v excluded from comparison -> no diff
+    assert table_diff(old, new, ["k"], compare_cols=["s"]).count() == 0
+    assert table_diff(old, new, ["k"]).count() == 1

@@ -178,3 +178,38 @@ def transition_counts(
         "n",
         (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("p"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    sep: str = ">",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Journey-path frequency table: each key's states concatenated in
+    timeline order (``view>click>purchase``), then counted across keys —
+    the top-paths report behind funnel discovery (which funnels exist,
+    before funnel_steps measures a chosen one).
+
+    One shuffle builds per-key paths via collect_list(struct(order,
+    state)) + array_sort — per-row array work, no window and no second
+    sort exchange — and the path counts aggregate map-side.  Path length
+    is bounded by per-key activity; ``max_len`` caps the path to the
+    first N states (set it at 100 TB — single keys can own millions of
+    events, and an uncapped collect_list holds them all in one row).
+    ``order_cols`` must totally order each key's timeline.
+    """
+    seq = F.array_sort(F.collect_list(F.struct(*order_cols, state_col)))
+    if max_len is not None:
+        seq = F.slice(seq, 1, max_len)
+    per_key = events.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(seq, lambda s: s[state_col]),
+            sep,
+        ).alias("path")
+    )
+    return per_key.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_keys")
+    )

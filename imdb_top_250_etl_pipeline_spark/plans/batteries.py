@@ -2712,6 +2712,116 @@ def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(cust, new, ["c_custkey"])
 
 
+_PYSOURCE_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE source = 'src3'
+"""
+
+
+@register(
+    "source_python_datasource",
+    oracle=_PYSOURCE_ORACLE,
+    doc="Spark 4 Python DataSource API end-to-end (sources/pysource.py::"
+    "PyArrowParquetDataSource — the connector seam for systems with no "
+    "JVM reader): a pure-Python source participating in query PLANNING "
+    "— pushFilters receives the source='src3' equality at plan time "
+    "and evaluates it inside pyarrow, partitions() splits the scan one "
+    "task per parquet row group, read() returns Arrow batches.  "
+    "Hash-checked against the native parquet read of the same "
+    "predicate; the pushdown (predicate absent from the post-scan "
+    "Filter) and split parallelism are pinned in unit tests.",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pysource import register_python_source
+
+    register_python_source(spark)
+    return (
+        spark.read.format("pyarrow_parquet")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+        .where(F.col("source") == "src3")
+    )
+
+
+_PATHS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+per_key AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM o WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM per_key GROUP BY path
+"""
+
+
+@register(
+    "events_session_paths",
+    oracle=_PATHS_ORACLE,
+    doc="Journey-path frequency table (operators/analytics.py::"
+    "session_paths): each user's first five event types concatenated "
+    "in timeline order, counted across users — funnel DISCOVERY "
+    "(which journeys exist) before funnel_steps measures a chosen "
+    "one.  One shuffle; ordering restored per-row via "
+    "collect_list(struct)+array_sort+slice, no window pass.",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import session_paths
+
+    ev = load(spark, sf_dir, "events")
+    return session_paths(
+        ev, "user_id", ["ts", "event_id"], "event_type", max_len=5
+    )
+
+
+_RANGE1H_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       max(value) OVER w AS vmax_1h
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "window_time_range_frame",
+    oracle=_RANGE1H_ORACLE,
+    doc="RANGE window frame over event TIME (trailing one hour per "
+    "user): rolling count and running max of value — the sliding "
+    "physical-time aggregation the rows-frame battery can't express "
+    "(a rows frame counts neighbors, not seconds).  Ordered on exact "
+    "integer epoch-microseconds (unix_micros / epoch_us — identical "
+    "on both engines, no float epoch rounding), and tied timestamps "
+    "are RANGE-frame peers on both sides, so results stay "
+    "deterministic without a unique tie-break.  count and max are "
+    "order-independent aggregates — no double-sum hash hazard.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as SW
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    w = (
+        SW.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, SW.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.max("value").over(w).alias("vmax_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -2763,6 +2873,15 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'tdiff' AS part, c_custkey AS a, {_NB} AS b, "
         f"n_changed AS n, status AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_TDIFF_ORACLE}) t",
+        f"SELECT 'pysource' AS part, doc_id AS a, {_NB} AS b, "
+        f"n_chars AS n, source AS k, text AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_PYSOURCE_ORACLE}) t",
+        f"SELECT 'paths' AS part, {_NB} AS a, {_NB} AS b, n_keys AS n, "
+        f"{_NS} AS k, path AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_PATHS_ORACLE}) t",
+        f"SELECT 'range1h' AS part, user_id AS a, event_id AS b, "
+        f"n_1h AS n, {_NS} AS k, {_NS} AS s, vmax_1h AS v, true AS ok "
+        f"FROM ({_RANGE1H_ORACLE}) t",
     ]
 )
 
@@ -2783,7 +2902,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "(text_bigram_lm), qscore = sparse linear quality classifier "
     "(text_quality_classifier), markov = user-journey transition "
     "matrix (events_markov_transitions), tdiff = snapshot "
-    "reconciliation (etl_table_diff).  Shared "
+    "reconciliation (etl_table_diff), pysource = Spark 4 Python "
+    "DataSource with plan-time filter pushdown "
+    "(source_python_datasource), paths = journey-path frequencies "
+    "(events_session_paths), range1h = trailing-1h RANGE window frame "
+    "(window_time_range_frame).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -2910,6 +3033,36 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v"),
         F.lit(True).alias("ok"),
     )
+    py = source_python_datasource(spark, sf_dir).select(
+        F.lit("pysource").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        F.col("n_chars").cast("long").alias("n"),
+        F.col("source").alias("k"),
+        F.col("text").alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    pa = events_session_paths(spark, sf_dir).select(
+        F.lit("paths").alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n_keys").cast("long").alias("n"),
+        _ns().alias("k"),
+        F.col("path").alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    rg = window_time_range_frame(spark, sf_dir).select(
+        F.lit("range1h").alias("part"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("event_id").cast("long").alias("b"),
+        F.col("n_1h").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("vmax_1h").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -2921,6 +3074,9 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qc)
         .unionByName(mk)
         .unionByName(td)
+        .unionByName(py)
+        .unionByName(pa)
+        .unionByName(rg)
     )
 
 
@@ -3031,4 +3187,7 @@ subsume(
     "text_quality_classifier",
     "events_markov_transitions",
     "etl_table_diff",
+    "source_python_datasource",
+    "events_session_paths",
+    "window_time_range_frame",
 )

@@ -217,3 +217,129 @@ def test_table_diff_compare_cols_subset(spark):
     # v excluded from comparison -> no diff
     assert table_diff(old, new, ["k"], compare_cols=["s"]).count() == 0
     assert table_diff(old, new, ["k"]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API — pushdown contract + split parallelism
+# ---------------------------------------------------------------------------
+
+
+def test_pysource_pushfilters_retains_equality_yields_rest(spark):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from imdb_top_250_etl_pipeline_spark.sources.pysource import (
+        PyArrowParquetReader,
+    )
+
+    r = PyArrowParquetReader({"path": "/dev/null"})
+    eq = EqualTo(("source",), "src3")
+    gt = GreaterThan(("n_chars",), 10)
+    remaining = list(r.pushFilters([eq, gt]))
+    # equality consumed by the source; the range predicate handed back
+    # to Spark BY REFERENCE (the API contract)
+    assert r.pushed == [eq]
+    assert remaining == [gt]
+
+
+def test_pysource_row_group_splits_and_roundtrip(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imdb_top_250_etl_pipeline_spark.sources.pysource import (
+        register_python_source,
+    )
+
+    path = str(tmp_path / "multi_rg.parquet")
+    tbl = pa.table(
+        {"k": list(range(1000)), "tag": ["a", "b"] * 500}
+    )
+    pq.write_table(tbl, path, row_group_size=250)  # 4 row groups
+    register_python_source(spark)
+    df = spark.read.format("pyarrow_parquet").option("path", path).load()
+    # one input split per row group
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    filtered = df.where(F.col("tag") == "a")
+    assert filtered.count() == 500
+    # the pushed equality no longer appears in the post-scan Filter
+    from tests.test_plan_shapes import plan_of
+
+    plan = plan_of(filtered, "extended")
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "= a" not in physical.split("BatchScan")[0]
+
+
+# ---------------------------------------------------------------------------
+# session_paths — ordering, cap, and frequency semantics
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_order_and_cap(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        session_paths,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 3, "purchase"),
+            (1, 1, "view"),
+            (1, 2, "click"),
+            (2, 1, "view"),
+            (2, 2, "click"),
+            (2, 3, "purchase"),
+            (3, 1, "view"),
+        ],
+        "user long, seq long, et string",
+    )
+    out = {
+        r["path"]: r["n_keys"]
+        for r in session_paths(ev, "user", ["seq"], "et").collect()
+    }
+    # order comes from seq, not insertion: users 1 and 2 share a path
+    assert out == {"view>click>purchase": 2, "view": 1}
+    capped = {
+        r["path"]: r["n_keys"]
+        for r in session_paths(
+            ev, "user", ["seq"], "et", max_len=2
+        ).collect()
+    }
+    assert capped == {"view>click": 2, "view": 1}
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE window frame — hand-computed trailing window with ties
+# ---------------------------------------------------------------------------
+
+
+def test_time_range_frame_hand_computed(spark):
+    from pyspark.sql.window import Window as SW
+
+    # trailing-10 range frame on a hand-sized axis, including a TIE at
+    # t=30 (range peers must both see each other)
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 9, 5.0), (1, 20, 2.0), (1, 30, 7.0),
+         (1, 30, 3.0), (2, 100, 9.0)],
+        "k long, t long, v double",
+    )
+    w = SW.partitionBy("k").orderBy("t").rangeBetween(-10, SW.currentRow)
+    out = [
+        (r["k"], r["t"], r["n"], r["vmax"])
+        for r in df.select(
+            "k",
+            "t",
+            F.count("*").over(w).alias("n"),
+            F.max("v").over(w).alias("vmax"),
+        )
+        .orderBy("k", "t", "n")
+        .collect()
+    ]
+    # t=0:[0]; t=9:[0,9]; t=20:[20] (10 exits: 20-10=10 > 9); t=30 peers
+    # both count [20,30,30]
+    assert out == [
+        (1, 0, 1, 1.0),
+        (1, 9, 2, 5.0),
+        (1, 20, 1, 2.0),
+        (1, 30, 3, 7.0),
+        (1, 30, 3, 7.0),
+        (2, 100, 1, 9.0),
+    ]

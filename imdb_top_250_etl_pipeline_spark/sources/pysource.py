@@ -24,9 +24,12 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -72,8 +75,121 @@ class PyArrowParquetReader(DataSourceReader):
         yield from tbl.to_batches()
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class PyArrowParquetWriter(DataSourceArrowWriter):
+    """Write side of the Python DataSource API with the full TWO-PHASE
+    COMMIT protocol: executors stage one parquet file per task under
+    ``_staging/`` and return it as a commit message; the driver's
+    ``commit`` publishes all staged files with atomic renames and a
+    manifest, and ``abort`` discards the staging area — so a failed or
+    speculative task can never leave a half-written file visible.  This
+    is the same commit shape as Spark's FileOutputCommitter / the
+    transaction-log sink (sources/txn.py), expressed through the Python
+    API for sinks with no JVM writer."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _FileCommit(file="", rows=0)
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tbl = pa.Table.from_batches(batches)
+        pq.write_table(tbl, os.path.join(staging, name))
+        return _FileCommit(file=name, rows=tbl.num_rows)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        files = [m.file for m in messages if m is not None and m.file]
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(self.path, f))
+        for name in files:
+            os.replace(
+                os.path.join(staging, name), os.path.join(self.path, name)
+            )
+        rows = sum(m.rows for m in messages if m is not None)
+        manifest = {"files": sorted(files), "rows": rows}
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class PyArrowStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming read through the Python API: the offset is
+    a row position into the file, ``read`` advances it by ``batchRows``
+    per micro-batch, and ``readBetweenOffsets`` re-reads any committed
+    range deterministically — which is exactly the replayability
+    contract checkpoint recovery needs for exactly-once.  Production
+    swaps the parquet slice for a cursor/sequence-number API (Kafka-less
+    queues, change feeds, paginated REST)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batchRows", "200"))
+
+    def _total(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def _rows(self, start: int, end: int):
+        if end <= start:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self.path).slice(start, end - start)
+        cols = [tbl[c].to_pylist() for c in tbl.column_names]
+        return iter(zip(*cols))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        s = start["row"]
+        e = min(s + self.batch_rows, self._total())
+        if e < s:  # file shrank: never move backwards
+            e = s
+        return self._rows(s, e), {"row": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["row"], end["row"])
+
+
 class PyArrowParquetDataSource(DataSource):
-    """``spark.read.format("pyarrow_parquet").option("path", ...)``."""
+    """``spark.read.format("pyarrow_parquet").option("path", ...)`` —
+    batch read (row-group splits + pushdown), batch write (two-phase
+    commit), and offset-replayable streaming read."""
 
     @classmethod
     def name(cls) -> str:
@@ -87,6 +203,12 @@ class PyArrowParquetDataSource(DataSource):
 
     def reader(self, schema):
         return PyArrowParquetReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return PyArrowParquetWriter(dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema):
+        return PyArrowStreamReader(dict(self.options))
 
 
 def register_python_source(spark) -> None:

@@ -103,3 +103,84 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph →
+    (node, n_tri) for every node in at least one triangle.
+
+    Triangle density separates organic link neighborhoods from spam
+    farms and near-duplicate clusters from chance collisions — the
+    classic clustering-coefficient numerator.
+
+    Algorithm: DEGREE-ORDERED ORIENTATION (the scalable formulation).
+    Each undirected edge orients from its (degree, id)-smaller endpoint
+    to the larger; wedges enumerate ordered out-neighbor pairs of each
+    node; a wedge is a triangle iff the oriented closing edge exists.
+    Every triangle is counted exactly once, and the wedge fan-out is
+    bounded by out-degree, which orientation caps at O(√m) — a
+    celebrity node with 10⁸ followers contributes almost no wedges
+    because nearly all its edges orient INTO it.  Total work is
+    O(m^1.5) worst case, the optimal bound for exact counting; all
+    joins are equi-joins on node keys (no cross products), so the whole
+    thing is hash-shuffle work Catalyst plans normally.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # wedges join the oriented adjacency with itself on the pivot node;
+    # the (dv, v) struct comparison reuses the SAME total order as the
+    # orientation, so the closing edge of an ordered wedge is exactly
+    # the oriented edge (y, z)
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.u") == F.col("e2.u"))
+            & (
+                F.struct(F.col("e1.dv"), F.col("e1.v"))
+                < F.struct(F.col("e2.dv"), F.col("e2.v"))
+            ),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )

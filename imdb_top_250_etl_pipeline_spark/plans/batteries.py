@@ -2822,6 +2822,68 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIANGLE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey % 10 = 0
+),
+edges AS (
+  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+n AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node
+"""
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Per-node triangle counts (operators/graph.py::triangle_counts) "
+    "over the co-purchase graph (parts sharing an order, every 10th "
+    "order) — the clustering-coefficient numerator that separates "
+    "organic neighborhoods from spam farms.  The ENGINE uses "
+    "degree-ordered orientation (wedge fan-out capped at O(√m) "
+    "out-degree, O(m^1.5) total, pure equi-joins); the oracle counts "
+    "the same triangles with the naive id-ordered 3-way join, valid at "
+    "oracle scale precisely because fixture degrees are small — the "
+    "triangle SET is orientation-invariant, so the two formulations "
+    "must agree exactly.",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("ia"), items.alias("ib")
+    edges = (
+        a.join(
+            b,
+            (F.col("ia.o") == F.col("ib.o"))
+            & (F.col("ia.p") < F.col("ib.p")),
+        )
+        .select(
+            F.col("ia.p").alias("src"), F.col("ib.p").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges, "src", "dst")
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -2882,6 +2944,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'range1h' AS part, user_id AS a, event_id AS b, "
         f"n_1h AS n, {_NS} AS k, {_NS} AS s, vmax_1h AS v, true AS ok "
         f"FROM ({_RANGE1H_ORACLE}) t",
+        f"SELECT 'tri' AS part, node AS a, {_NB} AS b, n_tri AS n, "
+        f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_TRIANGLE_ORACLE}) t",
     ]
 )
 
@@ -2906,7 +2971,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "DataSource with plan-time filter pushdown "
     "(source_python_datasource), paths = journey-path frequencies "
     "(events_session_paths), range1h = trailing-1h RANGE window frame "
-    "(window_time_range_frame).  Shared "
+    "(window_time_range_frame), tri = degree-ordered triangle counting "
+    "(graph_triangle_counts).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -3063,6 +3129,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vmax_1h").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    tr = graph_triangle_counts(spark, sf_dir).select(
+        F.lit("tri").alias("part"),
+        F.col("node").cast("long").alias("a"),
+        _nb().alias("b"),
+        F.col("n_tri").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -3077,6 +3153,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(py)
         .unionByName(pa)
         .unionByName(rg)
+        .unionByName(tr)
     )
 
 
@@ -3190,4 +3267,5 @@ subsume(
     "source_python_datasource",
     "events_session_paths",
     "window_time_range_frame",
+    "graph_triangle_counts",
 )

@@ -77,3 +77,64 @@ def test_pagerank_star_concentrates_rank(spark):
     # only the pure-teleport spokes (2, 3) must be clearly dominated
     assert hub > got[2] * 2 and hub > got[3] * 2
     assert got[1] > got[2]
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts — hand-computed shapes + brute-force dual
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from imdb_top_250_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["n_tri"] for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_square_without_diagonal_has_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+
+def test_triangle_k4_every_node_in_three(spark):
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert _tri(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_duplicate_reversed_and_self_edges_ignored(spark):
+    # duplicates, reversed copies, and self loops must not inflate counts
+    assert _tri(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (2, 3), (3, 1), (1, 1)],
+    ) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_matches_brute_force_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = range(12)
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.4
+    ]
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            ((a, b) in eset)
+            and ((b, c) in eset)
+            and ((a, c) in eset)
+        ):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert _tri(spark, edges) == want

@@ -258,3 +258,59 @@ def merge_rollup(
             F.coalesce(F.col("b.hi"), F.col("s.hi")),
         ).alias("hi"),
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """Misra–Gries heavy-hitter summary → (item, est): at most ``k-1``
+    candidate items whose estimated counts undercount true frequency by
+    at most n/k in total.
+
+    The mergeable frequent-items sketch: every item with true frequency
+    above n/k is GUARANTEED present (its estimate stays positive), and
+    estimates never overcount — so ``est > n/k`` certifies a heavy
+    hitter with no second pass.  The streaming/distributed answer to
+    "top domains / hottest keys" when the domain is unbounded and an
+    exact groupBy would shuffle every distinct key.
+
+    Plan: one mapInPandas pass keeps k-1 Misra–Gries counters PER
+    PARTITION (state across Arrow batches, emitted once at partition
+    end — ≤ k-1 rows per task, regardless of data volume), then a tiny
+    groupBy sums the summaries; summing preserves the lower-bound and
+    total-undercount properties, which is what makes MG mergeable.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf[col]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k - 1:
+                    counters[item] = 1
+                else:
+                    # decrement-all: drop every counter by 1 (each
+                    # decrement "spends" k occurrences, bounding total
+                    # undercount by n/k)
+                    dead = []
+                    for it in counters:
+                        counters[it] -= 1
+                        if counters[it] == 0:
+                            dead.append(it)
+                    for it in dead:
+                        del counters[it]
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+    per_partition = df.select(
+        F.col(col).cast("string").alias(col)
+    ).mapInPandas(summarize, "item string, est long")
+    return per_partition.groupBy("item").agg(
+        F.sum("est").cast("long").alias("est")
+    )

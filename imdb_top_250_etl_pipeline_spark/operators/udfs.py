@@ -197,3 +197,36 @@ def grouped_zscore(
     return df.select(group_col, id_col, value_col).groupBy(group_col).applyInPandas(
         z, schema=schema
     )
+
+
+def token_spans_udtf():
+    """Python UDTF (Spark 4): tokenize with CHARACTER OFFSETS — each
+    input row expands to (pos, span, char_start) rows.
+
+    The user-defined TABLE function is the row-expanding UDF surface
+    (posexplode can split, but per-span derived state like running
+    character offsets needs generator logic).  Registered for SQL use
+    with ``LATERAL`` — ``FROM docs d, LATERAL token_spans(d.text, ' ')``
+    — the span-annotation shape NER/chunk-offset pipelines need.
+
+    UDTFs evaluate row-at-a-time Python (the slow path, acceptable for
+    row-expanding logic that built-ins can't express); the class is
+    stateless per row, so Spark parallelizes it like any projection.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, span string, char_start int")
+    class TokenSpans:
+        def eval(self, text: str, delim: str):
+            if text is None or delim is None:
+                return
+            off = 0
+            for i, tok in enumerate(text.split(delim)):
+                yield i, tok, off
+                off += len(tok) + len(delim)
+
+    return TokenSpans
+
+
+def register_token_spans(spark) -> None:
+    spark.udtf.register("token_spans", token_spans_udtf())

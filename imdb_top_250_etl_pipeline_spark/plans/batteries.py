@@ -2884,6 +2884,138 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "src", "dst")
 
 
+_UDTF_ORACLE = """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+              WHERE doc_id % 25 = 0),
+toks AS (SELECT doc_id, unnest(arr) AS span,
+                generate_subscripts(arr, 1) AS pos1 FROM arrs)
+SELECT doc_id, CAST(pos1 - 1 AS INT) AS pos, span,
+       CAST(COALESCE(sum(length(span) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos1
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+         AS char_start
+FROM toks
+"""
+
+
+@register(
+    "udtf_token_spans",
+    oracle=_UDTF_ORACLE,
+    doc="Python UDTF surface (Spark 4, operators/udfs.py::"
+    "token_spans_udtf): tokenization with CHARACTER OFFSETS consumed "
+    "through SQL LATERAL — each document row expands to (pos, span, "
+    "char_start) rows, the span-annotation shape NER/chunk-offset "
+    "pipelines need and posexplode alone can't produce (running "
+    "offsets are generator state).  The oracle reproduces the offsets "
+    "with an ordinality window; hash-checked end to end.",
+)
+def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udfs import register_token_spans
+
+    register_token_spans(spark)
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.span, s.char_start
+        FROM _udtf_docs d, LATERAL token_spans(d.text, ' ') s
+        """
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_val,
+       props IS NOT NULL AS ok
+FROM events
+"""
+
+
+@register(
+    "events_variant_extract",
+    oracle=_VARIANT_ORACLE,
+    doc="VariantType semi-structured handling (Spark 4's open JSON "
+    "storage type): props parses once into a VARIANT via parse_json, "
+    "typed paths read back with variant_get — the schema-on-read shape "
+    "that replaces repeated get_json_object string re-parsing (variant "
+    "decodes the document once into a binary form all path reads "
+    "share).  ok pins schema_of_variant agreeing with the expected "
+    "OBJECT<k: BIGINT> on every row, folded to a boolean the oracle "
+    "states as props IS NOT NULL.",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_val"),
+        (F.schema_of_variant(F.col("v")) == "OBJECT<k: BIGINT>").alias(
+            "ok"
+        ),
+    )
+
+
+_MG_ORACLE = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'HOT'
+              ELSE 'u' || CAST(user_id AS VARCHAR) END AS item
+  FROM events
+),
+tot AS (SELECT count(*) AS n FROM keyed),
+c AS (SELECT item, CAST(count(*) AS BIGINT) AS n_exact FROM keyed GROUP BY item)
+SELECT item, n_exact, true AS ok FROM c CROSS JOIN tot
+WHERE n_exact > n / 16.0
+"""
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    oracle=_MG_ORACLE,
+    doc="Misra–Gries frequent-items sketch verified AS AN INVARIANT "
+    "(the approx_count_distinct discipline): over a planted-skew key "
+    "(every 3rd event keyed 'HOT', the rest spread across users), "
+    "every item with true frequency above n/k MUST appear in the "
+    "k=16 summary with its estimate in [exact − n/k, exact] — folded "
+    "into an ok boolean the oracle pins true.  The summary itself "
+    "(operators/profiling.py::heavy_hitters) keeps ≤ k−1 counters per "
+    "partition in one mapInPandas pass and merges by summation — the "
+    "unbounded-domain answer to 'hottest keys' where an exact groupBy "
+    "would shuffle every distinct key.",
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("item")
+    )
+    mg = heavy_hitters(keyed, "item", k=16)
+    exact = keyed.groupBy("item").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    tot = keyed.select(F.count("*").alias("_n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col("n_exact") > F.col("_n") / 16.0)
+    )
+    return (
+        heavy.join(mg, "item", "left")
+        .select(
+            "item",
+            "n_exact",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("n_exact"))
+                & (F.col("est") >= F.col("n_exact") - F.col("_n") / 16.0)
+            ).alias("ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -2947,6 +3079,14 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'tri' AS part, node AS a, {_NB} AS b, n_tri AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_TRIANGLE_ORACLE}) t",
+        f"SELECT 'udtf' AS part, doc_id AS a, CAST(pos AS BIGINT) AS b, "
+        f"CAST(char_start AS BIGINT) AS n, {_NS} AS k, span AS s, "
+        f"{_ND} AS v, true AS ok FROM ({_UDTF_ORACLE}) t",
+        f"SELECT 'variant' AS part, event_id AS a, {_NB} AS b, "
+        f"CAST(k_val AS BIGINT) AS n, {_NS} AS k, {_NS} AS s, {_ND} AS v, "
+        f"ok FROM ({_VARIANT_ORACLE}) t",
+        f"SELECT 'mg' AS part, {_NB} AS a, {_NB} AS b, n_exact AS n, "
+        f"item AS k, {_NS} AS s, {_ND} AS v, ok FROM ({_MG_ORACLE}) t",
     ]
 )
 
@@ -2972,7 +3112,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "(source_python_datasource), paths = journey-path frequencies "
     "(events_session_paths), range1h = trailing-1h RANGE window frame "
     "(window_time_range_frame), tri = degree-ordered triangle counting "
-    "(graph_triangle_counts).  Shared "
+    "(graph_triangle_counts), udtf = Python UDTF token spans via "
+    "LATERAL (udtf_token_spans), variant = VariantType semi-structured "
+    "extraction (events_variant_extract), mg = Misra–Gries heavy "
+    "hitters as an invariant (agg_heavy_hitters_mg).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -3139,6 +3282,36 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v"),
         F.lit(True).alias("ok"),
     )
+    ut = udtf_token_spans(spark, sf_dir).select(
+        F.lit("udtf").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("pos").cast("long").alias("b"),
+        F.col("char_start").cast("long").alias("n"),
+        _ns().alias("k"),
+        F.col("span").alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    va = events_variant_extract(spark, sf_dir).select(
+        F.lit("variant").alias("part"),
+        F.col("event_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        F.col("k_val").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.col("ok"),
+    )
+    mg = agg_heavy_hitters_mg(spark, sf_dir).select(
+        F.lit("mg").alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n_exact").cast("long").alias("n"),
+        F.col("item").alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.col("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -3154,6 +3327,9 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pa)
         .unionByName(rg)
         .unionByName(tr)
+        .unionByName(ut)
+        .unionByName(va)
+        .unionByName(mg)
     )
 
 
@@ -3268,4 +3444,7 @@ subsume(
     "events_session_paths",
     "window_time_range_frame",
     "graph_triangle_counts",
+    "udtf_token_spans",
+    "events_variant_extract",
+    "agg_heavy_hitters_mg",
 )

@@ -450,3 +450,80 @@ def test_pysource_stream_drains_source(spark, tmp_path):
     assert (
         spark.read.parquet(sink).select("doc_id").distinct().count() == exp
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — sketch guarantees on adversarial inputs
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_guarantees(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        heavy_hitters,
+    )
+
+    # 1000 rows: 'A' 400, 'B' 200, tail of 400 singletons
+    rows = (
+        [("A",)] * 400 + [("B",)] * 200 + [(f"t{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    out = {r["item"]: r["est"] for r in heavy_hitters(df, "item", k=8).collect()}
+    n = 1000
+    # every item above n/k = 125 must be present with a valid lower bound
+    for item, exact in (("A", 400), ("B", 200)):
+        assert item in out
+        assert exact - n / 8 <= out[item] <= exact
+    # summary size is bounded: <= (k-1) * n_partitions before the merge,
+    # and estimates never exceed true counts
+    exact_counts = {"A": 400, "B": 200}
+    for item, est in out.items():
+        assert est <= exact_counts.get(item, 1)
+
+
+def test_heavy_hitters_exact_when_domain_fits(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        heavy_hitters,
+    )
+
+    rows = [("x",)] * 5 + [("y",)] * 3
+    df = spark.createDataFrame(rows, "item string").coalesce(1)
+    out = {r["item"]: r["est"] for r in heavy_hitters(df, "item", k=8).collect()}
+    # fewer distinct items than counters -> MG degrades to exact counts
+    assert out == {"x": 5, "y": 3}
+
+
+# ---------------------------------------------------------------------------
+# UDTF + Variant — API-surface pins
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_offsets_with_multichar_delim(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.udfs import (
+        register_token_spans,
+    )
+
+    register_token_spans(spark)
+    spark.sql("SELECT 'aa--b--ccc' AS t").createOrReplaceTempView(
+        "_udtf_t"
+    )
+    out = [
+        (r["pos"], r["span"], r["char_start"])
+        for r in spark.sql(
+            "SELECT s.* FROM _udtf_t d, LATERAL token_spans(d.t, '--') s"
+        ).collect()
+    ]
+    assert out == [(0, "aa", 0), (1, "b", 4), (2, "ccc", 7)]
+
+
+def test_variant_typed_path_reads(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        """SELECT parse_json('{"a": {"b": [1, 2, 3]}, "s": "x"}') AS v"""
+    )
+    row = df.select(
+        F.variant_get("v", "$.a.b[1]", "int").alias("i"),
+        F.variant_get("v", "$.s", "string").alias("s"),
+        F.try_variant_get("v", "$.missing", "int").alias("m"),
+    ).collect()[0]
+    assert (row["i"], row["s"], row["m"]) == (2, "x", None)

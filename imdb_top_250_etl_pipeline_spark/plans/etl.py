@@ -219,6 +219,9 @@ def _count_parquet_files(path: str) -> int:
         "SELECT 'orc' AS part, c_custkey, c_name, c_acctbal, "
         "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 2"
         "\nUNION ALL\n"
+        "SELECT 'xml' AS part, c_custkey, c_name, c_acctbal, "
+        "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 3"
+        "\nUNION ALL\n"
         "SELECT 'txn' AS part, c_custkey, c_name, "
         "CASE WHEN c_custkey % 2 = 0 AND c_custkey <= 200 "
         "THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal, "
@@ -243,8 +246,9 @@ def _count_parquet_files(path: str) -> int:
     "range-partitioned files stayed byte-identical across the commit, "
     "v0 time travel still reads the pre-merge table, and the merged "
     "snapshot equals the pure upsert), and "
-    "the three non-parquet source formats round-tripped with explicit "
-    "declared schemas and FAILFAST (part=csv/json/orc — "
+    "the four non-parquet source formats round-tripped with explicit "
+    "declared schemas and FAILFAST (part=csv/json/orc/xml — XML native "
+    "in Spark 4 — "
     "sources/catalog.py::read_csv/read_json + the ORC reader; Java's "
     "shortest-round-trip double formatting makes even the text formats "
     "value-exact). Results detach via eager localCheckpoint before the "
@@ -356,6 +360,22 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ok", F.lit(True))
             .withColumn("part", F.lit("orc"))
         )
+        # native XML (merged into Spark 4 from spark-xml): write with an
+        # explicit rowTag, read back with the same declared schema —
+        # like csv/json, Java's shortest-round-trip double formatting
+        # keeps the text format value-exact
+        xml_dir = os.path.join(path, "fmt_xml")
+        c.where(F.col("c_custkey") % 5 == 3).write.format("xml").option(
+            "rowTag", "row"
+        ).save(xml_dir)
+        fmt_xml = (
+            spark.read.format("xml")
+            .schema(fmt_schema)
+            .option("rowTag", "row")
+            .load(xml_dir)
+            .withColumn("ok", F.lit(True))
+            .withColumn("part", F.lit("xml"))
+        )
 
         # part=txn: the transaction-log table (sources/txn.py) driven
         # end-to-end — create at v0 (8 range-partitioned files), MERGE a
@@ -415,6 +435,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(fmt_csv)
             .unionByName(fmt_json)
             .unionByName(fmt_orc)
+            .unionByName(fmt_xml)
             .unionByName(txn)
             .select(
                 "part", "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "ok"

@@ -3016,6 +3016,144 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_SHAPES_ORACLE = """
+SELECT o_orderpriority AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS v
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'promo_pct' AS k, CAST(NULL AS BIGINT) AS n,
+       CAST(ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4))) ELSE 0 END)
+           AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 6)
+       AS DOUBLE) AS v
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+UNION ALL
+SELECT 'q19_revenue' AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
+            AS DOUBLE) AS v
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "sql_tpch_shapes",
+    oracle=_TPCH_SHAPES_ORACLE,
+    doc="Three more classic TPC-H query shapes over the available "
+    "columns, completing the warehouse-SQL surface beyond Q1/Q3/Q5/"
+    "Q17: Q4's correlated EXISTS (order-priority counts gated on a "
+    "late-shipping lineitem — planned as a LEFT SEMI join with the "
+    "date bound in the join condition, no decorrelation needed), "
+    "Q14's promotion-revenue ratio (conditional DECIMAL aggregation, "
+    "one division at the end, round(6) both sides), and Q19's "
+    "disjunctive brand/size/quantity predicates (three OR'd conjunct "
+    "groups evaluated post-join — Catalyst extracts the common "
+    "partkey equi-key; the OR residual stays a join filter, never a "
+    "nested loop).  Money stays in exact DECIMAL until the final "
+    "double projection (the registry discipline).",
+)
+def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import money, rate
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+
+    late = li.select("l_orderkey", "l_shipdate")
+    q4 = (
+        o.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("o_orderpriority").alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    disc = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    q14 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast(T.TimestampType()))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast(T.TimestampType()))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+            ).alias("_promo"),
+            F.sum(disc).alias("_all"),
+        )
+        .select(
+            F.lit("promo_pct").alias("k"),
+            F.lit(None).cast("long").alias("n"),
+            F.round(
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_all").cast("double"),
+                6,
+            ).alias("v"),
+        )
+    )
+
+    q19 = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 15)
+                & F.col("l_quantity").between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 25)
+                & F.col("l_quantity").between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#34")
+                & F.col("p_size").between(1, 35)
+                & F.col("l_quantity").between(20, 30)
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(disc), 2).cast("double").alias("v"),
+        )
+        .select(F.lit("q19_revenue").alias("k"), "n", "v")
+    )
+
+    return q4.unionByName(q14).unionByName(q19)
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -3087,6 +3225,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"ok FROM ({_VARIANT_ORACLE}) t",
         f"SELECT 'mg' AS part, {_NB} AS a, {_NB} AS b, n_exact AS n, "
         f"item AS k, {_NS} AS s, {_ND} AS v, ok FROM ({_MG_ORACLE}) t",
+        f"SELECT 'tpch' AS part, {_NB} AS a, {_NB} AS b, n, k, "
+        f"{_NS} AS s, v, true AS ok FROM ({_TPCH_SHAPES_ORACLE}) t",
     ]
 )
 
@@ -3115,7 +3255,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "(graph_triangle_counts), udtf = Python UDTF token spans via "
     "LATERAL (udtf_token_spans), variant = VariantType semi-structured "
     "extraction (events_variant_extract), mg = Misra–Gries heavy "
-    "hitters as an invariant (agg_heavy_hitters_mg).  Shared "
+    "hitters as an invariant (agg_heavy_hitters_mg), tpch = the "
+    "Q4/Q14/Q19 warehouse shapes (sql_tpch_shapes).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -3312,6 +3453,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v"),
         F.col("ok"),
     )
+    tp = sql_tpch_shapes(spark, sf_dir).select(
+        F.lit("tpch").alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k"),
+        _ns().alias("s"),
+        F.col("v").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -3330,6 +3481,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ut)
         .unionByName(va)
         .unionByName(mg)
+        .unionByName(tp)
     )
 
 
@@ -3447,4 +3599,5 @@ subsume(
     "udtf_token_spans",
     "events_variant_extract",
     "agg_heavy_hitters_mg",
+    "sql_tpch_shapes",
 )

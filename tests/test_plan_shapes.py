@@ -369,3 +369,14 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q4_exists_plans_semi_join(spark):
+    """Q4's correlated EXISTS must plan as a LEFT SEMI join with the
+    date bound riding the join condition — not a decorrelated aggregate
+    or a nested loop."""
+    from imdb_top_250_etl_pipeline_spark.plans import lookup
+
+    plan = plan_of(lookup("sql_tpch_shapes").fn(spark, SF_CORRECT))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -311,3 +311,25 @@ def table_diff(
         )
         .where(F.col("status").isNotNull())
     )
+
+
+def with_quality_metrics(df: DataFrame, cols: list[str], name: str = "quality"):
+    """Attach zero-cost data-quality counters to a pipeline stage via
+    ``df.observe`` → returns ``(df, Observation)``.
+
+    The metrics (row count + per-column null counts) are computed by
+    the SAME job that materializes the DataFrame — no second pass over
+    the data, unlike a separate ``count()``/profile query.  After any
+    action on the returned frame, ``observation.get`` yields the
+    metrics dict: the ingest-gate pattern (abort the load if null rates
+    spike) at no extra scan cost, which at 100 TB is the difference
+    between free monitoring and doubling the pipeline.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -186,6 +187,63 @@ class PyArrowStreamReader(SimpleDataSourceStreamReader):
         return self._rows(start["row"], end["row"])
 
 
+class PyArrowStreamWriter(DataSourceStreamWriter):
+    """Streaming sink through the Python API with EXACTLY-ONCE batch
+    publication: executors stage each micro-batch's rows as one parquet
+    file per task under ``_staging/``; the driver-side ``commit``
+    publishes them under a ``batch=<id>/`` directory with atomic
+    renames.  A replayed batch id (checkpoint recovery re-delivering
+    the same micro-batch) OVERWRITES its own directory rather than
+    appending — idempotent re-commit, which is what turns Spark's
+    at-least-once task retries into exactly-once sink output.  abort
+    leaves only staging garbage, never a visible batch dir."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _FileCommit(file="", rows=0)
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tbl = pa.Table.from_pylist([r.asDict() for r in rows])
+        pq.write_table(tbl, os.path.join(staging, name))
+        return _FileCommit(file=name, rows=tbl.num_rows)
+
+    def commit(self, messages, batchId: int):
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        bdir = os.path.join(self.path, f"batch={batchId}")
+        # idempotent re-commit: a replayed batch replaces itself
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.makedirs(bdir, exist_ok=True)
+        for m in messages:
+            if m is not None and m.file:
+                os.replace(
+                    os.path.join(staging, m.file),
+                    os.path.join(bdir, m.file),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
 class PyArrowParquetDataSource(DataSource):
     """``spark.read.format("pyarrow_parquet").option("path", ...)`` —
     batch read (row-group splits + pushdown), batch write (two-phase
@@ -209,6 +267,9 @@ class PyArrowParquetDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return PyArrowStreamReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool):
+        return PyArrowStreamWriter(dict(self.options))
 
 
 def register_python_source(spark) -> None:

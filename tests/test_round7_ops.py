@@ -527,3 +527,108 @@ def test_variant_typed_path_reads(spark):
         F.try_variant_get("v", "$.missing", "int").alias("m"),
     ).collect()[0]
     assert (row["i"], row["s"], row["m"]) == (2, "x", None)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource streaming SINK — batch publication + idempotent commit
+# ---------------------------------------------------------------------------
+
+
+def test_pysource_stream_writer_end_to_end(spark, tmp_path):
+    import os
+    import time
+
+    from imdb_top_250_etl_pipeline_spark.sources.pysource import (
+        register_python_source,
+    )
+
+    register_python_source(spark)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    q = (
+        spark.readStream.format("pyarrow_parquet")
+        .option("path", src)
+        .option("batchRows", "200")
+        .load()
+        .selectExpr("doc_id", "n_chars")
+    )
+    sink = str(tmp_path / "sink")
+    sq = (
+        q.writeStream.format("pyarrow_parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    exp = spark.read.parquet(src).count()
+    got, deadline = 0, time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                got = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(sink)
+                    .count()
+                )
+            except Exception:
+                got = 0
+            if got >= exp:
+                break
+            time.sleep(2)
+    finally:
+        sq.stop()
+    assert got == exp
+    # each micro-batch published under its own batch=<id> dir, staging gone
+    dirs = sorted(os.listdir(sink))
+    assert all(d.startswith("batch=") for d in dirs), dirs
+    assert len(dirs) >= 2  # 500 rows at 200/batch -> >= 3 batches
+
+
+def test_pysource_stream_writer_recommit_is_idempotent(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from imdb_top_250_etl_pipeline_spark.sources.pysource import (
+        PyArrowStreamWriter,
+        _FileCommit,
+    )
+
+    class _Row:
+        def __init__(self, **kw):
+            self._kw = kw
+
+        def asDict(self):
+            return dict(self._kw)
+
+    sink = str(tmp_path / "s")
+    w = PyArrowStreamWriter({"path": sink})
+    # simulate a replayed micro-batch: same batchId committed twice
+    for _ in range(2):
+        msg = w.write(iter([_Row(a=1), _Row(a=2)]))
+        assert isinstance(msg, _FileCommit) and msg.rows == 2
+        w.commit([msg], batchId=7)
+    bdir = os.path.join(sink, "batch=7")
+    files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    # the replay REPLACED the directory — exactly one file, two rows
+    assert len(files) == 1
+    assert pq.read_table(os.path.join(bdir, files[0])).num_rows == 2
+    assert not os.path.exists(os.path.join(sink, "_staging"))
+
+
+# ---------------------------------------------------------------------------
+# observe() quality metrics — same-job counters, no second scan
+# ---------------------------------------------------------------------------
+
+
+def test_with_quality_metrics_same_job(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        with_quality_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "k long, s string"
+    )
+    out, obs = with_quality_metrics(df, ["s"])
+    # metrics ride the SAME action that materializes the frame
+    assert out.count() == 4
+    assert obs.get == {"n_rows": 4, "n_null_s": 2}

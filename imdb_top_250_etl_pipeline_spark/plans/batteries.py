@@ -3154,6 +3154,143 @@ def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q4.unionByName(q14).unionByName(q19)
 
 
+_SNAPSHOT_CDC_ORACLE = f"""
+WITH old AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 3000000, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         (o.c_name IS DISTINCT FROM n.c_name)
+          OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+          OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment) AS changed,
+         n.c_name, n.c_acctbal, n.c_mktsegment
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D'
+            WHEN changed THEN 'U' END AS op,
+       c_name, c_acctbal, c_mktsegment
+FROM j WHERE NOT in_old OR NOT in_new OR changed
+"""
+
+
+@register(
+    "etl_snapshot_cdc",
+    oracle=_SNAPSHOT_CDC_ORACLE,
+    doc="Snapshot-diff CDC generation (operators/etl.py::snapshot_cdc — "
+    "the INVERSE of apply_changes): when a source only delivers full "
+    "snapshot loads, derive the I/U/D change feed downstream "
+    "incremental consumers need — one full-outer key shuffle, output "
+    "bounded by the divergence, 'D' rows carry NULL payload.  The "
+    "fixture is the table_diff derived snapshot, restated verbatim in "
+    "the oracle CTE; the roundtrip property (applying the stream onto "
+    "old reconstructs new EXACTLY, via apply_snapshot_cdc) is pinned "
+    "in unit tests.",
+)
+def etl_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import snapshot_cdc
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    changed = (
+        cust.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    added = cust.where(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return snapshot_cdc(cust, changed.unionByName(added), ["c_custkey"])
+
+
+_SCD2_LOOKUP_ORACLE = f"""
+WITH hist AS (
+  SELECT o_orderkey, o_orderstatus, total,
+         CAST(seq AS BIGINT) AS valid_from_v,
+         CAST(lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+              AS BIGINT) AS valid_to_v,
+         op
+  FROM ({{cdc}}) ch
+),
+live AS (SELECT * FROM hist WHERE op <> 'D'),
+facts AS (
+  SELECT o_orderkey, CAST(o_orderkey % 3 + 1 AS BIGINT) AS at_v
+  FROM orders
+)
+SELECT f.o_orderkey, f.at_v, l.o_orderstatus,
+       CAST(l.total AS DOUBLE) AS total, l.valid_from_v
+FROM facts f LEFT JOIN live l
+  ON f.o_orderkey = l.o_orderkey
+ AND l.valid_from_v <= f.at_v
+ AND (l.valid_to_v IS NULL OR f.at_v < l.valid_to_v)
+"""
+
+
+@register(
+    "etl_scd2_lookup",
+    oracle=_SCD2_LOOKUP_ORACLE.format(cdc=_CDC_SQL),
+    doc="Point-in-time-correct SCD2 dimension lookup (operators/etl.py"
+    "::scd2_lookup): each fact (orders stamped with a deterministic "
+    "as-of version) joins the dimension version live AT that stamp — "
+    "valid_from <= at < valid_to, NULL valid_to = current; keys "
+    "deleted before the stamp match nothing (left join keeps the fact "
+    "with NULL dimension columns — the training-data-leakage guard: a "
+    "fact must never see a later dimension version).  Equi-join on "
+    "the key with the interval bounds as join residual — one shuffle, "
+    "no range cross-product.",
+)
+def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import scd2_history, scd2_lookup
+
+    changes = _cdc_changes(spark, sf_dir)
+    hist = scd2_history(
+        changes, "o_orderkey", "seq", "op",
+        ["o_custkey", "o_orderstatus", "total"],
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "total",
+        F.col("valid_from_v").cast("long").alias("valid_from_v"),
+        F.col("valid_to_v").cast("long").alias("valid_to_v"),
+    )
+    facts = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3 + 1).cast("long").alias("at_v"),
+    )
+    return scd2_lookup(facts, hist, "o_orderkey", "at_v").select(
+        "o_orderkey",
+        "at_v",
+        "o_orderstatus",
+        F.col("total").cast("double").alias("total"),
+        "valid_from_v",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -3227,6 +3364,15 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"item AS k, {_NS} AS s, {_ND} AS v, ok FROM ({_MG_ORACLE}) t",
         f"SELECT 'tpch' AS part, {_NB} AS a, {_NB} AS b, n, k, "
         f"{_NS} AS s, v, true AS ok FROM ({_TPCH_SHAPES_ORACLE}) t",
+        f"SELECT 'cdc2' AS part, c_custkey AS a, {_NB} AS b, {_NB} AS n, "
+        f"op AS k, c_name || '|' || c_mktsegment AS s, "
+        f"CAST(c_acctbal AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_SNAPSHOT_CDC_ORACLE}) t",
+        "SELECT 'scdlk' AS part, o_orderkey AS a, at_v AS b, "
+        "valid_from_v AS n, o_orderstatus AS k, CAST(NULL AS VARCHAR) AS s, "
+        "total AS v, true AS ok FROM ("
+        + _SCD2_LOOKUP_ORACLE.format(cdc=_CDC_SQL)
+        + ") t",
     ]
 )
 
@@ -3256,7 +3402,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "LATERAL (udtf_token_spans), variant = VariantType semi-structured "
     "extraction (events_variant_extract), mg = Misra–Gries heavy "
     "hitters as an invariant (agg_heavy_hitters_mg), tpch = the "
-    "Q4/Q14/Q19 warehouse shapes (sql_tpch_shapes).  Shared "
+    "Q4/Q14/Q19 warehouse shapes (sql_tpch_shapes), cdc2 = "
+    "snapshot-diff CDC generation (etl_snapshot_cdc), scdlk = "
+    "point-in-time SCD2 dimension lookup (etl_scd2_lookup).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -3463,6 +3611,30 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    c2 = etl_snapshot_cdc(spark, sf_dir).select(
+        F.lit("cdc2").alias("part"),
+        F.col("c_custkey").cast("long").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        F.col("op").alias("k"),
+        # concat (not concat_ws): NULL-propagating like SQL ||, so 'D'
+        # rows' NULL payload stays NULL instead of collapsing to ""
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias(
+            "s"
+        ),
+        F.col("c_acctbal").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    sl = etl_scd2_lookup(spark, sf_dir).select(
+        F.lit("scdlk").alias("part"),
+        F.col("o_orderkey").cast("long").alias("a"),
+        F.col("at_v").cast("long").alias("b"),
+        F.col("valid_from_v").cast("long").alias("n"),
+        F.col("o_orderstatus").alias("k"),
+        _ns().alias("s"),
+        F.col("total").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -3482,6 +3654,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(va)
         .unionByName(mg)
         .unionByName(tp)
+        .unionByName(c2)
+        .unionByName(sl)
     )
 
 
@@ -3600,4 +3774,6 @@ subsume(
     "events_variant_extract",
     "agg_heavy_hitters_mg",
     "sql_tpch_shapes",
+    "etl_snapshot_cdc",
+    "etl_scd2_lookup",
 )

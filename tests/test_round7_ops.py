@@ -632,3 +632,80 @@ def test_with_quality_metrics_same_job(spark):
     # metrics ride the SAME action that materializes the frame
     assert out.count() == 4
     assert obs.get == {"n_rows": 4, "n_null_s": 2}
+
+
+# ---------------------------------------------------------------------------
+# snapshot_cdc / apply_snapshot_cdc — roundtrip property
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_cdc_roundtrip_reconstructs_new(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+        snapshot_cdc,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", None), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    stream = snapshot_cdc(old, new, ["k"])
+    ops = {r["k"]: r["op"] for r in stream.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
+    rebuilt = apply_snapshot_cdc(old, stream, ["k"])
+    # exact multiset equality both directions
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_snapshot_cdc_identical_snapshots_emit_nothing(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import snapshot_cdc
+
+    t = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    assert snapshot_cdc(t, t, ["k"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup — half-open interval boundaries + delete semantics
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_lookup_boundaries_and_deletes(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "I", "v1"),
+            (1, 20, "U", "v2"),
+            (2, 10, "I", "w1"),
+            (2, 15, "D", None),
+        ],
+        "k long, seq long, op string, val string",
+    )
+    hist = scd2_history(changes, "k", "seq", "op", ["val"])
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 19), (1, 20), (1, 99), (2, 12), (2, 15), (3, 10)],
+        "k long, at long",
+    )
+    out = {
+        (r["k"], r["at"]): r["val"]
+        for r in scd2_lookup(
+            facts, hist, "k", "at"
+        ).collect()
+    }
+    # valid_from inclusive, valid_to exclusive
+    assert out[(1, 10)] == "v1" and out[(1, 19)] == "v1"
+    assert out[(1, 20)] == "v2" and out[(1, 99)] == "v2"
+    # key 2 deleted at seq 15: live before, NULL at/after the delete
+    assert out[(2, 12)] == "w1"
+    assert out[(2, 15)] is None
+    # unknown key survives the left join with NULL dimension
+    assert out[(3, 10)] is None
+    assert len(out) == 7

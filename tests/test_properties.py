@@ -248,3 +248,49 @@ def test_upsample_matches_reference_model(spark, rows):
         if n >= 1:
             want[k] = n
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# drop_frequent_segments — threshold-extremes properties (round 7)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_segment_dedup_threshold_extremes(spark, docs):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        drop_frequent_segments,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_doc_frac >= 1: nothing can exceed the whole corpus — identity
+    keep_all = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in drop_frequent_segments(
+            df, "doc_id", "text", delim=" ", max_doc_frac=1.0
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        assert keep_all[i] == (" ".join(toks), len(toks))
+    # max_doc_frac = 0: every segment trips the filter — empty corpus
+    drop_all = drop_frequent_segments(
+        df, "doc_id", "text", delim=" ", max_doc_frac=0.0
+    )
+    assert all(
+        r["clean_text"] == "" and r["n_kept"] == 0 for r in drop_all.collect()
+    )

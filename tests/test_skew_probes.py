@@ -209,3 +209,33 @@ def test_attribution_hand_computed(spark):
         6: (None, None),   # organic
         9: ("b", "b"),     # same-instant touch credited
     }
+
+
+def test_triangle_counting_survives_celebrity_hub(spark):
+    """Degree-ordered orientation under a hostile degree distribution:
+    a 5000-spoke star plus a small clique.  Without orientation the hub
+    alone generates C(5000,2) ≈ 12.5M wedges; WITH it every star edge
+    orients INTO the hub (spokes have degree 1 < 5000), the hub has
+    zero out-edges, and wedge volume collapses to the clique's — so the
+    probe both checks exactness and would time out if orientation
+    regressed to naive wedge generation."""
+    import time
+
+    from imdb_top_250_etl_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    hub = 0
+    star = [(hub, i) for i in range(1, 5001)]
+    # clique on 5 nodes that also touch the hub via the star edges
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(star + clique, "src long, dst long")
+    t0 = time.time()
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    wall = time.time() - t0
+    # K5 gives each clique node C(4,2)=6 in-clique triangles; since
+    # clique nodes are also spokes, each (a, b) clique pair closes a
+    # (hub, a, b) triangle too: hub sits in C(5,2)=10, each clique node
+    # in 6 + 4 = 10.  Plain spokes (6..5000) close nothing.
+    assert got == {n: 10 for n in range(0, 6)}
+    assert wall < 60, f"triangle probe took {wall:.0f}s — orientation broken?"

@@ -213,3 +213,77 @@ def session_paths(
     return per_key.groupBy("path").agg(
         F.count("*").cast("long").alias("n_keys")
     )
+
+
+def funnel_steps_fold(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``funnel_steps`` in ONE shuffle for any step count: each user's
+    timeline collects once, sorts per-row, and a single ``aggregate``
+    fold walks it carrying the k frontier timestamps — step j's slot
+    fills with the first event of type j whose time is strictly after
+    slot j-1.
+
+    Exactly equivalent to the join formulation (equivalence-tested):
+    the fold processes events in ascending time order, so "first
+    qualifying" IS the per-step minimum, and reading the PRE-update
+    accumulator preserves the strictly-before precedence even among
+    same-timestamp events.  Per-user memory is that user's event count
+    (the session_paths boundedness contract — cap the timeline first if
+    single users can own millions of events); in exchange the N-1
+    frontier joins of the staged form collapse into one groupBy, the
+    better shape when the step list is long or the engine is re-run per
+    step-permutation (funnel exploration).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+    ts_type = events.schema[ts_col].dataType
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+        )
+    )
+
+    def merge(acc, x):
+        outs = [
+            F.coalesce(
+                acc["t_1"], F.when(x["et"] == steps[0], x["ts"])
+            ).alias("t_1")
+        ]
+        for j in range(2, k + 1):
+            outs.append(
+                F.coalesce(
+                    acc[f"t_{j}"],
+                    F.when(
+                        (x["et"] == steps[j - 1])
+                        & acc[f"t_{j - 1}"].isNotNull()
+                        & (x["ts"] > acc[f"t_{j - 1}"]),
+                        x["ts"],
+                    ),
+                ).alias(f"t_{j}")
+            )
+        return F.struct(*outs)
+
+    init = F.struct(
+        *[
+            F.lit(None).cast(ts_type).alias(f"t_{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    folded = events.groupBy(user_col).agg(
+        F.aggregate(seq, init, merge).alias("_f")
+    )
+    n_steps = sum(
+        F.when(F.col(f"_f.t_{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, k + 1)
+    )
+    return folded.where(F.col("_f.t_1").isNotNull()).select(
+        user_col,
+        *[F.col(f"_f.t_{i}").alias(f"t_{i}") for i in range(1, k + 1)],
+        n_steps.cast("int").alias("n_steps"),
+    )

@@ -1809,6 +1809,26 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_fold",
+    oracle=_FUNNEL_ORACLE,
+    doc="funnel_steps_fold (operators/analytics.py): the same ordered "
+    "view→click→purchase funnel as events_funnel computed in ONE "
+    "shuffle — each user's timeline collects once and a single "
+    "aggregate() fold carries the k frontier timestamps, instead of "
+    "the staged form's N-1 frontier joins.  Shares events_funnel's "
+    "oracle verbatim (the two formulations are provably equivalent; "
+    "also pinned by a direct equivalence test), so the fold variant is "
+    "hash-checked end to end.",
+)
+def events_funnel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import funnel_steps_fold
+
+    return funnel_steps_fold(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@register(
     "events_retention",
     oracle=_RETENTION_ORACLE,
     doc="Day-grain retention cohorts (operators/analytics.py::"
@@ -3776,4 +3796,7 @@ subsume(
     "sql_tpch_shapes",
     "etl_snapshot_cdc",
     "etl_scd2_lookup",
+    # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
+    # driver-facing coverage rides stream_battery's funnel branch
+    "events_funnel_fold",
 )

@@ -709,3 +709,70 @@ def test_scd2_lookup_boundaries_and_deletes(spark):
     # unknown key survives the left join with NULL dimension
     assert out[(3, 10)] is None
     assert len(out) == 7
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps_fold — equivalence with the staged-join formulation
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_fold_equals_staged_on_fixture(spark):
+    from tests.conftest import SF_CORRECT
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        funnel_steps,
+        funnel_steps_fold,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    ev = load(spark, SF_CORRECT, "events")
+    steps = ["view", "click", "purchase"]
+    a = funnel_steps(ev, steps)
+    b = funnel_steps_fold(ev, steps)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_funnel_fold_equals_staged_on_adversarial_ties(spark):
+    import itertools
+    import random
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        funnel_steps,
+        funnel_steps_fold,
+    )
+
+    # heavy timestamp ties + repeated steps + users stalling at every
+    # stage: the shapes where strict-precedence handling can diverge
+    rng = random.Random(11)
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (u, rng.randint(0, 5), rng.choice(["a", "b", "c", "x"]))
+            )
+    df = spark.createDataFrame(rows, "u long, t long, et string")
+    steps = ["a", "b", "c"]
+    a = funnel_steps(df, steps, "u", "et", "t")
+    b = funnel_steps_fold(df, steps, "u", "et", "t")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_funnel_fold_is_single_shuffle(spark):
+    from tests.test_plan_shapes import plan_of
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        funnel_steps_fold,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "u long, t long, et string"
+    )
+    plan = plan_of(
+        funnel_steps_fold(df, ["a", "b", "c"], "u", "et", "t"),
+        mode="simple",
+    )
+    # one groupBy = one exchange; the staged form has N-1 extra joins
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

@@ -2842,6 +2842,28 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_merges",
+    oracle=None,  # iterative (k argmax-conditioned rounds) — the
+    # kmeans/pagerank family: exact python-dual tests instead of SQL
+    doc="Distributed BPE tokenizer training (operators/bpe.py::"
+    "bpe_train): k rounds of corpus-wide pair counting over the "
+    "frequency-weighted DISTINCT-WORD table, each round's argmax pair "
+    "(freq desc, lexicographic tie-break — fully deterministic) "
+    "broadcast back and applied as a per-row aggregate() fold, no "
+    "driver-side collect anywhere.  Pinned EXACTLY against a "
+    "pure-Python Sennrich-style reference on both a hand corpus and "
+    "the sf0.01 fixture (tests/test_bpe.py), plus the encode side "
+    "(bpe_segment — k chained folds, zero shuffles) with a "
+    "detokenization round-trip.",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return bpe_train(d, "text", 6)
+
+
 _TRIANGLE_ORACLE = """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -3799,4 +3821,6 @@ subsume(
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",
+    # iterative BPE trainer: rows-only by design (python-dual tested)
+    "text_bpe_merges",
 )

@@ -436,3 +436,32 @@ def scd2_lookup(
         )
     )
     return f.join(h, cond, how).drop(F.col(f"_h.{key}"))
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join under
+    INSERT-ONLY deltas: the new rows of ``(A ∪ dA) ⋈ (B ∪ dB)`` without
+    recomputing the join —
+
+        Δ(A ⋈ B) = (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+
+    (the standard delta-propagation algebra).  Appending the result to
+    the previously materialized join reproduces the full recompute
+    exactly (equivalence-tested), so a 100 TB joined view refreshes at
+    the cost of the DELTAS: each term joins a small batch against one
+    big side — broadcast the delta, never shuffle the base.  Deletes/
+    updates need retraction counts (negative multiplicities) on top of
+    this shape; insert-only covers append-style fact pipelines, and the
+    restriction is documented rather than silently wrong.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    d1 = a_delta.join(b_old, keys)
+    d2 = a_old.join(b_delta, keys)
+    d3 = a_delta.join(b_delta, keys)
+    return d1.unionByName(d2).unionByName(d3)

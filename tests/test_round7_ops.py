@@ -776,3 +776,44 @@ def test_funnel_fold_is_single_shuffle(spark):
     # one groupBy = one exchange; the staged form has N-1 extra joins
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# incremental_join_delta — delta algebra == full recompute
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2b")], "k long, av string"
+    )
+    a_new = spark.createDataFrame([(2, "a2c"), (3, "a3")], "k long, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string")
+    b_new = spark.createDataFrame([(2, "b2"), (3, "b3b")], "k long, bv string")
+
+    full = a_old.unionByName(a_new).join(
+        b_old.unionByName(b_new), "k"
+    )
+    incremental = a_old.join(b_old, "k").unionByName(
+        incremental_join_delta(a_old, a_new, b_old, b_new, "k")
+    )
+    assert full.exceptAll(incremental).count() == 0
+    assert incremental.exceptAll(full).count() == 0
+
+
+def test_incremental_join_delta_empty_deltas_yield_nothing(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k long, av string")
+    b = spark.createDataFrame([(1, "y")], "k long, bv string")
+    empty_a = a.limit(0)
+    empty_b = b.limit(0)
+    assert (
+        incremental_join_delta(a, empty_a, b, empty_b, "k").count() == 0
+    )

@@ -3093,6 +3093,34 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
        AND l_quantity BETWEEN 20 AND 30)
+UNION ALL
+SELECT c_name || '|' || n_name AS k, c_custkey AS n, revenue AS v
+FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2)
+              AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+  ORDER BY revenue DESC, c_custkey LIMIT 20
+) q10
+UNION ALL
+SELECT 'q18_' || CAST(c.c_custkey AS VARCHAR) AS k,
+       o.o_orderkey AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS v
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+GROUP BY c.c_custkey, o.o_orderkey
 """
 
 
@@ -3105,12 +3133,17 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
     "late-shipping lineitem — planned as a LEFT SEMI join with the "
     "date bound in the join condition, no decorrelation needed), "
     "Q14's promotion-revenue ratio (conditional DECIMAL aggregation, "
-    "one division at the end, round(6) both sides), and Q19's "
+    "one division at the end, round(6) both sides), Q19's "
     "disjunctive brand/size/quantity predicates (three OR'd conjunct "
     "groups evaluated post-join — Catalyst extracts the common "
     "partkey equi-key; the OR residual stays a join filter, never a "
-    "nested loop).  Money stays in exact DECIMAL until the final "
-    "double projection (the registry discipline).",
+    "nested loop), Q10's returned-item top-20 report (4-way join, "
+    "TakeOrderedAndProject with the c_custkey tie-break; LIMIT "
+    "membership is safe because revenue is exact-DECIMAL both sides), "
+    "and Q18's large-order customers (HAVING subquery planned as a "
+    "semi join on the aggregated order keys).  Money stays in exact "
+    "DECIMAL until the final double projection (the registry "
+    "discipline).",
 )
 def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import money, rate
@@ -3193,7 +3226,61 @@ def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("q19_revenue").alias("k"), "n", "v")
     )
 
-    return q4.unionByName(q14).unionByName(q19)
+    c = load(spark, sf_dir, "customer")
+    n_ = load(spark, sf_dir, "nation")
+    q10 = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(n_), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast(T.TimestampType()))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast(T.TimestampType()))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(disc), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.concat(F.col("c_name"), F.lit("|"), F.col("n_name")).alias(
+                "k"
+            ),
+            F.col("c_custkey").cast("long").alias("n"),
+            F.col("revenue").alias("v"),
+        )
+    )
+
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    q18 = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big.withColumnRenamed("l_orderkey", "_bk"),
+              F.col("o_orderkey") == F.col("_bk"), "left_semi")
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(qty).cast("double").alias("v"))
+        .select(
+            F.concat(F.lit("q18_"), F.col("c_custkey").cast("string")).alias(
+                "k"
+            ),
+            F.col("o_orderkey").cast("long").alias("n"),
+            "v",
+        )
+    )
+
+    return (
+        q4.unionByName(q14)
+        .unionByName(q19)
+        .unionByName(q10)
+        .unionByName(q18)
+    )
 
 
 _SNAPSHOT_CDC_ORACLE = f"""

@@ -230,3 +230,57 @@ def token_spans_udtf():
 
 def register_token_spans(spark) -> None:
     spark.udtf.register("token_spans", token_spans_udtf())
+
+
+def normalize_embeddings_arrow(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """L2-normalize an embedding column via ``mapInArrow`` — the
+    arrow-NATIVE batch UDF surface: RecordBatches cross the boundary
+    and the kernel runs numpy over the list-array's FLAT value buffer
+    (offsets reused as-is), so no per-row Python objects and no
+    pandas conversion exist anywhere on the path.
+
+    mapInArrow sits below mapInPandas in the stack (pandas wraps these
+    same batches); it is the right tool when the kernel is pure
+    array math over nested types — pandas would box each list row into
+    a Python object just to unbox it again.  Cosine-similarity
+    pipelines normalize once up front precisely so the inner loop can
+    use plain dot products; this is that preprocessing pass, tested
+    equivalent to the JVM expression form within float tolerance.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            flat = np.asarray(emb.values, dtype=np.float64)
+            offsets = np.asarray(emb.offsets)
+            # per-row L2 norms over the flat buffer via reduceat on the
+            # squared values (guard empty rows); zero vectors stay zero
+            sq = flat * flat
+            starts = offsets[:-1]
+            sums = np.add.reduceat(sq, starts) if len(flat) else np.array([])
+            lens = np.diff(offsets)
+            sums = np.where(lens > 0, sums, 0.0)
+            norms = np.sqrt(sums)
+            scale = np.where(norms > 0, 1.0 / np.where(norms > 0, norms, 1.0), 0.0)
+            out_flat = flat * np.repeat(scale, lens)
+            out = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out_flat, type=pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, out], names=[id_col, out_col]
+            )
+
+    src = df.select(id_col, emb_col)
+    return src.mapInArrow(
+        kernel, f"{id_col} long, {out_col} array<double>"
+    )

@@ -817,3 +817,63 @@ def test_incremental_join_delta_empty_deltas_yield_nothing(spark):
     assert (
         incremental_join_delta(a, empty_a, b, empty_b, "k").count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — arrow-native batch kernel vs the JVM expression form
+# ---------------------------------------------------------------------------
+
+
+def test_map_in_arrow_normalize_matches_jvm_expression(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.udfs import (
+        normalize_embeddings_arrow,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    arrow = {
+        r["vec_id"]: r["unit_vec"]
+        for r in normalize_embeddings_arrow(
+            emb, "embedding", "vec_id"
+        ).collect()
+    }
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    jvm = {
+        r["vec_id"]: r["u"]
+        for r in emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x / norm).alias("u"),
+        ).collect()
+    }
+    assert arrow.keys() == jvm.keys()
+    # float32 source components: the two pipelines promote to float64 at
+    # different points, so agreement is float32-epsilon-scale, not exact
+    for k in arrow:
+        for a, b in zip(arrow[k], jvm[k]):
+            assert abs(a - b) < 1e-6
+
+
+def test_map_in_arrow_zero_vector_stays_zero(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.udfs import (
+        normalize_embeddings_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["unit_vec"]
+        for r in normalize_embeddings_arrow(
+            df, "embedding", "vec_id"
+        ).collect()
+    }
+    assert out[1] == [0.0, 0.0]
+    assert abs(out[2][0] - 0.6) < 1e-12 and abs(out[2][1] - 0.8) < 1e-12

@@ -53,6 +53,11 @@ def _merge_expr(pa, pb):
     reference implementation)."""
 
     def step(acc, x):
+        # ANSI note: element_at(acc, -1) THROWS on an empty array, but
+        # Catalyst's And short-circuits (left=false skips the right), so
+        # the size(acc) > 0 guard makes this safe under the driver's
+        # vanilla ANSI session — verified explicitly; keep the guard
+        # FIRST in the conjunction
         can = (F.size(acc) > 0) & (F.element_at(acc, -1) == pa) & (x == pb)
         merged = F.concat(
             F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(pa, pb))

@@ -693,3 +693,62 @@ def linear_text_score(
         ),
         (F.col("_zb") >= 0).alias(keep_col),
     )
+
+
+def lm_perplexity_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """CCNet-style LM data selection end-to-end: train the corpus bigram
+    KN model (``ngram_lm_counts``) and score every document by its own
+    pseudo-perplexity under it — (id, n_bigrams, avg_logp, ppl) with
+    ppl = exp(−mean ln p_kn).
+
+    High-perplexity documents are the ones the corpus model finds
+    surprising (boilerplate-free noise, wrong-language fragments,
+    gibberish) — bucketing on this score is the classic
+    quality-selection signal that needs no external model.
+
+    Plan: the LM table builds once (vocabulary-bounded); each document's
+    bigrams join it SHUFFLE_HASH on (w1, w2) — unbounded vocabulary,
+    never broadcast — and one per-doc aggregate folds the log scores.
+    Cross-engine exactness follows the BM25 discipline: every p_kn is
+    round(9)-pinned, the per-doc Σ ln(p) is a short float sum whose
+    order wobble sits far below the final round(avg, 6).  Documents
+    with fewer than two tokens come back NULL-scored via the left
+    join-back (no bigrams ≠ perplexity zero).
+    """
+    lm = ngram_lm_counts(df, id_col, text_col, discount=discount).select(
+        "w1", "w2", "p_kn"
+    )
+    toks = df.select(
+        id_col, F.posexplode(tokens(text_col)).alias("_pos", "_w")
+    ).where(F.length("_w") > 0)
+    w = W.partitionBy(id_col).orderBy("_pos")
+    big = toks.select(
+        id_col,
+        F.col("_w").alias("w1"),
+        F.lead("_w").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    scored = (
+        big.hint("shuffle_hash")
+        .join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.log(F.col("p_kn"))).alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("_slp") / F.col("n_bigrams").cast("double"), 6
+            ).alias("avg_logp"),
+            F.round(
+                F.exp(-F.col("_slp") / F.col("n_bigrams").cast("double")), 6
+            ).alias("ppl"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left")

@@ -2864,6 +2864,47 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, "text", 6)
 
 
+_PPL_ORACLE = f"""
+WITH lm AS ({_BIGRAM_LM_ORACLE}),
+arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+toks AS (SELECT doc_id, unnest(arr) AS w,
+                generate_subscripts(arr, 1) AS pos FROM arrs),
+toks2 AS (SELECT * FROM toks WHERE length(w) > 0),
+big AS (SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks2),
+sc AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(ln(p_kn)) AS slp
+  FROM (SELECT * FROM big WHERE w2 IS NOT NULL) b
+  JOIN lm USING (w1, w2) GROUP BY b.doc_id
+)
+SELECT d.doc_id, sc.n_bigrams,
+       ROUND(sc.slp / sc.n_bigrams, 6) AS avg_logp,
+       ROUND(exp(-sc.slp / sc.n_bigrams), 6) AS ppl
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=_PPL_ORACLE,
+    doc="CCNet-style LM data selection end-to-end (operators/text.py::"
+    "lm_perplexity_scores): the corpus bigram KN model trains once and "
+    "every document is scored by its pseudo-perplexity under it — the "
+    "quality-selection signal that needs no external model.  Per-doc "
+    "bigrams join the LM SHUFFLE_HASH on (w1, w2); cross-engine "
+    "exactness follows the BM25 discipline (p_kn round(9)-pinned, the "
+    "short per-doc Σ ln(p) wobble absorbed by round(6)); sub-2-token "
+    "documents come back NULL-scored via the left join-back.",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lm_perplexity_scores
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_perplexity_scores(d, "doc_id", "text")
+
+
 _TRIANGLE_ORACLE = """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -3502,6 +3543,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         "total AS v, true AS ok FROM ("
         + _SCD2_LOOKUP_ORACLE.format(cdc=_CDC_SQL)
         + ") t",
+        f"SELECT 'ppl' AS part, doc_id AS a, {_NB} AS b, n_bigrams AS n, "
+        f"{_NS} AS k, {_NS} AS s, ppl AS v, true AS ok "
+        f"FROM ({_PPL_ORACLE}) t",
     ]
 )
 
@@ -3531,9 +3575,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "LATERAL (udtf_token_spans), variant = VariantType semi-structured "
     "extraction (events_variant_extract), mg = Misra–Gries heavy "
     "hitters as an invariant (agg_heavy_hitters_mg), tpch = the "
-    "Q4/Q14/Q19 warehouse shapes (sql_tpch_shapes), cdc2 = "
+    "Q4/Q10/Q14/Q18/Q19 warehouse shapes (sql_tpch_shapes), cdc2 = "
     "snapshot-diff CDC generation (etl_snapshot_cdc), scdlk = "
-    "point-in-time SCD2 dimension lookup (etl_scd2_lookup).  Shared "
+    "point-in-time SCD2 dimension lookup (etl_scd2_lookup), ppl = "
+    "corpus-LM pseudo-perplexity scoring (text_lm_perplexity).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -3764,6 +3809,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    pl = text_lm_perplexity(spark, sf_dir).select(
+        F.lit("ppl").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        F.col("n_bigrams").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("ppl").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -3785,6 +3840,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tp)
         .unionByName(c2)
         .unionByName(sl)
+        .unionByName(pl)
     )
 
 
@@ -3905,6 +3961,7 @@ subsume(
     "sql_tpch_shapes",
     "etl_snapshot_cdc",
     "etl_scd2_lookup",
+    "text_lm_perplexity",
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",

@@ -877,3 +877,36 @@ def test_map_in_arrow_zero_vector_stays_zero(spark):
     }
     assert out[1] == [0.0, 0.0]
     assert abs(out[2][0] - 0.6) < 1e-12 and abs(out[2][1] - 0.8) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_scores — ordering sanity + null handling
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_orders_common_below_rare(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        lm_perplexity_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # the dominant pattern
+            (2, "a b a b a b a b"),
+            (3, "a b a b a b a b"),
+            (4, "x y z q r s"),       # one-off bigrams
+            (5, "w"),                  # sub-2 tokens: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in lm_perplexity_scores(
+            docs, "doc_id", "text"
+        ).collect()
+    }
+    # the corpus model finds the dominant pattern unsurprising
+    assert out[1]["ppl"] < out[4]["ppl"]
+    assert out[1]["ppl"] == out[2]["ppl"] == out[3]["ppl"]
+    # single-token document is NULL-scored, not zero
+    assert out[5]["ppl"] is None and out[5]["n_bigrams"] is None
+    assert out[4]["n_bigrams"] == 5

@@ -284,3 +284,46 @@ def normalize_embeddings_arrow(
     return src.mapInArrow(
         kernel, f"{id_col} long, {out_col} array<double>"
     )
+
+
+def lang_id_pandas_udf():
+    """Vectorized SCALAR ``pandas_udf`` — the one Python-UDF variant the
+    other seams don't cover: a column-in/column-out function usable
+    inside ANY expression or SQL projection (mapInPandas rewrites whole
+    partitions; applyInPandas needs a grouping; a scalar UDF slots into
+    a select).  This is the model-scoring seam in its most composable
+    form: production swaps the marker heuristic for a fasttext/onnx
+    ``model.predict(batch)`` — the Arrow batching contract is
+    identical.
+
+    The body reimplements ``text.language_id``'s marker-argmax exactly
+    (same lexicons, same first-language tie-break), which the test pins
+    against the expression version — so the UDF seam is verified
+    without inventing new semantics.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import LANG_MARKERS
+
+    def _lang_id(texts):
+        def one(t):
+            if not t:
+                return next(iter(LANG_MARKERS))
+            words = t.split(" ")
+            best_lang, best = None, None
+            for i, (lang, markers) in enumerate(LANG_MARKERS.items()):
+                score = sum(1 for w in words if w in markers)
+                key = (score, -i)
+                if best is None or key > best:
+                    best, best_lang = key, lang
+            return best_lang
+
+        return texts.map(one)
+
+    # real-object annotations: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inspection cannot resolve
+    _lang_id.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_lang_id, "string")

@@ -910,3 +910,40 @@ def test_lm_perplexity_orders_common_below_rare(spark):
     # single-token document is NULL-scored, not zero
     assert out[5]["ppl"] is None and out[5]["n_bigrams"] is None
     assert out[4]["n_bigrams"] == 5
+
+
+# ---------------------------------------------------------------------------
+# scalar pandas_udf — equivalence with the expression-based language ID
+# ---------------------------------------------------------------------------
+
+
+def test_scalar_pandas_udf_matches_expression_lang_id(spark):
+    from tests.conftest import SF_CORRECT
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import language_id
+    from imdb_top_250_etl_pipeline_spark.operators.udfs import (
+        lang_id_pandas_udf,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    udf = lang_id_pandas_udf()
+    got = {
+        r["doc_id"]: r["lang_udf"]
+        for r in docs.select(
+            "doc_id", udf("text").alias("lang_udf")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id(docs, "text", "doc_id").collect()
+    }
+    assert got == want
+    # and it composes inside SQL like any scalar function
+    spark.udf.register("lang_id_py", udf)
+    docs.createOrReplaceTempView("_plu_docs")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM _plu_docs "
+        "WHERE lang_id_py(text) = 'en'"
+    ).collect()[0]["n"]
+    assert n == sum(1 for v in want.values() if v == "en")

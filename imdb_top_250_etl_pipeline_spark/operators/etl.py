@@ -295,10 +295,13 @@ def table_diff(
         *[F.col(c).alias(f"_n_{c}") for c in cols],
     )
     j = o.join(n, keys, "full_outer")
-    n_changed = None
+    # seed with lit(0) so a key-only table (compare_cols resolves
+    # empty) degrades to an added/removed-only diff instead of a
+    # Python-None comparison blowing up below
+    n_changed = F.lit(0)
     for c in cols:
         flag = (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).cast("int")
-        n_changed = flag if n_changed is None else n_changed + flag
+        n_changed = n_changed + flag
     both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
     return (
         j.select(
@@ -367,10 +370,12 @@ def snapshot_cdc(
         *[F.col(c).alias(f"_n_{c}") for c in cols],
     )
     j = o.join(n, keys, "full_outer")
-    changed = None
+    # lit(False) seed: key-only tables emit I/D rows only (no column
+    # can differ, so no spurious 'U'), instead of a NoneType crash
+    changed = F.lit(False)
     for c in cols:
         flag = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        changed = flag if changed is None else changed | flag
+        changed = changed | flag
     op = (
         F.when(F.col("_in_old").isNull(), F.lit("I"))
         .when(F.col("_in_new").isNull(), F.lit("D"))

@@ -275,8 +275,15 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
     Plan: one mapInPandas pass keeps k-1 Misra–Gries counters PER
     PARTITION (state across Arrow batches, emitted once at partition
     end — ≤ k-1 rows per task, regardless of data volume), then a tiny
-    groupBy sums the summaries; summing preserves the lower-bound and
-    total-undercount properties, which is what makes MG mergeable.
+    groupBy sums the summaries.  Summing alone can leave up to
+    P*(k-1) rows, so a final MG compression (Agarwal et al.,
+    "Mergeable Summaries": subtract the k-th largest merged estimate
+    from every counter, drop the non-positive) restores the global
+    ≤ k-1 size contract; the subtraction only ever DEEPENS the
+    undercount and by at most the decrement-all accounting, so both
+    MG guarantees (never overcount; total undercount ≤ n/k) survive
+    the merge.  The threshold is a one-row broadcast — the summary
+    never leaves the executors at more than sketch size.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -311,6 +318,21 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
     per_partition = df.select(
         F.col(col).cast("string").alias(col)
     ).mapInPandas(summarize, "item string, est long")
-    return per_partition.groupBy("item").agg(
+    merged = per_partition.groupBy("item").agg(
         F.sum("est").cast("long").alias("est")
+    )
+    # final compression: the k-th largest merged estimate (0 when the
+    # merged summary already holds < k items) is subtracted from every
+    # counter and non-positive counters drop — at most k-1 survive
+    # F.get (not element_at): NULL on out-of-bounds even under ANSI
+    kth = merged.agg(
+        F.coalesce(
+            F.get(F.reverse(F.array_sort(F.collect_list("est"))), k - 1),
+            F.lit(0),
+        ).alias("_kth")
+    )
+    return (
+        merged.crossJoin(F.broadcast(kth))
+        .select("item", (F.col("est") - F.col("_kth")).alias("est"))
+        .where(F.col("est") > 0)
     )

@@ -738,7 +738,15 @@ def lm_perplexity_scores(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(F.log(F.col("p_kn"))).alias("_slp"),
+            # p_kn is round(9)-pinned, so a tiny backoff term can
+            # round to EXACTLY 0 in a large corpus; Spark's log(0)
+            # yields silent NULL while DuckDB's ln(0) errors.  Floor
+            # at 1e-9 (half the rounding grain) BEFORE the log — the
+            # oracle applies the identical greatest() — so the
+            # cross-engine pin survives at scale.
+            F.sum(
+                F.log(F.greatest(F.col("p_kn"), F.lit(1e-9)))
+            ).alias("_slp"),
         )
         .select(
             id_col,

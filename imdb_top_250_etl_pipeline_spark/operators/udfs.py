@@ -265,8 +265,20 @@ def normalize_embeddings_arrow(
             # per-row L2 norms over the flat buffer via reduceat on the
             # squared values (guard empty rows); zero vectors stay zero
             sq = flat * flat
+            # reduceat demands every index < len(values), but a
+            # TRAILING empty row's start offset equals len(values).
+            # Pad one sentinel 0 so index len(flat) is legal; every
+            # real slot boundary is below the pad, so non-empty rows
+            # sum exactly as before and empty slots reduce to the
+            # sentinel (0) or get masked by lens>0 below.  (Clamping
+            # the starts instead would be WRONG: each start is also
+            # the END boundary of the previous slot, so clamping
+            # steals the last element from the preceding row.)
             starts = offsets[:-1]
-            sums = np.add.reduceat(sq, starts) if len(flat) else np.array([])
+            if len(starts):
+                sums = np.add.reduceat(np.append(sq, 0.0), starts)
+            else:
+                sums = np.array([])
             lens = np.diff(offsets)
             sums = np.where(lens > 0, sums, 0.0)
             norms = np.sqrt(sums)

@@ -2875,7 +2875,7 @@ big AS (SELECT doc_id, w AS w1,
         FROM toks2),
 sc AS (
   SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         sum(ln(p_kn)) AS slp
+         sum(ln(greatest(p_kn, 1e-9))) AS slp
   FROM (SELECT * FROM big WHERE w2 IS NOT NULL) b
   JOIN lm USING (w1, w2) GROUP BY b.doc_id
 )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pinning import eager_pin, pin
+
 END_MARK = "▁"  # word-end sentinel (SentencePiece's marker)
 
 
@@ -88,7 +90,7 @@ def bpe_train(
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = df.sparkSession
-    vocab = _word_symbols(df, text_col).localCheckpoint(eager=True)
+    vocab, vocab_pin = pin(_word_symbols(df, text_col))
     merges: DataFrame | None = None
     for rank in range(n_merges):
         pairs = (
@@ -123,8 +125,10 @@ def bpe_train(
             )
         )
         # pin the 1-row winner: it feeds BOTH the merge table and the
-        # rewrite, and must not be recomputed against a rewritten vocab
-        best = best.localCheckpoint(eager=True)
+        # rewrite, and must not be recomputed against a rewritten vocab.
+        # These pins stay until the ambient pin_scope closes — the
+        # returned merges table is a union over ALL of them.
+        best = eager_pin(best)
         merges = best if merges is None else merges.unionByName(best)
         rewrite = _merge_expr(F.col("_pl"), F.col("_pr"))
         vocab = (
@@ -139,7 +143,13 @@ def bpe_train(
             .select(rewrite(F.col("symbols")).alias("symbols"), "freq")
         )
         if (rank + 1) % checkpoint_every == 0 or rank == n_merges - 1:
-            vocab = vocab.localCheckpoint(eager=True)
+            # new vocab checkpoint materialized -> the previous round's
+            # vocab blocks can be freed immediately
+            vocab, handle = pin(vocab)
+            vocab_pin.release()
+            vocab_pin = handle
+    # the final vocab pin is pure scratch (only `merges` is returned)
+    vocab_pin.release()
     return merges
 
 

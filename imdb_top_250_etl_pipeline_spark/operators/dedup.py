@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .pinning import eager_pin, pin
+
 # Mersenne prime 2^31-1: modulus for the minhash permutation family.
 # 31-bit on purpose: a*h+b stays < 2^62, so the arithmetic never overflows
 # long — the driver's vanilla session runs ANSI mode, where a silent
@@ -191,10 +193,9 @@ def capped_band_pairs(
     """
     payload_cols = payload_cols or []
     if precomputed_stats is None:
-        hot = (
+        hot = eager_pin(
             bucket_stats(banded, id_col, band_cols)
             .where(F.col("_bn") > max_bucket)
-            .localCheckpoint(eager=True)
         )
         # plan-build-time action, deliberately: when no bucket is hot (the
         # normal case) the guarded plan collapses to the bare pair join
@@ -292,7 +293,7 @@ def minhash_candidate_pairs(
     rows = k // bands
     if collapse_exact:
         df = collapse_exact_first(df, text_col, id_col)
-    base = (
+    base = eager_pin(
         spread(df, id_col)
         .select(
             F.col(id_col),
@@ -300,19 +301,17 @@ def minhash_candidate_pairs(
         )
         .where(F.size("shingles") > 0)
         .withColumn("h", shingle_hashes(F.col("shingles")))
-        .localCheckpoint(eager=True)
     )
     sigs = base.select(id_col, minhash_signature(F.col("h"), k=k).alias("sig"))
     # materialize the small (id, band, bucket) table: the guard's bucket
     # aggregation AND both pair-join sides read it, and the k-permutation
     # signature above is interpreted higher-order-function work that must
     # not be re-derived per consumer (persist() on a cluster)
-    buckets = (
+    buckets = eager_pin(
         sigs.select(
             id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
         )
         .select(id_col, "bb.band", "bb.bucket")
-        .localCheckpoint(eager=True)
     )
     cand = capped_band_pairs(buckets, id_col, ["band", "bucket"], max_bucket)
     sh = base
@@ -425,7 +424,7 @@ def simhash_pairs(
     width = 64 // bands
     # materialize once: the banded self-join would otherwise rebuild the
     # whole fingerprint table for each side (persist() on a cluster)
-    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=True)
+    sh = eager_pin(simhash_table(df, text_col, id_col))
     banded = sh.select(
         id_col,
         "bits",
@@ -566,18 +565,16 @@ def dedup_groups(
     # round reuse it, and without the checkpoint the entire upstream
     # pair-generation lineage (e.g. a simhash+ngram union) would be
     # re-executed each iteration (persist() on a cluster)
-    sym = (
+    sym = eager_pin(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, labels_pin = pin(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("group_id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -598,7 +595,7 @@ def dedup_groups(
         parent = labels.select(
             F.col("id").alias("p_id"), F.col("group_id").alias("p_group")
         )
-        new_labels = (
+        new_labels, new_pin = pin(
             propagated.join(parent, propagated.group_id == parent.p_id, "left")
             .select(
                 "id",
@@ -606,7 +603,6 @@ def dedup_groups(
                     F.col("group_id"), F.coalesce("p_group", F.col("group_id"))
                 ).alias("group_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -614,7 +610,9 @@ def dedup_groups(
             .where(F.col("n.group_id") != F.col("o.group_id"))
             .count()
         )
-        labels = new_labels
+        # the convergence check above was the old labels' last reader
+        labels_pin.release()
+        labels, labels_pin = new_labels, new_pin
         if changed == 0:
             return labels.select(F.col("id").alias("doc_id"), "group_id")
     raise ValueError(
@@ -645,7 +643,7 @@ def build_minhash_index(
     """One-time index build over the existing corpus (same shingle/
     signature/banding machinery as minhash_candidate_pairs)."""
     rows = k // bands
-    base = (
+    base = eager_pin(
         spread(df, id_col)
         .select(
             F.col(id_col),
@@ -653,15 +651,13 @@ def build_minhash_index(
         )
         .where(F.size("shingles") > 0)
         .withColumn("h", shingle_hashes(F.col("shingles")))
-        .localCheckpoint(eager=True)
     )
     sigs = base.select(id_col, minhash_signature(F.col("h"), k=k).alias("sig"))
-    buckets = (
+    buckets = eager_pin(
         sigs.select(
             id_col, F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("bb")
         )
         .select(id_col, "bb.band", "bb.bucket")
-        .localCheckpoint(eager=True)
     )
     return MinhashIndex(base.select(id_col, "shingles"), buckets)
 
@@ -820,11 +816,10 @@ def ngram_jaccard_pairs_prefix(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    base = (
+    base = eager_pin(  # exploded twice + verify join
         spread(df, id_col)
         .select(F.col(id_col), grams.alias("grams"))
         .where(F.size("grams") > 0)
-        .localCheckpoint(eager=True)  # exploded twice + verify join
     )
     exploded = base.select(
         id_col, F.explode("grams").alias("gram")

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pinning import eager_pin, pin
+
 
 def pagerank(
     edges: DataFrame,
@@ -51,15 +53,14 @@ def pagerank(
     keeps PageRank rows-only (like the other float-accumulation
     families) and tests pin against numpy with tolerance.
     """
-    nodes = (
+    nodes = eager_pin(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .repartition(n_partitions, "node")
-        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    adj = (
+    adj = eager_pin(
         edges.join(deg, src)
         .select(
             F.col(src).alias("node"),
@@ -67,12 +68,12 @@ def pagerank(
             (F.lit(1.0) / F.col("deg")).alias("w"),
         )
         .repartition(n_partitions, "node")
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    prev_pin = None
     for i in range(n_iter):
         contribs = adj.join(ranks, "node").select(
             F.col("dst").alias("node"),
@@ -101,7 +102,13 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            # pin the new round, then free the previous round's blocks
+            # — the new checkpoint already materialized, so nothing
+            # downstream can re-read the old ones
+            ranks, handle = pin(ranks)
+            if prev_pin is not None:
+                prev_pin.release()
+            prev_pin = handle
     return ranks
 
 

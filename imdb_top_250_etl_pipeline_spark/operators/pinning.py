@@ -1,0 +1,164 @@
+"""Resource lifecycle for eager ``localCheckpoint`` pins.
+
+Several operators in this package (distributed windows' partition-id
+pinning, PageRank / connected-components / k-means / BPE iteration,
+the dedup signature bases) MUST materialize an intermediate eagerly:
+either two plan branches have to observe the same physical
+partitioning (``spark_partition_id`` would otherwise disagree across
+a re-sampled range exchange), or an iterative loop's lineage would
+double per round.  ``DataFrame.localCheckpoint(eager=True)`` is the
+local-mode tool for both — but it parks unreplicated blocks in
+executor storage with NO public unpersist path: the checkpointed
+DataFrame is backed by a ``LocalCheckpointRDD`` whose persisted
+blocks ``DataFrame.unpersist()`` does not touch.  A long composed
+pipeline that calls these operators repeatedly therefore accumulates
+dead blocks until the session dies — the one cluster-reliability gap
+the round-6 audit left open.
+
+This module closes it with an ambient-scope pattern:
+
+* ``pin(df)`` — localCheckpoint + return ``(pinned_df, PinHandle)``.
+  The handle releases exactly the blocks that checkpoint created
+  (tracked by diffing ``SparkContext.getPersistentRDDs`` around the
+  call).  Iterative operators use this to free round N-1's blocks as
+  soon as round N has materialized.
+* ``eager_pin(df)`` — ``pin`` without exposing the handle; the pin is
+  still registered with the innermost active ``pin_scope`` (if any),
+  which releases it when the scope closes.
+* ``pin_scope()`` — context manager for pipeline authors: every pin
+  taken inside the ``with`` block (by ANY operator in this package)
+  is unpersisted on exit, idempotently.  The 100 TB composition
+  pattern::
+
+      with pin_scope():
+          groups = dedup_groups(pairs)
+          groups.write.parquet(out)    # consume INSIDE the scope
+      # all checkpoint blocks freed here
+
+CONTRACT: a pinned DataFrame is executor-storage-backed and cannot be
+recomputed once released (lineage is truncated at the checkpoint —
+Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).  Consume results
+before the scope closes / the handle releases.  Release is
+best-effort and never raises: a stopped context or a Connect session
+(no JVM handle) degrades to a no-op, matching the pre-handle
+behavior.  Pin attribution serializes concurrent pins through a lock;
+the id-diff is exact for the single-driver-thread usage every
+operator here has.
+
+On a real cluster, prefer reliable ``checkpoint()`` (HDFS-backed,
+survives executor loss) for the iterative operators — the docstrings
+at each call site say so — and the same handles still apply to
+``persist()``-based variants.
+"""
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+_LOCK = threading.RLock()
+_SCOPES: list["_PinScope"] = []
+
+
+def _persistent_ids(sc) -> set[int]:
+    """Ids of currently-persisted RDDs (empty set when the JVM handle
+    is unavailable, e.g. Spark Connect)."""
+    try:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:
+        return set()
+
+
+def pinned_rdd_count(spark) -> int:
+    """How many RDDs hold executor storage right now — the test/debug
+    counter for asserting pins are freed."""
+    return len(_persistent_ids(spark.sparkContext))
+
+
+class PinHandle:
+    """Releases the executor-storage blocks one ``pin`` call created.
+
+    ``release()`` is idempotent and never raises; after it, the pinned
+    DataFrame must not be consumed again (its lineage was truncated at
+    the checkpoint, so the blocks are the only copy of the data).
+    """
+
+    def __init__(self) -> None:
+        self._entries: list[tuple[object, int]] = []
+        self.released = False
+
+    def _add(self, sc, ids) -> None:
+        self._entries.extend((sc, i) for i in ids)
+
+    def release(self, blocking: bool = False) -> None:
+        with _LOCK:
+            if self.released:
+                return
+            self.released = True
+            entries, self._entries = self._entries, []
+        for sc, rdd_id in entries:
+            try:
+                jrdd = sc._jsc.getPersistentRDDs().get(rdd_id)
+                if jrdd is not None:
+                    jrdd.unpersist(blocking)
+            except Exception:
+                pass  # context stopped / no JVM handle: nothing to free
+
+
+class _PinScope:
+    def __init__(self) -> None:
+        self._handles: list[PinHandle] = []
+
+    def release(self, blocking: bool = False) -> None:
+        for h in self._handles:
+            h.release(blocking)
+
+
+@contextmanager
+def pin_scope() -> Iterator[_PinScope]:
+    """Release every checkpoint pin taken inside the block on exit —
+    including pins an operator already released itself (idempotent)."""
+    scope = _PinScope()
+    with _LOCK:
+        _SCOPES.append(scope)
+    try:
+        yield scope
+    finally:
+        with _LOCK:
+            _SCOPES.remove(scope)
+        scope.release()
+
+
+def pin(df: DataFrame) -> tuple[DataFrame, PinHandle]:
+    """Eager localCheckpoint with a release handle.
+
+    The handle is ALSO registered with the innermost active
+    ``pin_scope`` so a caller that forgets (or an exception path that
+    skips) the explicit release is still covered; double release is a
+    no-op.
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+    except Exception:
+        # Connect session: no JVM-side tracking possible; keep the
+        # pre-handle behavior and hand back an inert handle
+        return df.localCheckpoint(eager=True), PinHandle()
+    with _LOCK:
+        before = _persistent_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        handle = PinHandle()
+        handle._add(sc, _persistent_ids(sc) - before)
+        if _SCOPES:
+            _SCOPES[-1]._handles.append(handle)
+    return out, handle
+
+
+def eager_pin(df: DataFrame) -> DataFrame:
+    """``pin`` for call sites that hand their result to the caller:
+    the blocks live until the ambient ``pin_scope`` (if any) closes —
+    exactly the old ``localCheckpoint(eager=True)`` behavior when no
+    scope is active."""
+    out, _ = pin(df)
+    return out

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .dedup import capped_band_pairs, spread
+from .pinning import eager_pin, pin
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -189,9 +190,11 @@ def kmeans_refine(
     Returns (centroid_id, vec) with ids 0..k-1 reassigned per round
     (cluster identity, not lineage, is what IVF needs).
     """
-    cents = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-    ).localCheckpoint(eager=True)
+    cents, prev_pin = pin(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
     for _ in range(iterations):
         assigned = assign_clusters(
             corpus, cents.select(
@@ -202,7 +205,7 @@ def kmeans_refine(
             "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
         )
         means = by_dim.groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
-        cents = (
+        cents, handle = pin(
             means.groupBy("cluster")
             .agg(
                 F.transform(
@@ -211,8 +214,11 @@ def kmeans_refine(
                 ).alias("cvec")
             )
             .select(F.col("cluster").alias("centroid_id"), "cvec")
-            .localCheckpoint(eager=True)
         )
+        # the new round materialized eagerly above; round N-1's blocks
+        # are dead weight from here — free them
+        prev_pin.release()
+        prev_pin = handle
     return cents
 
 
@@ -389,14 +395,13 @@ def cosine_near_dup_pairs(
     )
     # materialize signatures+norms once: both sides of the banded
     # self-join read this table (persist() on a cluster)
-    base = (
+    base = eager_pin(
         spread_df.select(
             F.col(id_col),
             F.col(vec_col),
             l2_norm(F.col(vec_col)).alias("norm"),  # once per vector, not per pair
         )
         .join(sigs, id_col)
-        .localCheckpoint(eager=True)
     )
     # vectors and norms ride through the pair join as capped_band_pairs
     # payloads (cheaper than a verify join-back per side — measured);

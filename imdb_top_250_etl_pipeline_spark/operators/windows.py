@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .pinning import eager_pin
+
 
 def _pin_partition_ids(parted: DataFrame) -> DataFrame:
     """Freeze ``spark_partition_id()`` over a range-repartitioned frame.
@@ -40,10 +42,12 @@ def _pin_partition_ids(parted: DataFrame) -> DataFrame:
     the range shuffle runs once, not once per branch.  At production
     scale the equivalent contract is persisting the repartitioned table
     (or a bucketed write) before the multi-pass consumption.
+
+    Storage lifecycle: the pin registers with any ambient
+    ``pinning.pin_scope`` — wrap pipeline compositions in one and the
+    blocks are unpersisted when the scope closes.
     """
-    return parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    return eager_pin(parted.withColumn("_pid", F.spark_partition_id()))
 
 
 def grouped_row_number(
@@ -67,10 +71,11 @@ def grouped_row_number(
     EAGER: building this DataFrame runs a Spark job immediately — the
     range-repartitioned input is localCheckpoint-pinned so both plan
     branches see one frozen partition assignment (the _pin_partition_ids
-    contract).  The pinned blocks live in executor storage for the
-    session; call sites that build many of these in one session should
-    persist/unpersist their own inputs or reuse the returned frame
-    rather than re-invoking per pass.
+    contract).  The pinned blocks live in executor storage until an
+    ambient ``pinning.pin_scope`` closes (or the session ends); call
+    sites that build many of these in one session should wrap the
+    composition in a scope, or reuse the returned frame rather than
+    re-invoking per pass.
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     gcols = [F.col(c) for c in group_cols]

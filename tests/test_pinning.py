@@ -1,0 +1,139 @@
+"""Lifecycle tests for the localCheckpoint pin handles (operators/
+pinning.py): every eager-pinned operator's executor-storage blocks must
+be releasable — ``pin_scope`` frees them on exit, and the iterative
+operators free round N-1 as soon as round N materializes.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from imdb_top_250_etl_pipeline_spark.operators.pinning import (
+    pin,
+    pin_scope,
+    pinned_rdd_count,
+)
+
+
+def test_pin_handle_releases_blocks(spark):
+    base = pinned_rdd_count(spark)
+    df, handle = pin(spark.range(1000))
+    assert df.count() == 1000
+    assert pinned_rdd_count(spark) == base + 1
+    handle.release()
+    assert pinned_rdd_count(spark) == base
+    # idempotent
+    handle.release()
+    assert pinned_rdd_count(spark) == base
+
+
+def test_pin_scope_frees_everything_on_exit(spark):
+    base = pinned_rdd_count(spark)
+    with pin_scope():
+        a, _ = pin(spark.range(10))
+        b, _ = pin(spark.range(20))
+        assert a.count() == 10 and b.count() == 20
+        assert pinned_rdd_count(spark) >= base + 2
+    assert pinned_rdd_count(spark) == base
+
+
+def test_pin_scope_frees_on_exception(spark):
+    base = pinned_rdd_count(spark)
+    try:
+        with pin_scope():
+            pin(spark.range(10))
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert pinned_rdd_count(spark) == base
+
+
+def test_pin_scope_covers_windowed_operator(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        grouped_row_number,
+    )
+
+    base = pinned_rdd_count(spark)
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    with pin_scope():
+        out = grouped_row_number(df, ["g"], ["v"])
+        # consume INSIDE the scope (the pin backs the result)
+        assert out.count() == 200
+        assert pinned_rdd_count(spark) > base
+    assert pinned_rdd_count(spark) == base
+
+
+def test_pagerank_frees_intermediate_rounds(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)] + [(0, 25), (10, 30)],
+        "src long, dst long",
+    )
+    base = pinned_rdd_count(spark)
+    with pin_scope():
+        ranks = pagerank(edges, n_iter=9, checkpoint_every=2, n_partitions=4)
+        total = ranks.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-6
+        # 9 iterations / checkpoint_every=2 -> 4 in-loop pins; without
+        # the per-round release all 4 would coexist with nodes+adj.
+        # With it: nodes + adj + the single live ranks pin = 3.
+        assert pinned_rdd_count(spark) <= base + 3
+    assert pinned_rdd_count(spark) == base
+
+
+def test_dedup_groups_frees_intermediate_rounds(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import dedup_groups
+
+    # a 40-link chain forces several pointer-jumping rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    base = pinned_rdd_count(spark)
+    with pin_scope():
+        groups = dedup_groups(pairs)
+        rows = groups.collect()
+        assert {r["group_id"] for r in rows} == {0}
+        # sym + the live labels pin only — every superseded round freed
+        assert pinned_rdd_count(spark) <= base + 2
+    assert pinned_rdd_count(spark) == base
+
+
+def test_bpe_train_frees_vocab_rounds(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [("low low lower lowest newest newest",)], "text string"
+    )
+    base = pinned_rdd_count(spark)
+    with pin_scope():
+        merges = bpe_train(docs, "text", 4)
+        assert merges.count() >= 1
+        # per-round 1-row best pins remain (the result unions them) but
+        # every superseded vocab checkpoint must be gone: <= 4 best
+        # pins + zero live vocab pins (final one is scratch, released)
+        assert pinned_rdd_count(spark) <= base + 4
+    assert pinned_rdd_count(spark) == base
+
+
+def test_kmeans_refine_frees_previous_centroids(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 2), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    base = pinned_rdd_count(spark)
+    with pin_scope():
+        out = kmeans_refine(corpus, cents, iterations=3)
+        assert out.count() == 2
+        # only the LAST round's centroid pin may be live
+        assert pinned_rdd_count(spark) <= base + 1
+    assert pinned_rdd_count(spark) == base

@@ -3162,6 +3162,48 @@ WHERE o.o_orderkey IN (
   HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
 )
 GROUP BY c.c_custkey, o.o_orderkey
+UNION ALL
+SELECT 'q21_' || s_name AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS v
+FROM supplier s
+JOIN (SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY) l1
+  ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    AND o3.o_orderstatus = 'F'
+    AND l3.l_shipdate >= o3.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY s_name
+UNION ALL
+SELECT 'q20_' || s_name AS k, CAST(NULL AS BIGINT) AS n,
+       CAST(s_acctbal AS DOUBLE) AS v
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM (SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey) a
+  WHERE 20 * q > 3 * (
+    SELECT SUM(b.q) FROM (SELECT l_partkey,
+                                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+                          FROM lineitem
+                          WHERE l_partkey IN (SELECT p_partkey FROM part
+                                              WHERE p_name LIKE 'red%')
+                          GROUP BY l_partkey, l_suppkey) b
+    WHERE b.l_partkey = a.l_partkey
+  )
+)
 """
 
 
@@ -3182,9 +3224,16 @@ GROUP BY c.c_custkey, o.o_orderkey
     "TakeOrderedAndProject with the c_custkey tie-break; LIMIT "
     "membership is safe because revenue is exact-DECIMAL both sides), "
     "and Q18's large-order customers (HAVING subquery planned as a "
-    "semi join on the aggregated order keys).  Money stays in exact "
-    "DECIMAL until the final double projection (the registry "
-    "discipline).",
+    "semi join on the aggregated order keys).  Round 8 adds the two "
+    "decorrelation-hard shapes: Q21's double correlated subquery — "
+    "EXISTS / NOT EXISTS over the SAME table correlated on orderkey "
+    "with a <> suppkey residual — planned as one LEFT SEMI + one LEFT "
+    "ANTI equi-join (never a nested loop; plan-pinned), and Q20's "
+    "nested IN with a correlated aggregate subquery (supplier shipped "
+    "> 3/20 of a red part's total), decorrelated into two grouped "
+    "aggregates + an exact integer-scaled DECIMAL share compare + a "
+    "semi join.  Money stays in exact DECIMAL until the final double "
+    "projection (the registry discipline).",
 )
 def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import money, rate
@@ -3316,11 +3365,98 @@ def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Q21 shape: the double correlated subquery on the same table —
+    # EXISTS(another supplier in the order) AND NOT EXISTS(another LATE
+    # supplier in the order).  Decorrelated as one LEFT SEMI and one
+    # LEFT ANTI join, each equi on l_orderkey with the <> suppkey
+    # residual riding the join condition — never a nested loop (plan
+    # pin in tests/test_plan_shapes.py).  "Late" adapts Q21's
+    # receipt/commit lateness to the available columns: shipped >= 90
+    # days after an 'F'-status order's date.
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("_ok1"), F.col("l_suppkey").alias("_sk1")
+    )
+    q21 = (
+        l1.join(
+            li.select(
+                F.col("l_orderkey").alias("_ok2"),
+                F.col("l_suppkey").alias("_sk2"),
+            ),
+            (F.col("_ok2") == F.col("_ok1"))
+            & (F.col("_sk2") != F.col("_sk1")),
+            "left_semi",
+        )
+        .join(
+            late.select(
+                F.col("l_orderkey").alias("_ok3"),
+                F.col("l_suppkey").alias("_sk3"),
+            ),
+            (F.col("_ok3") == F.col("_ok1"))
+            & (F.col("_sk3") != F.col("_sk1")),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("_sk1") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("q21_"), F.col("s_name")).alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    # Q20 shape: nested IN with an aggregate subquery — suppliers who
+    # shipped > 3/20 of some red part's total volume.  Decorrelated:
+    # one grouped aggregate per (supplier, part), its per-part total by
+    # re-aggregation, an exact integer-scaled DECIMAL share compare
+    # (20*q > 3*total: no double rounding at the threshold on either
+    # engine), then a LEFT SEMI into supplier.
+    tp = p.where(F.col("p_name").like("red%")).select("p_partkey")
+    per_sp = (
+        li.join(F.broadcast(tp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty).alias("_q"))
+    )
+    tot = per_sp.groupBy("l_partkey").agg(F.sum("_q").alias("_tq"))
+    qual = (
+        per_sp.join(tot, "l_partkey")
+        .where(F.col("_q") * 20 > F.col("_tq") * 3)
+        .select("l_suppkey")
+    )
+    q20 = (
+        s.join(
+            qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        ).select(
+            F.concat(F.lit("q20_"), F.col("s_name")).alias("k"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("s_acctbal").cast("double").alias("v"),
+        )
+    )
+
     return (
         q4.unionByName(q14)
         .unionByName(q19)
         .unionByName(q10)
         .unionByName(q18)
+        .unionByName(q21)
+        .unionByName(q20)
     )
 
 
@@ -3461,6 +3597,87 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPJOIN_ORACLE = """
+WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+g AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 3)
+                        FOR i IN range(1, greatest(length(text) - 1, 1))]) AS grams
+  FROM sub WHERE length(text) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+q AS (SELECT * FROM pairs WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM q
+  UNION
+  SELECT id_b, id_a FROM q
+),
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT 'pairs' AS part, id_a AS a, id_b AS b, ROUND(jaccard, 6) AS v FROM q
+UNION ALL
+SELECT 'groups' AS part, a, min(b) AS b, CAST(NULL AS DOUBLE) AS v
+FROM reach GROUP BY a
+"""
+
+
+@register(
+    "dedup_ppjoin_exact",
+    oracle=_PPJOIN_ORACLE,
+    doc="The prefix-filtered set-similarity join PROMOTED to a hash "
+    "oracle (operators/dedup.py::ngram_jaccard_pairs_prefix): unlike "
+    "the banded LSH families, PPJoin-style prefix filtering is exact "
+    "integer set-similarity — grams, overlap counts, a Jaccard "
+    "threshold — so DuckDB can brute-force the identical answer.  "
+    "part=pairs: every char-3-gram Jaccard >= 0.6 pair over the "
+    "doc_id%11 subset (subset keeps the O(n^2) ORACLE tractable; the "
+    "ENGINE side is the same lossless prefix join it runs at full "
+    "scale, max_bucket lifted so the hot-gram star cap provably never "
+    "fires on the checked corpus).  part=groups: dedup_groups "
+    "(pointer-jumped connected components) over those exact pairs, "
+    "hash-checked against a RECURSIVE-CTE transitive closure — the "
+    "linkage_battery discipline applied to the dedup family, making "
+    "the groups operator oracle-verified on deterministic input "
+    "rather than rows-only behind MinHash candidates.",
+)
+def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_groups, ngram_jaccard_pairs_prefix
+    from ..operators.pinning import eager_pin
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+    )
+    # pin: the pair table feeds BOTH the output and the CC iteration
+    pairs = eager_pin(
+        ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", n=3, threshold=0.6, max_bucket=1_000_000
+        )
+    )
+    p = pairs.select(
+        F.lit("pairs").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round("jaccard", 6).alias("v"),
+    )
+    g = dedup_groups(pairs.select("id_a", "id_b")).select(
+        F.lit("groups").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("group_id").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return p.unionByName(g)
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -3546,6 +3763,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'ppl' AS part, doc_id AS a, {_NB} AS b, n_bigrams AS n, "
         f"{_NS} AS k, {_NS} AS s, ppl AS v, true AS ok "
         f"FROM ({_PPL_ORACLE}) t",
+        f"SELECT 'ppj_'||part AS part, a, b, {_NB} AS n, {_NS} AS k, "
+        f"{_NS} AS s, v, true AS ok FROM ({_PPJOIN_ORACLE}) t",
     ]
 )
 
@@ -3578,7 +3797,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "Q4/Q10/Q14/Q18/Q19 warehouse shapes (sql_tpch_shapes), cdc2 = "
     "snapshot-diff CDC generation (etl_snapshot_cdc), scdlk = "
     "point-in-time SCD2 dimension lookup (etl_scd2_lookup), ppl = "
-    "corpus-LM pseudo-perplexity scoring (text_lm_perplexity).  Shared "
+    "corpus-LM pseudo-perplexity scoring (text_lm_perplexity), "
+    "ppj_* = exact prefix-filtered set-similarity pairs + their "
+    "connected-component groups vs a brute-force + recursive-CTE "
+    "oracle (dedup_ppjoin_exact).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -3819,6 +4041,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ppl").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    pj = dedup_ppjoin_exact(spark, sf_dir).select(
+        F.concat(F.lit("ppj_"), F.col("part")).alias("part"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        _nb().alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("v").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -3841,6 +4073,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c2)
         .unionByName(sl)
         .unionByName(pl)
+        .unionByName(pj)
     )
 
 
@@ -3962,6 +4195,9 @@ subsume(
     "etl_snapshot_cdc",
     "etl_scd2_lookup",
     "text_lm_perplexity",
+    # round-8: exact PPJoin pairs + CC groups, both hash-oracled,
+    # riding extension_battery (part=ppj_pairs / ppj_groups)
+    "dedup_ppjoin_exact",
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",

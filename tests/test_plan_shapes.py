@@ -380,3 +380,17 @@ def test_tpch_q4_exists_plans_semi_join(spark):
     plan = plan_of(lookup("sql_tpch_shapes").fn(spark, SF_CORRECT))
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_double_exists_plans_semi_and_anti(spark):
+    """Q21's double correlated subquery (EXISTS another supplier /
+    NOT EXISTS another late supplier, both on the same table) must plan
+    as ONE LEFT SEMI plus ONE LEFT ANTI equi-join on l_orderkey with
+    the <> suppkey residual in the join condition — the moment either
+    becomes a nested loop the query is O(n^2) at scale."""
+    from imdb_top_250_etl_pipeline_spark.plans import lookup
+
+    plan = plan_of(lookup("sql_tpch_shapes").fn(spark, SF_CORRECT))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

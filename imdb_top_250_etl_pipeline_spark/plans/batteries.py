@@ -2098,6 +2098,13 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + "\nUNION ALL\n"
         + _wrap(
+            "ssl",
+            "user_id AS uid, l_ts AS t1, r_ts AS t2, "
+            "l_event_id AS n, r_event_id AS n2, CAST(NULL AS DOUBLE) AS v",
+            _SQL["stream_stream_left_outer"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
             "ffill",
             "uid, t1, CAST(NULL AS TIMESTAMP) AS t2, n, "
             "CAST(NULL AS BIGINT) AS n2, v",
@@ -2201,9 +2208,13 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join, AND the foreachBatch MERGE sink driven end-to-end with two "
     "availableNow runs (part=fbmerge: contents == batch-dual upsert, "
     "untouched partitions byte-identical, folded to a pinned ok "
-    "scalar). Subsumes stream_tumbling_window, stream_sliding_window, "
-    "stream_sessionize, stream_session_window, stream_late_data_drop, "
-    "stream_stream_join, stream_fbmerge_check.",
+    "scalar), AND the leftOuter stream-stream mode's batch dual "
+    "(part=ssl: every click with its within-the-hour purchases or "
+    "null-extended — streaming outer-emission timing pinned by the "
+    "hand-fixture runtime test). Subsumes stream_tumbling_window, "
+    "stream_sliding_window, stream_sessionize, stream_session_window, "
+    "stream_late_data_drop, stream_stream_join, "
+    "stream_stream_left_outer, stream_fbmerge_check.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -2284,6 +2295,15 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ss = _FN["stream_stream_join"](spark, sf_dir).select(
         _tag("ss"),
+        F.col("user_id").alias("uid"),
+        F.col("l_ts").alias("t1"),
+        F.col("r_ts").alias("t2"),
+        F.col("l_event_id").alias("n"),
+        F.col("r_event_id").alias("n2"),
+        _null("double").alias("v"),
+    )
+    ssl = _FN["stream_stream_left_outer"](spark, sf_dir).select(
+        _tag("ssl"),
         F.col("user_id").alias("uid"),
         F.col("l_ts").alias("t1"),
         F.col("r_ts").alias("t2"),
@@ -2407,6 +2427,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(a)
         .unionByName(ld)
         .unionByName(ss)
+        .unionByName(ssl)
         .unionByName(ff)
         .unionByName(en)
         .unionByName(sd)
@@ -4137,6 +4158,10 @@ subsume(
     "stream_session_window",
     "stream_late_data_drop",
     "stream_stream_join",
+    # round-8: leftOuter stream-stream mode, batch dual rides
+    # stream_battery (part=ssl); runtime emission timing pinned by the
+    # hand-fixture test
+    "stream_stream_left_outer",
     "udf_parse_markup",
     "udf_dependent_scan",
     # round-5 constituents: individually parity-tested, folded into

@@ -282,6 +282,51 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type
+      FROM events
+    ),
+    l AS (SELECT user_id, ts AS l_ts, event_id AS l_event_id
+          FROM e WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts AS r_ts, event_id AS r_event_id
+          FROM e WHERE event_type = 'purchase')
+    SELECT l.user_id, l_ts, l_event_id, r_ts, r_event_id
+    FROM l LEFT JOIN r ON l.user_id = r.user_id
+       AND r_ts > l_ts - INTERVAL '1 hour'
+       AND r_ts <= l_ts
+    """,
+    doc="LEFT-OUTER watermarked stream-stream join, batch dual: every "
+    "click, paired with its within-the-hour purchases OR emitted once "
+    "null-extended — the outer-emission mode users hit first in "
+    "practice (the click that never converted).  Runs the ACTUAL "
+    "streaming operator (streaming/jobs.py::join_event_streams with "
+    "how='leftOuter') on batch inputs where withWatermark is a no-op, "
+    "so the driver hash-checks the very join the stream executes; the "
+    "STREAMING outer-emission timing (null-extension only after the "
+    "watermark passes the match horizon; in-horizon rows withheld at "
+    "stream end) is pinned by the hand-fixture runtime test in "
+    "tests/test_streaming.py.",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import join_event_streams
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = join_event_streams(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        key="user_id",
+        within="1 hour",
+        watermark="2 hours",
+        how="leftOuter",
+    )
+    return out.select("user_id", "l_ts", "l_event_id", "r_ts", "r_event_id")
+
+
+@register(
     "stream_session_window",
     oracle=None,  # built-in session_window gap semantics are Spark's own
     doc="Built-in F.session_window (6h gap) aggregation — the native "

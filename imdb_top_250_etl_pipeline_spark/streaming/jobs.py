@@ -264,9 +264,10 @@ def join_event_streams(
     key: str = "user_id",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pair each left event with
-    right events of the same key that happened in (left.ts - within,
+    """Watermarked stream-stream join: pair each left event with right
+    events of the same key that happened in (left.ts - within,
     left.ts] — e.g. the purchase within an hour after a click.
 
     BOTH sides need watermarks plus a time-range join condition: that is
@@ -274,6 +275,17 @@ def join_event_streams(
     bound every past event must be retained forever waiting for future
     matches).  State per key is bounded by events inside the
     watermark+range horizon — the only sustainable stream-stream shape.
+
+    ``how='leftOuter'`` adds the outer-emission semantics users hit
+    first in practice (the click with NO purchase within the hour):
+    an unmatched left row is emitted null-extended only once the
+    watermark passes its match horizon — i.e. once no future right row
+    could still pair with it — so outer results trail the watermark
+    delay by construction.  Rows still inside the horizon at stream
+    end are withheld, exactly like an unclosed window in append mode;
+    the batch dual in tests restates this cutoff explicitly.
+    ``rightOuter``/``fullOuter`` follow the same contract and pass
+    through unchanged.
     """
     l = left.withWatermark("ts", watermark).select(
         F.col(key).alias("l_key"),
@@ -290,6 +302,7 @@ def join_event_streams(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("r_ts") <= F.col("l_ts")),
+        how,
     ).select(
         F.col("l_key").alias(key), "l_ts", "l_event_id", "r_ts", "r_event_id"
     )

@@ -327,3 +327,73 @@ def test_dedup_stream_ttl_drops_within_watermark_duplicates(spark):
         assert got.select("event_id").distinct().count() == 500
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_on_watermark_expiry(
+    spark, tmp_path
+):
+    """leftOuter stream-stream join semantics, pinned on a hand fixture:
+    matched rows pair immediately; an unmatched left row null-extends
+    ONLY once the watermark (2h) passes its match horizon; an unmatched
+    left row still inside the horizon at stream end stays withheld —
+    the append-mode contract restated for outer joins."""
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.streaming import (
+        join_event_streams,
+        read_events_stream,
+    )
+
+    U = dt.datetime
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, U(2024, 1, 1, 9, 30), 1, "click"),      # matches purchase 2
+        (2, U(2024, 1, 1, 10, 0), 1, "purchase"),
+        (3, U(2024, 1, 1, 10, 0), 2, "purchase"),   # no click -> null-extend
+        (4, U(2024, 1, 1, 19, 30), 3, "purchase"),  # inside horizon: withheld
+        (5, U(2024, 1, 1, 20, 0), 99, "click"),     # watermark pushers,
+        (6, U(2024, 1, 1, 20, 0), 99, "purchase"),  # matching each other
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, k, 1.0, "{}") for (e, t, u, k) in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    fix = str(tmp_path / "fixture")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    # the file-source helper expects <dir>/events.parquet
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(fix)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw" / "part-*.parquet"))[0],
+        os.path.join(fix, "events.parquet"),
+    )
+
+    clicks = read_events_stream(spark, fix).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, fix).where(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        join_event_streams(purchases, clicks, how="leftOuter"),
+        spark,
+        "t_ss_left_outer",
+        "append",
+    ).collect()
+
+    by_left = {r["l_event_id"]: r for r in got}
+    # matched pairs present with their right side
+    assert by_left[2]["r_event_id"] == 1
+    assert by_left[6]["r_event_id"] == 5
+    # the watermark (20:00 - 2h = 18:00) passed purchase 3's horizon ->
+    # exactly one null-extended row
+    assert by_left[3]["r_event_id"] is None and by_left[3]["r_ts"] is None
+    assert sum(1 for r in got if r["l_event_id"] == 3) == 1
+    # purchase 4 (19:30) is still inside the horizon: withheld, not
+    # prematurely null-extended
+    assert 4 not in by_left
+    assert len(got) == 3

@@ -50,6 +50,12 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_sessionize",
     "sql_tpch_q3_shipping_priority",
+    # round-8: the heavy round-7 operators join the regression gate
+    # (previously they ran only in the sf sweeps)
+    "graph_triangle_counts",
+    "text_bpe_merges",
+    "text_segment_dedup",
+    "text_lm_perplexity",
 ]
 
 

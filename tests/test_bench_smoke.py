@@ -35,6 +35,13 @@ WATCHED = [
     "sim_ann_ivf",
     "etl_movies_surrogate_keys",
     "udf_parse_markup",
+    # round-8: heavy round-7 operators now gated too — iterative BPE
+    # (checkpoint cadence regressions), triangle counting (degree-order
+    # join shape), segment dedup + perplexity (shuffle-hash vocab joins)
+    "graph_triangle_counts",
+    "text_bpe_merges",
+    "text_segment_dedup",
+    "text_lm_perplexity",
 ]
 
 

@@ -394,3 +394,54 @@ def test_tpch_q21_double_exists_plans_semi_and_anti(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Spark's runtime bloom-filter join pruning must inject a
+    might_contain() filter on the FACT side when the dim side is
+    selective: the dim's join keys build a bloom filter at runtime and
+    the fact scan drops non-matching rows BEFORE the shuffle.  At
+    100 TB this is the difference between shuffling the whole fact and
+    shuffling the ~1/7 that can possibly match; the defaults
+    (applicationSideScanSizeThreshold=10GB) self-activate at that
+    scale, so the test lowers the threshold to prove the plan shape at
+    fixture scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        d = str(tmp_path)
+        spark.range(200_000).selectExpr(
+            "id", "id % 10000 AS k", "md5(CAST(id AS STRING)) AS pad"
+        ).write.parquet(d + "/fact")
+        spark.range(10_000).selectExpr(
+            "id AS k2", "id % 7 AS attr"
+        ).write.parquet(d + "/dim")
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim").where(F.col("attr") == 3)
+        j = fact.join(dim, fact.k == dim.k2)
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan
+        # semantics unchanged by the filter: each of the 1429 selected
+        # dim keys (id%7==3 over [0,10000)) matches its 20 fact rows
+        n_dim_keys = sum(1 for i in range(10_000) if i % 7 == 3)
+        assert j.count() == n_dim_keys * 20
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

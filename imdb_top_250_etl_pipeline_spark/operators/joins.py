@@ -81,3 +81,43 @@ def salted_join(
         how,
     )
     return joined.drop("_salt")
+
+
+def preagg_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    sum_cols: list[str],
+    group_cols: list[str],
+    count_alias: str | None = "n_rows",
+) -> DataFrame:
+    """Eager aggregation (aggregate pushdown BELOW the join): partially
+    aggregate the fact on its join key first, join the per-key partials
+    to the dim, then finish the aggregate on the dim's grouping columns
+    — equivalent to ``fact.join(dim).groupBy(group_cols).agg(sum, count)``
+    when ``dim`` is unique on ``dim_key`` (the standard eager-aggregation
+    correctness condition; an inner join on a key-unique dim neither
+    duplicates nor drops partials).
+
+    Why it exists: Catalyst does not reorder aggregates through joins,
+    so the naive plan shuffles EVERY fact row into the join and again
+    into the aggregate.  This construction shuffles the fact once, down
+    to one row per distinct join key — at 100 TB, a revenue-by-nation
+    report over 10^12 lineitems becomes a join of 10^7 per-supplier
+    partials against the dim, a ~10^5× reduction in join input, and the
+    dim side usually broadcasts from there.  SUM and COUNT re-aggregate
+    losslessly (exact DECIMAL sums recommended per the registry
+    discipline); AVG derives as sum/count downstream; holistic metrics
+    (medians, distincts) cannot ride this path and must use the plain
+    join.
+    """
+    aggs = [F.sum(c).alias(f"_s_{c}") for c in sum_cols]
+    if count_alias:
+        aggs.append(F.count("*").alias("_n"))
+    pre = fact.groupBy(fact_key).agg(*aggs)
+    j = pre.join(dim, pre[fact_key] == dim[dim_key])
+    final = [F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sum_cols]
+    if count_alias:
+        final.append(F.sum("_n").cast("long").alias(count_alias))
+    return j.groupBy(*group_cols).agg(*final)

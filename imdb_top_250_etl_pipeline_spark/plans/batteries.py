@@ -3618,6 +3618,57 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREAGG_ORACLE = """
+SELECT n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2)
+            AS DOUBLE) AS sum_rev,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "join_preagg_pushdown",
+    oracle=_PREAGG_ORACLE,
+    doc="Eager aggregation (operators/joins.py::preagg_join): revenue "
+    "by supplier nation computed by partially aggregating lineitem "
+    "PER SUPPLIER KEY before the join, then finishing on n_name — "
+    "hash-identical to the oracle's plain join+GROUP BY because SUM/"
+    "COUNT re-aggregate losslessly over a key-unique dim.  Catalyst "
+    "does not push aggregates below joins, so the naive plan shuffles "
+    "every fact row into the join; this construction joins one row "
+    "per distinct supplier instead (at 100 TB: ~10^5× less join "
+    "input, and the per-key partial table then broadcasts).  Exact "
+    "DECIMAL partials, final round(2)-and-cast double per the "
+    "registry discipline; plan pin asserts the fact-side aggregate "
+    "sits below the join.",
+)
+def join_preagg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import money
+    from ..operators.joins import preagg_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", money("l_extendedprice").alias("rev")
+    )
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    out = preagg_join(li, dim, "l_suppkey", "s_suppkey", ["rev"], ["n_name"])
+    return out.select(
+        "n_name",
+        F.round("sum_rev", 2).cast("double").alias("sum_rev"),
+        "n_rows",
+    )
+
+
 _PPJOIN_ORACLE = """
 WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
 g AS (
@@ -3786,6 +3837,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"FROM ({_PPL_ORACLE}) t",
         f"SELECT 'ppj_'||part AS part, a, b, {_NB} AS n, {_NS} AS k, "
         f"{_NS} AS s, v, true AS ok FROM ({_PPJOIN_ORACLE}) t",
+        f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
+        f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_SQL['sql_null_aware_anti']}) t",
+        f"SELECT 'preagg' AS part, {_NB} AS a, {_NB} AS b, n_rows AS n, "
+        f"n_name AS k, {_NS} AS s, sum_rev AS v, true AS ok "
+        f"FROM ({_PREAGG_ORACLE}) t",
     ]
 )
 
@@ -4072,6 +4129,26 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    pre = join_preagg_pushdown(spark, sf_dir).select(
+        F.lit("preagg").alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.col("n_name").alias("k"),
+        _ns().alias("s"),
+        F.col("sum_rev").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    naa = _FN["sql_null_aware_anti"](spark, sf_dir).select(
+        F.concat(F.lit("naa_"), F.col("part")).alias("part"),
+        _nb().alias("a"),
+        F.col("s").cast("long").alias("b"),
+        F.col("n").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     return (
         jdbc.unionByName(js)
         .unionByName(bm)
@@ -4095,6 +4172,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sl)
         .unionByName(pl)
         .unionByName(pj)
+        .unionByName(naa)
+        .unionByName(pre)
     )
 
 
@@ -4223,6 +4302,12 @@ subsume(
     # round-8: exact PPJoin pairs + CC groups, both hash-oracled,
     # riding extension_battery (part=ppj_pairs / ppj_groups)
     "dedup_ppjoin_exact",
+    # round-8: NOT IN three-valued-logic pin, riding extension_battery
+    # (part=naa_clean / naa_poisoned)
+    "sql_null_aware_anti",
+    # round-8: eager aggregation below the join, riding extension_battery
+    # (part=preagg)
+    "join_preagg_pushdown",
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",

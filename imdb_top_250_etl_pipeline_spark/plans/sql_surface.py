@@ -410,3 +410,41 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrib", 9).alias("contrib"),
         F.round("psi", 9).alias("psi"),
     ).orderBy("bucket")
+
+
+_NULL_AWARE_ANTI_SQL = """
+SELECT 'clean' AS part, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS s
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'poisoned' AS part, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS s
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING'
+                        UNION ALL SELECT CAST(NULL AS BIGINT))
+"""
+
+
+@register(
+    "sql_null_aware_anti",
+    oracle=_NULL_AWARE_ANTI_SQL,
+    doc="NOT IN with a nullable subquery — the classic three-valued-"
+    "logic footgun, pinned cross-engine through the spark.sql entry "
+    "path.  part=clean: a NULL-free subquery plans as a plain LEFT "
+    "ANTI join (orders outside the BUILDING segment, count + exact "
+    "integer key sum).  part=poisoned: the same subquery with one NULL "
+    "row must return ZERO rows (x NOT IN (...NULL...) is UNKNOWN for "
+    "every non-matching x under ANSI three-valued logic — count 0, sum "
+    "NULL), which Spark plans as a null-aware anti join (single-column "
+    "NAAJ: a broadcast hash join with isNullAwareAntiJoin, not a "
+    "nested loop; plan-pinned in tests/test_plan_shapes.py).  Both "
+    "engines agree because the semantics are ANSI SQL, not engine "
+    "choice — exactly why NOT EXISTS (which ignores subquery NULLs) "
+    "is the recommended rewrite at 100 TB.",
+)
+def sql_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_NULL_AWARE_ANTI_SQL)

@@ -125,3 +125,32 @@ def test_bucketed_tables_aggregate_without_shuffle(spark, tmp_path):
     finally:
         drop_table(spark, "tb_bk_c")
         drop_table(spark, "tb_bk_o")
+
+
+def test_preagg_join_equals_plain_join_aggregate(spark):
+    """Eager aggregation must be value-identical to join-then-aggregate
+    on a key-unique dim, including facts whose key has no dim match
+    (inner-join semantics drop them on both paths)."""
+    import pyspark.sql.functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.joins import preagg_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7), (99, 1000)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "dk long, grp string"
+    )
+    got = {
+        (r["grp"]): (r["sum_v"], r["n_rows"])
+        for r in preagg_join(fact, dim, "k", "dk", ["v"], ["grp"]).collect()
+    }
+    exp = {
+        r["grp"]: (r["s"], r["n"])
+        for r in fact.join(dim, fact.k == dim.dk)
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp == {"a": (35, 3), "b": (7, 1)}

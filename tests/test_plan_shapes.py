@@ -445,3 +445,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_not_in_plans_null_aware_anti_not_nested_loop(spark):
+    """The poisoned NOT IN (nullable subquery) must plan as Spark's
+    single-column null-aware anti join (a broadcast hash join flavor),
+    never a per-row nested-loop re-scan of the subquery."""
+    from imdb_top_250_etl_pipeline_spark.plans import lookup
+
+    plan = plan_of(lookup("sql_null_aware_anti").fn(spark, SF_CORRECT))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_preagg_join_aggregates_below_the_join(spark):
+    """Eager aggregation: the fact-side partial aggregate must sit
+    BELOW the join (the join's fact input is one row per distinct key,
+    not every fact row), and the final aggregate above it — four
+    HashAggregates total (pre partial+final, post partial+final)."""
+    from imdb_top_250_etl_pipeline_spark.plans import lookup
+
+    plan = plan_of(lookup("join_preagg_pushdown").fn(spark, SF_CORRECT))
+    assert plan.count("HashAggregate") >= 4, plan
+    # in the formatted plan's numbered topology, the fact scan feeds an
+    # aggregate whose output feeds the join — i.e. some HashAggregate
+    # appears earlier in the tree than the first join node
+    first_join = min(
+        (plan.index(s) for s in ("SortMergeJoin", "BroadcastHashJoin",
+                                 "ShuffledHashJoin") if s in plan),
+    )
+    assert plan.index("HashAggregate") < first_join, plan

@@ -76,7 +76,12 @@ def main() -> None:
         "doc_id",
         F.array_distinct(word_shingles("text", 3)).alias("sh"),
     ).where(F.size("sh") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    # the brute-force nested loop streams the LEFT side: spread it over
+    # all cores (a single-file parquet read otherwise leaves the whole
+    # O(n^2) comparison on one task)
+    a = sh.repartition(64).select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")
+    )
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
     t0 = time.perf_counter()
     truth_mh = pair_set(
@@ -128,7 +133,7 @@ def main() -> None:
             _half_long(F.col("bits"), 1).alias("h1"),
             _half_long(F.col("bits"), 33).alias("h2"),
         )
-        sa = st.select(
+        sa = st.repartition(64).select(
             F.col("doc_id").alias("id_a"),
             F.col("h1").alias("a1"),
             F.col("h2").alias("a2"),

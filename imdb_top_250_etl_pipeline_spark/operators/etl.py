@@ -470,3 +470,43 @@ def incremental_join_delta(
     d2 = a_old.join(b_delta, keys)
     d3 = a_delta.join(b_delta, keys)
     return d1.unionByName(d2).unionByName(d3)
+
+
+def apply_expectations(
+    df: DataFrame,
+    expectations: dict,
+    failed_col: str = "_failed",
+) -> tuple[DataFrame, DataFrame]:
+    """Declarative data-quality gate: evaluate named boolean
+    expectations per row and split into (valid, quarantine), where
+    quarantine rows carry the array of failed expectation names.
+
+    The expectation-and-quarantine pattern (Delta Live Tables
+    `expect_or_drop` / Great Expectations row conditions) expressed as
+    ONE codegen projection: every expectation evaluates in the same
+    pass, a NULL result counts as a failure (ANSI three-valued logic
+    would otherwise let `NULL >= 0` rows slide through a gate that
+    reads as airtight), and the failed-name array is built with
+    array/filter expressions — no UDF, no second scan per rule.
+
+    Both returned frames derive from one flagged plan; at scale write
+    the flagged frame ONCE partitioned by validity (or run the gate
+    inside ``with_quality_metrics``/foreachBatch) rather than
+    triggering each side separately — the split here is lazy column
+    pruning, not two jobs, but two ACTIONS on the results still scan
+    twice without a persist.
+    """
+    if not expectations:
+        raise ValueError("no expectations given")
+    checks = F.array(
+        *[
+            F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+            for name, cond in expectations.items()
+        ]
+    )
+    flagged = df.withColumn(
+        failed_col, F.filter(checks, lambda x: x.isNotNull())
+    )
+    valid = flagged.where(F.size(failed_col) == 0).drop(failed_col)
+    quarantine = flagged.where(F.size(failed_col) > 0)
+    return valid, quarantine

@@ -507,3 +507,73 @@ def jl_project(
             F.array(*pairs[0::2]), F.array(*pairs[1::2])
         )).alias("out_dim", "y"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, call vectors within the SAME cluster
+    whose cosine exceeds ``threshold`` semantic duplicates, and keep
+    one representative per duplicate group → (id, group_id, keep).
+
+    The composition is entirely existing scale-safe machinery:
+    ``assign_clusters`` (one broadcast-centroid pass, min_by argmin),
+    within-cluster candidate pairs via ``capped_band_pairs`` on the
+    cluster id (the cluster IS the LSH bucket here — SemDeDup's core
+    trick is that clustering makes within-cluster all-pairs affordable;
+    the star cap keeps a degenerate mega-cluster from going quadratic,
+    exactly like a hot LSH bucket), exact cosine verify with vectors
+    and norms riding the pair join as payloads, and ``dedup_groups``
+    (pointer-jumped connected components) to collapse transitive
+    duplicates.  ``keep`` marks the min-id representative of each
+    group (and every unpaired vector).
+
+    Cross-cluster near-duplicates are missed BY DESIGN — that is
+    SemDeDup's recall/cost tradeoff; raise centroid count to shrink
+    clusters (cost) or lower it to catch more cross-boundary pairs
+    (recall).  EAGER: the pair table pins via localCheckpoint (it
+    feeds both the grouping iteration and the join-back); wrap calls
+    in ``pinning.pin_scope`` to release the blocks.
+    """
+    from .dedup import capped_band_pairs, dedup_groups
+    from .pinning import eager_pin
+
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    base = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cluster",
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    cand = capped_band_pairs(
+        base, id_col, ["cluster"], max_cluster, payload_cols=[vec_col, "norm"]
+    )
+    cos = F.when(
+        (F.col("norm_a") > 0) & (F.col("norm_b") > 0),
+        dot(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+    ).otherwise(F.lit(0.0))
+    pairs = eager_pin(
+        cand.select("id_a", "id_b", cos.alias("cos")).where(
+            F.col("cos") >= threshold
+        )
+    )
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    return (
+        corpus.select(id_col)
+        .join(groups, F.col(id_col) == F.col("doc_id"), "left")
+        .select(
+            id_col,
+            F.col("group_id"),
+            (
+                F.col("group_id").isNull()
+                | (F.col("group_id") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )

@@ -995,7 +995,11 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus duplication-graph PageRank centrality (part=pagerank: "
     "operators/graph.py::pagerank over the symmetrized pair graph — "
     "id_a=doc, score=rank; the canonical-copy prior; numpy dual in "
-    "tests/test_graph.py). "
+    "tests/test_graph.py), plus SemDeDup-style semantic dedup over the "
+    "embeddings table (part=semantic: operators/similarity.py::"
+    "semantic_dedup — cluster, within-cluster cosine >= 0.95 groups, "
+    "keep = min-id representative; planted-duplicate and cross-"
+    "cluster-miss tradeoff pinned in tests). "
     "Rows-only; exactness pinned in tests/test_llm_data.py "
     "(lossless-<=3-hamming, planted recall, clique/chain components, "
     "full-recompute equivalence). Subsumes dedup_simhash_pairs, "
@@ -1053,8 +1057,27 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("bigint").alias("id_b"),
         F.col("rank").alias("score"),
     )
+    # part=semantic: SemDeDup composition over the embeddings table —
+    # cluster (deterministic sampled centroids), within-cluster cosine
+    # >= 0.95 duplicate groups, keep = min-id representative
+    # (operators/similarity.py::semantic_dedup; planted-duplicate and
+    # cross-cluster-miss semantics pinned in tests/test_llm_data.py)
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sem = semantic_dedup(
+        emb, emb.where(F.col("vec_id") % 25 == 0)
+    ).select(
+        _tag("semantic"),
+        F.col("vec_id").alias("id_a"),
+        F.col("group_id").alias("id_b"),
+        F.col("keep").cast("double").alias("score"),
+    )
     return (
-        pairs.unionByName(groups).unionByName(inc).unionByName(pr)
+        pairs.unionByName(groups)
+        .unionByName(inc)
+        .unionByName(pr)
+        .unionByName(sem)
     )
 
 
@@ -3618,6 +3641,76 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPECT_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN c_custkey % 13 = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(c_acctbal AS DOUBLE) END AS bal_band
+  FROM customer
+),
+f AS (
+  SELECT c_custkey,
+         concat_ws(',',
+           CASE WHEN NOT coalesce(c_acctbal >= 0, FALSE)
+                THEN 'nonneg_bal' END,
+           CASE WHEN NOT coalesce(bal_band IS NOT NULL, FALSE)
+                THEN 'band_known' END
+         ) AS failed
+  FROM base
+)
+SELECT CASE WHEN failed = '' THEN 'valid' ELSE 'quarantine' END AS part,
+       c_custkey, failed
+FROM f
+"""
+
+
+@register(
+    "etl_expectations",
+    oracle=_EXPECT_ORACLE,
+    doc="Declarative data-quality gate (operators/etl.py::"
+    "apply_expectations — the DLT expect_or_drop / Great Expectations "
+    "row-condition pattern): named boolean expectations evaluate in "
+    "ONE codegen projection, rows split into valid vs quarantine with "
+    "the quarantine rows carrying the failed-rule names.  The fixture "
+    "plants both failure modes over customer: genuinely negative "
+    "balances (nonneg_bal) and a custkey%13-nulled derived column "
+    "whose NULL must count as FAILED (band_known) — the three-valued-"
+    "logic pin: coalesce(cond, FALSE) on both engines, because a bare "
+    "`NULL >= 0` predicate would silently pass rows through a gate "
+    "that reads as airtight.",
+)
+def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import apply_expectations
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("bal_band"),
+    )
+    valid, quar = apply_expectations(
+        cust,
+        {
+            "nonneg_bal": F.col("c_acctbal") >= 0,
+            "band_known": F.col("bal_band").isNotNull(),
+        },
+    )
+    v = valid.select(
+        F.lit("valid").alias("part"),
+        "c_custkey",
+        F.lit("").alias("failed"),
+    )
+    q = quar.select(
+        F.lit("quarantine").alias("part"),
+        "c_custkey",
+        F.array_join("_failed", ",").alias("failed"),
+    )
+    return v.unionByName(q)
+
+
 _PREAGG_ORACLE = """
 SELECT n.n_name,
        CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2)
@@ -3843,6 +3936,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'preagg' AS part, {_NB} AS a, {_NB} AS b, n_rows AS n, "
         f"n_name AS k, {_NS} AS s, sum_rev AS v, true AS ok "
         f"FROM ({_PREAGG_ORACLE}) t",
+        f"SELECT 'exp_'||part AS part, c_custkey AS a, {_NB} AS b, "
+        f"{_NB} AS n, failed AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_EXPECT_ORACLE}) t",
     ]
 )
 
@@ -4139,6 +4235,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_rev").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    exp = etl_expectations(spark, sf_dir).select(
+        F.concat(F.lit("exp_"), F.col("part")).alias("part"),
+        F.col("c_custkey").cast("long").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        F.col("failed").alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     naa = _FN["sql_null_aware_anti"](spark, sf_dir).select(
         F.concat(F.lit("naa_"), F.col("part")).alias("part"),
         _nb().alias("a"),
@@ -4174,6 +4280,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pj)
         .unionByName(naa)
         .unionByName(pre)
+        .unionByName(exp)
     )
 
 
@@ -4308,6 +4415,9 @@ subsume(
     # round-8: eager aggregation below the join, riding extension_battery
     # (part=preagg)
     "join_preagg_pushdown",
+    # round-8: expectations/quarantine gate, riding extension_battery
+    # (part=exp_valid / exp_quarantine)
+    "etl_expectations",
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",

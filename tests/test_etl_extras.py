@@ -259,3 +259,38 @@ def test_apply_changes_and_scd2_hand_built(spark):
     # live rows of the history == apply_changes final state
     live = {k for (k, _), (_, to) in hist.items() if to is None}
     assert live == set(final)
+
+
+# ---------------------------------------------------------------------------
+# apply_expectations — quarantine gate semantics
+# ---------------------------------------------------------------------------
+
+
+def test_apply_expectations_split_and_null_fails(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "a"), (3, None, "a"), (4, 3.0, None)],
+        "k long, bal double, name string",
+    )
+    valid, quar = apply_expectations(
+        df,
+        {
+            "nonneg": F.col("bal") >= 0,
+            "named": F.col("name").isNotNull(),
+        },
+    )
+    assert {r["k"] for r in valid.collect()} == {1}
+    got = {r["k"]: list(r["_failed"]) for r in quar.collect()}
+    # a NULL predicate result counts as FAILED (three-valued logic pin)
+    assert got == {2: ["nonneg"], 3: ["nonneg"], 4: ["named"]}
+    # quarantine keeps the original payload columns
+    assert set(quar.columns) == {"k", "bal", "name", "_failed"}
+
+    with pytest.raises(ValueError):
+        apply_expectations(df, {})

@@ -790,3 +790,80 @@ def test_collapse_exact_first_pairs_equal_representative_restriction(spark):
         for r in simhash_pairs(base, "text", "doc_id").collect()
     }
     assert sh == sh_plain
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup composition on planted duplicates
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    import pyspark.sql.functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.pinning import pin_scope
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two well-separated clusters; ids 1/2 and 10/11/12 are planted
+    # near-identical groups, 3 and 13 are same-cluster but distinct
+    rows = [
+        (1, [1.0, 0.0, 0.01]),
+        (2, [1.0, 0.0, 0.012]),    # dup of 1
+        (3, [0.7, 0.7, 0.0]),      # cluster A, distinct direction
+        (10, [0.0, 1.0, 0.02]),
+        (11, [0.0, 1.0, 0.021]),   # dup of 10
+        (12, [0.0, 0.998, 0.02]),  # dup of 10 (transitively of 11)
+        (13, [0.0, 0.6, -0.8]),    # cluster B, distinct direction
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pin_scope():
+        out = {
+            r["vec_id"]: (r["group_id"], r["keep"])
+            for r in semantic_dedup(
+                corpus, cents, threshold=0.95
+            ).collect()
+        }
+    # group representatives keep, other members drop
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[12] == (10, False)
+    # distinct vectors are unpaired: NULL group, kept
+    assert out[3] == (None, True)
+    assert out[13] == (None, True)
+
+
+def test_semantic_dedup_misses_cross_cluster_by_design(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.pinning import pin_scope
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # a near-identical pair placed EXACTLY on a cluster boundary so the
+    # two members assign to different centroids: SemDeDup's documented
+    # recall tradeoff is that such pairs are not flagged
+    rows = [
+        (1, [1.0, 0.999, 0.0]),   # assigns to centroid 100
+        (2, [0.999, 1.0, 0.0]),   # assigns to centroid 200
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pin_scope():
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup(corpus, cents, threshold=0.95).collect()
+        }
+    assert out == {1: True, 2: True}

@@ -31,13 +31,14 @@ def run_etl(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     import os
 
     from .operators.etl import build_bridge, normalize_people
+    from .operators.pinning import eager_pin
     from .plans.etl import _movies_table
     from .plans.etl_fixtures import details_raw
     from .sources.sink import write_parquet
 
     d = details_raw(spark, sf_dir)
-    movies = _movies_table(spark, sf_dir).localCheckpoint(eager=True)
-    people = normalize_people(d).localCheckpoint(eager=True)
+    movies = eager_pin(_movies_table(spark, sf_dir))
+    people = eager_pin(normalize_people(d))
     tables = {
         "movies": movies,
         "people": people,

@@ -1023,7 +1023,9 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate generation + verify joins (at sf1 the n-gram pass alone
     # is ~10 min; the first scale sweep measured the un-pinned battery
     # at 6x the standalone cost). persist() on a cluster.
-    pairs = s.unionByName(g).localCheckpoint(eager=True)
+    from ..operators.pinning import eager_pin
+
+    pairs = eager_pin(s.unionByName(g))
     groups = dedup_groups(pairs.select("id_a", "id_b")).select(
         _tag("groups"),
         F.col("group_id").alias("id_a"),

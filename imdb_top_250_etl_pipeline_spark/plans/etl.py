@@ -441,7 +441,9 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part", "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "ok"
             )
         )
-        return out.localCheckpoint(eager=True)
+        from ..operators.pinning import eager_pin
+
+        return eager_pin(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -538,8 +540,10 @@ def etl_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts and people feeds 4 — without this each crossJoined count
     # recomputes the window/explode work (AQE exchange reuse catches only
     # some); persist() on a cluster, eager localCheckpoint locally
-    movies = _movies_table(spark, sf_dir).localCheckpoint(eager=True)
-    people = normalize_people(d).localCheckpoint(eager=True)
+    from ..operators.pinning import eager_pin
+
+    movies = eager_pin(_movies_table(spark, sf_dir))
+    people = eager_pin(normalize_people(d))
     bridges = {
         name: build_bridge(d, movies, people, name)
         for name in ("director", "writers", "stars")
@@ -692,7 +696,9 @@ def sink_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         insert_into(stats, name)
-        return spark.table(name).orderBy("n_name").localCheckpoint(eager=True)
+        from ..operators.pinning import eager_pin
+
+        return eager_pin(spark.table(name).orderBy("n_name"))
     finally:
         drop_table(spark, name)
 

@@ -1060,7 +1060,9 @@ def linkage_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both branches consume the pair table; pin it once so the blocking
     # join doesn't recompute under the components iteration
-    pairs = pairs.localCheckpoint(eager=True)
+    from ..operators.pinning import eager_pin
+
+    pairs = eager_pin(pairs)
     p = pairs.select(
         F.lit("pairs").alias("part"),
         F.col("id_a").alias("a"),

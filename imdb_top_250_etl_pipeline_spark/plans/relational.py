@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..functions.numeric import money, rate, round_money
+from ..operators.pinning import eager_pin
 from ..sources import load
 from .registry import register
 
@@ -1033,13 +1034,16 @@ def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ok_bk = "Exchange" not in _physical_plan(bk)
-        bucketed = bk.select(
-            F.lit("bucketed").alias("part"),
-            F.col("c_custkey").cast("string").alias("k"),
-            "n",
-            "v",
-            F.lit(bool(ok_bk)).alias("ok"),
-        ).localCheckpoint(eager=True)  # detach before DROP TABLE/rmtree
+        # eager pin: detach before DROP TABLE/rmtree below
+        bucketed = eager_pin(
+            bk.select(
+                F.lit("bucketed").alias("part"),
+                F.col("c_custkey").cast("string").alias("k"),
+                "n",
+                "v",
+                F.lit(bool(ok_bk)).alias("ok"),
+            )
+        )
 
         sj = salted_join(orders, cust, "o_custkey", "c_custkey", n_salts=8)
         ok_salt = "_salt" in _physical_plan(sj)
@@ -1081,9 +1085,8 @@ def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        return (
+        return eager_pin(
             bucketed.unionByName(salted).unionByName(salted_left)
-            .localCheckpoint(eager=True)
         )
     finally:
         drop_table(spark, "jsb_bk_customer")

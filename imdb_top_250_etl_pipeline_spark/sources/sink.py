@@ -53,7 +53,9 @@ def roundtrip_materialized(df: DataFrame, path: str, **write_kwargs) -> DataFram
     """
     write_parquet(df, path, **write_kwargs)
     spark = df.sparkSession
-    return read_back(spark, path).localCheckpoint(eager=True)
+    from ..operators.pinning import eager_pin
+
+    return eager_pin(read_back(spark, path))
 
 
 def create_table(

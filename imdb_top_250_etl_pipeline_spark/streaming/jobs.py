@@ -224,18 +224,26 @@ def foreach_batch_upsert(
             update_cols=["event_type", "value"],
             stable_cols=["user_id", "key_band"],
         )
-        # localCheckpoint materializes before the overwrite clobbers the
+        # the checkpoint materializes before the overwrite clobbers the
         # input files the plan still references; the per-write option
         # (not a session conf, which would leak dynamic-overwrite
         # semantics into every later partitioned write) replaces only
-        # the partitions present in the output (the touched bands)
-        (
-            merged.localCheckpoint(eager=True)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("key_band")
-            .parquet(target_path)
-        )
+        # the partitions present in the output (the touched bands).
+        # pin + release: per-batch checkpoint blocks freed as soon as
+        # the write lands — a long-running stream would otherwise
+        # accumulate one dead block set PER MICROBATCH
+        from ..operators.pinning import pin
+
+        pinned, handle = pin(merged)
+        try:
+            (
+                pinned.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("key_band")
+                .parquet(target_path)
+            )
+        finally:
+            handle.release()
 
     return (
         events.writeStream.foreachBatch(merge_batch)

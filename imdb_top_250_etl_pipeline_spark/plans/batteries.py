@@ -3643,6 +3643,126 @@ def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS val
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(count(val) AS BIGINT) AS n,
+         ROUND(CAST(SUM(val) AS DOUBLE), 2) AS total,
+         CAST(MIN(val) AS DOUBLE) AS lo,
+         CAST(MAX(val) AS DOUBLE) AS hi
+  FROM ev GROUP BY user_id
+)
+SELECT 'incagg' AS part, user_id AS a, CAST(NULL AS BIGINT) AS b,
+       n, total AS v FROM agg
+UNION ALL
+SELECT 'inclo' AS part, user_id AS a, CAST(NULL AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS n, lo AS v FROM agg
+UNION ALL
+SELECT 'inchi' AS part, user_id AS a, CAST(NULL AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS n, hi AS v FROM agg
+UNION ALL
+SELECT 'incjoin' AS part, o_orderkey AS a, c_custkey AS b,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register(
+    "incremental_battery",
+    oracle=_INC_ORACLE,
+    doc="Incremental-maintenance operators PROMOTED from test-only to "
+    "hash oracles, by checking the maintained result against its full "
+    "recompute (which IS SQL).  incagg/inclo/inchi: events split into "
+    "three batches by event_id%3, each batch aggregated to mergeable "
+    "per-user state (operators/profiling.py::rollup_state) and folded "
+    "with merge_rollup — the final (n, total, lo, hi) must equal one "
+    "direct GROUP BY over everything.  Values go through "
+    "ROUND(value,2)::DECIMAL first (round-then-cast on BOTH engines — "
+    "DuckDB CAST truncates where Spark rounds) so batch-wise partial "
+    "sums re-add exactly.  incjoin: insert-only delta propagation "
+    "(operators/etl.py::incremental_join_delta, the dA⋈B ∪ A⋈dB ∪ "
+    "dA⋈dB algebra) appended to the old materialized join must "
+    "reproduce the full orders⋈customer join row-for-row.",
+)
+def incremental_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import incremental_join_delta
+    from ..operators.profiling import merge_rollup, rollup_state
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).cast("decimal(18,2)").alias("val"),
+    )
+    parts = [
+        rollup_state(
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ["user_id"],
+            "val",
+        )
+        for i in range(3)
+    ]
+    state = merge_rollup(
+        merge_rollup(parts[0], parts[1], ["user_id"]),
+        parts[2],
+        ["user_id"],
+    )
+    nb = F.lit(None).cast("long")
+    incagg = state.select(
+        F.lit("incagg").alias("part"),
+        F.col("user_id").alias("a"),
+        nb.alias("b"),
+        F.col("n").cast("long").alias("n"),
+        # merge_rollup folds the decimal partials through double
+        # coalesces (its documented state type); the final round(2)
+        # absorbs the last-ulp association wobble on both engines
+        F.round(F.col("total").cast("double"), 2).alias("v"),
+    )
+    inclo = state.select(
+        F.lit("inclo").alias("part"),
+        F.col("user_id").alias("a"),
+        nb.alias("b"),
+        nb.alias("n"),
+        F.col("lo").cast("double").alias("v"),
+    )
+    inchi = state.select(
+        F.lit("inchi").alias("part"),
+        F.col("user_id").alias("a"),
+        nb.alias("b"),
+        nb.alias("n"),
+        F.col("hi").cast("double").alias("v"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    a_old = o.where(F.col("o_orderkey") % 4 != 0)
+    a_delta = o.where(F.col("o_orderkey") % 4 == 0)
+    b_old = c.where(F.col("c_custkey") % 5 != 0)
+    b_delta = c.where(F.col("c_custkey") % 5 == 0)
+    old_view = a_old.join(
+        b_old, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_custkey")
+    delta = incremental_join_delta(
+        a_old.withColumnRenamed("o_custkey", "c_custkey"),
+        a_delta.withColumnRenamed("o_custkey", "c_custkey"),
+        b_old,
+        b_delta,
+        "c_custkey",
+    ).select("o_orderkey", "c_custkey")
+    maintained = old_view.unionByName(delta)
+    incjoin = maintained.select(
+        F.lit("incjoin").alias("part"),
+        F.col("o_orderkey").alias("a"),
+        F.col("c_custkey").alias("b"),
+        nb.alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return (
+        incagg.unionByName(inclo).unionByName(inchi).unionByName(incjoin)
+    )
+
+
 _EXPECT_ORACLE = """
 WITH base AS (
   SELECT c_custkey, c_acctbal,
@@ -3941,6 +4061,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'exp_'||part AS part, c_custkey AS a, {_NB} AS b, "
         f"{_NB} AS n, failed AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_EXPECT_ORACLE}) t",
+        f"SELECT 'inc_'||part AS part, a, b, n, {_NS} AS k, "
+        f"{_NS} AS s, v, true AS ok FROM ({_INC_ORACLE}) t",
     ]
 )
 
@@ -4237,6 +4359,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_rev").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    inc = incremental_battery(spark, sf_dir).select(
+        F.concat(F.lit("inc_"), F.col("part")).alias("part"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("v").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     exp = etl_expectations(spark, sf_dir).select(
         F.concat(F.lit("exp_"), F.col("part")).alias("part"),
         F.col("c_custkey").cast("long").alias("a"),
@@ -4283,6 +4415,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
+        .unionByName(inc)
     )
 
 
@@ -4420,6 +4553,9 @@ subsume(
     # round-8: expectations/quarantine gate, riding extension_battery
     # (part=exp_valid / exp_quarantine)
     "etl_expectations",
+    # round-8: incremental aggregate/join maintenance promoted to hash
+    # oracles vs their full recomputes, riding extension_battery (inc_*)
+    "incremental_battery",
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",

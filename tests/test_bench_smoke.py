@@ -63,9 +63,14 @@ def test_no_large_regression(warmed, name):
     # Steady-state gate: a cold first run on this shared container can
     # spike 3-4x from co-tenant load alone; a genuine plan regression
     # (lost broadcast, extra shuffle, interpreted fallback) is slow on
-    # EVERY run, so time up to two runs and take the min.
+    # EVERY run, so time up to three runs and take the min (the
+    # iterative queries — BPE, triangle counting — need a third run to
+    # reach steady state when their first hits JIT + checkpoint I/O
+    # warm-up simultaneously; observed 7.6 → 2.4 → 1.3 s for
+    # graph_triangle_counts on a loaded container vs its 1.22 s
+    # baseline).  Early-exit keeps the usual cost at one run.
     took = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         lookup(name).fn(warmed, SF_DIR).write.format("noop").mode("overwrite").save()
         took = min(took, time.perf_counter() - t0)

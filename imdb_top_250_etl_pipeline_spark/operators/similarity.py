@@ -577,3 +577,52 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def rrf_fusion(
+    lists: list[DataFrame],
+    group_cols: list[str],
+    id_col: str,
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rank lists — the standard
+    hybrid-retrieval combiner (lexical BM25 + vector ANN, or any number
+    of retrievers): ``score(d) = Σ_lists 1 / (k + rank_list(d))``.
+
+    Each input carries ``(*group_cols, id_col, rank_col)``; a document
+    missing from a list simply contributes no term (the usual RRF
+    convention).  Returns one row per (group, id) with the fused score
+    and a deterministic ``fused_rank``.
+
+    Determinism discipline (what makes this oracle-checkable): the
+    reciprocal is materialized as an exact integer —
+    ``floor(scale / (k + rank))`` — so the fused score is an integer
+    SUM (associative, shuffle-order-free) instead of a float sum whose
+    value depends on which list's term arrives first.  Both engines
+    divide the same two exact doubles, so the floor agrees bit-for-bit.
+
+    Scale shape: inputs are top-k lists (bounded per group), so the
+    fusion is one hash aggregation on (group, id) and the ranking
+    window sees ≤ k × n_lists rows per group — no data-sized partition
+    anywhere, safe at any corpus size as long as the upstream
+    retrievers bound their k.
+    """
+    cols = [*group_cols, id_col, rank_col]
+    u = lists[0].select(*cols)
+    for nxt in lists[1:]:
+        u = u.unionByName(nxt.select(*cols))
+    contrib = F.floor(
+        F.lit(float(scale)) / (F.lit(k_rrf) + F.col(rank_col))
+    ).cast("long")
+    fused = u.groupBy(*group_cols, id_col).agg(
+        F.sum(contrib).alias("rrf_scaled"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = W.partitionBy(*group_cols).orderBy(
+        F.desc("rrf_scaled"), F.asc(id_col)
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )

@@ -2130,6 +2130,13 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + "\nUNION ALL\n"
         + _wrap(
+            "ssf",
+            "user_id AS uid, l_ts AS t1, r_ts AS t2, "
+            "l_event_id AS n, r_event_id AS n2, CAST(NULL AS DOUBLE) AS v",
+            _SQL["stream_stream_full_outer"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
             "ffill",
             "uid, t1, CAST(NULL AS TIMESTAMP) AS t2, n, "
             "CAST(NULL AS BIGINT) AS n2, v",
@@ -2233,13 +2240,16 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join, AND the foreachBatch MERGE sink driven end-to-end with two "
     "availableNow runs (part=fbmerge: contents == batch-dual upsert, "
     "untouched partitions byte-identical, folded to a pinned ok "
-    "scalar), AND the leftOuter stream-stream mode's batch dual "
-    "(part=ssl: every click with its within-the-hour purchases or "
-    "null-extended — streaming outer-emission timing pinned by the "
-    "hand-fixture runtime test). Subsumes stream_tumbling_window, "
+    "scalar), AND the leftOuter/fullOuter stream-stream modes' batch "
+    "duals (part=ssl: every click with its within-the-hour purchases "
+    "or null-extended; part=ssf: additionally the purchases with no "
+    "preceding click, key coalesced across sides — streaming "
+    "outer-emission timing for both pinned by hand-fixture runtime "
+    "tests). Subsumes stream_tumbling_window, "
     "stream_sliding_window, stream_sessionize, stream_session_window, "
     "stream_late_data_drop, stream_stream_join, "
-    "stream_stream_left_outer, stream_fbmerge_check.",
+    "stream_stream_left_outer, stream_stream_full_outer, "
+    "stream_fbmerge_check.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -2329,6 +2339,15 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssl = _FN["stream_stream_left_outer"](spark, sf_dir).select(
         _tag("ssl"),
+        F.col("user_id").alias("uid"),
+        F.col("l_ts").alias("t1"),
+        F.col("r_ts").alias("t2"),
+        F.col("l_event_id").alias("n"),
+        F.col("r_event_id").alias("n2"),
+        _null("double").alias("v"),
+    )
+    ssf = _FN["stream_stream_full_outer"](spark, sf_dir).select(
+        _tag("ssf"),
         F.col("user_id").alias("uid"),
         F.col("l_ts").alias("t1"),
         F.col("r_ts").alias("t2"),
@@ -2453,6 +2472,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ld)
         .unionByName(ss)
         .unionByName(ssl)
+        .unionByName(ssf)
         .unionByName(ff)
         .unionByName(en)
         .unionByName(sd)
@@ -3506,6 +3526,574 @@ def sql_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_SHAPES2_ORACLE = """
+WITH eu_cat AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT 'q2_' || s_name AS k, p_partkey AS n, CAST(cost AS DOUBLE) AS v
+FROM eu_cat
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type = 'STANDARD' AND p_size <= 10
+  AND cost = (SELECT MIN(c2.cost) FROM eu_cat c2
+              WHERE c2.l_partkey = eu_cat.l_partkey)
+UNION ALL
+SELECT 'q6_revenue' AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS v
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+UNION ALL
+SELECT 'q7_' || supp || '|' || cust || '|' || CAST(yr AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS v
+FROM (
+  SELECT n1.n_name AS supp, n2.n_name AS cust, year(l_shipdate) AS yr,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(8,4))) AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) s GROUP BY supp, cust, yr
+UNION ALL
+SELECT 'q8_' || CAST(yr AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(CAST(SUM(CASE WHEN supp = 'NATION_3' THEN vol
+                                ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(vol) AS DOUBLE), 6) AS DOUBLE) AS v
+FROM (
+  SELECT year(o_orderdate) AS yr, n1.n_name AS supp,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(8,4))) AS vol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+) s GROUP BY yr
+UNION ALL
+SELECT 'q9_' || n_name || '|' || CAST(yr AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS v
+FROM (
+  SELECT n_name, year(o_orderdate) AS yr,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(8,4)))
+         - CAST(p_retailprice AS DECIMAL(12,2))
+           * CAST(l_quantity AS DECIMAL(12,2))
+           * CAST(0.1 AS DECIMAL(2,1)) AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%gear%'
+) s GROUP BY n_name, yr
+UNION ALL
+SELECT 'q11_' || CAST(l_partkey AS VARCHAR) AS k, l_partkey AS n,
+       CAST(ROUND(val, 2) AS DOUBLE) AS v
+FROM (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+) p
+WHERE val * 1000 > (
+  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+UNION ALL
+SELECT 'q12_' || l_linestatus AS k,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS DOUBLE) AS v
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+UNION ALL
+SELECT 'q13_' || CAST(c_count AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '3-MEDIUM'
+  GROUP BY c.c_custkey
+) pc GROUP BY c_count
+UNION ALL
+SELECT 'q15_' || s_name AS k, s_suppkey AS n,
+       CAST(ROUND(total_rev, 2) AS DOUBLE) AS v
+FROM supplier
+JOIN (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+) r ON s_suppkey = l_suppkey
+WHERE total_rev = (
+  SELECT MAX(total_rev) FROM (
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+  ) m
+)
+UNION ALL
+SELECT 'q16_' || p_brand || '|' || p_type || '|'
+         || CAST(p_size AS VARCHAR) AS k,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS v
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+UNION ALL
+SELECT 'q22_' || cntry AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS v
+FROM (
+  SELECT CAST(c_nationkey % 5 AS VARCHAR) AS cntry,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_custkey
+  FROM customer
+  WHERE c_nationkey % 5 IN (0, 1, 2)
+    AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+      SELECT count(*) FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2)
+    ) > (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2)
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+) q GROUP BY cntry
+"""
+
+
+@register(
+    "sql_tpch_shapes2",
+    oracle=_TPCH_SHAPES2_ORACLE,
+    doc="The remaining eleven TPC-H query shapes, completing all 22 over "
+    "the available columns (Q1≈agg_pricing_summary, Q3/Q17 in "
+    "sql_surface, Q5 the flagship, Q4/Q10/Q14/Q18/Q19/Q20/Q21 in "
+    "sql_tpch_shapes).  Q2: min-cost supplier — the supply catalog is "
+    "derived from lineitem (min extendedprice per part-supplier pair, "
+    "exact DECIMAL, suppliers restricted to EUROPE), and the correlated "
+    "MIN subquery decorrelates into a per-part grouped min + an exact "
+    "decimal equality join (ties kept, as in the spec).  Q6: the "
+    "single-scan forecast-revenue aggregate (filters fully pushed to "
+    "the parquet scan).  Q7: volume shipping between a nation pair "
+    "grouped by (supp, cust, ship-year) — the two OR'd direction "
+    "conjuncts survive as a join residual on broadcast nation dims.  "
+    "Q8: market share — NATION_3's share of AMERICA-customer ECONOMY "
+    "volume by order-year; both sums exact DECIMAL, one double "
+    "division, round(6).  Q9: product profit by supplier nation and "
+    "order-year with supply cost adapted to 10% of retail (exact "
+    "DECIMAL arithmetic incl. the 0.1 literal).  Q11: important parts "
+    "— group value > 1/1000 of the ASIA total, compared integer-scaled "
+    "(val*1000 > total: no double rounding at the threshold).  Q12: "
+    "late-shipment priority counts per linestatus (CASE-sum pivots).  "
+    "Q13: customer order-count distribution — LEFT JOIN with the "
+    "filter in the ON clause so zero-order customers survive, then a "
+    "second aggregate over the counts.  Q15: top supplier — revenue "
+    "view + scalar MAX subquery, exact decimal equality keeps ties.  "
+    "Q16: supplier count per part attribute group with a NOT IN "
+    "(negative-balance suppliers) planned as an anti join.  Q22: "
+    "global-avg-balance scalar subquery rewritten as the exact "
+    "integer-scaled compare bal*cnt > sum (no double avg at the "
+    "threshold), plus NOT EXISTS (no urgent orders — every sf0.01 "
+    "customer has some order) as a left anti join, grouped by the "
+    "nationkey-derived country code.",
+)
+def sql_tpch_shapes2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    from ..functions.numeric import money, rate
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n_ = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    disc = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+
+    # Q2: supply catalog from lineitem, suppliers restricted to EUROPE;
+    # correlated MIN decorrelated into grouped min + exact decimal
+    # equality join (broadcast: one row per part).
+    eu_supp = (
+        s.join(F.broadcast(n_), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    eu_cat = (
+        li.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(F.min(money("l_extendedprice")).alias("cost"))
+    )
+    part_min = eu_cat.groupBy("l_partkey").agg(F.min("cost").alias("_mc"))
+    q2 = (
+        eu_cat.join(part_min, "l_partkey")
+        .where(F.col("cost") == F.col("_mc"))
+        .join(
+            F.broadcast(
+                p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.concat(F.lit("q2_"), F.col("s_name")).alias("k"),
+            F.col("p_partkey").cast("long").alias("n"),
+            F.col("cost").cast("double").alias("v"),
+        )
+    )
+
+    # Q6: single-scan filtered aggregate — every predicate pushes to the
+    # parquet scan; revenue = sum(extendedprice * discount), exact.
+    q6 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast(T.TimestampType()))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(money("l_extendedprice") * rate("l_discount")), 2)
+            .cast("double")
+            .alias("v"),
+        )
+        .select(F.lit("q6_revenue").alias("k"), "n", "v")
+    )
+
+    # Q7: nation-pair shipping volume by ship-year; the OR'd direction
+    # filter is a residual over two broadcast nation joins.
+    n1 = n_.select(
+        F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp")
+    )
+    n2 = n_.select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust")
+    )
+    q7 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast(T.TimestampType()))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast(T.TimestampType()))
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .where(
+            ((F.col("supp") == "NATION_1") & (F.col("cust") == "NATION_2"))
+            | ((F.col("supp") == "NATION_2") & (F.col("cust") == "NATION_1"))
+        )
+        .groupBy("supp", "cust", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(disc), 2).cast("double").alias("v"),
+        )
+        .select(
+            F.concat(
+                F.lit("q7_"), F.col("supp"), F.lit("|"), F.col("cust"),
+                F.lit("|"), F.col("yr").cast("string"),
+            ).alias("k"),
+            "n",
+            "v",
+        )
+    )
+
+    # Q8: market share — exact DECIMAL numerator/denominator, one double
+    # division at the end (the promo_pct discipline).
+    q8 = (
+        li.join(
+            F.broadcast(p.where(F.col("p_type") == "ECONOMY")
+                        .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(
+            o.where(
+                (F.col("o_orderdate")
+                 >= F.lit("1995-01-01").cast(T.TimestampType()))
+                & (F.col("o_orderdate")
+                   < F.lit("1997-01-01").cast(T.TimestampType()))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(
+                n_.join(
+                    r.where(F.col("r_name") == "AMERICA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("_cnk"))
+            ),
+            F.col("c_nationkey") == F.col("_cnk"),
+        )
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.when(F.col("supp") == "NATION_3", disc)
+                      .otherwise(F.lit(0))).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("v"),
+        )
+        .select(
+            F.concat(F.lit("q8_"), F.col("yr").cast("string")).alias("k"),
+            "n",
+            "v",
+        )
+    )
+
+    # Q9: profit by supplier nation and order-year; supply cost adapted
+    # to 10% of retail, all arithmetic exact DECIMAL.
+    amount = disc - (
+        money("p_retailprice")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(Decimal("0.1"))
+    )
+    q9 = (
+        li.join(
+            F.broadcast(p.where(F.col("p_name").like("%gear%"))
+                        .select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(amount), 2).cast("double").alias("v"),
+        )
+        .select(
+            F.concat(F.lit("q9_"), F.col("n_name"), F.lit("|"),
+                     F.col("yr").cast("string")).alias("k"),
+            "n",
+            "v",
+        )
+    )
+
+    # Q11: important parts — HAVING val > 1/1000 of the regional total,
+    # compared integer-scaled in exact DECIMAL (val*1000 > total).
+    asia_supp = (
+        s.join(F.broadcast(n_), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    asia_li = li.join(
+        F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = asia_li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice")).alias("val")
+    )
+    asia_tot = asia_li.agg(
+        F.sum(money("l_extendedprice")).alias("_tot")
+    )
+    q11 = (
+        per_part.crossJoin(F.broadcast(asia_tot))
+        .where(F.col("val") * 1000 > F.col("_tot"))
+        .select(
+            F.concat(F.lit("q11_"), F.col("l_partkey").cast("string"))
+            .alias("k"),
+            F.col("l_partkey").cast("long").alias("n"),
+            F.round("val", 2).cast("double").alias("v"),
+        )
+    )
+
+    # Q12: late-shipment priority counts per linestatus (CASE-sum pivot).
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q12 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast(T.TimestampType()))
+        )
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("n"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("double").alias("v"),
+        )
+        .select(
+            F.concat(F.lit("q12_"), F.col("l_linestatus")).alias("k"),
+            "n",
+            "v",
+        )
+    )
+
+    # Q13: order-count distribution — LEFT JOIN with the filter in the
+    # ON clause (zero-order customers survive), then re-aggregate.
+    q13 = (
+        c.select("c_custkey")
+        .join(
+            o.where(F.col("o_orderpriority") != "3-MEDIUM")
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("q13_"), F.col("c_count").cast("string"))
+            .alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    # Q15: top supplier — revenue view + scalar MAX (1-row broadcast),
+    # exact decimal equality keeps ties.
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast(T.TimestampType()))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc).alias("total_rev"))
+    )
+    rev_max = rev.agg(F.max("total_rev").alias("_mx"))
+    q15 = (
+        rev.crossJoin(F.broadcast(rev_max))
+        .where(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.concat(F.lit("q15_"), F.col("s_name")).alias("k"),
+            F.col("s_suppkey").cast("long").alias("n"),
+            F.round("total_rev", 2).cast("double").alias("v"),
+        )
+    )
+
+    # Q16: distinct-supplier counts per part attribute group; the NOT IN
+    # (non-null subquery) plans as a plain left anti join.
+    bad_supp = s.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    q16 = (
+        li.join(
+            F.broadcast(
+                p.where(
+                    (F.col("p_brand") != "Brand#5")
+                    & (F.col("p_type") != "MEDIUM")
+                    & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("_bad"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("n"))
+        .select(
+            F.concat(
+                F.lit("q16_"), F.col("p_brand"), F.lit("|"),
+                F.col("p_type"), F.lit("|"), F.col("p_size").cast("string"),
+            ).alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+
+    # Q22: above-average balances with no urgent orders — the avg
+    # threshold compared integer-scaled (bal*cnt > sum, exact DECIMAL),
+    # the NOT EXISTS a left anti join, grouped by derived country code.
+    in_set = F.col("c_nationkey") % 5 < 3
+    pos = (
+        c.where((F.col("c_acctbal") > 0) & in_set)
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.sum(money("c_acctbal")).alias("_sum"),
+        )
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("_uc")
+    )
+    q22 = (
+        c.where(in_set)
+        .crossJoin(F.broadcast(pos))
+        .where(money("c_acctbal") * F.col("_cnt") > F.col("_sum"))
+        .join(urgent, F.col("c_custkey") == F.col("_uc"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("string").alias("cntry"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(money("c_acctbal")), 2).cast("double").alias("v"),
+        )
+        .select(F.concat(F.lit("q22_"), F.col("cntry")).alias("k"), "n", "v")
+    )
+
+    return (
+        q2.unionByName(q6)
+        .unionByName(q7)
+        .unionByName(q8)
+        .unionByName(q9)
+        .unionByName(q11)
+        .unionByName(q12)
+        .unionByName(q13)
+        .unionByName(q15)
+        .unionByName(q16)
+        .unionByName(q22)
+    )
+
+
 _SNAPSHOT_CDC_ORACLE = f"""
 WITH old AS (
   SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
@@ -4038,6 +4626,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"item AS k, {_NS} AS s, {_ND} AS v, ok FROM ({_MG_ORACLE}) t",
         f"SELECT 'tpch' AS part, {_NB} AS a, {_NB} AS b, n, k, "
         f"{_NS} AS s, v, true AS ok FROM ({_TPCH_SHAPES_ORACLE}) t",
+        f"SELECT 'tpch2' AS part, {_NB} AS a, {_NB} AS b, n, k, "
+        f"{_NS} AS s, v, true AS ok FROM ({_TPCH_SHAPES2_ORACLE}) t",
+        f"SELECT 'rrf' AS part, query_id AS a, id AS b, rrf_scaled AS n, "
+        f"CAST(n_lists AS VARCHAR) AS k, {_NS} AS s, "
+        f"CAST(fused_rank AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_SQL['hybrid_rrf_retrieval']}) t",
         f"SELECT 'cdc2' AS part, c_custkey AS a, {_NB} AS b, {_NB} AS n, "
         f"op AS k, c_name || '|' || c_mktsegment AS s, "
         f"CAST(c_acctbal AS DOUBLE) AS v, true AS ok "
@@ -4092,7 +4686,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "LATERAL (udtf_token_spans), variant = VariantType semi-structured "
     "extraction (events_variant_extract), mg = Misra–Gries heavy "
     "hitters as an invariant (agg_heavy_hitters_mg), tpch = the "
-    "Q4/Q10/Q14/Q18/Q19 warehouse shapes (sql_tpch_shapes), cdc2 = "
+    "Q4/Q10/Q14/Q18/Q19/Q20/Q21 warehouse shapes (sql_tpch_shapes), "
+    "tpch2 = the remaining eleven shapes completing all 22 "
+    "(sql_tpch_shapes2: Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q22), "
+    "rrf = reciprocal-rank-fusion hybrid retrieval over BM25 + cosine "
+    "rank lists with an exact-integer score (hybrid_rrf_retrieval), "
+    "cdc2 = "
     "snapshot-diff CDC generation (etl_snapshot_cdc), scdlk = "
     "point-in-time SCD2 dimension lookup (etl_scd2_lookup), ppl = "
     "corpus-LM pseudo-perplexity scoring (text_lm_perplexity), "
@@ -4305,6 +4904,26 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    tp2 = sql_tpch_shapes2(spark, sf_dir).select(
+        F.lit("tpch2").alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k"),
+        _ns().alias("s"),
+        F.col("v").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    rrf = _FN["hybrid_rrf_retrieval"](spark, sf_dir).select(
+        F.lit("rrf").alias("part"),
+        F.col("query_id").cast("long").alias("a"),
+        F.col("id").cast("long").alias("b"),
+        F.col("rrf_scaled").cast("long").alias("n"),
+        F.col("n_lists").cast("string").alias("k"),
+        _ns().alias("s"),
+        F.col("fused_rank").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     c2 = etl_snapshot_cdc(spark, sf_dir).select(
         F.lit("cdc2").alias("part"),
         F.col("c_custkey").cast("long").alias("a"),
@@ -4408,6 +5027,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(va)
         .unionByName(mg)
         .unionByName(tp)
+        .unionByName(tp2)
+        .unionByName(rrf)
         .unionByName(c2)
         .unionByName(sl)
         .unionByName(pl)
@@ -4483,6 +5104,10 @@ subsume(
     # stream_battery (part=ssl); runtime emission timing pinned by the
     # hand-fixture test
     "stream_stream_left_outer",
+    # round-9: fullOuter stream-stream mode, batch dual rides
+    # stream_battery (part=ssf); runtime emission timing pinned by the
+    # hand-fixture test
+    "stream_stream_full_outer",
     "udf_parse_markup",
     "udf_dependent_scan",
     # round-5 constituents: individually parity-tested, folded into
@@ -4538,6 +5163,12 @@ subsume(
     "events_variant_extract",
     "agg_heavy_hitters_mg",
     "sql_tpch_shapes",
+    # round-9: the remaining eleven TPC-H shapes (all 22 now covered),
+    # riding extension_battery (part=tpch2)
+    "sql_tpch_shapes2",
+    # round-9: reciprocal-rank-fusion hybrid retrieval (BM25 + cosine),
+    # riding extension_battery (part=rrf)
+    "hybrid_rrf_retrieval",
     "etl_snapshot_cdc",
     "etl_scd2_lookup",
     "text_lm_perplexity",

@@ -976,6 +976,109 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
 
 
+_RRF_ORACLE = (
+    """
+WITH bm AS ("""
+    + _BM25_ORACLE
+    + """),
+lex_ranked AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           AS rank
+  FROM bm
+),
+lex AS (SELECT id, rank FROM lex_ranked WHERE rank <= 20),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS id,
+         list_cosine_similarity(q.qvec, c.emb) AS cos_sim
+  FROM q CROSS JOIN e c WHERE c.vec_id <> q.query_id
+),
+vec AS (
+  SELECT query_id, id, rank FROM (
+    SELECT query_id, id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, id) AS INT) AS rank
+    FROM scored
+  ) r WHERE rank <= 20
+),
+u AS (
+  SELECT query_id, id, rank FROM vec
+  UNION ALL
+  SELECT qd.query_id, lex.id, lex.rank
+  FROM (SELECT DISTINCT query_id FROM q) qd CROSS JOIN lex
+),
+fused AS (
+  SELECT query_id, id,
+         CAST(SUM(CAST(FLOOR(1000000000.0 / (60 + rank)) AS BIGINT))
+              AS BIGINT) AS rrf_scaled,
+         CAST(count(*) AS INT) AS n_lists
+  FROM u GROUP BY query_id, id
+)
+SELECT query_id, id, rrf_scaled, n_lists,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_scaled DESC, id) AS INT) AS fused_rank
+FROM fused
+"""
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_RRF_ORACLE,
+    doc="Hybrid retrieval via reciprocal-rank fusion (operators/"
+    "similarity.py::rrf_fusion): a lexical BM25 top-20 (three query "
+    "terms, TakeOrderedAndProject — the round-6dp score plus doc_id "
+    "tie-break makes LIMIT membership deterministic cross-engine, "
+    "unlike a raw-double cut) fused with each query vector's exact "
+    "cosine top-20 as score(d) = Σ 1/(60+rank).  The reciprocal is "
+    "materialized as floor(1e9/(60+rank)) — an exact integer — so the "
+    "fused score is an integer SUM (associative, shuffle-order-free) "
+    "and the fused ranking is deterministic with the id tie-break; a "
+    "float RRF sum would depend on which list's term arrived first.  "
+    "Fusion is one hash aggregation on (query, id); the ranking window "
+    "sees ≤ k·n_lists rows per query.  This is the retrieval-based "
+    "data-selection shape (find corpus docs about X lexically AND "
+    "semantically) at any corpus size, provided the retrievers bound "
+    "their k.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.similarity import rrf_fusion
+    from ..operators.text import bm25_scores
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+
+    lex = (
+        bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    # ranking the ≤20 surviving rows: the single-partition window is
+    # bounded by the LIMIT, not the corpus
+    lex_ranked = lex.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int"),
+    ).select(F.col("doc_id").alias("id"), "rank")
+    # the single lexical list applies to every query: broadcast the
+    # (tiny, distinct) query-id set over the 20 lexical rows
+    qids = queries.select(F.col("vec_id").alias("query_id")).distinct()
+    lex_per_q = F.broadcast(qids).crossJoin(lex_ranked)
+
+    vec = brute_force_topk(e, queries, k=20).select(
+        "query_id", F.col("neighbor_id").alias("id"), "rank"
+    )
+    return rrf_fusion(
+        [vec, lex_per_q], ["query_id"], "id"
+    ).select("query_id", "id", "rrf_scaled", "n_lists", "fused_rank")
+
+
 _LINKAGE_ORACLE = """
 WITH RECURSIVE recs AS (
   SELECT c_custkey AS rec_id, c_name AS name FROM customer

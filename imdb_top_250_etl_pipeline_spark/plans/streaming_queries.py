@@ -327,6 +327,52 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type
+      FROM events
+    ),
+    l AS (SELECT user_id, ts AS l_ts, event_id AS l_event_id
+          FROM e WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts AS r_ts, event_id AS r_event_id
+          FROM e WHERE event_type = 'purchase')
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           l_ts, l_event_id, r_ts, r_event_id
+    FROM l FULL JOIN r ON l.user_id = r.user_id
+       AND r_ts > l_ts - INTERVAL '1 hour'
+       AND r_ts <= l_ts
+    """,
+    doc="FULL-OUTER watermarked stream-stream join, batch dual — the "
+    "last standard outer mode: matched click/purchase pairs, PLUS "
+    "clicks that never converted (right columns null) PLUS purchases "
+    "with no preceding click (left columns null; the output key "
+    "coalesces across sides because a right-only row has no left key). "
+    "Runs the ACTUAL streaming operator (streaming/jobs.py::"
+    "join_event_streams with how='fullOuter') on batch inputs where "
+    "withWatermark is a no-op; the STREAMING emission timing (each "
+    "side null-extends only once the watermark passes its own match "
+    "horizon; in-horizon rows withheld at stream end) is pinned by "
+    "the hand-fixture runtime test in tests/test_streaming.py.",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import join_event_streams
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = join_event_streams(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        key="user_id",
+        within="1 hour",
+        watermark="2 hours",
+        how="fullOuter",
+    )
+    return out.select("user_id", "l_ts", "l_event_id", "r_ts", "r_event_id")
+
+
+@register(
     "stream_session_window",
     oracle=None,  # built-in session_window gap semantics are Spark's own
     doc="Built-in F.session_window (6h gap) aggregation — the native "

@@ -292,8 +292,10 @@ def join_event_streams(
     delay by construction.  Rows still inside the horizon at stream
     end are withheld, exactly like an unclosed window in append mode;
     the batch dual in tests restates this cutoff explicitly.
-    ``rightOuter``/``fullOuter`` follow the same contract and pass
-    through unchanged.
+    ``rightOuter``/``fullOuter`` follow the same contract symmetrically:
+    under ``fullOuter`` an unmatched row on EITHER side null-extends
+    once the watermark passes its own match horizon (the output key is
+    coalesced across sides, since a right-only row has no left key).
     """
     l = left.withWatermark("ts", watermark).select(
         F.col(key).alias("l_key"),
@@ -312,7 +314,11 @@ def join_event_streams(
         & (F.col("r_ts") <= F.col("l_ts")),
         how,
     ).select(
-        F.col("l_key").alias(key), "l_ts", "l_event_id", "r_ts", "r_event_id"
+        F.coalesce(F.col("l_key"), F.col("r_key")).alias(key),
+        "l_ts",
+        "l_event_id",
+        "r_ts",
+        "r_event_id",
     )
 
 

@@ -867,3 +867,44 @@ def test_semantic_dedup_misses_cross_cluster_by_design(spark):
             for r in semantic_dedup(corpus, cents, threshold=0.95).collect()
         }
     assert out == {1: True, 2: True}
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        rrf_fusion,
+    )
+
+    # query 1: doc 10 is rank 1 lexically and rank 2 semantically; doc
+    # 20 appears only semantically (rank 1); doc 30 only lexically
+    # (rank 2).  floor(1e9/(60+r)) terms: r1=16393442, r2=16129032.
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2)], "query_id long, id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 2)], "query_id long, id long, rank int"
+    )
+    out = {
+        r["id"]: (r["rrf_scaled"], r["n_lists"], r["fused_rank"])
+        for r in rrf_fusion([lex, vec], ["query_id"], "id").collect()
+    }
+    r1, r2 = 10**9 // 61, 10**9 // 62
+    assert out[10] == (r1 + r2, 2, 1)  # in both lists -> top fused
+    assert out[20] == (r1, 1, 2)
+    assert out[30] == (r2, 1, 3)
+
+
+def test_rrf_fusion_tie_breaks_on_id(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        rrf_fusion,
+    )
+
+    # identical single-list ranks across two docs: equal scores, the
+    # lower id must win the fused rank deterministically
+    a = spark.createDataFrame(
+        [(1, 7, 1), (1, 3, 1)], "query_id long, id long, rank int"
+    )
+    out = {
+        r["id"]: r["fused_rank"]
+        for r in rrf_fusion([a], ["query_id"], "id").collect()
+    }
+    assert out == {3: 1, 7: 2}

@@ -475,3 +475,24 @@ def test_preagg_join_aggregates_below_the_join(spark):
                                  "ShuffledHashJoin") if s in plan),
     )
     assert plan.index("HashAggregate") < first_join, plan
+
+
+def test_tpch_shapes2_plans_no_cartesian(spark):
+    """The round-9 TPC-H shapes (Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/
+    Q22) must plan every correlated construct as an equi-join: the
+    Q16 NOT-IN and Q22 NOT-EXISTS become LEFT ANTI joins, the scalar
+    aggregate subqueries (Q11 total, Q15 max, Q22 avg stats) ride
+    1-row broadcast nested loops (bounded by construction), and no
+    join anywhere degenerates to a CartesianProduct."""
+    from imdb_top_250_etl_pipeline_spark.plans import lookup
+
+    import re
+
+    plan = plan_of(lookup("sql_tpch_shapes2").fn(spark, SF_CORRECT))
+    assert plan.count("LeftAnti") >= 2
+    assert "CartesianProduct" not in plan
+    # only the 1-row scalar-aggregate broadcasts may nested-loop (the
+    # formatted plan prints each operator in the tree AND the detail
+    # section, so count the numbered detail entries)
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert n_bnlj <= 3, plan

@@ -397,3 +397,73 @@ def test_stream_stream_left_outer_join_emits_on_watermark_expiry(
     # prematurely null-extended
     assert 4 not in by_left
     assert len(got) == 3
+
+
+def test_stream_stream_full_outer_join_emits_both_sides(spark, tmp_path):
+    """fullOuter stream-stream join: unmatched rows on EITHER side
+    null-extend once the watermark passes their match horizon; the
+    output key coalesces across sides (a right-only row has no left
+    key); in-horizon rows stay withheld at stream end."""
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.streaming import (
+        join_event_streams,
+        read_events_stream,
+    )
+
+    U = dt.datetime
+    rows = [
+        # (event_id, ts, user_id, event_type); left=purchases,
+        # right=clicks (the left-outer test's orientation)
+        (1, U(2024, 1, 1, 9, 30), 1, "click"),      # matches purchase 2
+        (2, U(2024, 1, 1, 10, 0), 1, "purchase"),
+        (3, U(2024, 1, 1, 10, 0), 2, "purchase"),   # no click -> left-extend
+        (4, U(2024, 1, 1, 10, 0), 5, "click"),      # no purchase -> right-extend
+        (5, U(2024, 1, 1, 20, 0), 99, "click"),     # watermark pushers,
+        (6, U(2024, 1, 1, 20, 0), 99, "purchase"),  # matching each other
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, k, 1.0, "{}") for (e, t, u, k) in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    fix = str(tmp_path / "fixture")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(fix)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw" / "part-*.parquet"))[0],
+        os.path.join(fix, "events.parquet"),
+    )
+
+    clicks = read_events_stream(spark, fix).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, fix).where(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        join_event_streams(purchases, clicks, how="fullOuter"),
+        spark,
+        "t_ss_full_outer",
+        "append",
+    ).collect()
+
+    matched = {
+        r["l_event_id"]: r for r in got if r["l_event_id"] is not None
+    }
+    # matched pairs present with their right side
+    assert matched[2]["r_event_id"] == 1
+    assert matched[6]["r_event_id"] == 5
+    # purchase 3: no click -> null-extended exactly once
+    assert matched[3]["r_event_id"] is None and matched[3]["r_ts"] is None
+    # click 4: no purchase -> RIGHT-side null-extension, key coalesced
+    # from the right side
+    right_only = [r for r in got if r["l_event_id"] is None]
+    assert len(right_only) == 1
+    assert right_only[0]["r_event_id"] == 4
+    assert right_only[0]["user_id"] == 5
+    assert len(got) == 4

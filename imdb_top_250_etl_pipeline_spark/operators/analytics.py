@@ -287,3 +287,53 @@ def funnel_steps_fold(
         *[F.col(f"_f.t_{i}").alias(f"t_{i}") for i in range(1, k + 1)],
         n_steps.cast("int").alias("n_steps"),
     )
+
+
+def trending_topk(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "6 hours",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most active keys per tumbling window — the trending-items
+    report (hottest users/products/queries each hour) as a windowed
+    aggregate + per-window rank.
+
+    Scale shape: the count aggregate map-side combines before its one
+    shuffle; the per-window ranking reuses the salted two-phase top-k
+    discipline (similarity._two_phase_topk) because a single
+    ``Window.partitionBy(window)`` would funnel EVERY distinct key of a
+    window into one task — phase 1 ranks within (window, salt) and
+    emits k rows each, phase 2's real per-window rank sees at most
+    k × n_salts rows per window.  Counts are exact integers and ties
+    break on the lower key, so the selection is deterministic and
+    oracle-checkable.
+    """
+    per = events.groupBy(
+        F.window(ts_col, window).alias("w"), key_col
+    ).agg(F.count("*").alias("n_events"))
+    n_salts = max(events.sparkSession.sparkContext.defaultParallelism, 8)
+    salted = per.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts))
+    )
+    w1 = W.partitionBy("w", "_salt").orderBy(
+        F.desc("n_events"), F.asc(key_col)
+    )
+    partial = (
+        salted.withColumn("_pr", F.row_number().over(w1))
+        .where(F.col("_pr") <= k)
+        .drop("_salt", "_pr")
+    )
+    w2 = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc(key_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            key_col,
+            "n_events",
+            "rank",
+        )
+    )

@@ -510,3 +510,43 @@ def apply_expectations(
     valid = flagged.where(F.size(failed_col) == 0).drop(failed_col)
     quarantine = flagged.where(F.size(failed_col) > 0)
     return valid, quarantine
+
+
+def fk_expectation(
+    df: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    flag_col: str = "_fk_ok",
+    allow_null: bool = False,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Referential-integrity expectation: flag each fact row by whether
+    its foreign key exists in ``dim`` — the cross-table rule the
+    row-local ``apply_expectations`` conditions cannot express (it
+    needs a join, not a projection).  The returned frame carries
+    ``flag_col`` for the gate to consume as a normal expectation:
+    ``apply_expectations(flagged, {"fk_dim": F.col("_fk_ok")})``.
+
+    ``allow_null=True`` gives SQL FK semantics (a NULL key vacuously
+    satisfies the constraint); the default treats NULL as a violation
+    — the data-quality reading, where an unset key is exactly what the
+    gate should catch.
+
+    Scale shape: the dim side reduces to DISTINCT keys first, then one
+    equi-join — broadcast for true dimensions (default), hash-shuffle
+    when the key set is fact-sized (``broadcast_dim=False``).  This is
+    the audit-every-row form; for a violations-count-only gate an anti
+    join + count is cheaper since matches never materialize.
+    """
+    keys = dim.select(F.col(dim_key).alias("__fk_key")).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    ok = F.col("__fk_key").isNotNull()
+    if allow_null:
+        ok = ok | F.col(fk_col).isNull()
+    return (
+        df.join(keys, F.col(fk_col) == F.col("__fk_key"), "left")
+        .withColumn(flag_col, ok)
+        .drop("__fk_key")
+    )

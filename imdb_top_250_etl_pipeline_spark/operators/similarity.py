@@ -626,3 +626,81 @@ def rrf_fusion(
     return fused.withColumn(
         "fused_rank", F.row_number().over(w).cast("int")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of per-query candidate lists:
+    greedily select ``k`` of each query's candidates maximizing
+    ``lam * rel(d, q) - (1 - lam) * max_{s in S} sim(d, s)`` — the
+    standard diversification pass over an ANN/BM25 shortlist (drop
+    near-duplicate hits, keep coverage).
+
+    ``candidates`` carries (query_id, neighbor_id); vectors are joined
+    in from ``corpus`` (all candidates) and ``queries`` (broadcast,
+    search-shaped small).  The greedy loop is inherently sequential
+    PER QUERY, so it runs inside one Arrow-batched applyInPandas group
+    per query — bounded by the candidate-list length (k_candidates²
+    pairwise sims over ≤ dozens of rows), never by the corpus.  Ties
+    break on the lower neighbor id, making selection deterministic.
+
+    Returns (query_id, neighbor_id, rank) with rank = selection order
+    (1-based) — the ``sim_topk_battery`` shape.  Exactness is pinned
+    by a pure-numpy dual in tests (rows-only for the driver: the
+    greedy argmax is not SQL-expressible).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = candidates.select("query_id", "neighbor_id")
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    base = c.join(nv, "neighbor_id").join(F.broadcast(qv), "query_id")
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["nvec"]]
+        )
+        q = np.asarray(pdf["qvec"].iloc[0], dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        qn = np.linalg.norm(q)
+        safe = np.where(norms > 0, norms, 1.0)
+        rel = vecs @ q / (safe * (qn if qn > 0 else 1.0))
+        sims = (vecs @ vecs.T) / np.outer(safe, safe)
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            if selected:
+                red = sims[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            score = lam * rel[remaining] - (1.0 - lam) * red
+            # ties -> lowest neighbor_id; rows are id-sorted so argmax
+            # already returns the first (lowest-id) maximum
+            best = remaining[int(np.argmax(score))]
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": pdf["neighbor_id"].iloc[selected].values,
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return base.groupBy("query_id").applyInPandas(
+        _mmr, "query_id long, neighbor_id long, rank int"
+    )

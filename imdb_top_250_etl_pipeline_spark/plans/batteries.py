@@ -1086,13 +1086,16 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_battery",
     oracle=None,  # ANN assignments depend on Spark-side hash families
-    doc="Approximate top-k similarity: IVF probe and IVF over "
-    "k-means-refined centroids — tagged (part, query_id, neighbor_id, "
+    doc="Approximate top-k similarity: IVF probe, IVF over "
+    "k-means-refined centroids, and MMR diversification of the exact "
+    "top-20 shortlist (round 9) — tagged (part, query_id, neighbor_id, "
     "rank). Rows-only BY DESIGN (cluster assignments depend on "
-    "Spark-side hash families); recall floors vs the exact baseline "
-    "pinned in tests/test_llm_data.py. The exact brute-force baseline "
-    "moved out to the driver-facing, hash-checked sim_cosine_topk in "
-    "round 6. Subsumes sim_ann_ivf, sim_ann_ivf_kmeans.",
+    "Spark-side hash families; MMR's greedy argmax is not "
+    "SQL-expressible); recall floors vs the exact baseline and the "
+    "MMR pure-numpy dual pinned in tests/test_llm_data.py. The exact "
+    "brute-force baseline moved out to the driver-facing, "
+    "hash-checked sim_cosine_topk in round 6. Subsumes sim_ann_ivf, "
+    "sim_ann_ivf_kmeans, sim_mmr_rerank.",
 )
 def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = _FN["sim_ann_ivf"](spark, sf_dir).select(
@@ -1101,7 +1104,10 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _FN["sim_ann_ivf_kmeans"](spark, sf_dir).select(
         _tag("ivf_kmeans"), "query_id", "neighbor_id", "rank"
     )
-    return i.unionByName(k)
+    m = _FN["sim_mmr_rerank"](spark, sf_dir).select(
+        _tag("mmr"), "query_id", "neighbor_id", "rank"
+    )
+    return i.unionByName(k).unionByName(m)
 
 
 # JL projection: integer sign-sums of quantized components, dequantized
@@ -2137,6 +2143,14 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + "\nUNION ALL\n"
         + _wrap(
+            "trend",
+            "user_id AS uid, w_start AS t1, w_end AS t2, "
+            "n_events AS n, CAST(rank AS BIGINT) AS n2, "
+            "CAST(NULL AS DOUBLE) AS v",
+            _SQL["stream_trending_topk"],
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
             "ffill",
             "uid, t1, CAST(NULL AS TIMESTAMP) AS t2, n, "
             "CAST(NULL AS BIGINT) AS n2, v",
@@ -2249,7 +2263,8 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_window, stream_sessionize, stream_session_window, "
     "stream_late_data_drop, stream_stream_join, "
     "stream_stream_left_outer, stream_stream_full_outer, "
-    "stream_fbmerge_check.",
+    "stream_trending_topk (part=trend: salted two-phase top-3 most "
+    "active users per 6h window), stream_fbmerge_check.",
 )
 def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _FN["stream_tumbling_window"](spark, sf_dir).select(
@@ -2353,6 +2368,15 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_ts").alias("t2"),
         F.col("l_event_id").alias("n"),
         F.col("r_event_id").alias("n2"),
+        _null("double").alias("v"),
+    )
+    trend = _FN["stream_trending_topk"](spark, sf_dir).select(
+        _tag("trend"),
+        F.col("user_id").alias("uid"),
+        F.col("w_start").alias("t1"),
+        F.col("w_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        F.col("rank").cast("long").alias("n2"),
         _null("double").alias("v"),
     )
     ff = stream_forward_fill(spark, sf_dir).select(
@@ -2473,6 +2497,7 @@ def stream_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ss)
         .unionByName(ssl)
         .unionByName(ssf)
+        .unionByName(trend)
         .unionByName(ff)
         .unionByName(en)
         .unionByName(sd)
@@ -4371,6 +4396,17 @@ f AS (
 SELECT CASE WHEN failed = '' THEN 'valid' ELSE 'quarantine' END AS part,
        c_custkey, failed
 FROM f
+UNION ALL
+SELECT CASE WHEN ok THEN 'fk_valid' ELSE 'fk_quarantine' END AS part,
+       o_orderkey AS c_custkey,
+       CASE WHEN ok THEN '' ELSE 'fk_customer' END AS failed
+FROM (
+  SELECT o_orderkey,
+         (CASE WHEN o_custkey % 19 = 0 THEN o_custkey + 5000000
+               ELSE o_custkey END)
+           IN (SELECT c_custkey FROM customer) AS ok
+  FROM orders
+) fkc
 """
 
 
@@ -4387,10 +4423,15 @@ FROM f
     "whose NULL must count as FAILED (band_known) — the three-valued-"
     "logic pin: coalesce(cond, FALSE) on both engines, because a bare "
     "`NULL >= 0` predicate would silently pass rows through a gate "
-    "that reads as airtight.",
+    "that reads as airtight.  The fk_valid/fk_quarantine parts add "
+    "the cross-table rule row conditions cannot express: referential "
+    "integrity (operators/etl.py::fk_expectation — dim keys DISTINCT "
+    "then one equi-join, broadcast for true dims) over orders with "
+    "every 19th custkey perturbed to a dangling reference; the flag "
+    "column then rides the SAME gate as a normal expectation.",
 )
 def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.etl import apply_expectations
+    from ..operators.etl import apply_expectations, fk_expectation
 
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -4418,7 +4459,34 @@ def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.array_join("_failed", ",").alias("failed"),
     )
-    return v.unionByName(q)
+
+    # referential integrity: every 19th order points at a customer key
+    # that does not exist; the fk flag rides the same gate
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_custkey") % 19 == 0, F.col("o_custkey") + 5000000
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+    )
+    flagged = fk_expectation(
+        orders, "fk", load(spark, sf_dir, "customer"), "c_custkey"
+    )
+    fk_valid, fk_quar = apply_expectations(
+        flagged, {"fk_customer": F.col("_fk_ok")}
+    )
+    fv = fk_valid.select(
+        F.lit("fk_valid").alias("part"),
+        F.col("o_orderkey").alias("c_custkey"),
+        F.lit("").alias("failed"),
+    )
+    fq = fk_quar.select(
+        F.lit("fk_quarantine").alias("part"),
+        F.col("o_orderkey").alias("c_custkey"),
+        F.array_join("_failed", ",").alias("failed"),
+    )
+    return v.unionByName(q).unionByName(fv).unionByName(fq)
 
 
 _PREAGG_ORACLE = """
@@ -5079,6 +5147,9 @@ subsume(
     # the approximate IVF variants stay rows-only
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
+    # round-9: MMR diversification, riding sim_topk_battery (part=mmr);
+    # rows-only with a pure-numpy dual test
+    "sim_mmr_rerank",
     # folded into multimodal_scalar_battery in round 6 (slot discipline:
     # the driver checks a bounded number of registry entries)
     "multimodal_props_json",
@@ -5108,6 +5179,9 @@ subsume(
     # stream_battery (part=ssf); runtime emission timing pinned by the
     # hand-fixture test
     "stream_stream_full_outer",
+    # round-9: trending top-k per tumbling window, riding stream_battery
+    # (part=trend)
+    "stream_trending_topk",
     "udf_parse_markup",
     "udf_dependent_scan",
     # round-5 constituents: individually parity-tested, folded into

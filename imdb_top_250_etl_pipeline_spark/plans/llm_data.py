@@ -269,6 +269,31 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_mmr_rerank",
+    oracle=None,
+    doc="Maximal-marginal-relevance diversification "
+    "(operators/similarity.py::mmr_rerank): each query's exact "
+    "cosine top-20 shortlist greedily re-ranked to 10 results "
+    "balancing relevance against redundancy (λ=0.7) — the standard "
+    "post-ANN diversity pass.  The greedy argmax is sequential per "
+    "query, so it runs in one applyInPandas group per query over the "
+    "bounded shortlist (never the corpus); ties break on the lower "
+    "neighbor id.  Rows-only for the driver (greedy selection is not "
+    "SQL-expressible); exactness pinned by a pure-numpy dual and "
+    "planted-redundancy tests.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    cands = brute_force_topk(e, queries, k=20)
+    return mmr_rerank(cands, e, queries, k=10, lam=0.7).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "sim_ann_ivf_kmeans",
     oracle=None,
     doc="IVF with Lloyd-refined centroids: 2 k-means iterations (the "

@@ -373,6 +373,43 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_trending_topk",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    per AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+             user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT w_start, user_id, n_events,
+             CAST(row_number() OVER (PARTITION BY w_start
+                  ORDER BY n_events DESC, user_id) AS INT) AS rank
+      FROM per
+    )
+    SELECT w_start, w_start + INTERVAL '6 hours' AS w_end,
+           user_id, n_events, rank
+    FROM r WHERE rank <= 3
+    """,
+    doc="Trending top-k per tumbling window (operators/analytics.py::"
+    "trending_topk): the 3 most active users of each 6-hour window — "
+    "windowed count + per-window rank with the salted two-phase top-k "
+    "(a plain per-window rank would funnel every distinct key of a "
+    "window into one task).  Exact integer counts with the lower-key "
+    "tie-break make selection deterministic cross-engine; "
+    "epoch-aligned buckets so F.window and DuckDB's time_bucket "
+    "agree.  The same plan runs under Structured Streaming with a "
+    "watermark (windowed agg in append mode) — this is its batch "
+    "dual.",
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import trending_topk
+
+    e = load(spark, sf_dir, "events").select("ts", "user_id")
+    return trending_topk(e, "ts", "user_id", "6 hours", k=3)
+
+
+@register(
     "stream_session_window",
     oracle=None,  # built-in session_window gap semantics are Spark's own
     doc="Built-in F.session_window (6h gap) aggregation — the native "

@@ -294,3 +294,46 @@ def test_apply_expectations_split_and_null_fails(spark):
 
     with pytest.raises(ValueError):
         apply_expectations(df, {})
+
+
+def test_fk_expectation_flags_dangling_and_null_keys(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_expectations,
+        fk_expectation,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)],
+        "id long, fk long",
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "key long")
+
+    flagged = fk_expectation(facts, "fk", dim, "key")
+    ok = {r["id"]: r["_fk_ok"] for r in flagged.collect()}
+    # dangling (99) and NULL keys both fail by default
+    assert ok == {1: True, 2: True, 3: False, 4: False}
+
+    # SQL FK semantics: NULL vacuously satisfies the constraint
+    lax = fk_expectation(facts, "fk", dim, "key", allow_null=True)
+    ok2 = {r["id"]: r["_fk_ok"] for r in lax.collect()}
+    assert ok2 == {1: True, 2: True, 3: False, 4: True}
+
+    # the flag rides the gate like any row expectation
+    valid, quar = apply_expectations(
+        flagged, {"fk_dim": F.col("_fk_ok")}
+    )
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2]
+    assert sorted(r["id"] for r in quar.collect()) == [3, 4]
+
+
+def test_fk_expectation_no_row_multiplication_on_dup_dim_keys(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        fk_expectation,
+    )
+
+    facts = spark.createDataFrame([(1, 10)], "id long, fk long")
+    dim = spark.createDataFrame(
+        [(10,), (10,), (10,)], "key long"
+    )  # dup keys must not fan out the fact
+    out = fk_expectation(facts, "fk", dim, "key").collect()
+    assert len(out) == 1 and out[0]["_fk_ok"] is True

@@ -908,3 +908,89 @@ def test_rrf_fusion_tie_breaks_on_id(spark):
         for r in rrf_fusion([a], ["query_id"], "id").collect()
     }
     assert out == {3: 1, 7: 2}
+
+
+def test_mmr_rerank_matches_numpy_dual(spark):
+    """The distributed MMR must reproduce a pure-numpy greedy MMR
+    exactly (same selection, same order) on the sf0.001 fixture."""
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    cands = brute_force_topk(e, queries, k=20)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in mmr_rerank(cands, e, queries, k=10, lam=0.7).collect()
+    }
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in e.collect()
+    }
+    cand_rows = cands.collect()
+    by_q: dict[int, list[int]] = {}
+    for r in cand_rows:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    lam = 0.7
+    for qid, ids in by_q.items():
+        ids = sorted(ids)
+        q = vecs[qid]
+        V = np.stack([vecs[i] for i in ids])
+        norms = np.linalg.norm(V, axis=1)
+        rel = V @ q / (norms * np.linalg.norm(q))
+        sims = (V @ V.T) / np.outer(norms, norms)
+        selected, remaining = [], list(range(len(ids)))
+        while remaining and len(selected) < 10:
+            red = (
+                sims[np.ix_(remaining, selected)].max(axis=1)
+                if selected
+                else np.zeros(len(remaining))
+            )
+            score = lam * rel[remaining] - (1 - lam) * red
+            best = remaining[int(np.argmax(score))]
+            selected.append(best)
+            remaining.remove(best)
+        for rank, idx in enumerate(selected, 1):
+            assert got[(qid, rank)] == ids[idx], (qid, rank)
+
+
+def test_mmr_rerank_demotes_planted_redundancy(spark):
+    """Two near-identical highly-relevant candidates: plain ranking
+    puts them adjacent; MMR must select the diverse third vector ahead
+    of the duplicate."""
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),       # near-clone of 2, slightly less
+                                        # aligned with the query
+            (2, [0.999, 0.01, 0.0]),    # most relevant (closest direction)
+            (3, [0.6, 0.8, 0.0]),       # diverse, still relevant
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cands = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3)], "query_id long, neighbor_id long"
+    )
+    order = [
+        r["neighbor_id"]
+        for r in mmr_rerank(cands, corpus, queries, k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # plain relevance ranking would be [2, 1, 3]; MMR promotes the
+    # diverse vector 3 over 1 (a near-clone of the already-selected 2)
+    assert order == [2, 3, 1]

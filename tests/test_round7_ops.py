@@ -947,3 +947,73 @@ def test_scalar_pandas_udf_matches_expression_lang_id(spark):
         "WHERE lang_id_py(text) = 'en'"
     ).collect()[0]["n"]
     assert n == sum(1 for v in want.values() if v == "en")
+
+
+# ---------------------------------------------------------------------------
+# trending_topk (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_trending_topk_hand_fixture_with_ties(spark):
+    """Counts, window assignment, k-cut, and the lower-key tie-break on
+    a hand fixture."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        trending_topk,
+    )
+
+    U = dt.datetime
+    rows = (
+        # window 00:00-06:00: u1 x3, u2 x2, u7 x2, u9 x1 -> top3 =
+        # u1(3), then the u2/u7 tie at 2 breaks low-key-first
+        [(U(2024, 1, 1, 1), 1)] * 3
+        + [(U(2024, 1, 1, 2), 2)] * 2
+        + [(U(2024, 1, 1, 3), 7)] * 2
+        + [(U(2024, 1, 1, 4), 9)]
+        # window 06:00-12:00: u5 only
+        + [(U(2024, 1, 1, 7), 5)]
+    )
+    e = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        (r["w_start"].hour, r["rank"]): (r["user_id"], r["n_events"])
+        for r in trending_topk(e, "ts", "user_id", "6 hours", k=3).collect()
+    }
+    assert got[(0, 1)] == (1, 3)
+    assert got[(0, 2)] == (2, 2)   # tie with u7 -> lower key first
+    assert got[(0, 3)] == (7, 2)
+    assert got[(6, 1)] == (5, 1)
+    assert len(got) == 4
+
+
+def test_trending_topk_matches_plain_window_rank(spark):
+    """The salted two-phase selection must equal a plain (unsalted)
+    per-window rank on real data — the salt is a layout optimization,
+    never a semantic change."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        trending_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "ts", "user_id"
+    )
+    got = {
+        (r["w_start"], r["rank"]): (r["user_id"], r["n_events"])
+        for r in trending_topk(e, "ts", "user_id", "6 hours", k=5).collect()
+    }
+    per = e.groupBy(F.window("ts", "6 hours").alias("w"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    w = W.partitionBy("w").orderBy(F.desc("n_events"), F.asc("user_id"))
+    want = {
+        (r["w"]["start"], r["rank"]): (r["user_id"], r["n_events"])
+        for r in per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want

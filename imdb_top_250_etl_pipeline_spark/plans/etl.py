@@ -244,8 +244,11 @@ def _count_parquet_files(path: str) -> int:
     "the transaction-log table with real MERGE (part=txn — "
     "sources/txn.py create→merge→time-travel; ok pins that untouched "
     "range-partitioned files stayed byte-identical across the commit, "
-    "v0 time travel still reads the pre-merge table, and the merged "
-    "snapshot equals the pure upsert), and "
+    "v0 time travel still reads the pre-merge table, the merged "
+    "snapshot equals the pure upsert, and — round 9 — the change data "
+    "feed (txn_changes: per-commit I/U/D from the commit's NET "
+    "rewritten files only) applied onto v0 reconstructs the merged "
+    "table exactly), and "
     "the four non-parquet source formats round-tripped with explicit "
     "declared schemas and FAILFAST (part=csv/json/orc/xml — XML native "
     "in Spark 4 — "
@@ -424,8 +427,21 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.exceptAll(expected).isEmpty()
             and expected.exceptAll(merged).isEmpty()
         )
+        # change data feed: the commit's row-level I/U/D stream applied
+        # onto the v0 snapshot must reconstruct the merged table exactly
+        # (round 9 — txn_changes reads only the commit's NET rewritten
+        # files, so feed volume tracks the rewrite, not the table)
+        from ..operators.etl import apply_snapshot_cdc as _apply_cdc
+        from ..sources.txn import txn_changes as _txn_changes
+
+        feed = _txn_changes(spark, txn_dir, 0, 1).drop("_commit_version")
+        rebuilt = _apply_cdc(v0, feed, ["c_custkey"]).select(*merged.columns)
+        cdf_ok = (
+            rebuilt.exceptAll(merged).isEmpty()
+            and merged.exceptAll(rebuilt).isEmpty()
+        )
         txn = merged.withColumn(
-            "ok", F.lit(bool(skip_ok and travel_ok and merge_ok))
+            "ok", F.lit(bool(skip_ok and travel_ok and merge_ok and cdf_ok))
         ).withColumn("part", F.lit("txn"))
 
         out = (

@@ -244,3 +244,77 @@ def test_merge_schema_evolution(spark, table):
     # a source missing table columns is rejected loudly
     with pytest.raises(ValueError, match="lack table columns"):
         txn_merge(spark, table, c, ["c_acctbal"], ["c_name"])
+
+
+def test_changes_feed_per_commit_and_reconstruction(spark, table):
+    """txn_changes: per-commit I/U/D rows tagged with _commit_version;
+    rows merely copied along in a file rewrite cancel out; applying
+    the feed in order onto the v_from snapshot reconstructs v_to."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources.txn import txn_changes
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=8)
+    # commit 1: update a band + insert a new key
+    upd1 = (
+        c.where(F.col("c_custkey") % 10 == 3)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_001, "new customer", 1.5, "BUILDING")], c.schema
+            )
+        )
+    )
+    txn_merge(
+        spark, table, upd1,
+        update_cols=["c_acctbal", "c_mktsegment"], stable_cols=["c_name"],
+    )
+    # commit 2: touch a different band
+    upd2 = txn_read(spark, table).where(
+        F.col("c_custkey") % 10 == 7
+    ).withColumn("c_mktsegment", F.lit("MACHINERY"))
+    txn_merge(
+        spark, table, upd2,
+        update_cols=["c_acctbal", "c_mktsegment"], stable_cols=["c_name"],
+    )
+
+    feed = txn_changes(spark, table, 0)
+    by_v = {
+        v: [r for r in feed.collect() if r["_commit_version"] == v]
+        for v in (1, 2)
+    }
+    n_upd1 = c.where(F.col("c_custkey") % 10 == 3).count()
+    # commit 1: exactly the updated band as 'U' + the insert as 'I' —
+    # unchanged rows rewritten alongside them must cancel out
+    ops1 = {}
+    for r in by_v[1]:
+        ops1.setdefault(r["op"], []).append(r["c_custkey"])
+    assert len(ops1.get("U", [])) == n_upd1
+    assert ops1.get("I") == [10_000_001]
+    assert "D" not in ops1
+    # commit 2: only the %10==7 band, all 'U' (the new key 10000001 has
+    # custkey % 10 == 1 and must not reappear) — and ONLY the rows whose
+    # segment actually changed: customers already in MACHINERY were
+    # rewritten with identical values and must cancel out of the feed
+    assert all(r["op"] == "U" and r["c_custkey"] % 10 == 7 for r in by_v[2])
+    assert len(by_v[2]) == c.where(
+        (F.col("c_custkey") % 10 == 7) & (F.col("c_mktsegment") != "MACHINERY")
+    ).count()
+
+    # reconstruction: v0 + feed(1) + feed(2) == v2, exactly
+    state = txn_read(spark, table, version=0)
+    for v in (1, 2):
+        chg = feed.where(F.col("_commit_version") == v).drop(
+            "_commit_version"
+        )
+        state = apply_snapshot_cdc(state, chg, ["c_custkey"])
+    final = txn_read(spark, table).select(*state.columns)
+    assert state.exceptAll(final).isEmpty()
+    assert final.exceptAll(state).isEmpty()
+
+    # empty range -> empty frame with the feed schema
+    empty = txn_changes(spark, table, 2, 2)
+    assert empty.count() == 0
+    assert "op" in empty.columns and "_commit_version" in empty.columns

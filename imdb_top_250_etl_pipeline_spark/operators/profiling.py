@@ -336,3 +336,57 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 16) -> DataFrame:
         .select("item", (F.col("est") - F.col("_kth")).alias("est"))
         .where(F.col("est") > 0)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile via the median absolute
+    deviation: ``outlier ⇔ |x − median| > z · 1.4826 · MAD`` — the
+    standard robust alternative to mean±3σ (a single wild value drags
+    the mean AND inflates σ enough to hide itself; the median and MAD
+    are 50%-breakdown estimators, so planted garbage cannot mask
+    itself).  1.4826 scales MAD to σ under normality.
+
+    Returns one row per group: median, MAD, outlier count and
+    fraction.  Three passes, each one shuffle: grouped median, grouped
+    median of |x − med| (median joined back on the group key —
+    broadcast, group cardinality is bounded), outlier count.  The
+    exact medians share the lerp-at-p·(n−1) definition with DuckDB
+    (hash-checkable, the agg_percentiles precedent); at 100 TB swap
+    ``F.percentile`` for ``approx_percentile`` — same plan shape, the
+    documented exact→sketch trade.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, 0.5).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).select(
+        *group_cols,
+        F.col(value_col).alias("_x"),
+        "_med",
+        F.abs(F.col(value_col) - F.col("_med")).alias("_adev"),
+    )
+    mad = dev.groupBy(*group_cols, "_med").agg(
+        F.percentile("_adev", 0.5).alias("_mad")
+    )
+    flagged = dev.drop("_med").join(F.broadcast(mad), group_cols)
+    thresh = F.lit(z) * F.lit(1.4826) * F.col("_mad")
+    return (
+        flagged.groupBy(*group_cols, "_med", "_mad")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(
+                F.when(F.col("_adev") > thresh, 1).otherwise(0)
+            ).alias("_k"),
+        )
+        .select(
+            *group_cols,
+            F.round("_med", 4).alias("median"),
+            F.round("_mad", 4).alias("mad"),
+            F.col("_k").cast("long").alias("n_outliers"),
+            F.round(F.col("_k") / F.col("_n"), 6).alias("outlier_frac"),
+        )
+    )

@@ -299,15 +299,27 @@ def agg_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS DOUBLE) AS v6",
             _SQL["agg_psi_drift"],
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "mad",
+            "o_orderpriority AS k, median AS v1, mad AS v2, "
+            "CAST(n_outliers AS DOUBLE) AS v3, outlier_frac AS v4, "
+            "CAST(NULL AS DOUBLE) AS v5, CAST(NULL AS DOUBLE) AS v6",
+            _SQL["agg_mad_outliers"],
+        )
     ),
     doc="Statistical moments (stddev/var/skew/kurt/corr per returnflag) + "
     "exact percentiles per priority with the approx_percentile sketch "
-    "folded to an invariant boolean, normalized to (part, k, v1..v6). "
+    "folded to an invariant boolean, normalized to (part, k, v1..v6), "
+    "plus the PSI drift gate and — round 9 — the MAD robust-outlier "
+    "profile (part=mad: median, MAD, count/fraction beyond "
+    "z·1.4826·MAD per priority). "
     "HASH-CHECKED since round 6: the constituent oracles reconcile "
     "Spark's population-form skewness/kurtosis with DuckDB's sample "
     "estimators and share the lerp percentile definition (see "
     "plans/sql_surface.py). Values additionally numpy-pinned in "
-    "tests/test_stats.py. Subsumes agg_stats_moments, agg_percentiles.",
+    "tests/test_stats.py. Subsumes agg_stats_moments, agg_percentiles, "
+    "agg_psi_drift, agg_mad_outliers.",
 )
 def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _FN["agg_stats_moments"](spark, sf_dir).select(
@@ -340,7 +352,17 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null("double").alias("v5"),
         _null("double").alias("v6"),
     )
-    return m.unionByName(p).unionByName(d)
+    md = _FN["agg_mad_outliers"](spark, sf_dir).select(
+        _tag("mad"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("median").alias("v1"),
+        F.col("mad").alias("v2"),
+        F.col("n_outliers").cast("double").alias("v3"),
+        F.col("outlier_frac").alias("v4"),
+        _null("double").alias("v5"),
+        _null("double").alias("v6"),
+    )
+    return m.unionByName(p).unionByName(d).unionByName(md)
 
 
 # ---------------------------------------------------------------------------
@@ -5122,6 +5144,8 @@ subsume(
     "agg_percentiles",
     # round-6: PSI drift gate rides the stats battery
     "agg_psi_drift",
+    # round-9: MAD robust-outlier profile rides the stats battery
+    "agg_mad_outliers",
     "join_semi",
     "join_anti",
     "join_right",

@@ -412,6 +412,52 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT o.o_orderpriority, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, med, quantile_cont(adev, 0.5) AS mad
+      FROM d GROUP BY o_orderpriority, med
+    )
+    SELECT d.o_orderpriority,
+           round(mad.med, 4) AS median, round(mad.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * mad.mad
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS outlier_frac
+    FROM d JOIN mad USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, mad.med, mad.mad
+    ORDER BY o_orderpriority
+    """,
+    doc="Robust outlier profile per order priority (operators/"
+    "profiling.py::mad_outliers): median, MAD, and the count/fraction "
+    "beyond z·1.4826·MAD — the 50%-breakdown alternative to mean±3σ "
+    "where planted garbage cannot inflate the spread enough to hide "
+    "itself.  Hash-checkable because both engines share the lerp "
+    "percentile definition (identical median/MAD doubles), the "
+    "threshold compares those identical doubles, and the only "
+    "projections are round(4)/round(6) of exact inputs — the "
+    "agg_percentiles discipline.",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import mad_outliers
+
+    o = load(spark, sf_dir, "orders")
+    return mad_outliers(o, "o_totalprice", ["o_orderpriority"]).orderBy(
+        "o_orderpriority"
+    )
+
+
 _NULL_AWARE_ANTI_SQL = """
 SELECT 'clean' AS part, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(o_orderkey) AS BIGINT) AS s

@@ -496,3 +496,31 @@ def test_tpch_shapes2_plans_no_cartesian(spark):
     # section, so count the numbered detail entries)
     n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert n_bnlj <= 3, plan
+
+
+def test_tpch_q6_filters_reach_parquet_scan(spark):
+    """Q6 is the canonical pushdown probe: its shipdate/discount/
+    quantity predicates must reach the parquet scan as PushedFilters
+    (a scan that reads everything and filters later re-reads the whole
+    fact at 100 TB), and the scan schema must be pruned to the columns
+    the aggregate needs."""
+    from imdb_top_250_etl_pipeline_spark.sources import load
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    li = load(spark, SF_CORRECT, "lineitem")
+    q6 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast(T.TimestampType()))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.count("*").alias("n"))
+    plan = plan_of(q6)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, line
+    # column pruning: the money column is not in the read schema
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read, read

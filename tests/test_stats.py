@@ -170,3 +170,32 @@ def test_merge_rollup_incremental_equals_full_recompute(spark):
     )
     merged = merge_rollup(state, extra, ["user_id"])
     assert merged.count() == whole.count() + 1
+
+
+def test_mad_outliers_hand_computed_and_breakdown(spark):
+    """Known group: median/MAD closed-form, the planted wild value is
+    flagged, and — the breakdown property — the same data through a
+    mean±3σ rule would NOT flag it (σ inflated by the outlier itself)."""
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        mad_outliers,
+    )
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, x double"
+    )
+    out = mad_outliers(df, "x", ["grp"]).collect()[0]
+    med = float(np.percentile(vals, 50))  # 12.5
+    adev = sorted(abs(v - med) for v in vals)
+    mad = float(np.percentile(adev, 50))  # 1.5
+    assert out["median"] == round(med, 4)
+    assert out["mad"] == round(mad, 4)
+    # only 1000.0 is beyond 3 * 1.4826 * MAD of the median
+    assert out["n_outliers"] == 1
+    assert out["outlier_frac"] == round(1 / 6, 6)
+    # breakdown contrast: mean±3σ misses the very outlier that
+    # inflated σ
+    mean, sd = float(np.mean(vals)), float(np.std(vals, ddof=1))
+    assert abs(1000.0 - mean) < 3 * sd

@@ -133,6 +133,14 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
             "n_nulls AS n_orders, true AS approx_ok, min_s, max_s",
             _PROFILE_ORACLE,
         )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "qmerge",
+            "p AS o_orderpriority, CAST(NULL AS BIGINT) AS n_customers, "
+            "CAST(NULL AS BIGINT) AS n_orders, true AS approx_ok, "
+            "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s",
+            "SELECT p FROM (VALUES ('p50'), ('p90'), ('p99')) t(p)",
+        )
     ),
     doc="countDistinct (exact, hash-checked) + approx_count_distinct "
     "verified AS AN INVARIANT: the HLL++ estimate per l_returnflag must "
@@ -145,8 +153,12 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
     "incremental distinct count (part=hll_union: per-day HLL sketches "
     "unioned across the month, estimate pinned within 5% of the exact "
     "count the oracle states — operators/profiling.py::"
-    "incremental_distinct_estimate). Subsumes agg_count_distinct, "
-    "agg_approx_distinct.",
+    "incremental_distinct_estimate), and — round 9 — mergeable "
+    "QUANTILE summaries (part=qmerge: per-day equi-depth grids merged "
+    "into global p50/p90/p99 whose rank error vs the data must stay "
+    "within 2/grid, the invariant boolean pinned true — operators/"
+    "profiling.py::quantile_state/merged_quantile_estimate). Subsumes "
+    "agg_count_distinct, agg_approx_distinct.",
 )
 def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _FN["agg_count_distinct"](spark, sf_dir)
@@ -212,7 +224,44 @@ def agg_distinct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_s",
         "max_s",
     )
-    return ex.unionByName(hist).unionByName(hll).unionByName(prof)
+    # mergeable quantile summaries (round 9 — the quantile analogue of
+    # hll_union): per-day equi-depth grids merged into global p50/p90/
+    # p99 estimates whose RANK error vs the data must stay within
+    # 2/grid, folded to the invariant boolean the oracle pins true
+    from ..operators.profiling import merged_quantile_estimate, quantile_state
+
+    GRID = 64
+    evv = ev.select(F.to_date("ts").alias("day"), "value")
+    qst = quantile_state(evv, "value", "day", grid=GRID)
+    qest = merged_quantile_estimate(qst, [0.5, 0.9, 0.99])
+    qrank = (
+        evv.crossJoin(F.broadcast(qest))
+        .groupBy("p")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("_rank")
+        )
+    )
+    qm = qrank.select(
+        _tag("qmerge"),
+        F.concat(
+            F.lit("p"), F.round(F.col("p") * 100).cast("int").cast("string")
+        ).alias("o_orderpriority"),
+        _null("bigint").alias("n_customers"),
+        _null("bigint").alias("n_orders"),
+        (F.abs(F.col("_rank") - F.col("p")) <= 2.0 / GRID).alias(
+            "approx_ok"
+        ),
+        *no_mm,
+    )
+    return (
+        ex.unionByName(hist)
+        .unionByName(hll)
+        .unionByName(prof)
+        .unionByName(qm)
+    )
 
 
 @register(

@@ -398,9 +398,11 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window into one task).  Exact integer counts with the lower-key "
     "tie-break make selection deterministic cross-engine; "
     "epoch-aligned buckets so F.window and DuckDB's time_bucket "
-    "agree.  The same plan runs under Structured Streaming with a "
-    "watermark (windowed agg in append mode) — this is its batch "
-    "dual.",
+    "agree.  In streaming, the windowed COUNT is the append-mode "
+    "stateful part (watermarked); the per-window rank is a per-batch "
+    "post-pass over closed windows (foreachBatch), since ranking "
+    "can't finalize until a window's counts stop changing — this "
+    "query is that composition's batch dual.",
 )
 def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import trending_topk

@@ -199,3 +199,57 @@ def test_mad_outliers_hand_computed_and_breakdown(spark):
     # inflated σ
     mean, sd = float(np.mean(vals)), float(np.std(vals, ddof=1))
     assert abs(1000.0 - mean) < 3 * sd
+
+
+def test_quantile_state_merge_rank_error_bounded(spark):
+    """Per-day grids merged into global quantiles: the merged estimate's
+    RANK in the full data must sit within 2/grid of the target p for
+    every probe — the mergeable-summary contract."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        merged_quantile_estimate,
+        quantile_state,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    grid = 32
+    st = quantile_state(ev, "value", "day", grid=grid)
+    probes = [0.1, 0.5, 0.9, 0.99]
+    est = {
+        r["p"]: r["est"]
+        for r in merged_quantile_estimate(st, probes).collect()
+    }
+    n = ev.count()
+    for p in probes:
+        rank = ev.where(F.col("value") <= est[p]).count() / n
+        assert abs(rank - p) <= 2.0 / grid, (p, rank, est[p])
+
+
+def test_quantile_state_single_partition_is_exact_grid(spark):
+    """One partition's state is the exact lerp quantile grid — merging
+    a single summary reproduces its own grid points."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        merged_quantile_estimate,
+        quantile_state,
+    )
+
+    vals = [float(v) for v in range(101)]  # 0..100: percentile p = 100p
+    df = spark.createDataFrame([("d", v) for v in vals], "day string, x double")
+    st = quantile_state(df, "x", "day", grid=10)
+    row = st.collect()[0]
+    assert row["n"] == 101
+    assert row["qs"] == [float(v) for v in range(0, 101, 10)]
+    est = {
+        r["p"]: r["est"]
+        for r in merged_quantile_estimate(st, [0.5, 0.9]).collect()
+    }
+    # grid points carry their own rank: p=0.5 -> 50 exactly
+    assert est[0.5] == 50.0
+    assert est[0.9] == 90.0

@@ -579,15 +579,54 @@ def filter_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _wrap("intersect", "custkey", _SQL["set_intersect"])
         + "\nUNION ALL\n"
         + _wrap("except", "custkey", _SQL["set_except"])
+        + "\nUNION ALL\n"
+        + _wrap(
+            "intersect_all",
+            "custkey",
+            "SELECT o_custkey AS custkey FROM orders "
+            "WHERE o_orderkey % 3 = 0 "
+            "INTERSECT ALL "
+            "SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0",
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
+            "except_all",
+            "custkey",
+            "SELECT o_custkey AS custkey FROM orders "
+            "WHERE o_orderkey % 3 = 0 "
+            "EXCEPT ALL "
+            "SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0",
+        )
     ),
-    doc="UNION DISTINCT (A1) + INTERSECT + EXCEPT, tagged. Subsumes "
-    "set_union_distinct, set_intersect, set_except.",
+    doc="UNION DISTINCT (A1) + INTERSECT + EXCEPT, plus — round 9 — "
+    "the ALL (multiset) variants over naturally-duplicated custkeys "
+    "(a customer appears once per order): INTERSECT ALL keeps "
+    "min(left, right) copies per value and EXCEPT ALL keeps "
+    "left-minus-right copies — bag semantics the DISTINCT forms "
+    "erase, and exactly what dedup accounting / multiset reconcile "
+    "needs.  The driver's order-insensitive hash verifies the "
+    "MULTIPLICITIES, which is the whole point of the ALL branches. "
+    "Subsumes set_union_distinct, set_intersect, set_except.",
 )
 def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _FN["set_union_distinct"](spark, sf_dir).select(_tag("union"), "custkey")
     i = _FN["set_intersect"](spark, sf_dir).select(_tag("intersect"), "custkey")
     e = _FN["set_except"](spark, sf_dir).select(_tag("except"), "custkey")
-    return u.unionByName(i).unionByName(e)
+    o = load(spark, sf_dir, "orders")
+    a3 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    a2 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ia = a3.intersectAll(a2).select(_tag("intersect_all"), "custkey")
+    ea = a3.exceptAll(a2).select(_tag("except_all"), "custkey")
+    return (
+        u.unionByName(i)
+        .unionByName(e)
+        .unionByName(ia)
+        .unionByName(ea)
+    )
 
 
 _WINDOW_NAV_SQL = """

@@ -467,3 +467,51 @@ def test_stream_stream_full_outer_join_emits_both_sides(spark, tmp_path):
     assert right_only[0]["r_event_id"] == 4
     assert right_only[0]["user_id"] == 5
     assert len(got) == 4
+
+
+def test_trending_topk_streaming_composition(spark):
+    """The trending report's streaming form end-to-end: the watermarked
+    windowed COUNT runs under availableNow (append mode — only closed
+    windows emit), then the per-window rank runs as the batch post-pass
+    over the emitted windows.  The result must equal trending_topk's
+    batch dual restricted to the windows the watermark closed."""
+    from pyspark.sql.window import Window as W
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        trending_topk,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    per = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    emitted = _run_to_memory(per, spark, "t_trend_counts", "append")
+    wr = W.partitionBy("w_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    got = {
+        (r["w_start"], r["rank"]): (r["user_id"], r["n_events"])
+        for r in emitted.withColumn(
+            "rank", F.row_number().over(wr).cast("int")
+        )
+        .where(F.col("rank") <= 3)
+        .collect()
+    }
+    closed = {w for (w, _r) in got}
+    assert closed, "no closed windows emitted"
+    batch = load(spark, SF_SMOKE, "events").select("ts", "user_id")
+    want = {
+        (r["w_start"], r["rank"]): (r["user_id"], r["n_events"])
+        for r in trending_topk(batch, "ts", "user_id", "6 hours", k=3)
+        .collect()
+        if r["w_start"] in closed
+    }
+    assert got == want

@@ -230,3 +230,37 @@ def quantile_bins(
         )
         .drop("_edges")
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "n_distinct_so_far",
+) -> DataFrame:
+    """Cumulative distinct count per partition: for each row, how many
+    DISTINCT ``value_col`` values its partition has seen up to and
+    including it — "unique products viewed so far", the running-uniques
+    curve engagement analytics plot.
+
+    A running ``collect_set`` would carry an unbounded set through the
+    window state; instead each value's FIRST occurrence (row_number
+    over (partition, value) == 1, ties broken by ``order_cols``) flags
+    1 and a plain running SUM of the flags gives the count — two
+    window passes, each a hash shuffle, state O(1) per row.  Fully
+    deterministic when ``order_cols`` is a total order (include a
+    unique id as the last key), hence oracle-checkable.
+    """
+    w_first = W.partitionBy(part_col, value_col).orderBy(*order_cols)
+    flagged = df.withColumn(
+        "_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    w_run = (
+        W.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return flagged.withColumn(
+        out_col, F.sum("_first").over(w_run).cast("long")
+    ).drop("_first")

@@ -740,6 +740,50 @@ def window_distributed_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_RDIST_SQL = """
+    WITH f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS fs
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(fs) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM f
+"""
+
+
+@register(
+    "window_running_distinct",
+    oracle=_WINDOW_RDIST_SQL,
+    doc="Cumulative distinct count (operators/windows.py::"
+    "running_distinct): per user, how many DISTINCT event types seen "
+    "up to each row — the running-uniques engagement curve.  A running "
+    "collect_set would drag an unbounded set through window state; "
+    "first-occurrence flags + a plain running SUM keep state O(1) per "
+    "row (two hash-shuffled window passes).  Deterministic because "
+    "(ts, event_id) totally orders each partition.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import running_distinct
+
+    return running_distinct(
+        _events_base(spark, sf_dir),
+        "user_id",
+        "event_type",
+        ["ts", "event_id"],
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("n_distinct_so_far").cast("double").alias("running_value"),
+    )
+
+
 @register(
     "window_quantile_bins",
     oracle=_WINDOW_QBIN_SQL,
@@ -813,6 +857,12 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + "\nUNION ALL\n"
         + _wrap(
+            "rdist",
+            f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
+            _WINDOW_RDIST_SQL,
+        )
+        + "\nUNION ALL\n"
+        + _wrap(
             "qbin",
             f"user_id, event_id, ts, running_value, {_WINDOW_AUX}",
             _WINDOW_QBIN_SQL,
@@ -833,10 +883,14 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(part=cumsum — no partition column at all, the single-task case), "
     "and quantile_bins(exact=True) equal-frequency binning whose "
     "interpolated edges are bit-identical to DuckDB quantile_cont "
-    "(part=qbin), plus the Morton Z-order layout key over "
+    "(part=qbin), plus the running distinct count per user "
+    "(part=rdist, round 9 — first-occurrence flags + running SUM, "
+    "O(1) window state where a running collect_set would be "
+    "unbounded), plus the Morton Z-order layout key over "
     "(user_id, event_id) (part=zorder — functions/layout.py, the "
     "multi-dimensional data-skipping sort key as flat codegen integer "
-    "arithmetic). Subsumes window_running_sum, window_lag_lead.",
+    "arithmetic). Subsumes window_running_sum, window_lag_lead, "
+    "window_running_distinct.",
 )
 def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -867,10 +921,15 @@ def window_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rn = window_grouped_row_number(spark, sf_dir).select(_tag("rn"), "*", *aux)
     cs = window_distributed_cumsum(spark, sf_dir).select(_tag("cumsum"), "*", *aux)
+    rd = window_running_distinct(spark, sf_dir).select(_tag("rdist"), "*", *aux)
     qb = window_quantile_bins(spark, sf_dir).select(_tag("qbin"), "*", *aux)
     zo = scalar_zorder_key(spark, sf_dir).select(_tag("zorder"), "*", *aux)
     return (
-        nav.unionByName(rn).unionByName(cs).unionByName(qb).unionByName(zo)
+        nav.unionByName(rn)
+        .unionByName(cs)
+        .unionByName(rd)
+        .unionByName(qb)
+        .unionByName(zo)
     )
 
 
@@ -5301,6 +5360,9 @@ subsume(
     # dedup_pairs_battery for the driver
     "window_grouped_row_number",
     "window_distributed_cumsum",
+    # round-9: running distinct count rides window_events_battery
+    # (part=rdist)
+    "window_running_distinct",
     "window_quantile_bins",
     "scalar_zorder_key",
     "agg_histogram_fixed_width",

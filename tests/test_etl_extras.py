@@ -337,3 +337,32 @@ def test_fk_expectation_no_row_multiplication_on_dup_dim_keys(spark):
     )  # dup keys must not fan out the fact
     out = fk_expectation(facts, "fk", dim, "key").collect()
     assert len(out) == 1 and out[0]["_fk_ok"] is True
+
+
+def test_running_distinct_hand_fixture(spark):
+    """First occurrences bump the count; repeats don't; partitions are
+    independent; ties resolve by the id tie-break."""
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        running_distinct,
+    )
+
+    U = dt.datetime
+    rows = [
+        (1, 1, U(2024, 1, 1, 0), "a"),
+        (1, 2, U(2024, 1, 1, 1), "b"),
+        (1, 3, U(2024, 1, 1, 2), "a"),   # repeat -> stays 2
+        (1, 4, U(2024, 1, 1, 3), "c"),
+        (2, 5, U(2024, 1, 1, 0), "a"),   # other user independent
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, v string"
+    )
+    out = {
+        r["event_id"]: r["n_distinct_so_far"]
+        for r in running_distinct(
+            df, "user_id", "v", ["ts", "event_id"]
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}

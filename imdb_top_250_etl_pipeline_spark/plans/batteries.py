@@ -4869,6 +4869,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(n_lists AS VARCHAR) AS k, {_NS} AS s, "
         f"CAST(fused_rank AS DOUBLE) AS v, true AS ok "
         f"FROM ({_SQL['hybrid_rrf_retrieval']}) t",
+        f"SELECT 'pipeline' AS part, doc_id AS a, n_copies AS b, "
+        f"CAST(n_ws_tokens AS BIGINT) AS n, split AS k, "
+        f"CAST(n_bpe_tokens AS VARCHAR) AS s, contamination_ratio AS v, "
+        f"true AS ok FROM ({_SQL['corpus_training_pipeline']}) t",
         f"SELECT 'cdc2' AS part, c_custkey AS a, {_NB} AS b, {_NB} AS n, "
         f"op AS k, c_name || '|' || c_mktsegment AS s, "
         f"CAST(c_acctbal AS DOUBLE) AS v, true AS ok "
@@ -4928,6 +4932,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "(sql_tpch_shapes2: Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q22), "
     "rrf = reciprocal-rank-fusion hybrid retrieval over BM25 + cosine "
     "rank lists with an exact-integer score (hybrid_rrf_retrieval), "
+    "pipeline = the LLM-data pipeline end-to-end — quality gate → "
+    "exact dedup → decontamination → md5 split → token budgeting, the "
+    "COMPOSITION hash-checked in one row (corpus_training_pipeline), "
     "cdc2 = "
     "snapshot-diff CDC generation (etl_snapshot_cdc), scdlk = "
     "point-in-time SCD2 dimension lookup (etl_scd2_lookup), ppl = "
@@ -5161,6 +5168,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fused_rank").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    pipe = _FN["corpus_training_pipeline"](spark, sf_dir).select(
+        F.lit("pipeline").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_copies").cast("long").alias("b"),
+        F.col("n_ws_tokens").cast("long").alias("n"),
+        F.col("split").alias("k"),
+        F.col("n_bpe_tokens").cast("string").alias("s"),
+        F.col("contamination_ratio").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     c2 = etl_snapshot_cdc(spark, sf_dir).select(
         F.lit("cdc2").alias("part"),
         F.col("c_custkey").cast("long").alias("a"),
@@ -5266,6 +5283,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tp)
         .unionByName(tp2)
         .unionByName(rrf)
+        .unionByName(pipe)
         .unionByName(c2)
         .unionByName(sl)
         .unionByName(pl)
@@ -5417,6 +5435,9 @@ subsume(
     # round-9: reciprocal-rank-fusion hybrid retrieval (BM25 + cosine),
     # riding extension_battery (part=rrf)
     "hybrid_rrf_retrieval",
+    # round-9: the end-to-end corpus pipeline composition, riding
+    # extension_battery (part=pipeline)
+    "corpus_training_pipeline",
     "etl_snapshot_cdc",
     "etl_scd2_lookup",
     "text_lm_perplexity",

@@ -685,6 +685,123 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(d, "text", "doc_id").orderBy("doc_id")
 
 
+_PIPELINE_ORACLE = """
+WITH base AS (SELECT doc_id, text, source FROM documents),
+qf AS (
+  SELECT * FROM base
+  WHERE len(string_split(text, ' ')) >= 5
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.2
+),
+dd AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+         text
+  FROM qf GROUP BY text
+),
+gr AS (
+  SELECT doc_id, n_copies, text,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             i -> array_to_string(
+                 list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS grams
+  FROM dd
+),
+ref AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             i -> array_to_string(
+                 list_slice(string_split(text, ' '), i, i + 2), ' ')
+         ))) AS gram
+  FROM base WHERE source = 'src0'
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_cont
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM gr) dg
+  WHERE gram IN (SELECT gram FROM ref)
+  GROUP BY doc_id
+),
+cont AS (
+  SELECT gr.doc_id, gr.n_copies, gr.text,
+         CASE WHEN len(gr.grams) > 0
+              THEN CAST(COALESCE(hits.n_cont, 0) AS DOUBLE)
+                   / len(gr.grams)
+         END AS contamination_ratio
+  FROM gr LEFT JOIN hits USING (doc_id)
+),
+kept AS (
+  SELECT * FROM cont WHERE COALESCE(contamination_ratio, 0) <= 0.5
+)
+SELECT doc_id, n_copies,
+       CASE WHEN CAST(CONCAT('0x',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10 < 8 THEN 'train'
+            WHEN CAST(CONCAT('0x',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+       contamination_ratio
+FROM kept
+"""
+
+
+@register(
+    "corpus_training_pipeline",
+    oracle=_PIPELINE_ORACLE,
+    doc="The LLM-data pipeline END TO END as one verified composition — "
+    "quality gate (≥5 tokens, distinct-ratio > 0.2) → exact dedup "
+    "(min-id representative per sha2, copy count kept) → benchmark "
+    "decontamination (3-gram overlap vs the source=src0 slice, docs "
+    ">50% contaminated dropped, gram-less docs pass) → deterministic "
+    "md5 train/val/test split (8/1/1) → token budgeting (whitespace + "
+    "BPE-ish counts).  Every stage is individually oracle-checked "
+    "elsewhere; THIS query hash-checks their composition — stage "
+    "boundaries are where real pipelines corrupt data (dropped rows, "
+    "doubled rows, leaked quarantine), and the end-to-end hash rules "
+    "all of that out in one driver row.  Scale: each stage is one of "
+    "the registry's own bounded-shuffle plans; nothing here adds a "
+    "join or shuffle the constituents do not already carry.",
+)
+def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import (
+        contamination_check,
+        quality_columns,
+        token_count_columns,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    q = d.select("doc_id", "text", "source", *quality_columns("text"))
+    filt = q.where(
+        (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") > 0.2)
+    ).select("doc_id", "text")
+
+    reps = (
+        exact_dedup(filt, "text", "doc_id")
+        .select("doc_id", "n_copies")
+        .join(filt, "doc_id")
+    )
+    ref = d.where(F.col("source") == "src0").select("doc_id", "text")
+    cont = contamination_check(
+        reps.select("doc_id", "text"), ref, "text", "doc_id", n=3
+    )
+    kept = (
+        reps.join(cont.select("doc_id", "contamination_ratio"), "doc_id")
+        .where(F.coalesce("contamination_ratio", F.lit(0.0)) <= 0.5)
+    )
+    sp = split_by_hash(kept, "doc_id", {"train": 8, "val": 1, "test": 1})
+    return sp.select(
+        "doc_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        "split",
+        *token_count_columns("text"),
+        "contamination_ratio",
+    )
+
+
 @register(
     "text_token_counts",
     oracle="""

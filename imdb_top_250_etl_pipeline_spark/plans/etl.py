@@ -248,7 +248,9 @@ def _count_parquet_files(path: str) -> int:
     "snapshot equals the pure upsert, and — round 9 — the change data "
     "feed (txn_changes: per-commit I/U/D from the commit's NET "
     "rewritten files only) applied onto v0 reconstructs the merged "
-    "table exactly), and "
+    "table exactly, plus OPTIMIZE small-file compaction whose commit "
+    "leaves content identical and contributes ZERO change-feed rows — "
+    "compaction invisible to incremental consumers), and "
     "the four non-parquet source formats round-tripped with explicit "
     "declared schemas and FAILFAST (part=csv/json/orc/xml — XML native "
     "in Spark 4 — "
@@ -440,8 +442,24 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuilt.exceptAll(merged).isEmpty()
             and merged.exceptAll(rebuilt).isEmpty()
         )
-        txn = merged.withColumn(
-            "ok", F.lit(bool(skip_ok and travel_ok and merge_ok and cdf_ok))
+        # OPTIMIZE (round 9): compact the post-merge small files; the
+        # content must be untouched AND the optimize commit must be
+        # invisible to the change feed (zero CDF rows)
+        from ..sources.txn import txn_optimize as _txn_optimize
+
+        v_opt = _txn_optimize(spark, txn_dir, target_files=1)
+        after_opt = txn_read(spark, txn_dir)
+        opt_ok = (
+            v_opt == 2
+            and after_opt.exceptAll(merged).isEmpty()
+            and merged.exceptAll(after_opt).isEmpty()
+            and _txn_changes(spark, txn_dir, 1, 2).isEmpty()
+        )
+        txn = after_opt.withColumn(
+            "ok",
+            F.lit(
+                bool(skip_ok and travel_ok and merge_ok and cdf_ok and opt_ok)
+            ),
         ).withColumn("part", F.lit("txn"))
 
         out = (

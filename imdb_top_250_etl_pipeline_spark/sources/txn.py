@@ -432,3 +432,57 @@ def txn_changes(
             .where(F.lit(False))
         )
     return out
+
+
+def txn_optimize(
+    spark: SparkSession,
+    table: str,
+    target_files: int | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE: compact the current snapshot's small files into fewer,
+    key-clustered ones in ONE atomic commit — content is untouched, so
+    a concurrent reader pinned to any version sees identical rows and
+    subsequent MERGEs skip better (fresh disjoint key ranges).
+
+    Files at or above ``small_file_bytes`` are left alone (rewriting
+    already-compact files is wasted I/O — Delta's OPTIMIZE applies the
+    same bin threshold); the small ones are read once, range-
+    repartitioned on the table key into ``target_files`` outputs
+    (default: enough to average the threshold size), and committed as
+    adds + removes.  Commits through the same exclusive-link protocol
+    as MERGE, so racing writers conflict instead of losing files.
+    Returns the new version, or -1 when nothing needed compacting
+    (no empty commits).  Change-data-feed consumers see an EMPTY
+    change set for an optimize commit by construction: txn_changes
+    diffs removed-file rows against added-file rows and identical
+    content cancels out — compaction is invisible to downstream
+    incremental consumers, exactly as it should be.
+    """
+    head = latest_version(table)
+    if head < 0:
+        raise FileNotFoundError(f"no committed version under {table}")
+    _, schema_json, key, live = snapshot(table)
+    small = [
+        rel
+        for rel in sorted(live)
+        if os.path.getsize(os.path.join(table, rel)) < small_file_bytes
+    ]
+    if target_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(table, rel)) for rel in small
+        )
+        target_files = max(1, total // small_file_bytes)
+    # compacting N files into >= N outputs achieves nothing: no empty
+    # (or useless) commits — this is also what makes OPTIMIZE idempotent
+    if len(small) <= target_files:
+        return -1
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, rel) for rel in small]
+    )
+    version = head + 1
+    adds = _stage_and_place(df, table, version, key, int(target_files))
+    removes = [{"remove": {"path": rel}} for rel in small]
+    _commit(table, version, adds + removes)
+    return version

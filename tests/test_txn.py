@@ -318,3 +318,41 @@ def test_changes_feed_per_commit_and_reconstruction(spark, table):
     empty = txn_changes(spark, table, 2, 2)
     assert empty.count() == 0
     assert "op" in empty.columns and "_commit_version" in empty.columns
+
+
+def test_optimize_compacts_preserving_content_and_history(spark, table):
+    """OPTIMIZE: small files compact into fewer key-clustered ones in
+    one atomic commit; content identical; time travel to the
+    pre-optimize version still works; the change feed for the optimize
+    commit is EMPTY (compaction is invisible to CDF consumers); a
+    second optimize is a no-op (-1, no empty commit)."""
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_changes,
+        txn_optimize,
+    )
+
+    c = _customers(spark)
+    # create with many tiny files (one per range partition)
+    txn_create(c, table, key="c_custkey", range_partitions=16)
+    _, _, _, live0 = snapshot(table)
+    assert len(live0) == 16
+
+    v = txn_optimize(spark, table, target_files=2)
+    assert v == 1
+    _, _, _, live1 = snapshot(table)
+    assert len(live1) < len(live0)
+    # content identical
+    after = txn_read(spark, table)
+    assert after.exceptAll(c).isEmpty() and c.exceptAll(after).isEmpty()
+    # time travel to v0 intact
+    v0 = txn_read(spark, table, version=0)
+    assert v0.exceptAll(c).isEmpty() and c.exceptAll(v0).isEmpty()
+    # CDF: the optimize commit contributes ZERO changes
+    assert txn_changes(spark, table, 0, 1).count() == 0
+    # idempotence: everything is already compact
+    assert txn_optimize(spark, table, target_files=2) == -1
+    assert latest_version(table) == 1
+    # new files carry key stats (file skipping stays selective)
+    assert all(
+        a.get("min_key") is not None for a in live1.values()
+    )

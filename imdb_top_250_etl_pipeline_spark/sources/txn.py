@@ -486,3 +486,85 @@ def txn_optimize(
     removes = [{"remove": {"path": rel}} for rel in small]
     _commit(table, version, adds + removes)
     return version
+
+
+def consume_changes(
+    spark: SparkSession,
+    table: str,
+    cursor_path: str,
+) -> tuple[DataFrame, int, int]:
+    """Incremental change consumption with a durable cursor — the
+    batch form of a streaming CDF subscription (Delta's
+    ``startingVersion`` pattern): each call returns the change feed
+    for every version committed since the last call, plus the
+    (from, to] version range it covers.  Call ``advance_cursor`` with
+    the returned ``to`` AFTER the downstream write commits — advancing
+    only on success is what makes re-runs after a failure replay the
+    same batch instead of dropping it (at-least-once, and exactly-once
+    when the downstream apply is idempotent, e.g. apply_snapshot_cdc
+    or MERGE on the key).
+
+    The cursor is one integer in a file (atomic rename on write); the
+    change set per call is bounded by the commits' rewrite volume via
+    txn_changes, never the table.
+    """
+    head = latest_version(table)
+    if not os.path.exists(cursor_path):
+        # fresh subscription: the version-0 snapshot itself is consumed
+        # as inserts, then the feed of every later commit
+        base = txn_read(spark, table, version=0)
+        key = snapshot(table, 0)[2]
+        payload = [c for c in base.columns if c != key]
+        initial = base.select(
+            key,
+            F.lit("I").alias("op"),
+            *payload,
+            F.lit(0).cast("int").alias("_commit_version"),
+        )
+        return initial.unionByName(txn_changes(spark, table, 0, head)), -1, head
+    with open(cursor_path) as f:
+        v_from = int(f.read().strip())
+    return txn_changes(spark, table, v_from, head), v_from, head
+
+
+def advance_cursor(cursor_path: str, to_version: int) -> None:
+    """Persist the consumption cursor atomically (write + rename)."""
+    tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(to_version))
+    os.replace(tmp, cursor_path)
+
+
+def txn_schema_history(table: str) -> list[dict]:
+    """Schema evolution audit from the log alone (no data read): one
+    entry per version that committed a metaData action, with the
+    columns added/removed/retyped relative to the previous schema —
+    the drift report a platform team reviews before a breaking
+    consumer deploy."""
+    head = latest_version(table)
+    out: list[dict] = []
+    prev: dict[str, str] = {}
+    for v in range(head + 1):
+        with open(_log_path(table, v)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "metaData" not in a:
+                    continue
+                fields = {
+                    fld["name"]: json.dumps(fld["type"], sort_keys=True)
+                    for fld in json.loads(a["metaData"]["schema"])["fields"]
+                }
+                out.append(
+                    {
+                        "version": v,
+                        "added": sorted(set(fields) - set(prev)),
+                        "removed": sorted(set(prev) - set(fields)),
+                        "retyped": sorted(
+                            n
+                            for n in set(fields) & set(prev)
+                            if fields[n] != prev[n]
+                        ),
+                    }
+                )
+                prev = fields
+    return out

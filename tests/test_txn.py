@@ -356,3 +356,86 @@ def test_optimize_compacts_preserving_content_and_history(spark, table):
     assert all(
         a.get("min_key") is not None for a in live1.values()
     )
+
+
+def test_consume_changes_cursor_protocol(spark, table, tmp_path):
+    """Incremental CDF subscription: the first call delivers the base
+    snapshot as inserts plus all commits; advancing only after a
+    successful apply makes a crashed consumer REPLAY the same batch;
+    a caught-up consumer gets an empty batch; a new commit is
+    delivered alone."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        advance_cursor,
+        consume_changes,
+    )
+
+    cur = str(tmp_path / "cursor")
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=8)
+    upd = c.where(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    txn_merge(spark, table, upd, ["c_acctbal", "c_mktsegment"], ["c_name"])
+
+    # first call: base snapshot as 'I' + the merge's changes
+    feed, v_from, v_to = consume_changes(spark, table, cur)
+    assert (v_from, v_to) == (-1, 1)
+    assert feed.where(
+        (F.col("_commit_version") == 0) & (F.col("op") == "I")
+    ).count() == c.count()
+    # applying the whole feed in version order rebuilds the live table
+    state = spark.createDataFrame([], txn_read(spark, table).schema)
+    for v in (0, 1):
+        chg = feed.where(F.col("_commit_version") == v).drop(
+            "_commit_version"
+        )
+        state = apply_snapshot_cdc(state, chg, ["c_custkey"])
+    live = txn_read(spark, table).select(*state.columns)
+    assert state.exceptAll(live).isEmpty() and live.exceptAll(state).isEmpty()
+
+    # crash before advancing: the SAME batch replays
+    feed2, v_from2, v_to2 = consume_changes(spark, table, cur)
+    assert (v_from2, v_to2) == (-1, 1)
+
+    # advance, then caught-up consumers get an empty batch
+    advance_cursor(cur, v_to)
+    feed3, v_from3, v_to3 = consume_changes(spark, table, cur)
+    assert (v_from3, v_to3) == (1, 1) and feed3.count() == 0
+
+    # a new commit is delivered alone
+    upd2 = c.where(F.col("c_custkey") % 10 == 4).withColumn(
+        "c_mktsegment", F.lit("NEWSEG")
+    )
+    txn_merge(spark, table, upd2, ["c_acctbal", "c_mktsegment"], ["c_name"])
+    feed4, v_from4, v_to4 = consume_changes(spark, table, cur)
+    assert (v_from4, v_to4) == (1, 2)
+    assert feed4.select("_commit_version").distinct().collect()[0][0] == 2
+
+
+def test_schema_history_reports_evolution(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_schema_history,
+    )
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=4)
+    upd = c.where(F.col("c_custkey") % 5 == 0).withColumn(
+        "segment_rank", (F.col("c_custkey") % 3).cast("long")
+    )
+    txn_merge(
+        spark, table, upd,
+        update_cols=["c_acctbal", "c_mktsegment", "segment_rank"],
+        stable_cols=["c_name"],
+        allow_schema_evolution=True,
+    )
+    hist = txn_schema_history(table)
+    assert hist[0]["version"] == 0
+    assert hist[0]["added"] == sorted(c.columns)
+    assert hist[0]["removed"] == [] and hist[0]["retyped"] == []
+    evo = [h for h in hist if h["version"] > 0]
+    assert len(evo) == 1
+    assert evo[0]["added"] == ["segment_rank"]
+    assert evo[0]["removed"] == [] and evo[0]["retyped"] == []

@@ -470,3 +470,84 @@ def merged_quantile_estimate(
         .groupBy("p")
         .agg(F.min("q").alias("est"))
     )
+
+
+def _cms_pos(d: Column, value: Column, width: int) -> Column:
+    """Row d's bucket for a value: md5-derived, deterministic, and
+    restatable verbatim in SQL (the split_by_hash convention — 15 hex
+    chars < 2^60 so the bigint conversion never overflows ANSI mode)."""
+    h = F.md5(F.concat(d.cast("string"), F.lit(":"), value))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")) % F.lit(
+        width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count–min sketch of a column → (d, pos, cnt): ``depth``
+    independent hash rows of ``width`` buckets; every occurrence
+    increments one bucket per row.
+
+    The mergeable frequency sketch that completes the sketch family
+    (HLL = distinct counts, Misra–Gries = top items, equi-depth grids =
+    quantiles, CMS = POINT FREQUENCY queries on an unbounded domain):
+    a point estimate min_d cnt[d][h_d(x)] never undercounts, and
+    overcounts by more than 2N/width with probability ≤ 2^-depth.
+    Unlike an exact groupBy on the item — whose shuffle keyspace grows
+    with the domain — the CMS groupBy keyspace is ≤ depth·width rows
+    REGARDLESS of data volume, and two sketches merge by elementwise
+    bucket addition (it is just a sum-groupBy over a fixed keyspace),
+    so per-partition/per-day sketches union into a global one without
+    touching the raw data again.
+
+    Hashing is md5-derived (not xxhash64) so the whole sketch table is
+    hash-checkable against the SQL oracle bucket for bucket.
+    """
+    depths = F.array(*[F.lit(d) for d in range(depth)])
+    return (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(F.explode(depths).alias("d"), "_v")
+        .select(
+            F.col("d").cast("int").alias("d"),
+            _cms_pos(F.col("d"), F.col("_v"), width).alias("pos"),
+        )
+        .groupBy("d", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` against a prebuilt
+    sketch → (item, est): est = min over the depth rows of the item's
+    bucket count — ≥ the true frequency always (every occurrence lands
+    in all of the item's buckets), within 2N/width of it w.h.p.
+
+    Plan: items explode to depth (d, pos) probes and equi-join the
+    sketch — the sketch side is ≤ depth·width rows, so Catalyst
+    broadcasts it and the probe never shuffles the item table.  A
+    probed bucket always exists when the item occurred at least once;
+    a missing bucket left-joins to 0 (the item was never seen).
+    """
+    depths = F.array(*[F.lit(d) for d in range(depth)])
+    probes = items.select(
+        F.col(col).cast("string").alias("item")
+    ).select("item", F.explode(depths).alias("d")).select(
+        "item",
+        F.col("d").cast("int").alias("d"),
+        _cms_pos(F.col("d"), F.col("item"), width).alias("pos"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "pos"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est")
+        )
+    )

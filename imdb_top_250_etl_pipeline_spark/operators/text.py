@@ -760,3 +760,140 @@ def lm_perplexity_scores(
         )
     )
     return df.select(id_col).join(scored, id_col, "left")
+
+
+def positional_span_grams(text_col: str, k: int) -> Column:
+    """Array of the text's k-token spans in position order: element i
+    (0-based) is the k tokens starting at token i+1, joined by ' '.
+
+    Built row-locally (transform over sequence + slice) so span
+    construction adds ZERO shuffles; contrast word_shingles, whose
+    regexp-lookahead form is faster but positionless — trimming needs
+    the start offsets.  Guarded: sequence(1, n-k+1) would DESCEND for
+    n < k, so short documents explicitly yield an empty array.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k) + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring span deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    word-granular): find every k-token span that appears verbatim in
+    ``min_docs``-or-more documents, and remove each duplicated span
+    from every document EXCEPT its canonical owner (min id) — the
+    corpus keeps exactly one copy of every repeated passage.
+
+    Sits between line-level boilerplate removal (drop_frequent_segments
+    — needs the duplicate to be delimiter-aligned) and whole/near-doc
+    dedup (exact_dedup / MinHash — needs most of the doc to repeat):
+    verbatim passages quoted mid-paragraph are invisible to both.
+
+    Returns per input document: span stats (n_spans, n_dup_spans,
+    dup_span_frac — NULL when no span fits) and the trimmed rebuild
+    (clean_text, n_kept tokens).  A token is removed iff it is covered
+    by ANY duplicated span occurrence in a non-canonical document;
+    overlapping spans need no interval merge — coverage is computed at
+    token granularity and de-duplicated per (doc, pos).
+
+    Plan: span construction is row-local (zero shuffles); one shuffle
+    groups spans for document-frequency + canonical-owner stats; the
+    join back is an equi-join on the span string; covered positions
+    explode to (doc, pos) and anti-join the token table; ordered
+    reassembly is collect_list(struct) + array_sort — per-row array
+    work, no sort exchange.  At 100 TB: key the frequency join on
+    xxhash64(span) so the shuffle carries 8-byte keys (kept as the
+    plain string here so the DuckDB oracle restates the join
+    verbatim), and pre-filter with a broadcast bloom filter of
+    duplicated span hashes before the join-back.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        positional_span_grams(text_col, k).alias("_grams"),
+    )
+    occ = base.select(
+        id_col, F.posexplode("_grams").alias("_i", "_gram")
+    ).select(id_col, (F.col("_i") + 1).alias("_start"), "_gram")
+    dup = (
+        occ.groupBy("_gram")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(id_col).alias("_canon"),
+        )
+        .where(F.col("_nd") >= min_docs)
+        .select("_gram", "_canon")
+    )
+    dup_occ = occ.join(dup, "_gram")
+    stats = (
+        base.select(id_col, F.size("_grams").alias("n_spans"))
+        .join(
+            dup_occ.groupBy(id_col).agg(
+                F.count("*").alias("n_dup_spans")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans"),
+            ).alias("dup_span_frac"),
+        )
+    )
+    covered = (
+        dup_occ.where(F.col(id_col) != F.col("_canon"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("_start"), F.col("_start") + F.lit(k - 1)
+                )
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, F.posexplode(tokens(text_col)).alias("_i", "_tok")
+    ).select(id_col, (F.col("_i") + 1).alias("_pos"), "_tok")
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            "dup_span_frac",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

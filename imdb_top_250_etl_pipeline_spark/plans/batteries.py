@@ -2784,6 +2784,163 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D = 256, 4
+
+_CMS_ORACLE = f"""
+WITH vals AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+occ AS (
+  SELECT t.d, v,
+         CAST(CONCAT('0x', substring(
+              md5(CAST(t.d AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT)
+           % {_CMS_W} AS pos
+  FROM vals, UNNEST([0, 1, 2, 3]) AS t(d)
+),
+sk AS (SELECT d, pos, CAST(count(*) AS BIGINT) AS cnt
+       FROM occ GROUP BY d, pos),
+items AS (SELECT DISTINCT v AS item FROM vals),
+probes AS (
+  SELECT item, t.d,
+         CAST(CONCAT('0x', substring(
+              md5(CAST(t.d AS VARCHAR) || ':' || item), 1, 15)) AS BIGINT)
+           % {_CMS_W} AS pos
+  FROM items, UNNEST([0, 1, 2, 3]) AS t(d)
+),
+est AS (
+  SELECT item, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sk s USING (d, pos) GROUP BY item
+),
+exact AS (SELECT v AS item, CAST(count(*) AS BIGINT) AS exact
+          FROM vals GROUP BY v)
+SELECT 'sketch' AS part, CAST(d AS BIGINT) AS a, pos AS b, cnt AS n
+FROM sk
+UNION ALL
+SELECT 'est' AS part, CAST(item AS BIGINT) AS a, est AS b, exact AS n
+FROM est JOIN exact USING (item)
+"""
+
+
+@register(
+    "agg_count_min",
+    oracle=_CMS_ORACLE,
+    doc="Count–min sketch (operators/profiling.py::count_min_sketch + "
+    "cms_point_estimates) — the point-frequency member of the "
+    "mergeable-sketch family (HLL distinct / Misra–Gries top items / "
+    "equi-depth quantile grids / CMS frequencies): depth×width md5 "
+    "bucket counts whose groupBy keyspace is ≤ depth·width rows "
+    "regardless of data volume, merged across partitions by plain "
+    "bucket addition.  part=sketch hash-checks every bucket count; "
+    "part=est hash-checks each distinct o_custkey's min-over-rows "
+    "estimate AGAINST its exact frequency — the ≥-exact guarantee is "
+    "thereby driver-verified item by item, and width 256 over ~700 "
+    "distinct keys makes real collisions (est > exact) part of the "
+    "checked surface, not a tolerance.",
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    sk = count_min_sketch(o, "o_custkey", width=_CMS_W, depth=_CMS_D)
+    est = cms_point_estimates(
+        sk, o.distinct(), "o_custkey", width=_CMS_W, depth=_CMS_D
+    )
+    exact = o.groupBy(
+        F.col("o_custkey").cast("string").alias("item")
+    ).agg(F.count("*").cast("long").alias("exact"))
+    sketch_rows = sk.select(
+        F.lit("sketch").alias("part"),
+        F.col("d").cast("long").alias("a"),
+        F.col("pos").cast("long").alias("b"),
+        F.col("cnt").alias("n"),
+    )
+    est_rows = est.join(exact, "item").select(
+        F.lit("est").alias("part"),
+        F.col("item").cast("long").alias("a"),
+        F.col("est").alias("b"),
+        F.col("exact").alias("n"),
+    )
+    return sketch_rows.unionByName(est_rows)
+
+
+_SPAN_K = 4
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT b.doc_id, CAST(i AS BIGINT) AS start,
+         array_to_string(b.toks[i:i+{_SPAN_K - 1}], ' ') AS gram
+  FROM base b, UNNEST(range(1, len(b.toks) - {_SPAN_K} + 2)) AS t(i)
+),
+dup AS (
+  SELECT gram, min(doc_id) AS canon
+  FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dup_occ AS (SELECT g.*, d.canon FROM grams g JOIN dup d USING (gram)),
+stats AS (
+  SELECT b.doc_id,
+         CAST(greatest(len(b.toks) - {_SPAN_K} + 1, 0) AS BIGINT)
+             AS n_spans,
+         CAST(COALESCE(o.nd, 0) AS BIGINT) AS n_dup_spans,
+         CASE WHEN greatest(len(b.toks) - {_SPAN_K} + 1, 0) > 0
+              THEN CAST(COALESCE(o.nd, 0) AS DOUBLE)
+                   / greatest(len(b.toks) - {_SPAN_K} + 1, 0)
+         END AS dup_span_frac
+  FROM base b LEFT JOIN (
+    SELECT doc_id, count(*) AS nd FROM dup_occ GROUP BY doc_id
+  ) o USING (doc_id)
+),
+cov AS (
+  SELECT DISTINCT o.doc_id, CAST(p.pos AS BIGINT) AS pos
+  FROM dup_occ o, UNNEST(range(o.start, o.start + {_SPAN_K})) AS p(pos)
+  WHERE o.doc_id <> o.canon
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+  FROM base
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_spans, s.n_dup_spans, s.dup_span_frac,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM stats s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register(
+    "text_span_dedup",
+    oracle=_SPAN_DEDUP_ORACLE,
+    doc="Exact-substring span deduplication (operators/text.py::"
+    "span_dedup — the Lee et al. 2022 shape, word-granular): every "
+    "4-token span appearing verbatim in ≥2 documents is removed from "
+    "every document EXCEPT its canonical min-id owner, so the corpus "
+    "keeps exactly one copy of each repeated passage.  Catches the "
+    "mid-paragraph quoted passages that line-level boilerplate "
+    "removal (delimiter-aligned) and whole/near-doc dedup (most of "
+    "the doc must repeat) both miss.  Span construction is row-local "
+    "(zero shuffles); token-granular coverage makes overlapping-span "
+    "interval merging unnecessary.  Hash-checked end to end: stats "
+    "(n_spans / n_dup_spans / exact-division dup_span_frac) AND the "
+    "position-ordered trimmed rebuild including the empty-document "
+    "left-join-back.",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import span_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dedup(d, "doc_id", "text", k=_SPAN_K, min_docs=2)
+
+
 _BIGRAM_LM_ORACLE = """
 WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 toks AS (SELECT doc_id, unnest(arr) AS w,
@@ -4831,6 +4988,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'segdedup' AS part, doc_id AS a, {_NB} AS b, n_kept AS n, "
         f"{_NS} AS k, clean_text AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SEGDEDUP_ORACLE}) t",
+        f"SELECT 'cms_'||part AS part, a, b, n, {_NS} AS k, {_NS} AS s, "
+        f"{_ND} AS v, true AS ok FROM ({_CMS_ORACLE}) t",
+        f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
+        f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
+        f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
         f"SELECT 'lm' AS part, c_w1 AS a, cont AS b, c AS n, w1 AS k, "
         f"w2 AS s, p_kn AS v, true AS ok FROM ({_BIGRAM_LM_ORACLE}) t",
         f"SELECT 'qscore' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
@@ -4914,7 +5076,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "record linkage pairs + transitive clusters (linkage_battery), "
     "cos = exact brute-force cosine top-k (sim_cosine_topk), "
     "segdedup = corpus-frequency boilerplate removal "
-    "(text_segment_dedup), lm = Kneser–Ney bigram LM statistics "
+    "(text_segment_dedup), cms_* = count–min sketch buckets + "
+    "min-over-rows point estimates checked against exact frequencies "
+    "(agg_count_min), spansd = exact-substring span dedup — "
+    "duplicated k-token passages trimmed everywhere but their "
+    "canonical owner (text_span_dedup), lm = Kneser–Ney bigram LM "
+    "statistics "
     "(text_bigram_lm), qscore = sparse linear quality classifier "
     "(text_quality_classifier), markov = user-journey transition "
     "matrix (events_markov_transitions), tdiff = snapshot "
@@ -5026,6 +5193,26 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("k"),
         F.col("clean_text").alias("s"),
         _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    cms = agg_count_min(spark, sf_dir).select(
+        F.concat(F.lit("cms_"), F.col("part")).alias("part"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    spn = text_span_dedup(spark, sf_dir).select(
+        F.lit("spansd").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_dup_spans").cast("long").alias("b"),
+        F.col("n_kept").cast("long").alias("n"),
+        F.col("n_spans").cast("string").alias("k"),
+        F.col("clean_text").alias("s"),
+        F.col("dup_span_frac").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
     lm = text_bigram_lm(spark, sf_dir).select(
@@ -5269,6 +5456,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lk)
         .unionByName(cos)
         .unionByName(seg)
+        .unionByName(cms)
+        .unionByName(spn)
         .unionByName(lm)
         .unionByName(qc)
         .unionByName(mk)
@@ -5417,6 +5606,8 @@ subsume(
     "sim_cosine_topk",
     # round-7 additions, riding extension_battery from the start
     "text_segment_dedup",
+    "text_span_dedup",
+    "agg_count_min",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -994,3 +994,64 @@ def test_mmr_rerank_demotes_planted_redundancy(spark):
     # plain relevance ranking would be [2, 1, 3]; MMR promotes the
     # diverse vector 3 over 1 (a near-clone of the already-selected 2)
     assert order == [2, 3, 1]
+
+
+# ---------------------------------------------------------------------------
+# span_dedup (exact-substring span dedup) — hand fixtures; the sf0.01
+# corpus run is oracle-checked in test_oracle_parity[text_span_dedup].
+# ---------------------------------------------------------------------------
+
+
+def _span_fixture(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import span_dedup
+
+    rows = [
+        # canonical owner of the shared passage (min doc_id)
+        (1, "alpha beta gamma delta unique one two"),
+        # quotes the passage mid-text: loses exactly those 4 tokens
+        (2, "intro words alpha beta gamma delta outro"),
+        # verbatim clone of doc 1: every token covered, trims to empty
+        (3, "alpha beta gamma delta unique one two"),
+        # no duplicated span: unchanged
+        (4, "totally fresh material nothing shared here"),
+        # shorter than k: no spans at all
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_dedup(df, "doc_id", "text", k=4, min_docs=2)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_span_dedup_canonical_keeps_passage(spark):
+    got = _span_fixture(spark)
+    # min-id owner keeps its text verbatim
+    assert got[1].clean_text == "alpha beta gamma delta unique one two"
+    assert got[1].n_kept == 7
+    # doc 1 and 3 are identical, so EVERY doc-1 span is duplicated
+    assert got[1].n_dup_spans == got[1].n_spans == 4
+
+
+def test_span_dedup_trims_only_the_quoted_span(spark):
+    got = _span_fixture(spark)
+    # doc 2 shares only the 4-token passage; overlap with doc 1/3 spans
+    # beyond it does not exist, so exactly those tokens go
+    assert got[2].clean_text == "intro words outro"
+    assert got[2].n_kept == 3
+    assert got[2].n_dup_spans == 1 and got[2].n_spans == 4
+
+
+def test_span_dedup_clone_trims_to_empty(spark):
+    got = _span_fixture(spark)
+    # non-canonical verbatim clone: overlapping spans cover every token
+    assert got[3].clean_text == "" and got[3].n_kept == 0
+    assert got[3].n_dup_spans == got[3].n_spans == 4
+    assert got[3].dup_span_frac == 1.0
+
+
+def test_span_dedup_untouched_and_short_docs(spark):
+    got = _span_fixture(spark)
+    assert got[4].clean_text == "totally fresh material nothing shared here"
+    assert got[4].n_dup_spans == 0 and got[4].dup_span_frac == 0.0
+    # sub-k doc: zero spans, NULL frac, text unchanged
+    assert got[5].n_spans == 0 and got[5].dup_span_frac is None
+    assert got[5].clean_text == "tiny doc" and got[5].n_kept == 2

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # Knuth multiplicative hash → uniform-ish rational in [0, 1) with a
 # 1/1000 grid; plain integer arithmetic, expressible identically in any
@@ -202,4 +203,40 @@ def sample_weighted(
         .orderBy(F.desc("_es"), F.col(key_col))
         .limit(k)
         .drop("_es")
+    )
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: str = "pg"
+) -> DataFrame:
+    """Deterministic uniform k-sample PER GROUP: within each group,
+    rows rank by a seeded md5 of their key and the k smallest win.
+
+    The per-stratum counterpart of shuffle_order's global ordering —
+    "k example documents per source / k users per cohort" — with the
+    module's determinism contract: re-runs, retries, and cluster
+    layout changes reproduce the same sample, and growing a group only
+    perturbs membership at the hash boundary (adding rows never
+    reorders two existing survivors).
+
+    Plan: the hash is row-local codegen; one shuffle on the group for
+    the row_number window.  Skew note for 100 TB: a single giant group
+    still funnels through one task here — when groups can be
+    pathological, pre-filter with an approximate per-group threshold
+    (the distributed grouped-ranking pattern in operators/windows.py)
+    so the window only sees ~k·fudge rows per group.
+    """
+    h = F.md5(
+        F.concat(
+            F.lit(seed + ":"),
+            F.col(group_col).cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    w = W.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )

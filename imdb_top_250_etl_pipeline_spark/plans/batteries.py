@@ -5596,6 +5596,7 @@ subsume(
     "sample_shuffle_order",
     # round-6: weighted E-S sampling folds into the recipe battery
     "sample_weighted_es",
+    "sample_per_group_k",
     # round-7 newcomers consolidated into extension_battery (driver
     # checks only the first 50 registry entries — see the note above)
     "sink_jdbc_roundtrip",

@@ -541,6 +541,42 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted(d, "doc_id", "w", k=200).select("doc_id", "lang")
 
 
+_PERGROUP_ORACLE = """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('pg:' || lang || ':'
+                            || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 25
+"""
+
+
+@register(
+    "sample_per_group_k",
+    oracle=(
+        "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id "
+        f"FROM ({_PERGROUP_ORACLE}) t"
+    ),
+    doc="Deterministic uniform k-per-group sampling (operators/"
+    "sampling.py::sample_per_group): within each language, rows rank "
+    "by a seeded md5 of (group, key) and the 25 smallest win — the "
+    "per-stratum counterpart of shuffle_order, with the module's "
+    "determinism contract (re-runs and cluster layouts reproduce the "
+    "sample; growth only perturbs the hash boundary).  FULL sample "
+    "membership is hash-checked, not just per-group counts.",
+)
+def sample_per_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_per_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_per_group(d, "lang", "doc_id", k=25, seed="pg").select(
+        "lang", F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 @register(
     "sample_stratified",
     oracle=(
@@ -572,6 +608,10 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f"SELECT 'weighted' AS part, lang AS k, "
         f"CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(doc_id) AS BIGINT) AS v "
         f"FROM ({_WEIGHTED_ORACLE}) t GROUP BY lang"
+        + "\nUNION ALL\n"
+        + f"SELECT 'pergroup' AS part, lang AS k, "
+        f"CAST(doc_id AS BIGINT) AS n, CAST(doc_id AS BIGINT) AS v "
+        f"FROM ({_PERGROUP_ORACLE}) t"
     ),
     doc="The corpus-composition (data recipe) battery, every branch a "
     "deterministic pure-function-of-key operator: per-language "
@@ -580,10 +620,12 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     "upsampling (part=upsample), token-budget priority selection over "
     "distributed_cumsum (part=budget), seeded global shuffle order "
     "(part=shuffle), and Efraimidis-Spirakis weighted sampling with "
-    "length-proportional odds (part=weighted). Subsumes "
+    "length-proportional odds (part=weighted), and uniform "
+    "k-per-group sampling with full membership hash-checked "
+    "(part=pergroup). Subsumes "
     "sample_stratified_rates, sample_mixture_balanced, "
     "sample_upsample_epochs, sample_budget_select, "
-    "sample_shuffle_order, sample_weighted_es.",
+    "sample_shuffle_order, sample_weighted_es, sample_per_group_k.",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = sample_stratified_rates(spark, sf_dir).select(
@@ -627,12 +669,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("weighted").alias("part"), F.col("lang").alias("k"), "n", "v"
         )
     )
+    pg = sample_per_group_k(spark, sf_dir).select(
+        F.lit("pergroup").alias("part"),
+        F.col("lang").alias("k"),
+        F.col("doc_id").alias("n"),
+        F.col("doc_id").alias("v"),
+    )
     return (
         st.unionByName(mx)
         .unionByName(up)
         .unionByName(bd)
         .unionByName(sh)
         .unionByName(we)
+        .unionByName(pg)
     )
 
 

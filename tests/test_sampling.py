@@ -147,3 +147,59 @@ def test_sample_weighted_odds_and_determinism(spark):
     )
     sel2 = {r.k for r in sample_weighted(df2, "k", "w", k=4900).collect()}
     assert all(k >= 100 for k in sel2)
+
+
+# ---------------------------------------------------------------------------
+# sample_per_group (deterministic uniform k-per-group)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_per_group_matches_python_dual(spark):
+    import hashlib
+
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        sample_per_group,
+    )
+
+    rows = [(g, i) for g in ("a", "b", "c") for i in range(40)]
+    df = spark.createDataFrame(rows, ["g", "k"]).repartition(5)
+    got = {
+        (r.g, r.k)
+        for r in sample_per_group(df, "g", "k", k=7, seed="t").collect()
+    }
+
+    def h(g, k):
+        return hashlib.md5(f"t:{g}:{k}".encode()).hexdigest()
+
+    want = {
+        (g, k)
+        for g in ("a", "b", "c")
+        for k in sorted(range(40), key=lambda k: (h(g, k), k))[:7]
+    }
+    assert got == want
+    # exactly k per group, and a rerun under different layout agrees
+    again = {
+        (r.g, r.k)
+        for r in sample_per_group(
+            df.repartition(2), "g", "k", k=7, seed="t"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_sample_per_group_small_groups_and_seed(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], ["g", "k"]
+    )
+    out = sample_per_group(df, "g", "k", k=5, seed="s1")
+    # groups smaller than k come back whole
+    assert out.count() == 3
+    # a different seed reorders the selection boundary on a big group
+    big = spark.createDataFrame([("g", i) for i in range(200)], ["g", "k"])
+    s1 = {r.k for r in sample_per_group(big, "g", "k", 10, "s1").collect()}
+    s2 = {r.k for r in sample_per_group(big, "g", "k", 10, "s2").collect()}
+    assert s1 != s2

@@ -223,10 +223,12 @@ def _count_parquet_files(path: str) -> int:
         "c_mktsegment, true AS ok FROM customer WHERE c_custkey % 5 = 3"
         "\nUNION ALL\n"
         "SELECT 'txn' AS part, c_custkey, c_name, "
-        "CASE WHEN c_custkey % 2 = 0 AND c_custkey <= 200 "
+        "CASE WHEN c_custkey <= 100 THEN 999.0 "
+        "WHEN c_custkey % 2 = 0 AND c_custkey <= 200 "
         "THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal, "
         "c_mktsegment, true AS ok FROM customer "
-        "WHERE c_mktsegment = 'AUTOMOBILE'"
+        "WHERE c_mktsegment = 'AUTOMOBILE' "
+        "AND (c_custkey > 100 OR c_custkey % 2 = 0)"
     ),
     doc="The S4/S4+/S5+ sink layer as one oracle-checked battery, each "
     "branch a full write→read-back round-trip through a disposable temp "
@@ -250,7 +252,11 @@ def _count_parquet_files(path: str) -> int:
     "rewritten files only) applied onto v0 reconstructs the merged "
     "table exactly, plus OPTIMIZE small-file compaction whose commit "
     "leaves content identical and contributes ZERO change-feed rows — "
-    "compaction invisible to incremental consumers), and "
+    "compaction invisible to incremental consumers, plus replaceWhere "
+    "range overwrite (txn_replace_where): the [0,100] key range "
+    "regenerated keeping only even keys — rows MERGE cannot delete "
+    "vanish, files fully inside the range drop on footer stats alone, "
+    "and ok pins time travel + a range-confined change feed), and "
     "the four non-parquet source formats round-tripped with explicit "
     "declared schemas and FAILFAST (part=csv/json/orc/xml — XML native "
     "in Spark 4 — "
@@ -455,10 +461,44 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             and merged.exceptAll(after_opt).isEmpty()
             and _txn_changes(spark, txn_dir, 1, 2).isEmpty()
         )
-        txn = after_opt.withColumn(
+        # replaceWhere (this round): regenerate the key range [0, 100]
+        # keeping only its even keys at a sentinel balance — a range
+        # overwrite MERGE cannot express (the odd keys in range must
+        # VANISH).  ok folds in: the version advanced by one, the
+        # pre-replace snapshot stays readable (time travel), and the
+        # replace's change feed touches no key outside the range.  The
+        # final content is what the driver hash checks.
+        from ..sources.txn import txn_replace_where as _txn_rw
+
+        repl = base.where(
+            (F.col("c_custkey") <= 100) & (F.col("c_custkey") % 2 == 0)
+        ).withColumn("c_acctbal", F.lit(999.0))
+        v_rw = _txn_rw(spark, txn_dir, repl, 0, 100, range_partitions=2)
+        after_rw = txn_read(spark, txn_dir)
+        exp_rw = merged.where(F.col("c_custkey") > 100).unionByName(
+            repl.select(*merged.columns)
+        )
+        rw_feed = _txn_changes(spark, txn_dir, v_opt, v_rw)
+        rw_ok = (
+            v_rw == v_opt + 1
+            and after_rw.exceptAll(exp_rw).isEmpty()
+            and exp_rw.exceptAll(after_rw).isEmpty()
+            and rw_feed.where(F.col("c_custkey") > 100).isEmpty()
+            and txn_read(spark, txn_dir, version=v_opt)
+            .exceptAll(merged)
+            .isEmpty()
+        )
+        txn = after_rw.withColumn(
             "ok",
             F.lit(
-                bool(skip_ok and travel_ok and merge_ok and cdf_ok and opt_ok)
+                bool(
+                    skip_ok
+                    and travel_ok
+                    and merge_ok
+                    and cdf_ok
+                    and opt_ok
+                    and rw_ok
+                )
             ),
         ).withColumn("part", F.lit("txn"))
 

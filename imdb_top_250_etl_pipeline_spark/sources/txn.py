@@ -488,6 +488,103 @@ def txn_optimize(
     return version
 
 
+def txn_replace_where(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame | None,
+    key_lo,
+    key_hi,
+    range_partitions: int | None = None,
+) -> int:
+    """replaceWhere: atomically replace every row whose merge key lies
+    in [``key_lo``, ``key_hi``] with ``df`` (``None`` → pure range
+    delete) — Delta's ``option("replaceWhere", ...)`` partition/range
+    overwrite, the idempotent backfill primitive ("regenerate this
+    day/shard") that MERGE cannot express (MERGE never deletes rows
+    absent from the update set).
+
+    The predicate is a key RANGE on purpose: this table clusters data
+    files by merge-key range, so the predicate is decidable per file
+    from footer stats alone — files fully inside the range drop with
+    ZERO I/O, files fully outside carry over by reference (zero I/O),
+    and only boundary-straddling files are read and rewritten keeping
+    their outside-range rows.  An arbitrary-predicate overwrite would
+    have to read every file; a range is what the stats model actually
+    prunes (Delta's replaceWhere on a partition column is the same
+    restriction in partition-column form).
+
+    Incoming rows are validated against the range (Delta's replaceWhere
+    constraint): any row outside [lo, hi] raises before anything is
+    staged — validation is one short-circuiting ``isEmpty`` action,
+    no driver-side row collection.  Change-feed consumers see exactly
+    the replaced rows as D (or U when reinserted) and the new rows as
+    I, because txn_changes diffs the commit's net rewritten files.
+
+    Returns the new version.  Commits through the same exclusive-link
+    protocol as MERGE — racing writers conflict, never interleave.
+    """
+    base_version, schema_json, key, live = snapshot(table)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    new_version = base_version + 1
+    staged: list[dict] = []
+    if df is not None:
+        missing = {f.name for f in schema.fields} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"replacement rows lack table columns {sorted(missing)}"
+            )
+        outside = df.where(
+            (F.col(key) < F.lit(key_lo))
+            | (F.col(key) > F.lit(key_hi))
+            | F.col(key).isNull()
+        )
+        if not outside.isEmpty():
+            raise ValueError(
+                f"replacement rows fall outside {key} range "
+                f"[{key_lo}, {key_hi}] — replaceWhere data must satisfy "
+                "its own predicate"
+            )
+        staged = _stage_and_place(
+            df.select(*[f.name for f in schema.fields]),
+            table,
+            new_version,
+            key,
+            range_partitions,
+        )
+    # classify live files by footer stats alone: no data file is read
+    # unless it straddles the range boundary
+    inside, straddle = [], []
+    for rel in sorted(live):
+        lo, hi = live[rel].get("min_key"), live[rel].get("max_key")
+        if lo is None or hi is None:
+            straddle.append(rel)  # stats-less: conservatively rewrite
+        elif lo >= key_lo and hi <= key_hi:
+            inside.append(rel)
+        elif hi < key_lo or lo > key_hi:
+            continue  # disjoint: carried over by reference
+        else:
+            straddle.append(rel)
+    adds = list(staged)
+    if straddle:
+        keep = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(table, rel) for rel in straddle])
+            .where(
+                (F.col(key) < F.lit(key_lo)) | (F.col(key) > F.lit(key_hi))
+            )
+        )
+        adds += _stage_and_place(
+            keep, table, new_version, key, range_partitions
+        )
+    removes = [
+        {"remove": {"path": rel}} for rel in inside + sorted(straddle)
+    ]
+    if not adds and not removes:
+        return -1  # nothing in range, nothing to write: no empty commits
+    _commit(table, new_version, adds + removes)
+    return new_version
+
+
 def consume_changes(
     spark: SparkSession,
     table: str,

@@ -439,3 +439,92 @@ def test_schema_history_reports_evolution(spark, table):
     assert len(evo) == 1
     assert evo[0]["added"] == ["segment_rank"]
     assert evo[0]["removed"] == [] and evo[0]["retyped"] == []
+
+
+# ---------------------------------------------------------------------------
+# replaceWhere (range overwrite / backfill)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_replaces_range_atomically(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_replace_where,
+    )
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=8)
+    _, _, _, live_before = snapshot(table)
+    bytes_before = _data_file_bytes(table)
+    # regenerate keys 1..30: half the old rows dropped, rest rewritten
+    repl = (
+        c.where((F.col("c_custkey") <= 30) & (F.col("c_custkey") % 2 == 0))
+        .withColumn("c_acctbal", F.lit(7.0))
+    )
+    v = txn_replace_where(spark, table, repl, 0, 30, range_partitions=2)
+    got = txn_read(spark, table)
+    # inside the range: exactly the replacement rows
+    inside = got.where(F.col("c_custkey") <= 30)
+    assert inside.count() == repl.count()
+    assert inside.where(F.col("c_acctbal") != 7.0).isEmpty()
+    # outside the range: untouched
+    outside_before = c.where(F.col("c_custkey") > 30)
+    assert got.where(F.col("c_custkey") > 30).count() == outside_before.count()
+    # files disjoint from the range carried over byte-identical
+    _, _, _, live_after = snapshot(table)
+    survivors = set(live_before) & set(live_after)
+    assert survivors, "narrow replace must carry most files by reference"
+    bytes_after = _data_file_bytes(table)
+    for rel in survivors:
+        assert bytes_after[rel] == bytes_before[rel]
+    # time travel still sees the pre-replace rows
+    old = txn_read(spark, table, version=v - 1)
+    assert old.count() == c.count()
+
+
+def test_replace_where_pure_delete_and_noop(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_replace_where,
+    )
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=4)
+    n = c.count()
+    n_in = c.where(F.col("c_custkey").between(10, 40)).count()
+    v = txn_replace_where(spark, table, None, 10, 40)
+    assert v == 1
+    assert txn_read(spark, table).count() == n - n_in
+    # the range is now empty: a second delete finds nothing and commits
+    # nothing (idempotent, no empty commits)
+    assert txn_replace_where(spark, table, None, 10, 40) == -1
+    assert latest_version(table) == 1
+
+
+def test_replace_where_validates_predicate_and_feeds_cdf(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_changes,
+        txn_replace_where,
+    )
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=4)
+    # a replacement row outside the range must be rejected pre-commit
+    bad = c.where(F.col("c_custkey").isin(5, 77))
+    with pytest.raises(ValueError, match="outside"):
+        txn_replace_where(spark, table, bad, 1, 20)
+    assert latest_version(table) == 0  # nothing committed
+    # CDF of a real replace: D for dropped keys, I/U only inside range
+    repl = c.where(F.col("c_custkey").between(1, 10)).withColumn(
+        "c_name", F.lit("regen")
+    )
+    txn_replace_where(spark, table, repl, 1, 20)
+    feed = txn_changes(spark, table, 0).collect()
+    keys_in = {
+        r.c_custkey for r in c.where(F.col("c_custkey").between(1, 20)).collect()
+    }
+    assert {r.c_custkey for r in feed} <= keys_in
+    by_op = {}
+    for r in feed:
+        by_op.setdefault(r.op, set()).add(r.c_custkey)
+    # keys 11..20 vanished -> D; keys 1..10 changed name -> U (or D+I)
+    assert {k for k in keys_in if k > 10} <= by_op.get("D", set())
+    assert all(r.c_name == "regen" for r in feed if r.op in ("I", "U"))

@@ -897,3 +897,114 @@ def span_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def _uni_bi_grams(text_col: str) -> Column:
+    """Unigrams + bigrams of the raw space-token array, WITH
+    multiplicity (DSIR features are counts, not sets) — built row-
+    locally so feature extraction adds zero shuffles, and defined over
+    the plain split array so the SQL oracle restates it verbatim."""
+    t = tokens(text_col)
+    n = F.size(t)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bi)
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    document by how much more likely its hashed n-gram bag is under
+    the TARGET distribution than under the RAW distribution —
+    log w(x) = Σ_features c_x[b]·(log p̂_target[b] − log p̂_raw[b]),
+    with hashed unigram+bigram features and add-1 smoothing.  The
+    standard cheap way to select pre-training data "like" a trusted
+    corpus without training a classifier.
+
+    Returns (id, n_grams, score_scaled, score).  ``score_scaled`` is
+    an exact BIGINT: each bucket's log-ratio is quantized once to
+    round(1e6·Δlog) so the per-document sum is an associative integer
+    sum (the RRF discipline) — order-independent, hash-checkable, and
+    an integer top-k cut needs no tolerance.  ``score`` is the single
+    dequantizing division.
+
+    Plan: features are row-local; bucket histograms are one groupBy
+    each over ≤ ``buckets`` keys (map-side partials; the keyspace is
+    FIXED regardless of corpus size — the hashing trick's point); the
+    weight table (≤ buckets rows) broadcasts back onto per-document
+    bucket counts; totals ride single-row broadcasts.  No step's
+    state grows with the corpus except the two scans.
+    """
+    def occurrences(src: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        g = src.select(
+            *cols, F.explode(_uni_bi_grams(text_col)).alias("_g")
+        )
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("_g"))), 1, 15),
+            16,
+            10,
+        ).cast("long") % F.lit(buckets)
+        return g.select(*cols, h.alias("_b"))
+
+    raw_occ = occurrences(df, with_id=True)
+    q = raw_occ.groupBy("_b").agg(F.count("*").alias("_q"))
+    t = occurrences(target, with_id=False).groupBy("_b").agg(
+        F.count("*").alias("_t")
+    )
+    totals = q.agg(F.sum("_q").alias("_qt")).crossJoin(
+        t.agg(F.sum("_t").alias("_tt"))
+    )
+    # every scored doc's buckets appear in q by construction; target-
+    # only buckets can't be probed, so a left join from q is complete
+    weights = (
+        q.join(t, "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log(F.coalesce("_t", F.lit(0)) + F.lit(1))
+                    - F.log(F.col("_tt") + F.lit(buckets))
+                    - F.log(F.col("_q") + F.lit(1))
+                    + F.log(F.col("_qt") + F.lit(buckets))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    doc_counts = raw_occ.groupBy(id_col, "_b").agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        doc_counts.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_w")).cast("long").alias(
+                "score_scaled"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(1e6)).alias(
+                "score"
+            ),
+        )
+    )

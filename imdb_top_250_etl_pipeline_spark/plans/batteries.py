@@ -2941,6 +2941,81 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, "doc_id", "text", k=_SPAN_K, min_docs=2)
 
 
+_DSIR_B = 1024
+
+_DSIR_ORACLE = f"""
+WITH pool AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+occ AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substring(md5('dsir:' || g), 1, 15)) AS BIGINT)
+           % {_DSIR_B} AS b
+  FROM (
+    SELECT doc_id, unnest(toks) AS g FROM pool
+    UNION ALL
+    SELECT p.doc_id, p.toks[i] || ' ' || p.toks[i + 1] AS g
+    FROM pool p, UNNEST(range(1, len(p.toks))) AS t(i)
+  ) u
+),
+qh AS (SELECT b, CAST(count(*) AS BIGINT) AS qc FROM occ GROUP BY b),
+tpool AS (SELECT string_split(text, ' ') AS toks FROM documents
+          WHERE lang = 'en'),
+tocc AS (
+  SELECT CAST(CONCAT('0x', substring(md5('dsir:' || g), 1, 15)) AS BIGINT)
+           % {_DSIR_B} AS b
+  FROM (
+    SELECT unnest(toks) AS g FROM tpool
+    UNION ALL
+    SELECT p.toks[i] || ' ' || p.toks[i + 1] AS g
+    FROM tpool p, UNNEST(range(1, len(p.toks))) AS t(i)
+  ) u
+),
+th AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tocc GROUP BY b),
+tot AS (SELECT (SELECT sum(qc) FROM qh) AS qt,
+               (SELECT sum(tc) FROM th) AS tt),
+w AS (
+  SELECT qh.b,
+         CAST(ROUND(1e6 * (ln(COALESCE(th.tc, 0) + 1)
+                           - ln(tot.tt + {_DSIR_B})
+                           - ln(qh.qc + 1)
+                           + ln(tot.qt + {_DSIR_B})), 0)
+              AS BIGINT) AS w
+  FROM qh LEFT JOIN th USING (b) CROSS JOIN tot
+),
+dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+       FROM occ GROUP BY doc_id, b)
+SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_grams,
+       CAST(sum(dc.c * w.w) AS BIGINT) AS score_scaled,
+       CAST(sum(dc.c * w.w) AS DOUBLE) / 1e6 AS score
+FROM dc JOIN w USING (b) GROUP BY dc.doc_id
+"""
+
+
+@register(
+    "text_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR importance weighting (operators/text.py::dsir_importance "
+    "— Xie et al. 2023): every raw-pool document scored by how much "
+    "more likely its hashed unigram+bigram bag is under the trusted "
+    "TARGET corpus (here the lang='en' subset) than under the raw "
+    "pool itself — the standard cheap 'select pre-training data like "
+    "this corpus' primitive.  Per-bucket log-ratios are quantized "
+    "once to round(1e6*dlog) BIGINTs so each document's score is an "
+    "associative integer sum (shuffle-order-independent, hash-exact "
+    "cross-engine); `score` is the single dequantizing division.  "
+    "The hashing trick fixes the histogram keyspace at `buckets` "
+    "rows regardless of corpus size, so both groupBys partial-agg "
+    "map-side and the weight table broadcasts.",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_importance
+
+    d = load(spark, sf_dir, "documents")
+    pool = d.select("doc_id", "text")
+    target = d.where(F.col("lang") == "en").select("text")
+    return dsir_importance(pool, target, "doc_id", "text", buckets=_DSIR_B)
+
+
 _BIGRAM_LM_ORACLE = """
 WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 toks AS (SELECT doc_id, unnest(arr) AS w,
@@ -4993,6 +5068,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
+        f"SELECT 'dsir' AS part, doc_id AS a, score_scaled AS b, "
+        f"n_grams AS n, {_NS} AS k, {_NS} AS s, score AS v, true AS ok "
+        f"FROM ({_DSIR_ORACLE}) t",
         f"SELECT 'lm' AS part, c_w1 AS a, cont AS b, c AS n, w1 AS k, "
         f"w2 AS s, p_kn AS v, true AS ok FROM ({_BIGRAM_LM_ORACLE}) t",
         f"SELECT 'qscore' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
@@ -5080,7 +5158,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "min-over-rows point estimates checked against exact frequencies "
     "(agg_count_min), spansd = exact-substring span dedup — "
     "duplicated k-token passages trimmed everywhere but their "
-    "canonical owner (text_span_dedup), lm = Kneser–Ney bigram LM "
+    "canonical owner (text_span_dedup), dsir = DSIR hashed-n-gram "
+    "importance weights against the lang='en' target corpus "
+    "(text_dsir_importance), lm = Kneser–Ney bigram LM "
     "statistics "
     "(text_bigram_lm), qscore = sparse linear quality classifier "
     "(text_quality_classifier), markov = user-journey transition "
@@ -5213,6 +5293,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_spans").cast("string").alias("k"),
         F.col("clean_text").alias("s"),
         F.col("dup_span_frac").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    dsir = text_dsir_importance(spark, sf_dir).select(
+        F.lit("dsir").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("score_scaled").cast("long").alias("b"),
+        F.col("n_grams").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("score").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
     lm = text_bigram_lm(spark, sf_dir).select(
@@ -5458,6 +5548,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seg)
         .unionByName(cms)
         .unionByName(spn)
+        .unionByName(dsir)
         .unionByName(lm)
         .unionByName(qc)
         .unionByName(mk)
@@ -5608,6 +5699,7 @@ subsume(
     # round-7 additions, riding extension_battery from the start
     "text_segment_dedup",
     "text_span_dedup",
+    "text_dsir_importance",
     "agg_count_min",
     "text_bigram_lm",
     "text_quality_classifier",

@@ -1055,3 +1055,103 @@ def test_span_dedup_untouched_and_short_docs(spark):
     # sub-k doc: zero spans, NULL frac, text unchanged
     assert got[5].n_spans == 0 and got[5].dup_span_frac is None
     assert got[5].clean_text == "tiny doc" and got[5].n_kept == 2
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance (hashed n-gram importance resampling weights) — exact
+# Python dual on a hand corpus; the sf0.01 corpus run is oracle-checked
+# in test_oracle_parity[text_dsir_importance].
+# ---------------------------------------------------------------------------
+
+
+def _dsir_python_dual(pool, target, buckets):
+    """Bit-exact reimplementation of the DSIR math in plain Python."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def grams(text):
+        toks = text.split(" ")
+        return toks + [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+
+    def bucket(g):
+        h = hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15]
+        return int(h, 16) % buckets
+
+    q = Counter(bucket(g) for _, t in pool for g in grams(t))
+    tc = Counter(bucket(g) for t in target for g in grams(t))
+    qt, tt = sum(q.values()), sum(tc.values())
+    w = {
+        b: int(
+            Decimal(
+                1e6
+                * (
+                    math.log(tc.get(b, 0) + 1)
+                    - math.log(tt + buckets)
+                    - math.log(q[b] + 1)
+                    + math.log(qt + buckets)
+                )
+            ).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        for b in q
+    }
+    out = {}
+    for doc_id, t in pool:
+        bs = [bucket(g) for g in grams(t)]
+        out[doc_id] = (len(bs), sum(w[b] for b in bs))
+    return out
+
+
+def test_dsir_importance_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        dsir_importance,
+    )
+
+    pool = [
+        (1, "the cat sat on the mat"),
+        (2, "stack trace null pointer exception thrown"),
+        (3, "the dog sat on the rug"),
+        (4, "kernel panic segfault core dumped"),
+        (5, "the cat and the dog sat"),
+    ]
+    target = ["the cat sat", "the dog sat on the mat", "the cat and dog"]
+    df = spark.createDataFrame(pool, ["doc_id", "text"])
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(df, tdf, "doc_id", "text", buckets=64)
+        .collect()
+    }
+    want = _dsir_python_dual(pool, target, buckets=64)
+    assert set(got) == set(want)
+    for doc_id, (n_grams, scaled) in want.items():
+        assert got[doc_id].n_grams == n_grams, doc_id
+        assert got[doc_id].score_scaled == scaled, doc_id
+        assert got[doc_id].score == scaled / 1e6, doc_id
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        dsir_importance,
+    )
+
+    # prose docs share the target's n-gram mass; log docs share none —
+    # the importance weight must separate them with a clean margin
+    pool = [
+        (1, "the cat sat on the mat"),
+        (2, "stack trace null pointer exception thrown"),
+        (3, "the dog sat on the rug"),
+        (4, "kernel panic segfault core dumped"),
+    ]
+    target = ["the cat sat on the mat", "the dog sat on the mat"]
+    df = spark.createDataFrame(pool, ["doc_id", "text"])
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    got = {
+        r.doc_id: r.score
+        for r in dsir_importance(df, tdf, "doc_id", "text", buckets=256)
+        .collect()
+    }
+    assert min(got[1], got[3]) > max(got[2], got[4])

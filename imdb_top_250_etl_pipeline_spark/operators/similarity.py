@@ -704,3 +704,284 @@ def mmr_rerank(
     return base.groupBy("query_id").applyInPandas(
         _mmr, "query_id long, neighbor_id long, rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory-bounded ANN tier.
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors.
+
+    Row-local (sequence/slice/posexplode, zero shuffles); the subvector
+    length is derived per row as size/m so any uniform dimension works
+    without declaring it.
+    """
+    sublen = (F.size(F.col(vec_col)) / m).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col), s * sublen + 1, sublen),
+            )
+        ).alias("sub", "svec"),
+    )
+
+
+def _assign_codes(sv: DataFrame, id_col: str, books: DataFrame) -> DataFrame:
+    """Nearest code per (vector, subspace): broadcast the codebooks,
+    equi-join on ``sub``, argmin via map-side-combining min_by (same
+    rationale as assign_clusters: a window would shuffle ksub rows per
+    subvector; the partial aggregate collapses them before the
+    exchange).  Ties break on the lower code id."""
+    scored = sv.join(F.broadcast(books), "sub").select(
+        F.col(id_col),
+        "sub",
+        "svec",
+        "code",
+        sq_dist(F.col("svec"), F.col("cvec")).alias("d2"),
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.first("svec").alias("svec"),
+        F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias(
+            "code"
+        ),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Train product-quantization codebooks: per-subspace Lloyd k-means.
+
+    PQ is the memory tier FAISS puts under IVF at billion-vector scale:
+    each vector compresses to ``m`` one-byte-ish codes (m·log2(ksub)
+    bits instead of 4·dim bytes), and search scans codes against a
+    per-query lookup table instead of touching floats.  Training is
+    k-means run INDEPENDENTLY in each of the ``m`` subspaces — here all
+    m runs execute simultaneously by keying every step on ``sub``, so
+    the round count stays ``iterations`` regardless of m.
+
+    ``seeds`` supplies ≥ ksub deterministic corpus rows (the same
+    data-derived-centroid convention as build_ivf_index); code ids are
+    their id-order ranks.  Each round is one broadcast-join argmin +
+    one (sub, code, dim)-keyed mean — both partial-aggregated map-side;
+    per-round state is the m·ksub codebook table, never the corpus.
+    Codes that lose every member keep their previous centroid (the
+    empty-cluster convention), so the codebook always has m·ksub rows
+    and every ADC table lookup is total.  Round N-1's pinned blocks are
+    released as soon as round N materializes (localCheckpoint here;
+    reliable checkpoint() on a cluster).
+
+    Returns (sub, code, cvec) with sub in 0..m-1, code in 0..ksub-1.
+    """
+    w = W.orderBy(id_col)
+    init = (
+        seeds.withColumn("code", F.row_number().over(w) - 1)
+        .where(F.col("code") < ksub)
+        .select(id_col, "code", F.col(vec_col))
+    )
+    books, prev_pin = pin(
+        _subvectors(init, "code", vec_col, m).select(
+            "sub", "code", F.col("svec").alias("cvec")
+        )
+    )
+    sv, sv_pin = pin(_subvectors(corpus, id_col, vec_col, m))
+    for _ in range(iterations):
+        assigned = _assign_codes(sv, id_col, books)
+        means = (
+            assigned.select(
+                "sub", "code", F.posexplode(F.col("svec")).alias("dim", "v")
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("v").alias("mv"))
+        )
+        new_cvecs = (
+            means.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s.getField("mv").cast("float"),
+                ).alias("new_cvec")
+            )
+        )
+        books, handle = pin(
+            books.join(new_cvecs, ["sub", "code"], "left").select(
+                "sub",
+                "code",
+                F.coalesce("new_cvec", "cvec").alias("cvec"),
+            )
+        )
+        prev_pin.release()
+        prev_pin = handle
+    sv_pin.release()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> DataFrame:
+    """Encode every vector as its ``m`` nearest-code ids.
+
+    The one-time compression pass (the PQ analogue of build_ivf_index):
+    broadcast-join argmin per subspace, then reassemble the code array
+    in subspace order via sort_array(collect_list(struct)) — no sort
+    exchange.  Returns (id, codes array<int>); this table is what a
+    100 TB deployment persists (and bucket-joins) instead of the raw
+    float vectors — m·log2(ksub) bits per vector.
+    """
+    sv = _subvectors(corpus, id_col, vec_col, m)
+    return (
+        _assign_codes(sv, id_col, books)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s.getField("code").cast("int"),
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    books: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    Per query, the distance table d[sub][code] = ||q_sub − c_{sub,code}||²
+    is m·ksub doubles — built by one broadcast join over the codebooks
+    and assembled into a nested array.  The scan is then a crossJoin of
+    the (tiny) query table against the code index where each candidate's
+    distance is m array lookups + adds (zip_with/element_at/aggregate —
+    whole-stage codegen, no floats from the corpus touched), followed by
+    the same salted two-phase top-k as the exact path so no task ever
+    holds one query's full corpus.  Approximate BY CONSTRUCTION
+    (quantization error): recall is measured against brute_force_topk
+    in unit tests; exact ADC arithmetic is pinned by a numpy dual.
+
+    ``index`` is pq_encode's output (id, codes).  Returns
+    (query_id, neighbor_id, rank) ranked by ascending ADC distance,
+    ties to the lower neighbor id.
+    """
+    qsub = _subvectors(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        "query_id",
+        vec_col,
+        m,
+    )
+    per_sub = (
+        qsub.join(F.broadcast(books), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            sq_dist(F.col("svec"), F.col("cvec")).alias("d2"),
+        )
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("code", "d2"))),
+                lambda s: s.getField("d2"),
+            ).alias("drow")
+        )
+    )
+    dtab = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "drow"))),
+            lambda s: s.getField("drow"),
+        ).alias("dtabs")
+    )
+    scored = (
+        index.crossJoin(F.broadcast(dtab))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                -F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("dtabs"),
+                        lambda c, row: F.element_at(row, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    # negated distance rides the shared desc-ordered two-phase ranker
+    return _two_phase_topk(scored, k)
+
+
+def pq_refine_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    books: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank — the production PQ deployment
+    (FAISS IndexRefineFlat): the compressed-code scan produces a
+    ``shortlist``-sized candidate set per query, then ONLY those
+    candidates' raw vectors are fetched (one equi-join on the id —
+    shortlist·queries rows, never the corpus) and ranked by exact
+    cosine.  Recovers the within-cluster fine ordering that
+    quantization blurs while the corpus-sized scan still touches no
+    floats.  Returns (query_id, neighbor_id, rank) like the exact
+    path; recall floors vs brute_force_topk pinned in unit tests.
+    """
+    cands = pq_topk(index, queries, books, id_col, vec_col, k=shortlist, m=m)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        cands.join(vecs, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    # per-query rows are bounded by the shortlist, so the plain window
+    # (no salt needed) ranks them without a hot partition
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1263,8 +1263,13 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL-expressible); recall floors vs the exact baseline and the "
     "MMR pure-numpy dual pinned in tests/test_llm_data.py. The exact "
     "brute-force baseline moved out to the driver-facing, "
-    "hash-checked sim_cosine_topk in round 6. Subsumes sim_ann_ivf, "
-    "sim_ann_ivf_kmeans, sim_mmr_rerank.",
+    "hash-checked sim_cosine_topk in round 6. Round 10 adds product "
+    "quantization with exact refine (part=pq: per-subspace k-means "
+    "codebooks, 16-byte codes, ADC scan against per-query broadcast "
+    "lookup tables, top-100 shortlist re-ranked by exact cosine — the "
+    "FAISS IndexRefineFlat shape; hand-codebook ADC numpy dual + "
+    "refined-recall floor in tests). Subsumes sim_ann_ivf, "
+    "sim_ann_ivf_kmeans, sim_mmr_rerank, sim_ann_pq.",
 )
 def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = _FN["sim_ann_ivf"](spark, sf_dir).select(
@@ -1276,7 +1281,10 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _FN["sim_mmr_rerank"](spark, sf_dir).select(
         _tag("mmr"), "query_id", "neighbor_id", "rank"
     )
-    return i.unionByName(k).unionByName(m)
+    p = _FN["sim_ann_pq"](spark, sf_dir).select(
+        _tag("pq"), "query_id", "neighbor_id", "rank"
+    )
+    return i.unionByName(k).unionByName(m).unionByName(p)
 
 
 # JL projection: integer sign-sums of quantized components, dequantized
@@ -5619,6 +5627,9 @@ subsume(
     # round-9: MMR diversification, riding sim_topk_battery (part=mmr);
     # rows-only with a pure-numpy dual test
     "sim_mmr_rerank",
+    # round-10: PQ + exact refine, riding sim_topk_battery (part=pq);
+    # rows-only with a hand-codebook ADC dual and recall-floor tests
+    "sim_ann_pq",
     # folded into multimodal_scalar_battery in round 6 (slot discipline:
     # the driver checks a bounded number of registry entries)
     "multimodal_props_json",

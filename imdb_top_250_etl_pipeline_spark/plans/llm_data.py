@@ -39,6 +39,9 @@ from ..operators.similarity import (
     cosine_near_dup_pairs,
     ivf_topk,
     kmeans_refine,
+    pq_encode,
+    pq_refine_topk,
+    pq_train,
 )
 from ..operators.text import (
     LANG_MARKERS,
@@ -314,6 +317,32 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, refined, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "sim_ann_pq",
+    oracle=None,
+    doc="Product quantization with exact refine (operators/similarity"
+    ".py::pq_train/pq_encode/pq_refine_topk — Jégou et al. 2011; the "
+    "FAISS IndexRefineFlat deployment): per-subspace k-means codebooks "
+    "(m=16, ksub=16, all subspaces trained simultaneously by keying "
+    "the Lloyd rounds on sub), vectors compressed to 16 code bytes, "
+    "ADC scan against per-query broadcast lookup tables (corpus floats "
+    "never touched), top-100 shortlist re-ranked by exact cosine over "
+    "only shortlist·queries fetched vectors.  Rows-only for the driver "
+    "(k-means float means are Spark-side); ADC arithmetic pinned by a "
+    "hand-codebook numpy dual and refined recall ≥0.9 vs brute force "
+    "in tests.",
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    seeds = e.where(F.col("vec_id") % 29 == 0)
+    books = pq_train(e, seeds, m=16, ksub=16, iterations=3)
+    index = pq_encode(e, books, m=16)
+    return pq_refine_topk(
+        index, queries, books, e, k=5, shortlist=100, m=16
+    ).orderBy("query_id", "rank")
 
 
 @register(

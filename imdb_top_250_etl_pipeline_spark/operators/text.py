@@ -1008,3 +1008,169 @@ def dsir_importance(
             ),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    short_label: str = "short",
+) -> DataFrame:
+    """CCNet's final selection step: bucket every document into
+    per-language perplexity terciles (head = lowest perplexity =
+    most Wikipedia-like, tail = most surprising).  CCNet keeps head
+    and middle and drops or down-weights tail; the bucket column is
+    the knob.  Composes lm_perplexity_scores (corpus bigram KN model)
+    with a per-language quantile cut.
+
+    The cut itself is rank arithmetic, not NTILE-the-window: ranks
+    come from the distributed grouped_row_number (a plain
+    ``PARTITION BY lang`` window funnels each language's entire
+    corpus into ONE task — the hot-partition cliff at 100 TB), and
+    the bucket id is the exact integer ``(rank-1)·n DIV count + 1``
+    (computed via the mod identity so every step is exact long
+    arithmetic — no float division near bucket boundaries).
+    Per-language counts are a ≤|langs|-row broadcast.  Ordering is
+    (ppl, id) — ppl is round(6)-pinned by lm_perplexity_scores, so
+    the total order and therefore every bucket assignment is
+    hash-exact cross-engine.  Sub-2-token documents (NULL ppl) land
+    in ``short_label`` with NULL bucket_id via the left join-back.
+
+    Returns (id, lang, n_bigrams, ppl, bucket_id, bucket).
+    """
+    from .windows import grouped_row_number
+
+    assert len(labels) == n_buckets
+    scored = lm_perplexity_scores(
+        df.select(id_col, text_col), id_col, text_col
+    ).select(id_col, "n_bigrams", "ppl")
+    base = (
+        df.select(id_col, lang_col)
+        .join(scored, id_col)
+        .where(F.col("ppl").isNotNull())
+    )
+    ranked = grouped_row_number(
+        base, [lang_col], [F.asc("ppl"), F.asc(id_col)], out_col="_rank"
+    )
+    counts = base.groupBy(lang_col).agg(F.count("*").alias("_cnt"))
+    a = (F.col("_rank") - 1) * n_buckets
+    bucketed = ranked.join(F.broadcast(counts), lang_col).select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "ppl",
+        (((a - a % F.col("_cnt")) / F.col("_cnt")).cast("long") + 1).alias(
+            "bucket_id"
+        ),
+    )
+    label = F.coalesce(
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col("bucket_id").cast("int")
+        ),
+        F.lit(short_label),
+    )
+    return (
+        df.select(id_col, lang_col)
+        .join(bucketed, [id_col, lang_col], "left")
+        .select(
+            id_col,
+            lang_col,
+            "n_bigrams",
+            "ppl",
+            "bucket_id",
+            label.alias("bucket"),
+        )
+    )
+
+
+def corpus_js_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    buckets: int = 256,
+    alpha: int = 1,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-group hashed
+    token distributions — the data-recipe diagnostic that says which
+    sources/domains are distributionally close (near-redundant in a
+    mixture) and which contribute genuinely distinct text.  JS is the
+    symmetric, bounded (≤ ln 2) cousin of KL; 0 = identical unigram
+    mix.
+
+    Same hashing trick as dsir_importance: token occurrences hash into
+    a FIXED ``buckets``-sized keyspace, so each group's histogram is ≤
+    buckets rows no matter the corpus size and the whole comparison
+    grid is groups·buckets rows of metadata — the corpus is touched by
+    exactly one scan.  Probabilities are add-``alpha`` smoothed over a
+    dense bucket spine (row-local sequence explode — absent buckets
+    must carry smoothed mass, not vanish).  Each bucket's JS term is
+    quantized once to round(1e9·term) so the per-pair sum is an
+    associative integer sum (the RRF/DSIR discipline) — hash-exact
+    cross-engine; ``js`` is the single dequantizing division.
+
+    The pair join is on the bucket id: buckets · |groups|² rows, bound
+    by metadata (group count), never by data volume.  Returns
+    (group_a, group_b, js_scaled, js) for group_a < group_b.
+    """
+    g = F.col("_g")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("jsd:"), g)), 1, 15), 16, 10
+    ).cast("long") % F.lit(buckets)
+    occ = df.select(
+        group_col, F.explode(tokens(text_col)).alias("_g")
+    ).select(group_col, h.alias("_b"))
+    hist = occ.groupBy(group_col, "_b").agg(F.count("*").alias("_c"))
+    tot = hist.groupBy(group_col).agg(F.sum("_c").alias("_t"))
+    spine = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            group_col,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")
+            ).alias("_b"),
+        )
+    )
+    grid = (
+        spine.join(hist, [group_col, "_b"], "left")
+        .join(tot, group_col)
+        .select(
+            group_col,
+            "_b",
+            (
+                (F.coalesce("_c", F.lit(0)) + F.lit(alpha))
+                / (F.col("_t") + F.lit(alpha * buckets))
+            ).alias("_p"),
+        )
+    )
+    a = grid.select(
+        F.col(group_col).alias("group_a"), "_b", F.col("_p").alias("_pa")
+    )
+    b = grid.select(
+        F.col(group_col).alias("group_b"), "_b", F.col("_p").alias("_pb")
+    )
+    pa, pb = F.col("_pa"), F.col("_pb")
+    term = F.lit(0.5) * (
+        pa * F.log(F.lit(2.0) * pa / (pa + pb))
+        + pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    )
+    return (
+        a.join(b, "_b")
+        .where(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(F.lit(1e9) * term, 0).cast("long").alias("_ts"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.sum("_ts").alias("js_scaled"))
+        .select(
+            "group_a",
+            "group_b",
+            "js_scaled",
+            (F.col("js_scaled").cast("double") / F.lit(1e9)).alias("js"),
+        )
+    )

@@ -3405,6 +3405,112 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores(d, "doc_id", "text")
 
 
+_CBKT_ORACLE = f"""
+WITH pplt AS ({_PPL_ORACLE}),
+cb_base AS (
+  SELECT d.doc_id, d.lang, p.n_bigrams, p.ppl
+  FROM documents d JOIN pplt p USING (doc_id)
+  WHERE p.ppl IS NOT NULL
+),
+cb_r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM cb_base
+),
+cb_b AS (
+  SELECT doc_id, lang, n_bigrams, ppl,
+         CAST((rk - 1) * 3 // cnt + 1 AS BIGINT) AS bucket_id
+  FROM cb_r
+)
+SELECT d.doc_id, d.lang, b.n_bigrams, b.ppl, b.bucket_id,
+       CASE b.bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            WHEN 3 THEN 'tail' ELSE 'short' END AS bucket
+FROM documents d LEFT JOIN cb_b b USING (doc_id, lang)
+"""
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=_CBKT_ORACLE,
+    doc="CCNet's final selection step (operators/text.py::"
+    "perplexity_buckets): per-language perplexity terciles over the "
+    "corpus-LM scores — head (most target-like) / middle / tail "
+    "(usually dropped), sub-2-token docs labeled 'short'.  The cut is "
+    "exact rank arithmetic ((rank−1)·3 DIV count + 1 via the mod "
+    "identity, all long math), ranks from the DISTRIBUTED "
+    "grouped_row_number — a plain PARTITION BY lang window would "
+    "funnel each language's whole corpus into one task at 100 TB.  "
+    "Ordering is (ppl, doc_id) with ppl round(6)-pinned upstream, so "
+    "every bucket assignment hash-matches the oracle's window "
+    "formulation exactly.",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import perplexity_buckets
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return perplexity_buckets(d, "doc_id", "text", "lang")
+
+
+_JSD_B = 256
+
+_JSD_ORACLE = f"""
+WITH jocc AS (
+  SELECT source,
+         CAST(CONCAT('0x', substring(md5('jsd:' || g), 1, 15)) AS BIGINT)
+           % {_JSD_B} AS b
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS g
+        FROM documents) u
+),
+jhist AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+          FROM jocc GROUP BY source, b),
+jtot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+         FROM jhist GROUP BY source),
+jspine AS (
+  SELECT s.source, CAST(r.i AS BIGINT) AS b
+  FROM (SELECT DISTINCT source FROM documents) s,
+       UNNEST(range({_JSD_B})) r(i)
+),
+jgrid AS (
+  SELECT sp.source, sp.b,
+         (COALESCE(h.c, 0) + 1) / (t.t + {_JSD_B}) AS p
+  FROM jspine sp LEFT JOIN jhist h USING (source, b)
+  JOIN jtot t USING (source)
+),
+jterms AS (
+  SELECT ga.source AS group_a, gb.source AS group_b,
+         CAST(ROUND(1e9 * (0.5 * (ga.p * ln(2.0 * ga.p / (ga.p + gb.p))
+                            + gb.p * ln(2.0 * gb.p / (ga.p + gb.p)))), 0)
+              AS BIGINT) AS ts
+  FROM jgrid ga JOIN jgrid gb
+    ON ga.b = gb.b AND ga.source < gb.source
+)
+SELECT group_a, group_b, CAST(sum(ts) AS BIGINT) AS js_scaled,
+       CAST(sum(ts) AS DOUBLE) / 1e9 AS js
+FROM jterms GROUP BY group_a, group_b
+"""
+
+
+@register(
+    "text_js_divergence",
+    oracle=_JSD_ORACLE,
+    doc="Pairwise Jensen–Shannon divergence between per-source hashed "
+    "token distributions (operators/text.py::corpus_js_divergence) — "
+    "the data-recipe diagnostic for which sources are distributionally "
+    "redundant vs distinct.  Histograms live in a FIXED 256-bucket "
+    "hashed keyspace (one corpus scan; everything after is "
+    "groups·buckets metadata), add-1 smoothed over a dense row-local "
+    "bucket spine, and each bucket's JS term is quantized once to "
+    "round(1e9·term) so the per-pair sum is an associative integer sum "
+    "— hash-exact cross-engine like DSIR/RRF.",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import corpus_js_divergence
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    return corpus_js_divergence(d, "source", "text", buckets=_JSD_B)
+
+
 _TRIANGLE_ORACLE = """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -5133,6 +5239,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'ppl' AS part, doc_id AS a, {_NB} AS b, n_bigrams AS n, "
         f"{_NS} AS k, {_NS} AS s, ppl AS v, true AS ok "
         f"FROM ({_PPL_ORACLE}) t",
+        f"SELECT 'cbkt' AS part, doc_id AS a, bucket_id AS b, "
+        f"n_bigrams AS n, lang AS k, bucket AS s, ppl AS v, true AS ok "
+        f"FROM ({_CBKT_ORACLE}) t",
+        f"SELECT 'jsd' AS part, {_NB} AS a, js_scaled AS b, {_NB} AS n, "
+        f"group_a AS k, group_b AS s, js AS v, true AS ok "
+        f"FROM ({_JSD_ORACLE}) t",
         f"SELECT 'ppj_'||part AS part, a, b, {_NB} AS n, {_NS} AS k, "
         f"{_NS} AS s, v, true AS ok FROM ({_PPJOIN_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
@@ -5194,6 +5306,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "snapshot-diff CDC generation (etl_snapshot_cdc), scdlk = "
     "point-in-time SCD2 dimension lookup (etl_scd2_lookup), ppl = "
     "corpus-LM pseudo-perplexity scoring (text_lm_perplexity), "
+    "cbkt = CCNet per-language perplexity terciles via distributed "
+    "rank arithmetic (text_ccnet_buckets), jsd = pairwise "
+    "Jensen–Shannon divergence between per-source hashed token "
+    "distributions (text_js_divergence), "
     "ppj_* = exact prefix-filtered set-similarity pairs + their "
     "connected-component groups vs a brute-force + recursive-CTE "
     "oracle (dedup_ppjoin_exact).  Shared "
@@ -5497,6 +5613,26 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ppl").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    cbk = text_ccnet_buckets(spark, sf_dir).select(
+        F.lit("cbkt").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("bucket_id").cast("long").alias("b"),
+        F.col("n_bigrams").cast("long").alias("n"),
+        F.col("lang").alias("k"),
+        F.col("bucket").alias("s"),
+        F.col("ppl").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    jsd = text_js_divergence(spark, sf_dir).select(
+        F.lit("jsd").alias("part"),
+        _nb().alias("a"),
+        F.col("js_scaled").cast("long").alias("b"),
+        _nb().alias("n"),
+        F.col("group_a").alias("k"),
+        F.col("group_b").alias("s"),
+        F.col("js").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     pj = dedup_ppjoin_exact(spark, sf_dir).select(
         F.concat(F.lit("ppj_"), F.col("part")).alias("part"),
         F.col("a").cast("long").alias("a"),
@@ -5575,6 +5711,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c2)
         .unionByName(sl)
         .unionByName(pl)
+        .unionByName(cbk)
+        .unionByName(jsd)
         .unionByName(pj)
         .unionByName(naa)
         .unionByName(pre)
@@ -5736,6 +5874,12 @@ subsume(
     "etl_snapshot_cdc",
     "etl_scd2_lookup",
     "text_lm_perplexity",
+    # round-10: CCNet perplexity terciles, riding extension_battery
+    # (part=cbkt)
+    "text_ccnet_buckets",
+    # round-10: pairwise source JS divergence, riding extension_battery
+    # (part=jsd)
+    "text_js_divergence",
     # round-8: exact PPJoin pairs + CC groups, both hash-oracled,
     # riding extension_battery (part=ppj_pairs / ppj_groups)
     "dedup_ppjoin_exact",

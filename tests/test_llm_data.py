@@ -1292,3 +1292,126 @@ def test_pq_refined_recall_floor(spark):
     # measured 0.98 on this fixture; 0.9 leaves room for k-means fp
     # wobble without ever passing a broken shortlist
     assert len(g & x) >= 0.9 * len(x), (len(g & x), len(x))
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet per-language terciles) — hand fixtures; the
+# sf0.01 corpus run is oracle-checked in
+# test_oracle_parity[text_ccnet_buckets].
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_boundaries_and_short_docs(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    # 7 scorable en docs -> rank arithmetic (rank-1)*3 DIV 7 + 1 gives
+    # bucket sizes 3/2/2; one sub-2-token doc must land in 'short'
+    rows = [
+        (1, "aa bb aa bb aa bb", "en"),
+        (2, "aa bb aa bb cc dd", "en"),
+        (3, "cc dd cc dd cc dd", "en"),
+        (4, "aa bb cc dd ee ff", "en"),
+        (5, "ee ff ee ff ee ff", "en"),
+        (6, "aa cc ee bb dd ff", "en"),
+        (7, "ff ee dd cc bb aa", "en"),
+        (8, "tiny", "en"),
+        (9, "aa bb aa bb", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.doc_id: r
+        for r in perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    }
+    assert len(got) == 9
+    assert got[8].bucket == "short"
+    assert got[8].bucket_id is None and got[8].ppl is None
+    # the single de doc is its own head tercile
+    assert got[9].bucket == "head" and got[9].bucket_id == 1
+    en = [got[i] for i in range(1, 8)]
+    from collections import Counter
+
+    sizes = Counter(r.bucket for r in en)
+    assert sizes == {"head": 3, "middle": 2, "tail": 2}
+    # bucket order must agree with the (ppl, doc_id) order
+    ordered = sorted(en, key=lambda r: (r.ppl, r.doc_id))
+    assert [r.bucket for r in ordered] == (
+        ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_js_divergence — exact Python dual + bound/identity properties;
+# the sf0.01 run is oracle-checked in
+# test_oracle_parity[text_js_divergence].
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_exact_python_dual_and_bounds(spark):
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        corpus_js_divergence,
+    )
+
+    B = 32
+    rows = [
+        ("news", "the cat sat on the mat"),
+        ("news", "the dog sat on the rug"),
+        ("code", "def foo return bar end"),
+        ("code", "class baz import sys end"),
+        # clone of news' token stream -> js(news, same) must be exactly 0
+        ("same", "the cat sat on the mat"),
+        ("same", "the dog sat on the rug"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r.group_a, r.group_b): (r.js_scaled, r.js)
+        for r in corpus_js_divergence(df, "source", "text", buckets=B)
+        .collect()
+    }
+    assert len(got) == 3
+
+    def bucket(g):
+        h = hashlib.md5(f"jsd:{g}".encode()).hexdigest()[:15]
+        return int(h, 16) % B
+
+    hists, tots = {}, {}
+    for src in ("news", "code", "same"):
+        c = Counter(
+            bucket(g)
+            for s, t in rows
+            if s == src
+            for g in t.split(" ")
+        )
+        hists[src] = c
+        tots[src] = sum(c.values())
+
+    def p(src, b):
+        return (hists[src].get(b, 0) + 1) / (tots[src] + B)
+
+    for a, b in [("code", "news"), ("code", "same"), ("news", "same")]:
+        want = 0
+        for bk in range(B):
+            pa, pb = p(a, bk), p(b, bk)
+            term = 0.5 * (
+                pa * math.log(2.0 * pa / (pa + pb))
+                + pb * math.log(2.0 * pb / (pa + pb))
+            )
+            want += int(
+                Decimal(1e9 * term).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+        assert got[(a, b)][0] == want, (a, b, got[(a, b)][0], want)
+        assert got[(a, b)][1] == want / 1e9
+    # identical distributions -> exactly zero; all pairs within [0, ln2]
+    assert got[("news", "same")][0] == 0
+    for js_scaled, js in got.values():
+        assert 0 <= js <= math.log(2.0) + 1e-12
+    # disjoint vocabularies diverge far more than the identical pair
+    assert got[("code", "news")][1] > 10 * got[("news", "same")][1]

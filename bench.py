@@ -56,6 +56,11 @@ HEADLINE = [
     "text_bpe_merges",
     "text_segment_dedup",
     "text_lm_perplexity",
+    # round-10: DSIR importance weights, CCNet terciles (LM + the
+    # distributed grouped rank), and PQ train/encode/ADC/refine
+    "text_dsir_importance",
+    "text_ccnet_buckets",
+    "sim_ann_pq",
 ]
 
 

@@ -240,3 +240,54 @@ def sample_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def group_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that never separates near-duplicates:
+    documents connected by any chain of near-dup ``pairs`` (id_a, id_b)
+    land in the SAME split, so evaluation can't be contaminated by a
+    near-copy of a training document — the leakage mode a plain
+    per-document hash split invites whenever dedup keeps both ends of
+    a borderline pair (or dedup runs after splitting).
+
+    Composition: dedup_groups (pointer-jumped connected components)
+    labels every paired document with its component-min id; unpaired
+    documents are their own singleton representative (left join +
+    coalesce — NO extra pass over the corpus).  The split is then the
+    standard md5-band on the REPRESENTATIVE (split_by_hash's exact
+    arithmetic, content-derived, engine-reproducible) — so by
+    construction every member of a group shares its group's split, and
+    assignments stay stable as unrelated documents arrive.
+
+    Returns df's columns + (group_rep, split).  Weights default to
+    train/val/test = 8/1/1.
+    """
+    from .dedup import dedup_groups
+
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    groups = dedup_groups(pairs).select(
+        F.col("doc_id").alias(id_col), "group_id"
+    )
+    rep = F.coalesce(F.col("group_id"), F.col(id_col))
+    total = sum(weights.values())
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(total),
+    )
+    expr = None
+    cum = 0
+    for name, wgt in weights.items():
+        cum += wgt
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.join(groups, id_col, "left").select(
+        *[F.col(c) for c in df.columns],
+        rep.alias("group_rep"),
+        expr.alias("split"),
+    )

@@ -5136,6 +5136,80 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unionByName(g)
 
 
+_GSPLIT_ORACLE = """
+WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+g AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 3)
+                        FOR i IN range(1, greatest(length(text) - 1, 1))]) AS grams
+  FROM sub WHERE length(text) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+q AS (SELECT * FROM pairs WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM q
+  UNION
+  SELECT id_b, id_a FROM q
+),
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+grp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a),
+rep AS (
+  SELECT s.doc_id, COALESCE(gr.group_id, s.doc_id) AS group_rep
+  FROM sub s LEFT JOIN grp gr USING (doc_id)
+)
+SELECT doc_id, group_rep,
+       CASE WHEN CAST(CONCAT('0x',
+                substring(md5(CAST(group_rep AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10 < 8 THEN 'train'
+            WHEN CAST(CONCAT('0x',
+                substring(md5(CAST(group_rep AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+
+
+@register(
+    "corpus_group_safe_split",
+    oracle=_GSPLIT_ORACLE,
+    doc="Leakage-safe train/val/test split (operators/sampling.py::"
+    "group_safe_split): near-duplicate documents (any chain through "
+    "the exact prefix-filtered pair set) are assigned AS A GROUP — "
+    "the md5 8/1/1 band keys on the connected-component representative "
+    "instead of the document, so a near-copy of a training document "
+    "can never land in val/test.  Exact end to end on this surface: "
+    "pairs are the lossless PPJoin set, components hash-check against "
+    "the RECURSIVE-CTE closure, and the band arithmetic is the "
+    "engine-reproducible split_by_hash formula — every assignment "
+    "driver-verified, including the singleton fall-through.",
+)
+def corpus_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+    from ..operators.pinning import eager_pin
+    from ..operators.sampling import group_safe_split
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+    )
+    pairs = eager_pin(
+        ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", n=3, threshold=0.6, max_bucket=1_000_000
+        ).select("id_a", "id_b")
+    )
+    return group_safe_split(docs.select("doc_id"), "doc_id", pairs)
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -5247,6 +5321,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"FROM ({_JSD_ORACLE}) t",
         f"SELECT 'ppj_'||part AS part, a, b, {_NB} AS n, {_NS} AS k, "
         f"{_NS} AS s, v, true AS ok FROM ({_PPJOIN_ORACLE}) t",
+        f"SELECT 'gsplit' AS part, doc_id AS a, group_rep AS b, "
+        f"{_NB} AS n, split AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_GSPLIT_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -5312,7 +5389,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "distributions (text_js_divergence), "
     "ppj_* = exact prefix-filtered set-similarity pairs + their "
     "connected-component groups vs a brute-force + recursive-CTE "
-    "oracle (dedup_ppjoin_exact).  Shared "
+    "oracle (dedup_ppjoin_exact), gsplit = leakage-safe train/val/"
+    "test assignment keyed on the near-dup component representative "
+    "(corpus_group_safe_split).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -5643,6 +5722,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    gsp = corpus_group_safe_split(spark, sf_dir).select(
+        F.lit("gsplit").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("group_rep").cast("long").alias("b"),
+        _nb().alias("n"),
+        F.col("split").alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     pre = join_preagg_pushdown(spark, sf_dir).select(
         F.lit("preagg").alias("part"),
         _nb().alias("a"),
@@ -5714,6 +5803,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cbk)
         .unionByName(jsd)
         .unionByName(pj)
+        .unionByName(gsp)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -5883,6 +5973,9 @@ subsume(
     # round-8: exact PPJoin pairs + CC groups, both hash-oracled,
     # riding extension_battery (part=ppj_pairs / ppj_groups)
     "dedup_ppjoin_exact",
+    # round-10: leakage-safe group split, riding extension_battery
+    # (part=gsplit)
+    "corpus_group_safe_split",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

@@ -42,6 +42,10 @@ WATCHED = [
     "text_bpe_merges",
     "text_segment_dedup",
     "text_lm_perplexity",
+    # round-10: PQ (iterative codebook training + ADC shape) and the
+    # CCNet tercile composition (LM join + distributed grouped rank)
+    "sim_ann_pq",
+    "text_ccnet_buckets",
 ]
 
 

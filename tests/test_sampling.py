@@ -203,3 +203,39 @@ def test_sample_per_group_small_groups_and_seed(spark):
     s1 = {r.k for r in sample_per_group(big, "g", "k", 10, "s1").collect()}
     s2 = {r.k for r in sample_per_group(big, "g", "k", 10, "s2").collect()}
     assert s1 != s2
+
+
+def test_group_safe_split_invariants(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        group_safe_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    # chain 10-11-12 is one component; 50-51 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (50, 51)], ["id_a", "id_b"]
+    )
+    out = group_safe_split(df, "doc_id", pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 200  # left join: no row lost or duplicated
+    # every member of a component shares the component's rep AND split
+    assert {by_id[i].group_rep for i in (10, 11, 12)} == {10}
+    assert len({by_id[i].split for i in (10, 11, 12)}) == 1
+    assert {by_id[i].group_rep for i in (50, 51)} == {50}
+    assert by_id[50].split == by_id[51].split
+    # singletons are their own representative
+    assert by_id[7].group_rep == 7
+    # splits cover all three labels at 8/1/1-ish mass over 200 ids
+    from collections import Counter
+
+    c = Counter(r.split for r in out)
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # determinism: rerun under a different layout agrees exactly
+    again = {
+        (r.doc_id, r.group_rep, r.split)
+        for r in group_safe_split(
+            df.repartition(3), "doc_id", pairs.repartition(2)
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.group_rep, r.split) for r in out}

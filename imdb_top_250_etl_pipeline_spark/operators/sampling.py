@@ -291,3 +291,180 @@ def group_safe_split(
         rep.alias("group_rep"),
         expr.alias("split"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    source_col: str,
+    len_col: str,
+    budget: int | tuple[int, int],
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UNIMAX water-filling budget allocation (Chung et al. 2023): split
+    a total token ``budget`` across sources as UNIFORMLY as possible,
+    with no source repeated past ``max_epochs`` — the principled
+    alternative to temperature sampling for multilingual/multi-source
+    recipes (small sources are capped instead of oversampled into
+    memorization; the freed budget flows to the sources that can absorb
+    it).
+
+    Closed-form water filling, all in exact 64-bit integers so the
+    result is bit-identical on any engine: sources sorted by capacity
+    (``tokens * max_epochs``) ascending, a source is SATURATED iff even
+    an equal split of the budget remaining after all smaller sources
+    exceeds its capacity — ``cap_i * n_remaining <= budget -
+    cum_smaller_caps`` (saturation is a prefix of the sort: if i
+    overflows its fair share, so does every larger j).  Saturated
+    sources take their full capacity; the rest split the remainder
+    evenly, with the integer leftover (< n_unsaturated tokens) going one
+    token each to the smallest-capacity unsaturated sources —
+    deterministic, exhaustive whenever any source is unsaturated.
+
+    ``budget`` is an absolute token count, or an exact rational
+    ``(num, den)`` of the corpus total (e.g. ``(2, 1)`` = two epochs'
+    worth) so callers stay scale-invariant without collecting a count.
+
+    Distributed shape: one tiny per-source aggregate; every window below
+    runs over ONE ROW PER SOURCE (bounded by source count, never data
+    volume — the distributed_cumsum offsets rule).  Overflow headroom:
+    ``capacity * n_sources`` must stay under 2^63 — ~1e15 tokens across
+    1e3 sources; fine beyond 100 TB of text.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(len_col).cast("long")).alias("tokens"),
+    )
+    full = W.partitionBy()
+    if isinstance(budget, tuple):
+        num, den = budget
+        b_num = F.sum("tokens").over(full) * int(num)
+        # exact integer floor-div: subtract the remainder first so the
+        # double division is of an exactly-divisible value (< 2^53)
+        b = ((b_num - F.pmod(b_num, F.lit(int(den)))) / int(den)).cast("long")
+    else:
+        b = F.lit(int(budget))
+    asc = W.orderBy(F.col("capacity").asc(), F.col(source_col).asc())
+    staged = (
+        counts.withColumn(
+            "capacity", F.col("tokens") * F.lit(int(max_epochs))
+        )
+        .withColumn("_b", b)
+        .withColumn("_k", F.count("*").over(full))
+        .withColumn("_i", F.row_number().over(asc))
+        .withColumn(
+            "_cum_smaller",
+            F.coalesce(
+                F.sum("capacity").over(
+                    asc.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.col("capacity") * (F.col("_k") - F.col("_i") + 1)
+            <= F.col("_b") - F.col("_cum_smaller"),
+        )
+        .withColumn(
+            "_sat_sum",
+            F.coalesce(
+                F.sum(F.when(F.col("saturated"), F.col("capacity"))).over(
+                    full
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_n_unsat",
+            F.sum((~F.col("saturated")).cast("long")).over(full),
+        )
+    )
+    rem = F.col("_b") - F.col("_sat_sum")
+    share = F.when(
+        F.col("_n_unsat") > 0,
+        ((rem - F.pmod(rem, F.col("_n_unsat"))) / F.col("_n_unsat")).cast(
+            "long"
+        ),
+    )
+    leftover = F.pmod(rem, F.col("_n_unsat"))
+    # saturation is a prefix of the capacity-asc order, so the rank of an
+    # unsaturated source among unsaturated ones is _i - n_saturated
+    unsat_rank = F.col("_i") - (F.col("_k") - F.col("_n_unsat"))
+    return staged.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        "capacity",
+        "saturated",
+        F.when(F.col("saturated"), F.col("capacity"))
+        .otherwise(
+            share + (unsat_rank <= leftover).cast("long")
+        )
+        .alias("allocation"),
+    )
+
+
+def apply_token_allocation(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    len_col: str,
+    alloc: DataFrame,
+) -> DataFrame:
+    """Materialize a per-source token ``alloc`` (source, tokens,
+    allocation — unimax_allocation's output) into actual training rows:
+    every row of source d appears ``allocation_d DIV tokens_d`` times
+    (whole epochs), and the remainder ``allocation_d MOD tokens_d``
+    tokens are filled by ONE extra copy of a deterministic per-source
+    prefix — rows ordered by (key-hash, key), kept while the running
+    token total stays within the remainder.  Output carries a 1-based
+    ``epoch`` column; sources allocated 0 whole epochs contribute only
+    their prefix.
+
+    Realized tokens land within one document of the allocation per
+    source (the final prefix document straddling the cut is dropped, the
+    standard document-granularity under-fill) and every copy decision is
+    a pure function of the row key — re-runs and cluster layouts agree.
+
+    Distributed shape: the allocation is a broadcast join (one row per
+    source); the prefix cut rides grouped_cumsum (range-shuffled, never
+    one-task-per-source); the duplication is a row-local explode.
+    EAGER via grouped_cumsum's pin — wrap compositions in a
+    ``pinning.pin_scope``.
+    """
+    from .windows import grouped_cumsum
+
+    sized = df.join(
+        F.broadcast(
+            alloc.select(
+                source_col,
+                F.col("tokens").alias("_src_tokens"),
+                F.col("allocation").alias("_alloc"),
+            )
+        ),
+        source_col,
+    )
+    order = [_key_uniform(F.col(key_col)), F.col(key_col)]
+    cum = grouped_cumsum(sized, [source_col], order, len_col, out_col="_cum")
+    base = F.when(
+        F.col("_src_tokens") > 0,
+        (
+            (
+                F.col("_alloc")
+                - F.pmod(F.col("_alloc"), F.col("_src_tokens"))
+            )
+            / F.col("_src_tokens")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    rem = F.when(
+        F.col("_src_tokens") > 0,
+        F.pmod(F.col("_alloc"), F.col("_src_tokens")),
+    ).otherwise(F.lit(0))
+    n_copies = (base + (F.col("_cum") <= rem).cast("long")).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        cum.withColumn("epoch", F.explode(copies))
+        .drop("_src_tokens", "_alloc", "_cum")
+    )

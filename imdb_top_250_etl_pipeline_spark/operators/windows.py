@@ -144,6 +144,58 @@ def distributed_cumsum(
     )
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """sum(value) OVER (PARTITION BY group_cols ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING), distributed across ~parallelism tasks
+    regardless of group count — the grouped twin of distributed_cumsum,
+    built exactly like grouped_row_number with sum as the combine.
+
+    This is the primitive behind per-source token budgeting (UNIMAX
+    application, per-domain quota cuts): a handful of giant sources must
+    not become a handful of giant tasks.  ``order_cols`` must be a total
+    order within each group (unique tie-break key); EAGER like
+    grouped_row_number — the range-repartitioned input is
+    localCheckpoint-pinned (``_pin_partition_ids`` contract), released
+    by an ambient ``pinning.pin_scope``.
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    gcols = [F.col(c) for c in group_cols]
+    n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    parted = _pin_partition_ids(df.repartitionByRange(n, *gcols, *ocols))
+    cell = (
+        W.partitionBy("_pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("_local_sum", F.sum(value_col).over(cell))
+    # one row per (partition, group) cell — tiny; the cumulative sum of
+    # all EARLIER partitions' cells for the same group is the offset
+    totals = local.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_n")
+    )
+    off_w = (
+        W.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
+        .drop("_pid", "_local_sum", "_offset")
+    )
+
+
 def distributed_prev_max(
     df: DataFrame,
     order_cols: list,

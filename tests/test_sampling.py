@@ -239,3 +239,98 @@ def test_group_safe_split_invariants(spark):
         ).collect()
     }
     assert again == {(r.doc_id, r.group_rep, r.split) for r in out}
+
+
+def _water_fill(caps: dict, budget: int) -> dict:
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    alloc, rem = {}, budget
+    for idx, s in enumerate(order):
+        n_rem = len(order) - idx
+        if caps[s] * n_rem <= rem:
+            alloc[s] = caps[s]
+            rem -= caps[s]
+        else:
+            share, left = divmod(rem, n_rem)
+            for j, s2 in enumerate(order[idx:]):
+                alloc[s2] = share + (1 if j < left else 0)
+            return alloc
+    return alloc  # everything saturated; leftover budget unused
+
+
+@pytest.mark.parametrize(
+    "caps,budget",
+    [
+        ({"a": 10, "b": 10, "c": 10}, 12),  # nobody saturated, remainder
+        ({"a": 3, "b": 100, "c": 100}, 60),  # one saturated
+        ({"a": 1, "b": 2, "c": 3}, 100),  # all saturated, budget unused
+        ({"a": 7}, 5),  # single source
+        ({"a": 5, "b": 5}, 0),  # zero budget
+    ],
+)
+def test_unimax_matches_water_filling_dual(spark, caps, budget):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    # one row per token so tokens == capacity at max_epochs=1
+    rows = [(s, i) for s, c in caps.items() for i in range(c)]
+    df = spark.createDataFrame(rows, ["src", "k"]).withColumn(
+        "len", F.lit(1)
+    )
+    out = unimax_allocation(df, "src", "len", budget, max_epochs=1)
+    got = {r["src"]: r["allocation"] for r in out.collect()}
+    assert got == _water_fill(caps, budget)
+
+
+def test_unimax_invariants_and_apply(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        apply_token_allocation,
+        unimax_allocation,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    alloc = unimax_allocation(docs, "lang", "n_chars", (2, 1), max_epochs=3)
+    rows = alloc.collect()
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budget = 2 * total
+    by = {r["lang"]: r for r in rows}
+    # per-source cap respected; budget exhausted (some source unsaturated)
+    assert all(r["allocation"] <= r["capacity"] for r in rows)
+    assert sum(r["allocation"] for r in rows) == budget
+    # unsaturated allocations uniform within 1 token
+    unsat = [r["allocation"] for r in rows if not r["saturated"]]
+    assert max(unsat) - min(unsat) <= 1
+    # saturated sources take exactly their capacity
+    assert all(
+        r["allocation"] == r["capacity"] for r in rows if r["saturated"]
+    )
+    applied = apply_token_allocation(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "doc_id",
+        "n_chars",
+        alloc,
+    )
+    realized = {
+        r["lang"]: (r["t"], r["max_len"])
+        for r in applied.groupBy("lang")
+        .agg(F.sum("n_chars").alias("t"), F.max("n_chars").alias("max_len"))
+        .collect()
+    }
+    for lang, (t, max_len) in realized.items():
+        a = by[lang]["allocation"]
+        # within one document of the allocation, never over
+        assert t <= a and a - t <= max_len, (lang, t, a, max_len)
+    # layout determinism
+    again = {
+        (r.doc_id, r.epoch)
+        for r in apply_token_allocation(
+            docs.select("doc_id", "lang", "n_chars").repartition(7),
+            "lang",
+            "doc_id",
+            "n_chars",
+            alloc,
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.epoch) for r in applied.collect()}

@@ -130,3 +130,77 @@ def test_flatten_structs_depth_arrays_and_collisions(spark):
 
     with _pytest.raises(ValueError, match="collision"):
         flatten_structs(bad)
+
+
+def _ahash_py(t: str):
+    cps = [ord(c) for c in t]
+    n = len(cps)
+    cs, cc = [0] * 64, [0] * 64
+    for i, c in enumerate(cps):
+        k = (i * 64) // n
+        cs[k] += c
+        cc[k] += 1
+    tot = sum(cps)
+    bits = [
+        1 if (cc[k] > 0 and cs[k] * n >= tot * cc[k]) else 0
+        for k in range(64)
+    ]
+    return [sum(bits[b * 16 + j] << j for j in range(16)) for b in range(4)]
+
+
+def test_ahash_matches_python_dual_and_band_join_is_lossless(spark):
+    import pyspark.sql.functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        ahash_blobs,
+        ahash_near_dup,
+        synthesize_blobs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "the quick brown fox jumps over the lazy dog " * 3),  # exact
+        (3, "the quick brown fox JUMPS OVER the lazy dog " * 3),  # near
+        (4, "zzzz completely different content here yes " * 4),
+        (5, "short but ok text under sixty-four characters"),  # n < 64
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sigs = ahash_blobs(synthesize_blobs(df, "text", "doc_id"))
+    got = {r.doc_id: [r.b0, r.b1, r.b2, r.b3] for r in sigs.collect()}
+    for doc_id, t in texts:
+        assert got[doc_id] == _ahash_py(t), doc_id
+    # lossless pigeonhole: banded pairs == brute-force pairs at radius 3
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    brute = {
+        (i, j)
+        for i in got
+        for j in got
+        if i < j and ham(got[i], got[j]) <= 3
+    }
+    banded = {
+        (r.id_a, r.id_b) for r in ahash_near_dup(sigs, radius=3).collect()
+    }
+    assert banded == brute
+    assert (1, 2) in banded  # exact copy: hamming 0
+    # hamming values verified against the python hashes
+    for r in ahash_near_dup(sigs, radius=3).collect():
+        assert r.hamming == ham(got[r.id_a], got[r.id_b])
+
+
+def test_ahash_max_bucket_drops_degenerate_buckets(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        ahash_blobs,
+        ahash_near_dup,
+        synthesize_blobs,
+    )
+
+    # 6 identical docs: every band bucket has size 6
+    df = spark.createDataFrame(
+        [(i, "same text repeated for everyone here ok " * 2) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    sigs = ahash_blobs(synthesize_blobs(df, "text", "doc_id"))
+    assert ahash_near_dup(sigs, radius=3).count() == 15  # C(6,2)
+    assert ahash_near_dup(sigs, radius=3, max_bucket=5).count() == 0

@@ -181,6 +181,74 @@ def txn_create(
     return 0
 
 
+def last_txn_version(table: str, app_id: str) -> int:
+    """Highest application-transaction version committed under
+    ``app_id`` (the Delta ``txn`` action protocol: each idempotent
+    writer stamps its commits with (appId, version)), -1 if none.
+
+    One pass over the log — log files are tiny JSON manifests, and the
+    production analogue snapshots this from the checkpointed log state
+    rather than re-listing."""
+    head = latest_version(table)
+    last = -1
+    for i in range(head + 1):
+        with open(_log_path(table, i)) as f:
+            for line in f:
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    last = max(last, int(t["version"]))
+    return last
+
+
+def txn_append(
+    df: DataFrame,
+    table: str,
+    key: str,
+    app_txn: tuple[str, int] | None = None,
+    range_partitions: int | None = None,
+) -> int | None:
+    """Append-only commit; creates the table (metaData at the appended
+    version) if it does not exist yet.
+
+    With ``app_txn=(app_id, version)`` the append is IDEMPOTENT: if the
+    log already records a ``txn`` action for ``app_id`` at or past
+    ``version``, nothing is written and None is returned — the
+    exactly-once handshake a replayed streaming microbatch needs.  The
+    check-then-commit race is closed by the atomic commit itself: on an
+    optimistic-concurrency conflict the txn watermark is re-read before
+    retrying, so a concurrent retry of the SAME batch wins exactly once
+    (the loser's staged files stay orphaned for vacuum, like any losing
+    writer).  Appends conflict with nothing semantically, so retries
+    only ever re-number the commit.
+
+    Returns the committed log version, or None when skipped."""
+    app_id, bver = app_txn if app_txn else (None, -1)
+    if app_id is not None and last_txn_version(table, app_id) >= bver:
+        return None
+    os.makedirs(table, exist_ok=True)
+    head = latest_version(table)
+    adds = _stage_and_place(df, table, head + 1, key, range_partitions)
+    while True:
+        head = latest_version(table)
+        actions: list[dict] = []
+        if head < 0:
+            actions.append(
+                {"metaData": {"schema": df.schema.json(), "key": key}}
+            )
+        if app_id is not None:
+            actions.append({"txn": {"appId": app_id, "version": bver}})
+        try:
+            _commit(table, head + 1, actions + adds)
+            return head + 1
+        except TxnConflictError:
+            if (
+                app_id is not None
+                and last_txn_version(table, app_id) >= bver
+            ):
+                return None  # a concurrent retry of this batch won
+
+
 def snapshot(table: str, version: int | None = None):
     """Replay the log to ``version`` (default: latest).
 

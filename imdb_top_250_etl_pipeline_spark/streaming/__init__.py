@@ -7,6 +7,7 @@ from .jobs import (  # noqa: F401
     stateful_user_counts,
     tws_user_stats,
     foreach_batch_upsert,
+    stream_to_txn_table,
     enrich_stream,
     join_event_streams,
 )

@@ -252,6 +252,39 @@ def foreach_batch_upsert(
     )
 
 
+def stream_to_txn_table(
+    events: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    app_id: str,
+    key: str = "event_id",
+):
+    """END-TO-END exactly-once streaming sink into the transaction-log
+    table: source offsets live in the streaming checkpoint
+    (replayable), and each microbatch appends under an idempotent
+    ``txn`` action stamped (app_id, batch_id) — foreachBatch's
+    at-least-once replays (restart mid-batch, checkpoint rollback)
+    become no-ops because the log already records the batch.  This is
+    the Delta `txn`-action protocol; the committed table is readable
+    mid-stream via txn_read with full snapshot isolation.
+
+    Contrast with foreach_batch_upsert: that sink is idempotent by
+    key-level MERGE semantics (re-delivery overwrites in place); this
+    one is idempotent by BATCH identity, which is what append-only
+    fact/event tables need — a replayed batch must not double its rows.
+    """
+    from ..sources.txn import txn_append
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        txn_append(batch, table, key=key, app_txn=(app_id, batch_id))
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )
+
+
 def enrich_stream(
     events: DataFrame, dim: DataFrame, on, how: str = "left"
 ) -> DataFrame:

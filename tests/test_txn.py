@@ -528,3 +528,58 @@ def test_replace_where_validates_predicate_and_feeds_cdf(spark, table):
     # keys 11..20 vanished -> D; keys 1..10 changed name -> U (or D+I)
     assert {k for k in keys_in if k > 10} <= by_op.get("D", set())
     assert all(r.c_name == "regen" for r in feed if r.op in ("I", "U"))
+
+
+def test_txn_append_idempotent_and_exactly_once_stream(spark, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        last_txn_version,
+        txn_append,
+    )
+    from imdb_top_250_etl_pipeline_spark.streaming import (
+        read_events_stream,
+        stream_to_txn_table,
+    )
+
+    table = str(tmp_path / "facts")
+    src = load(spark, SF_SMOKE, "events")
+    n_src = src.count()
+
+    # exactly-once stream: availableNow over the events dir
+    q = stream_to_txn_table(
+        read_events_stream(spark, SF_SMOKE),
+        table,
+        str(tmp_path / "ckpt"),
+        app_id="ingest-a",
+    ).start()
+    q.awaitTermination(120)
+    assert txn_read(spark, table).count() == n_src
+    head = latest_version(table)
+    committed = last_txn_version(table, "ingest-a")
+    assert committed >= 0
+
+    # a replayed microbatch (restart that lost the checkpoint commit,
+    # or a fresh checkpoint re-reading the same files) is a no-op
+    assert (
+        txn_append(
+            src, table, key="event_id", app_txn=("ingest-a", committed)
+        )
+        is None
+    )
+    q2 = stream_to_txn_table(
+        read_events_stream(spark, SF_SMOKE),
+        table,
+        str(tmp_path / "ckpt2"),  # fresh checkpoint => batch ids replay
+        app_id="ingest-a",
+    ).start()
+    q2.awaitTermination(120)
+    assert latest_version(table) == head  # nothing re-committed
+    assert txn_read(spark, table).count() == n_src
+
+    # a NEW batch id appends; a DIFFERENT app's txn is independent
+    v = txn_append(
+        src.limit(5), table, key="event_id",
+        app_txn=("ingest-a", committed + 1),
+    )
+    assert v == head + 1
+    assert txn_read(spark, table).count() == n_src + 5
+    assert last_txn_version(table, "other-app") == -1

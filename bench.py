@@ -61,6 +61,10 @@ HEADLINE = [
     "text_dsir_importance",
     "text_ccnet_buckets",
     "sim_ann_pq",
+    # round-11: UNIMAX allocation+materialization (grouped cumsum) and
+    # perceptual-hash image near-dup (Arrow hash + banded join)
+    "corpus_unimax",
+    "multimodal_ahash_dedup",
 ]
 
 

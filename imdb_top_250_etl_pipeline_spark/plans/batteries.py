@@ -5210,6 +5210,398 @@ def corpus_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_safe_split(docs.select("doc_id"), "doc_id", pairs)
 
 
+_UNIMAX_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+),
+staged AS (
+  SELECT lang, n_docs, tokens, tokens * 3 AS capacity,
+         (SELECT sum(tokens) * 2 FROM counts) AS b,
+         count(*) OVER () AS k,
+         row_number() OVER (ORDER BY tokens * 3, lang) AS i,
+         COALESCE(sum(tokens * 3) OVER (
+             ORDER BY tokens * 3, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_smaller
+  FROM counts
+),
+flags AS (
+  SELECT *, capacity * (k - i + 1) <= b - cum_smaller AS saturated
+  FROM staged
+),
+fin AS (
+  SELECT *,
+         COALESCE(sum(CASE WHEN saturated THEN capacity END) OVER (), 0)
+           AS sat_sum,
+         sum(CASE WHEN NOT saturated THEN 1 ELSE 0 END) OVER () AS n_unsat
+  FROM flags
+),
+alloc AS (
+  SELECT lang, n_docs, tokens, capacity, saturated,
+         CASE WHEN saturated THEN capacity
+              ELSE (b - sat_sum) // n_unsat
+                   + CASE WHEN i - (k - n_unsat) <= (b - sat_sum) % n_unsat
+                          THEN 1 ELSE 0 END
+         END AS allocation
+  FROM fin
+),
+applied AS (
+  SELECT d.doc_id, d.lang,
+         a.tokens AS src_tokens, a.allocation,
+         sum(d.n_chars) OVER (
+             PARTITION BY d.lang
+             ORDER BY (d.doc_id * 2654435761) % 1000, d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents d JOIN alloc a USING (lang)
+),
+rowsout AS (
+  SELECT doc_id, lang,
+         unnest(generate_series(1,
+             CAST(allocation // src_tokens
+                  + CASE WHEN cum <= allocation % src_tokens
+                         THEN 1 ELSE 0 END AS BIGINT))) AS epoch
+  FROM applied
+)
+SELECT 'umax_alloc' AS part, CAST(n_docs AS BIGINT) AS a,
+       tokens AS b, allocation AS n, lang AS k,
+       CAST(saturated AS VARCHAR) AS s, CAST(capacity AS DOUBLE) AS v,
+       true AS ok
+FROM alloc
+UNION ALL
+SELECT 'umax_rows' AS part, doc_id AS a, CAST(epoch AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS n, lang AS k, CAST(NULL AS VARCHAR) AS s,
+       CAST(NULL AS DOUBLE) AS v, true AS ok
+FROM rowsout
+"""
+
+
+@register(
+    "corpus_unimax",
+    oracle=_UNIMAX_ORACLE,
+    doc="UNIMAX water-filling budget allocation + row materialization "
+    "(operators/sampling.py::unimax_allocation / "
+    "apply_token_allocation): a two-epoch corpus budget split as "
+    "uniformly as possible across languages with a 3-epoch repetition "
+    "cap — exact 64-bit integer water filling (saturated prefix takes "
+    "capacity, the rest split the remainder evenly, integer leftover "
+    "to the smallest capacities), then per-source whole-epoch copies "
+    "plus a key-hash-ordered prefix for the remainder tokens via the "
+    "distributed grouped cumsum.  Both the 5-row allocation table and "
+    "every materialized (doc, epoch) copy hash-check against the "
+    "DuckDB window/unnest twin.",
+)
+def corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import (
+        apply_token_allocation,
+        unimax_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    alloc = unimax_allocation(docs, "lang", "n_chars", (2, 1), max_epochs=3)
+    a = alloc.select(
+        F.lit("umax_alloc").alias("part"),
+        F.col("n_docs").cast("long").alias("a"),
+        F.col("tokens").cast("long").alias("b"),
+        F.col("allocation").cast("long").alias("n"),
+        F.col("lang").alias("k"),
+        F.col("saturated").cast("string").alias("s"),
+        F.col("capacity").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    rows = apply_token_allocation(
+        docs, "lang", "doc_id", "n_chars", alloc
+    ).select(
+        F.lit("umax_rows").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("epoch").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("lang").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    return a.unionByName(rows)
+
+
+_OLAP_ORACLE = """
+WITH cell AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+         count(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+rtr AS (
+  SELECT status, prio, n_orders, rev,
+         SUM(rev) OVER (PARTITION BY status) AS status_total
+  FROM cell
+),
+yoy AS (
+  SELECT year(o_orderdate) AS yr,
+         count(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+yoy2 AS (
+  SELECT yr, n_orders, rev, lag(rev) OVER (ORDER BY yr) AS prev
+  FROM yoy
+),
+pareto AS (
+  SELECT status, prio, n_orders,
+         SUM(rev) OVER (ORDER BY rev DESC, status, prio
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(rev) OVER () AS total,
+         row_number() OVER (ORDER BY rev DESC, status, prio) AS rk
+  FROM cell
+)
+SELECT 'olap_rtr' AS part, n_orders AS a, CAST(rev * 100 AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS n, status AS k, prio AS s,
+       CAST(rev AS DOUBLE) / CAST(status_total AS DOUBLE) AS v, true AS ok
+FROM rtr
+UNION ALL
+SELECT 'olap_yoy' AS part, n_orders AS a, CAST(rev * 100 AS BIGINT) AS b,
+       CAST(yr AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS k,
+       CAST(NULL AS VARCHAR) AS s, CAST(rev - prev AS DOUBLE) AS v,
+       true AS ok
+FROM yoy2
+UNION ALL
+SELECT 'olap_pareto' AS part, n_orders AS a, CAST(cum * 100 AS BIGINT) AS b,
+       rk AS n, status AS k, prio AS s, CAST(cum AS DOUBLE) AS v,
+       cum * 5 <= total * 4 AS ok
+FROM pareto
+"""
+
+
+@register(
+    "sql_olap_shapes",
+    oracle=_OLAP_ORACLE,
+    doc="The window-over-aggregate OLAP report idioms TPC-H doesn't "
+    "cover (TPC-DS territory): ratio-to-report (each priority cell's "
+    "share of its order-status total), year-over-year revenue delta "
+    "(lag over a yearly aggregate), and Pareto cumulative share with "
+    "an EXACT 80%% cut (cum*5 <= total*4 in DECIMAL — the round-9 "
+    "integer-scaled-threshold rule, so the flag never depends on a "
+    "double compare at the boundary).  Revenue rides exact DECIMAL "
+    "sums surfaced both as integer cents (hash-exact) and as the "
+    "derived double ratios; every window here runs over the tiny "
+    "aggregate (15 cells / 7 years), never the fact table.",
+)
+def sql_olap_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    cell = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count("*").alias("n_orders"), F.sum(dec).alias("rev"))
+    rtr = cell.withColumn(
+        "status_total", F.sum("rev").over(W.partitionBy("status"))
+    ).select(
+        F.lit("olap_rtr").alias("part"),
+        F.col("n_orders").cast("long").alias("a"),
+        (F.col("rev") * 100).cast("long").alias("b"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("status").alias("k"),
+        F.col("prio").alias("s"),
+        (
+            F.col("rev").cast("double")
+            / F.col("status_total").cast("double")
+        ).alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    yoy = (
+        orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("n_orders"), F.sum(dec).alias("rev"))
+        .withColumn("prev", F.lag("rev").over(W.orderBy("yr")))
+        .select(
+            F.lit("olap_yoy").alias("part"),
+            F.col("n_orders").cast("long").alias("a"),
+            (F.col("rev") * 100).cast("long").alias("b"),
+            F.col("yr").cast("long").alias("n"),
+            F.lit(None).cast("string").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+            (F.col("rev") - F.col("prev")).cast("double").alias("v"),
+            F.lit(True).alias("ok"),
+        )
+    )
+    desc = W.orderBy(F.col("rev").desc(), "status", "prio")
+    pareto = (
+        cell.withColumn(
+            "cum",
+            F.sum("rev").over(
+                desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("total", F.sum("rev").over(W.partitionBy()))
+        .withColumn("rk", F.row_number().over(desc))
+        .select(
+            F.lit("olap_pareto").alias("part"),
+            F.col("n_orders").cast("long").alias("a"),
+            (F.col("cum") * 100).cast("long").alias("b"),
+            F.col("rk").cast("long").alias("n"),
+            F.col("status").alias("k"),
+            F.col("prio").alias("s"),
+            F.col("cum").cast("double").alias("v"),
+            (F.col("cum") * 5 <= F.col("total") * 4).alias("ok"),
+        )
+    )
+    return rtr.unionByName(yoy).unionByName(pareto)
+
+
+_AHASH_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+twin AS (
+  SELECT doc_id + 1000000000 AS doc_id,
+         substr(text, 1, length(text) // 4)
+         || repeat('~', greatest(length(text) // 10, 1))
+         || substr(text, length(text) // 4
+                         + greatest(length(text) // 10, 1) + 1) AS text
+  FROM base WHERE doc_id % 10 = 0
+),
+all_docs AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twin
+),
+cp AS (
+  SELECT doc_id, [unicode(x) FOR x IN string_split(text, '')] AS l
+  FROM all_docs
+),
+ex AS (
+  SELECT doc_id, len(l) AS n, unnest(l) AS c,
+         unnest(range(0, len(l))) AS i
+  FROM cp
+),
+cells AS (
+  SELECT doc_id, n, (i * 64) // n AS cell,
+         sum(c) AS cs, count(*) AS cc
+  FROM ex GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, sum(cs) AS t FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id, c.cell,
+         CASE WHEN c.cs * c.n >= t.t * c.cc THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (doc_id)
+),
+spine AS (
+  SELECT d.doc_id, b.band_id
+  FROM (SELECT DISTINCT doc_id FROM all_docs) d,
+       (SELECT unnest(range(0, 4)) AS band_id) b
+),
+bands AS (
+  SELECT s.doc_id, s.band_id,
+         CAST(COALESCE(sum(bit << (cell % 16)), 0) AS BIGINT) AS band_val
+  FROM spine s
+  LEFT JOIN bits ON bits.doc_id = s.doc_id
+                AND bits.cell // 16 = s.band_id
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT doc_id,
+         sum(CASE WHEN band_id = 0 THEN band_val ELSE 0 END) AS b0,
+         sum(CASE WHEN band_id = 1 THEN band_val ELSE 0 END) AS b1,
+         sum(CASE WHEN band_id = 2 THEN band_val ELSE 0 END) AS b2,
+         sum(CASE WHEN band_id = 3 THEN band_val ELSE 0 END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           AS hamming
+  FROM cand JOIN wide a ON a.doc_id = id_a
+            JOIN wide b ON b.doc_id = id_b
+)
+SELECT 'ahash_sig' AS part, doc_id AS a, CAST(band_id AS BIGINT) AS b,
+       band_val AS n, CAST(NULL AS VARCHAR) AS k, CAST(NULL AS VARCHAR) AS s,
+       CAST(NULL AS DOUBLE) AS v, true AS ok
+FROM bands
+UNION ALL
+SELECT 'ahash_pairs' AS part, id_a AS a, id_b AS b,
+       CAST(hamming AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS k,
+       CAST(NULL AS VARCHAR) AS s, CAST(NULL AS DOUBLE) AS v, true AS ok
+FROM pairs WHERE hamming <= 3
+"""
+
+
+@register(
+    "multimodal_ahash_dedup",
+    oracle=_AHASH_ORACLE,
+    doc="Perceptual-hash image near-duplication "
+    "(operators/multimodal.py::ahash_blobs / ahash_near_dup): the "
+    "aHash fingerprint (64-cell downsample, threshold at the global "
+    "mean in EXACT integers, bits packed into four 16-bit bands) "
+    "computed Arrow-batched at the codec seam, then pairs within "
+    "Hamming radius 3 found by the LOSSLESS pigeonhole band join "
+    "(≤3 flips can't touch all 4 bands) and verified by popcount "
+    "over XOR.  Fixture plants a perturbed twin (id+1e9, a ~-slice "
+    "overwrite) for every 10th document next to the natural corpus; "
+    "both every signature band and every surviving pair hash-check "
+    "against the DuckDB char-explode restatement.",
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        ahash_blobs,
+        ahash_near_dup,
+        synthesize_blobs,
+    )
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    n = F.length("text")
+    s0 = F.floor(n / 4).cast("int")
+    ln = F.greatest(F.floor(n / 10), F.lit(1)).cast("int")
+    twin = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), F.lit(1), s0),
+            F.repeat(F.lit("~"), ln),
+            F.substring(F.col("text"), s0 + ln + 1, n),
+        ).alias("text"),
+    )
+    blobs = synthesize_blobs(base.unionByName(twin), "text", "doc_id")
+    sigs = ahash_blobs(blobs)
+    sig_rows = sigs.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0L, b0, 1L, b1, 2L, b2, 3L, b3) AS (band_id, band_val)"
+        ),
+    ).select(
+        F.lit("ahash_sig").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("band_id").cast("long").alias("b"),
+        F.col("band_val").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    pair_rows = ahash_near_dup(sigs, radius=3).select(
+        F.lit("ahash_pairs").alias("part"),
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    return sig_rows.unionByName(pair_rows)
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -5324,6 +5716,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'gsplit' AS part, doc_id AS a, group_rep AS b, "
         f"{_NB} AS n, split AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_GSPLIT_ORACLE}) t",
+        f"SELECT part, a, b, n, k, s, v, ok FROM ({_UNIMAX_ORACLE}) t",
+        f"SELECT part, a, b, n, k, s, v, ok FROM ({_OLAP_ORACLE}) t",
+        f"SELECT part, a, b, n, k, s, v, ok FROM ({_AHASH_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -5391,7 +5786,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
     "connected-component groups vs a brute-force + recursive-CTE "
     "oracle (dedup_ppjoin_exact), gsplit = leakage-safe train/val/"
     "test assignment keyed on the near-dup component representative "
-    "(corpus_group_safe_split).  Shared "
+    "(corpus_group_safe_split), umax_* = UNIMAX water-filling budget "
+    "allocation + materialized per-epoch copies (corpus_unimax), "
+    "olap_* = window-over-aggregate report idioms: ratio-to-report, "
+    "year-over-year delta, Pareto cumulative share with an exact "
+    "integer-scaled 80%% cut (sql_olap_shapes).  Shared "
     "schema (part, a, b, n, k, s, v, ok) with NULL padding typed "
     "identically on both sides; each branch keeps its own ok pins "
     "(JDBC stride partitioning, pushdown into Derby's WHERE, "
@@ -5732,6 +6131,9 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v"),
         F.lit(True).alias("ok"),
     )
+    umx = corpus_unimax(spark, sf_dir)
+    olp = sql_olap_shapes(spark, sf_dir)
+    ahd = multimodal_ahash_dedup(spark, sf_dir)
     pre = join_preagg_pushdown(spark, sf_dir).select(
         F.lit("preagg").alias("part"),
         _nb().alias("a"),
@@ -5804,6 +6206,9 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jsd)
         .unionByName(pj)
         .unionByName(gsp)
+        .unionByName(umx)
+        .unionByName(olp)
+        .unionByName(ahd)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -5976,6 +6381,15 @@ subsume(
     # round-10: leakage-safe group split, riding extension_battery
     # (part=gsplit)
     "corpus_group_safe_split",
+    # round-11: UNIMAX water-filling allocation + materialization,
+    # riding extension_battery (part=umax_alloc / umax_rows)
+    "corpus_unimax",
+    # round-11: window-over-aggregate OLAP report idioms, riding
+    # extension_battery (part=olap_rtr / olap_yoy / olap_pareto)
+    "sql_olap_shapes",
+    # round-11: perceptual-hash image near-dup, riding
+    # extension_battery (part=ahash_sig / ahash_pairs)
+    "multimodal_ahash_dedup",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

@@ -46,6 +46,10 @@ WATCHED = [
     # CCNet tercile composition (LM join + distributed grouped rank)
     "sim_ann_pq",
     "text_ccnet_buckets",
+    # round-11: UNIMAX (grouped cumsum + explode) and aHash near-dup
+    # (Arrow hash + banded self-join)
+    "corpus_unimax",
+    "multimodal_ahash_dedup",
 ]
 
 

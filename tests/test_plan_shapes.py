@@ -524,3 +524,44 @@ def test_tpch_q6_filters_reach_parquet_scan(spark):
     # column pruning: the money column is not in the read schema
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" not in read, read
+
+
+def test_ahash_near_dup_plans_equi_join_not_all_pairs(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(SUBSUMED["multimodal_ahash_dedup"].fn(spark, SF_CORRECT))
+    # banded candidate generation is an equi-join on (band_id, band_val)
+    # plus hash joins back to the signatures — never a product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_olap_shapes_window_over_aggregate_only(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(SUBSUMED["sql_olap_shapes"].fn(spark, SF_CORRECT))
+    # revenue aggregates partially before the exchange (map-side combine
+    # on the fact scan), and the windows run over the aggregate
+    assert plan.count("HashAggregate") >= 4  # partial+final per branch
+    assert "Window" in plan
+    # the orders fact is scanned once per branch with only the needed
+    # columns — never the full width
+    read = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert all("o_comment" not in r and "o_clerk" not in r for r in read)
+
+
+def test_unimax_windows_bounded_by_source_count(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(SUBSUMED["corpus_unimax"].fn(spark, SF_CORRECT))
+    # the water-filling windows run over the per-source aggregate (a
+    # handful of rows), which sits above a partial+final count/sum — the
+    # corpus itself is never pulled through a partition-less window
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+    # allocation reaches the corpus as a broadcast join, and the
+    # remainder prefix never funnels: no single-partition global sort
+    assert "BroadcastHashJoin" in plan

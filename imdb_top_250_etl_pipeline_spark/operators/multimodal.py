@@ -347,3 +347,114 @@ def ahash_near_dup(
         .where(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def synthesize_audio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic fake audio blobs: 'AUD:<rate>:' header + payload.
+
+    Sample rate derives from the id (8/16/24 kHz — the three common
+    speech/music rates) so every row round-trips predictably; the
+    payload stands in for PCM bytes the way the IMG payload stands in
+    for pixels.
+    """
+    rate = ((F.col(id_col) % 3 + 1) * 8000).cast("int")
+    header = F.concat(F.lit("AUD:"), rate.cast("string"), F.lit(":"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.concat(header, F.col(text_col)), "UTF-8").alias("blob"),
+    )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("n_clipped", T.IntegerType()),
+    ]
+)
+
+# the stub's PCM stand-in: sample value = code point − 96 (ASCII text
+# centers near 0), clipping threshold ±24 — both arbitrary but FIXED so
+# the SQL oracle restates them verbatim
+_AUDIO_CENTER = 96
+_AUDIO_CLIP = 24
+
+
+def decode_audio(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched audio 'decode': duration + signal-quality stats.
+
+    Real pipelines run soundfile/ffmpeg here (PCM decode, loudness,
+    clipping detection for data filtering); the stub treats the payload
+    code points as centered samples — same batch shape, exact integer
+    stats (duration_ms = n·1000 // rate, peak = max |sample|,
+    n_clipped = count beyond ±clip), so the whole decode is
+    oracle-checkable.  Raises NotImplementedError off the AUD header,
+    the marked codec seam like decode_blobs/sample_frames.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "peak": [], "n_clipped": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if not raw.startswith(b"AUD:"):
+                    raise NotImplementedError(
+                        "real audio codec plugs in here"
+                    )
+                rate_s, _, payload = raw[4:].partition(b":")
+                rate = int(rate_s)
+                # codec seam: a real decoder yields PCM frames here
+                samples = (
+                    np.array(
+                        [ord(c) for c in payload.decode("utf-8")],
+                        dtype=np.int64,
+                    )
+                    - _AUDIO_CENTER
+                )
+                n = len(samples)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(
+                    int(np.abs(samples).max()) if n else 0
+                )
+                out["n_clipped"].append(
+                    int((np.abs(samples) > _AUDIO_CLIP).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+def resample_audio_geometry(
+    meta: DataFrame, target_rate: int = 16000
+) -> DataFrame:
+    """Resample bookkeeping: the exact output length a rate conversion
+    yields (new_n = n · target // rate, floored — the sox/ffmpeg frame
+    count), computed as a codegen expression over decode_audio's
+    metadata.  The sample-value interpolation is the codec seam; the
+    geometry is what partitioning/budget planning needs and is exact.
+    """
+    return meta.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.floor(
+            F.col("n_samples").cast("long")
+            * target_rate
+            / F.col("sample_rate")
+        )
+        .cast("int")
+        .alias("resampled_n"),
+        F.lit(target_rate).alias("target_rate"),
+    )

@@ -204,3 +204,36 @@ def test_ahash_max_bucket_drops_degenerate_buckets(spark):
     sigs = ahash_blobs(synthesize_blobs(df, "text", "doc_id"))
     assert ahash_near_dup(sigs, radius=3).count() == 15  # C(6,2)
     assert ahash_near_dup(sigs, radius=3, max_bucket=5).count() == 0
+
+
+def test_audio_decode_stats_and_resample_geometry(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        resample_audio_geometry,
+        synthesize_audio,
+    )
+
+    texts = [(0, "abc"), (1, "~~~~"), (2, "`" * 5), (3, "hello world!")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    meta = decode_audio(synthesize_audio(df, "text", "doc_id"))
+    got = {r.doc_id: r for r in meta.collect()}
+    for doc_id, t in texts:
+        rate = (doc_id % 3 + 1) * 8000
+        mags = [abs(ord(c) - 96) for c in t]
+        r = got[doc_id]
+        assert r.sample_rate == rate
+        assert r.n_samples == len(t)
+        assert r.duration_ms == len(t) * 1000 // rate
+        assert r.peak == max(mags)
+        assert r.n_clipped == sum(1 for m in mags if m > 24)
+    # '~' is codepoint 126 -> |126-96| = 30 > 24: all clipped
+    assert got[1].peak == 30 and got[1].n_clipped == 4
+    # backtick is 96 -> silence
+    assert got[2].peak == 0 and got[2].n_clipped == 0
+    res = {
+        r.doc_id: r.resampled_n
+        for r in resample_audio_geometry(meta, 16000).collect()
+    }
+    for doc_id, t in texts:
+        rate = (doc_id % 3 + 1) * 8000
+        assert res[doc_id] == len(t) * 16000 // rate

@@ -138,3 +138,48 @@ def test_triangle_matches_brute_force_on_random_graph(spark):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert _tri(spark, edges) == want
+
+
+def test_kcore_matches_python_peeling_and_bounds(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.graph import kcore
+
+    # K5 clique (4-core) + a tail path + a triangle hanging off it
+    edges = [
+        (a, b) for a in range(5) for b in range(a + 1, 5)
+    ] + [(4, 10), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def peel(es, k):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        live = set(adj)
+        while True:
+            deg = {n: len(adj[n] & live) for n in live}
+            new = {n for n in live if deg[n] >= k}
+            if new == live:
+                return {n: deg[n] for n in live}
+            live = new
+
+    for k in (2, 3, 4):
+        got = {r.node: r.deg for r in kcore(df, k=k).collect()}
+        assert got == peel(edges, k), k
+    # k=4: only the clique survives; k=2: triangle survives, path pruned
+    assert set(
+        r.node for r in kcore(df, k=4).collect()
+    ) == {0, 1, 2, 3, 4}
+    assert {10, 11, 12} <= set(r.node for r in kcore(df, k=2).collect())
+    # the whole graph peels away above the max core
+    assert kcore(df, k=5).count() == 0
+    # bounded-round contract: a long path under k=2 peels one node per
+    # round from each end — max_rounds=1 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="did not converge"):
+        kcore(chain, k=2, max_rounds=1)

@@ -5602,6 +5602,165 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig_rows.unionByName(pair_rows)
 
 
+_AUDIO_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS rate
+  FROM documents WHERE doc_id % 7 = 0
+),
+samp AS (
+  SELECT doc_id, rate, length(text) AS n,
+         [abs(unicode(x) - 96) FOR x IN string_split(text, '')] AS mags
+  FROM base
+),
+stats AS (
+  SELECT doc_id, rate, n,
+         n * 1000 // rate AS duration_ms,
+         COALESCE(list_max(mags), 0) AS peak,
+         len(list_filter(mags, m -> m > 24)) AS n_clipped,
+         n * 16000 // rate AS resampled_n
+  FROM samp
+)
+SELECT 'aud_meta' AS part, doc_id AS a, rate AS b, n AS n,
+       CAST(NULL AS VARCHAR) AS k, CAST(NULL AS VARCHAR) AS s,
+       CAST(duration_ms AS DOUBLE) AS v, true AS ok
+FROM stats
+UNION ALL
+SELECT 'aud_sig' AS part, doc_id AS a, CAST(peak AS BIGINT) AS b,
+       CAST(n_clipped AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS k,
+       CAST(NULL AS VARCHAR) AS s, CAST(resampled_n AS DOUBLE) AS v,
+       true AS ok
+FROM stats
+"""
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=_AUDIO_ORACLE,
+    doc="Audio modality end to end (operators/multimodal.py::"
+    "synthesize_audio / decode_audio / resample_audio_geometry): blobs "
+    "with an 8/16/24 kHz header decode Arrow-batched into exact integer "
+    "signal stats — duration_ms = n·1000 DIV rate, peak |sample|, "
+    "clipped-sample count past ±24 — and the resample geometry "
+    "(new_n = n·target DIV rate, the sox/ffmpeg frame count) rides a "
+    "codegen expression.  The PCM stand-in (code point − 96) is the "
+    "marked codec seam; every stat hash-checks against the DuckDB "
+    "char-explode restatement, completing the image/audio/video "
+    "trio.",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        decode_audio,
+        resample_audio_geometry,
+        synthesize_audio,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+    meta = decode_audio(synthesize_audio(docs, "text", "doc_id"))
+    res = resample_audio_geometry(meta, target_rate=16000)
+    m = meta.select(
+        F.lit("aud_meta").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("sample_rate").cast("long").alias("b"),
+        F.col("n_samples").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("duration_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    g = meta.select("doc_id", "peak", "n_clipped").join(
+        res.select("doc_id", "resampled_n"), "doc_id"
+    ).select(
+        F.lit("aud_sig").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("peak").cast("long").alias("b"),
+        F.col("n_clipped").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("resampled_n").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    return m.unionByName(g)
+
+
+_KCORE_K = 5
+_KCORE_ROUNDS = 10  # must be >= the engine's max_rounds (it raises past)
+
+
+def _kcore_oracle() -> str:
+    """Generate the fixed-depth peeling unroll — the EWMA discipline:
+    the oracle is BUILT from the same parameters the engine runs with,
+    so the two can only agree if the semantics agree.  Rounds past the
+    fixpoint are idempotent, which is what makes a fixed depth exact
+    whenever the engine (which raises beyond max_rounds) converges."""
+    # every CTE is referenced twice per round: MATERIALIZED stops the
+    # inliner from expanding the chain into 2^rounds plan copies
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem WHERE l_orderkey % 10 = 0)",
+        "ue AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS x, "
+        "greatest(a.p, b.p) AS y "
+        "FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)",
+        "e AS MATERIALIZED (SELECT x AS u, y AS v FROM ue "
+        "UNION ALL SELECT y, x FROM ue)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT e.u AS node FROM e "
+            f"JOIN n{i - 1} a ON e.u = a.node "
+            f"JOIN n{i - 1} b ON e.v = b.node "
+            f"GROUP BY e.u HAVING count(*) >= {_KCORE_K})"
+        )
+    last = f"n{_KCORE_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT e.u AS node, "
+        f"CAST(count(*) AS BIGINT) AS deg FROM e "
+        f"JOIN {last} a ON e.u = a.node JOIN {last} b ON e.v = b.node "
+        f"GROUP BY e.u"
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (operators/graph.py::kcore, k=5) over the "
+    "co-purchase graph — iterative peeling to the unique fixpoint, "
+    "each survivor with its core-internal degree.  The engine peels "
+    "until converged under a bounded-round contract (raises past "
+    "max_rounds); the oracle is a GENERATED fixed-depth unroll of the "
+    "same peeling (rounds past the fixpoint are idempotent), so the "
+    "driver hash verifies the iterative distributed loop against a "
+    "closed-form SQL restatement — the EWMA generated-oracle "
+    "discipline applied to a graph fixpoint.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("ia"), items.alias("ib")
+    edges = (
+        a.join(
+            b,
+            (F.col("ia.o") == F.col("ib.o"))
+            & (F.col("ia.p") < F.col("ib.p")),
+        )
+        .select(F.col("ia.p").alias("src"), F.col("ib.p").alias("dst"))
+        .distinct()
+    )
+    return kcore(
+        edges, "src", "dst", k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    ).select(F.col("node").cast("long"), F.col("deg").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -5719,6 +5878,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT part, a, b, n, k, s, v, ok FROM ({_UNIMAX_ORACLE}) t",
         f"SELECT part, a, b, n, k, s, v, ok FROM ({_OLAP_ORACLE}) t",
         f"SELECT part, a, b, n, k, s, v, ok FROM ({_AHASH_ORACLE}) t",
+        f"SELECT part, a, b, n, k, s, v, ok FROM ({_AUDIO_ORACLE}) t",
+        f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
+        f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_kcore_oracle()}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -6134,6 +6297,17 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     umx = corpus_unimax(spark, sf_dir)
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
+    aud = multimodal_audio_stats(spark, sf_dir)
+    kcr = graph_kcore(spark, sf_dir).select(
+        F.lit("kcore").alias("part"),
+        F.col("node").alias("a"),
+        F.col("deg").alias("b"),
+        _nb().alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     pre = join_preagg_pushdown(spark, sf_dir).select(
         F.lit("preagg").alias("part"),
         _nb().alias("a"),
@@ -6209,6 +6383,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(umx)
         .unionByName(olp)
         .unionByName(ahd)
+        .unionByName(aud)
+        .unionByName(kcr)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -6390,6 +6566,12 @@ subsume(
     # round-11: perceptual-hash image near-dup, riding
     # extension_battery (part=ahash_sig / ahash_pairs)
     "multimodal_ahash_dedup",
+    # round-11: audio modality decode + resample geometry, riding
+    # extension_battery (part=aud_meta / aud_sig)
+    "multimodal_audio_stats",
+    # round-11: k-core peeling vs the generated fixed-depth unroll,
+    # riding extension_battery (part=kcore)
+    "graph_kcore",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

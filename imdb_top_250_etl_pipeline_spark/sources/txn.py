@@ -434,6 +434,75 @@ def txn_vacuum(table: str, retain_versions: int = 1) -> int:
     return removed
 
 
+def txn_restore(table: str, version: int) -> int:
+    """RESTORE: commit a rollback to snapshot ``version`` — the live
+    file set becomes exactly that snapshot's, as a NEW commit (history
+    is append-only; nothing is rewritten or deleted, so the restore is
+    itself time-travelable and shows up in the change data feed as the
+    row-level diff).  Fails if vacuum already dropped a file the target
+    snapshot needs — the retention/time-travel tradeoff, surfaced
+    before committing rather than at scan time.
+
+    Returns the new head version."""
+    head = latest_version(table)
+    _v, schema_json, _key, live_target = snapshot(table, version)
+    for rel in live_target:
+        if not os.path.exists(os.path.join(table, rel)):
+            raise FileNotFoundError(
+                f"cannot RESTORE {table} to v{version}: {rel} was vacuumed"
+            )
+    while True:
+        head = latest_version(table)
+        _hv, head_schema, _hk, live_head = snapshot(table, head)
+        actions: list[dict] = []
+        if head_schema != schema_json:
+            # roll the schema back with the data (metaData is replayed
+            # in-order, so the restore commit's wins from here on)
+            actions.append(
+                {"metaData": {"schema": schema_json, "key": _key}}
+            )
+        actions += [
+            {"remove": {"path": p}} for p in sorted(live_head)
+            if p not in live_target
+        ]
+        actions += [
+            {"add": live_target[p]} for p in sorted(live_target)
+            if p not in live_head
+        ]
+        try:
+            _commit(table, head + 1, actions)
+            return head + 1
+        except TxnConflictError:
+            continue  # re-diff against the new head and retry
+
+
+def txn_clone(src_table: str, dst_table: str) -> int:
+    """SHALLOW CLONE: create ``dst_table`` at version 0 referencing the
+    SOURCE's current data files by relative path — a zero-copy
+    branch of the table (dev/test sandboxes, experiment snapshots).
+    The clone has its own independent log: merges/appends on either
+    side never touch the other's files (new files land in each table's
+    own data dir), and vacuuming the CLONE never deletes source files
+    (vacuum only sweeps the table's own data dir).  Caveat, same as
+    Delta's: vacuuming the SOURCE can drop files the clone still
+    references — retain the source or deep-copy before vacuum."""
+    if latest_version(dst_table) >= 0:
+        raise FileExistsError(f"{dst_table} already has a committed version")
+    _v, schema_json, key, live = snapshot(src_table)
+    os.makedirs(dst_table, exist_ok=True)
+    actions: list[dict] = [
+        {"metaData": {"schema": schema_json, "key": key}}
+    ]
+    for rel in sorted(live):
+        stats = dict(live[rel])
+        stats["path"] = os.path.relpath(
+            os.path.join(src_table, rel), dst_table
+        )
+        actions.append({"add": stats})
+    _commit(dst_table, 0, actions)
+    return 0
+
+
 def txn_changes(
     spark: SparkSession,
     table: str,

@@ -583,3 +583,85 @@ def test_txn_append_idempotent_and_exactly_once_stream(spark, tmp_path):
     assert v == head + 1
     assert txn_read(spark, table).count() == n_src + 5
     assert last_txn_version(table, "other-app") == -1
+
+
+def test_restore_rolls_back_and_feeds_cdf(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_changes,
+        txn_restore,
+    )
+
+    c = load(spark, SF_SMOKE, "customer").limit(40)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    v0_rows = {tuple(r) for r in txn_read(spark, table, 0).collect()}
+    upd = c.limit(10).withColumn("c_name", F.lit("changed"))
+    txn_merge(
+        spark, table, upd, ["c_name"], ["c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    assert latest_version(table) == 1
+    v_restore = txn_restore(table, 0)
+    assert v_restore == 2
+    # the restored head equals v0 exactly; v1 is still time-travelable
+    assert {tuple(r) for r in txn_read(spark, table).collect()} == v0_rows
+    assert any(
+        r.c_name == "changed" for r in txn_read(spark, table, 1).collect()
+    )
+    # CDF over the restore commit: the changed names revert
+    feed = [
+        r
+        for r in txn_changes(spark, table, 1).collect()
+        if r._commit_version == 2
+    ]
+    assert feed and all(r.c_name != "changed" for r in feed if r.op in ("I", "U"))
+    # restoring to the just-restored state is a no-op commit
+    v3 = txn_restore(table, 0)
+    assert txn_read(spark, table, v3).count() == len(v0_rows)
+
+
+def test_restore_refuses_vacuumed_target(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import txn_restore
+
+    c = load(spark, SF_SMOKE, "customer").limit(30)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    upd = c.withColumn("c_name", F.lit("rewritten"))
+    txn_merge(
+        spark, table, upd, ["c_name"], ["c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    txn_vacuum(table, retain_versions=1)  # drops v0-only files
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txn_restore(table, 0)
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, table, tmp_path):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_clone,
+        txn_merge,
+        txn_vacuum,
+    )
+
+    c = load(spark, SF_SMOKE, "customer").limit(30)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    clone = str(tmp_path / "clone")
+    txn_clone(table, clone)
+    src_rows = {tuple(r) for r in txn_read(spark, table).collect()}
+    assert {tuple(r) for r in txn_read(spark, clone).collect()} == src_rows
+    # zero-copy: the clone's data dir holds no parquet of its own
+    import os as _os
+
+    dd = _os.path.join(clone, "data")
+    assert not _os.path.isdir(dd) or not any(
+        f.endswith(".parquet") for f in _os.listdir(dd)
+    )
+    # divergence: merging into the clone leaves the source untouched
+    upd = c.limit(5).withColumn("c_name", F.lit("clone-only"))
+    txn_merge(
+        spark, clone, upd, ["c_name"], ["c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    assert {tuple(r) for r in txn_read(spark, table).collect()} == src_rows
+    assert any(
+        r.c_name == "clone-only" for r in txn_read(spark, clone).collect()
+    )
+    # vacuuming the clone sweeps only its own data dir: the source's
+    # files survive and the source still reads
+    txn_vacuum(clone, retain_versions=1)
+    assert {tuple(r) for r in txn_read(spark, table).collect()} == src_rows

@@ -239,3 +239,37 @@ def test_triangle_counting_survives_celebrity_hub(spark):
     # in 6 + 4 = 10.  Plain spokes (6..5000) close nothing.
     assert got == {n: 10 for n in range(0, 6)}
     assert wall < 60, f"triangle probe took {wall:.0f}s — orientation broken?"
+
+
+def test_grouped_cumsum_skewed_group_exact_and_balanced(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        grouped_cumsum,
+    )
+
+    df = _skewed_groups(spark)
+    t0 = time.perf_counter()
+    got = grouped_cumsum(df, ["g"], ["h", "id"], "val", out_col="cs")
+    dual = df.withColumn(
+        "cs",
+        F.sum("val").over(
+            W.partitionBy("g")
+            .orderBy("h", "id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    assert got.exceptAll(dual).isEmpty() and dual.exceptAll(got).isEmpty()
+    wall = time.perf_counter() - t0
+    print(f"\nskew-probe grouped_cumsum 200k rows 90%-one-group: {wall:.2f}s")
+    # same spread claim as grouped_row_number: the hot group's prefix
+    # sums come from many range partitions, not one group-keyed task
+    n_parts = 64
+    sizes = (
+        df.repartitionByRange(n_parts, F.col("g"), F.col("h"), F.col("id"))
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    fair = df.count() / n_parts
+    assert len(counts) > n_parts // 2
+    assert max(counts) <= 4 * fair

@@ -256,7 +256,11 @@ def _count_parquet_files(path: str) -> int:
     "range overwrite (txn_replace_where): the [0,100] key range "
     "regenerated keeping only even keys — rows MERGE cannot delete "
     "vanish, files fully inside the range drop on footer stats alone, "
-    "and ok pins time travel + a range-confined change feed), and "
+    "and ok pins time travel + a range-confined change feed; round 11 "
+    "folds in SHALLOW CLONE + RESTORE on a zero-copy branch — the "
+    "clone diverges under its own merge, RESTOREs back to its v0, and "
+    "must read as the source's snapshot again while the source's log "
+    "never moves), and "
     "the four non-parquet source formats round-tripped with explicit "
     "declared schemas and FAILFAST (part=csv/json/orc/xml — XML native "
     "in Spark 4 — "
@@ -488,6 +492,38 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .exceptAll(merged)
             .isEmpty()
         )
+        # SHALLOW CLONE + RESTORE (round 11), exercised on a branch so
+        # the driver-hashed final content stays the replaceWhere result:
+        # clone the table zero-copy, advance the clone with a merge the
+        # SOURCE must never see, then RESTORE the clone to its v0 — it
+        # must read as the source's current snapshot again, while the
+        # source's own log never moved
+        from ..sources.txn import latest_version as _txn_latest
+        from ..sources.txn import txn_clone as _txn_clone
+        from ..sources.txn import txn_restore as _txn_restore
+
+        clone_dir = os.path.join(path, "txn-clone")
+        _txn_clone(txn_dir, clone_dir)
+        clone0 = txn_read(spark, clone_dir)
+        diverge = base.limit(7).withColumn("c_name", F.lit("clone-only"))
+        txn_merge(
+            spark, clone_dir, diverge,
+            update_cols=["c_acctbal", "c_mktsegment"],
+            stable_cols=["c_name"],
+        )
+        src_head_before = _txn_latest(txn_dir)
+        _txn_restore(clone_dir, 0)
+        restored = txn_read(spark, clone_dir)
+        clone_ok = (
+            clone0.exceptAll(after_rw).isEmpty()
+            and after_rw.exceptAll(clone0).isEmpty()
+            and restored.exceptAll(after_rw).isEmpty()
+            and after_rw.exceptAll(restored).isEmpty()
+            and _txn_latest(txn_dir) == src_head_before
+            and txn_read(spark, txn_dir)
+            .exceptAll(after_rw)
+            .isEmpty()
+        )
         txn = after_rw.withColumn(
             "ok",
             F.lit(
@@ -498,6 +534,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and cdf_ok
                     and opt_ok
                     and rw_ok
+                    and clone_ok
                 )
             ),
         ).withColumn("part", F.lit("txn"))

@@ -876,3 +876,96 @@ def ngram_jaccard_pairs_prefix(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: tuple[int, int] = (4, 5),
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment — the metric
+    Jaccard misses by construction: a short document fully quoted
+    inside a long one (prefix republication, wrapper boilerplate,
+    excerpting) has tiny Jaccard (union is dominated by the long side)
+    but containment ≈ 1.  Emits (id_a, id_b, shared, n_a, n_b,
+    containment) where containment = shared_grams / min(|A|, |B|) —
+    direction-free "how much of the smaller document lives inside the
+    larger" — for pairs at or above ``threshold`` (an exact rational
+    (num, den): the cut is shared·den ≥ num·min, integer arithmetic,
+    no float compare at the boundary).
+
+    Distributed shape: inverted-index join, never all-pairs — distinct
+    grams explode to (gram, doc), co-occurring docs pair ONLY through
+    shared grams, and one combining groupBy counts the shared grams per
+    pair.  Grams appearing in more than ``max_gram_freq`` documents are
+    dropped first (the stop-gram guard: a ubiquitous gram contributes
+    O(freq²) candidate pairs and no containment signal — same recall
+    trade as the MinHash star cap, and the n=5 default keeps grams
+    selective).  The frequency filter runs BEFORE pairing, so the
+    worst-case pair fan-out per gram is C(max_gram_freq, 2).
+
+    Containment is over DISTINCT grams (multiset repetition collapses),
+    and the emitted double is an exact small-integer division — both
+    engines agree bit for bit.
+    """
+    num, den = threshold
+    grams = F.array_distinct(
+        F.when(
+            F.length(text_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    base = spread(df, id_col).select(
+        F.col(id_col), grams.alias("_grams")
+    )
+    g = base.select(id_col, F.explode("_grams").alias("_gram"))
+    keep = (
+        g.groupBy("_gram")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_gram_freq)
+        .select("_gram")
+    )
+    gk = g.join(keep, "_gram")
+    # sizes AFTER the stop-gram filter: containment is over the grams
+    # that can actually pair, else ubiquitous dropped grams would
+    # deflate every score
+    sizes = gk.groupBy(id_col).agg(F.count("*").alias("_n"))
+    shared = (
+        gk.alias("x")
+        .join(
+            gk.alias("y"),
+            (F.col("x._gram") == F.col("y._gram"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    m = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b")),
+            "id_b",
+        )
+        .where(F.col("shared") * den >= num * m)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            (F.col("shared") / m).alias("containment"),
+        )
+    )

@@ -5761,6 +5761,78 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").cast("long"), F.col("deg").cast("long"))
 
 
+_CONTAIN_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0
+),
+twin AS (
+  SELECT doc_id + 2000000000 AS doc_id,
+         substr(text, 1, length(text) // 3) AS text
+  FROM base WHERE doc_id % 18 = 0
+),
+ad AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+g AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        FOR i IN range(1, length(text) - 3)]) AS grams
+  FROM ad WHERE length(text) >= 5
+),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+keep AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 50),
+gk AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, count(*) AS ng FROM gk GROUP BY doc_id),
+sh AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+  FROM gk x JOIN gk y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(a.ng AS BIGINT) AS n_a, CAST(b.ng AS BIGINT) AS n_b,
+       CAST(shared AS DOUBLE) / least(a.ng, b.ng) AS containment
+FROM sh JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
+WHERE shared * 5 >= 4 * least(a.ng, b.ng)
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    doc="Asymmetric n-gram containment near-dup pairs "
+    "(operators/dedup.py::containment_pairs, n=5, cut 4/5): the metric "
+    "Jaccard misses by construction — a short document fully quoted "
+    "inside a long one (prefix republication, wrapper boilerplate) has "
+    "tiny Jaccard but containment ≈ 1.  Inverted-index join over "
+    "distinct 5-grams with a ≤50-docs stop-gram guard, shared-gram "
+    "counts per pair, exact integer threshold shared·5 ≥ 4·min.  "
+    "Fixture plants a prefix-third republication twin (id+2e9) for "
+    "every 18th document; every emitted pair (ids, shared, sizes, and "
+    "the exact-division containment) hash-checks against the DuckDB "
+    "restatement of the same index.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 9 == 0)
+        .select("doc_id", "text")
+    )
+    twin = base.where(F.col("doc_id") % 18 == 0).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.substring(
+            F.col("text"), F.lit(1), F.floor(F.length("text") / 3).cast("int")
+        ).alias("text"),
+    )
+    return containment_pairs(
+        base.unionByName(twin),
+        "text",
+        "doc_id",
+        n=5,
+        threshold=(4, 5),
+        max_gram_freq=50,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -5882,6 +5954,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_kcore_oracle()}) t",
+        f"SELECT 'contain' AS part, id_a AS a, id_b AS b, shared AS n, "
+        f"CAST(n_a AS VARCHAR) AS k, CAST(n_b AS VARCHAR) AS s, "
+        f"containment AS v, true AS ok FROM ({_CONTAIN_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -6298,6 +6373,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    cnt2 = dedup_containment_pairs(spark, sf_dir).select(
+        F.lit("contain").alias("part"),
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+        F.col("shared").alias("n"),
+        F.col("n_a").cast("string").alias("k"),
+        F.col("n_b").cast("string").alias("s"),
+        F.col("containment").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     kcr = graph_kcore(spark, sf_dir).select(
         F.lit("kcore").alias("part"),
         F.col("node").alias("a"),
@@ -6385,6 +6470,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ahd)
         .unionByName(aud)
         .unionByName(kcr)
+        .unionByName(cnt2)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -6572,6 +6658,9 @@ subsume(
     # round-11: k-core peeling vs the generated fixed-depth unroll,
     # riding extension_battery (part=kcore)
     "graph_kcore",
+    # round-11: asymmetric containment pairs, riding extension_battery
+    # (part=contain)
+    "dedup_containment_pairs",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

@@ -1415,3 +1415,57 @@ def test_js_divergence_exact_python_dual_and_bounds(spark):
         assert 0 <= js <= math.log(2.0) + 1e-12
     # disjoint vocabularies diverge far more than the identical pair
     assert got[("code", "news")][1] > 10 * got[("news", "same")][1]
+
+
+def test_containment_finds_quotes_jaccard_misses(spark):
+    import pyspark.sql.functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = "the five boxing wizards jump quickly over everything "
+    long_doc = (
+        "completely unrelated preamble text goes here first " * 4
+        + quote
+        + "and then a very long unrelated tail keeps going on " * 4
+    )
+    docs = [
+        (1, long_doc),
+        (2, quote),  # fully contained in 1
+        (3, "nothing in common with either of those documents!!"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(
+            df, "text", "doc_id", n=5, threshold=(4, 5), max_gram_freq=50
+        ).collect()
+    }
+    assert (1, 2) in out and len(out) == 1
+    r = out[(1, 2)]
+    # every distinct 5-gram of the quote occurs in the long doc
+    assert r.containment == 1.0 and r.shared == r.n_b
+    # the same pair is invisible to symmetric Jaccard at any real cut:
+    # union is dominated by the long side
+    jac = r.shared / (r.n_a + r.n_b - r.shared)
+    assert jac < 0.35
+    # exact python dual for the emitted sizes
+    def grams(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    ga, gb = grams(long_doc), grams(quote)
+    assert r.n_a == len(ga) and r.n_b == len(gb)
+    assert r.shared == len(ga & gb)
+    # stop-gram cap: with every gram shared by all 3 copies and the cap
+    # below that document frequency, nothing can pair
+    trip = spark.createDataFrame(
+        [(i, "identical text everywhere " * 3) for i in range(3)],
+        ["doc_id", "text"],
+    )
+    assert (
+        containment_pairs(
+            trip, "text", "doc_id", n=5, threshold=(1, 2), max_gram_freq=2
+        ).count()
+        == 0  # every gram's doc frequency is 3 > cap 2: all dropped
+    )

@@ -228,6 +228,8 @@ def txn_append(
         return None
     os.makedirs(table, exist_ok=True)
     head = latest_version(table)
+    if head >= 0:
+        _enforce_constraints(df, txn_constraints(table))
     adds = _stage_and_place(df, table, head + 1, key, range_partitions)
     while True:
         head = latest_version(table)
@@ -357,6 +359,7 @@ def txn_merge(
                 for c in extra
             ]
         )
+    _enforce_constraints(updates, txn_constraints(table))
     new_version = base_version + 1
     staged = _stage_and_place(
         updates.select(*[f.name for f in schema.fields]),
@@ -432,6 +435,82 @@ def txn_vacuum(table: str, retain_versions: int = 1) -> int:
             os.remove(os.path.join(table, rel))
             removed += 1
     return removed
+
+
+def txn_constraints(table: str, version: int | None = None) -> dict[str, str]:
+    """CHECK constraints in effect at ``version`` (default head), as
+    {name: sql_expr} — replayed from the log's constraint /
+    dropConstraint actions like any other metadata."""
+    head = latest_version(table)
+    v = head if version is None else version
+    cons: dict[str, str] = {}
+    for i in range(v + 1):
+        with open(_log_path(table, i)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "constraint" in a:
+                    cons[a["constraint"]["name"]] = a["constraint"]["expr"]
+                elif "dropConstraint" in a:
+                    cons.pop(a["dropConstraint"]["name"], None)
+    return cons
+
+
+def _enforce_constraints(df: DataFrame, cons: dict[str, str]) -> None:
+    """Reject a write whose rows violate any CHECK constraint.
+
+    SQL-standard CHECK semantics: a NULL predicate PASSES (only an
+    explicit FALSE violates) — coalesce(expr, true).  One counting
+    aggregate over the incoming rows per write; writes already run
+    eager staging jobs, so the cost is one more scan of the delta,
+    never of the table."""
+    if not cons:
+        return
+    checks = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in cons.items()
+    ]
+    row = df.agg(*checks).collect()[0]
+    bad = {n: row[n] for n in cons if row[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n} [{cons[n]}]: {c} rows" for n, c in sorted(bad.items())
+        )
+        raise ValueError(f"CHECK constraint violation — {detail}")
+
+
+def txn_set_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``expr``): validates the CURRENT
+    snapshot first (a constraint that existing data already violates
+    must fail at ALTER time, not silently gate future writes), then
+    commits a ``constraint`` action — every later merge / append /
+    replaceWhere validates its incoming rows against it before
+    committing.  Returns the new head version."""
+    _enforce_constraints(txn_read(spark, table), {name: expr})
+    while True:
+        head = latest_version(table)
+        try:
+            _commit(
+                table, head + 1,
+                [{"constraint": {"name": name, "expr": expr}}],
+            )
+            return head + 1
+        except TxnConflictError:
+            continue
+
+
+def txn_drop_constraint(table: str, name: str) -> int:
+    """DROP CONSTRAINT: later writes stop validating ``name``."""
+    while True:
+        head = latest_version(table)
+        try:
+            _commit(table, head + 1, [{"dropConstraint": {"name": name}}])
+            return head + 1
+        except TxnConflictError:
+            continue
 
 
 def txn_restore(table: str, version: int) -> int:
@@ -670,6 +749,7 @@ def txn_replace_where(
             raise ValueError(
                 f"replacement rows lack table columns {sorted(missing)}"
             )
+        _enforce_constraints(df, txn_constraints(table))
         outside = df.where(
             (F.col(key) < F.lit(key_lo))
             | (F.col(key) > F.lit(key_hi))

@@ -665,3 +665,51 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, table, tmp_path):
     # files survive and the source still reads
     txn_vacuum(clone, retain_versions=1)
     assert {tuple(r) for r in txn_read(spark, table).collect()} == src_rows
+
+
+def test_check_constraints_gate_every_write_path(spark, table):
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_append,
+        txn_constraints,
+        txn_drop_constraint,
+        txn_replace_where,
+        txn_set_constraint,
+    )
+
+    c = load(spark, SF_SMOKE, "customer").limit(30)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    txn_set_constraint(spark, table, "bal_floor", "c_acctbal >= -1000.0")
+    assert txn_constraints(table) == {"bal_floor": "c_acctbal >= -1000.0"}
+    head = latest_version(table)
+
+    bad = c.limit(3).withColumn("c_acctbal", F.lit(-99999.0))
+    with pytest.raises(ValueError, match="bal_floor"):
+        txn_merge(
+            spark, table, bad, ["c_acctbal", "c_mktsegment"], ["c_name"]
+        )
+    with pytest.raises(ValueError, match="bal_floor"):
+        txn_append(bad, table, key="c_custkey")
+    with pytest.raises(ValueError, match="bal_floor"):
+        txn_replace_where(
+            spark,
+            table,
+            bad.withColumn("c_custkey", F.lit(1)),
+            1,
+            5,
+        )
+    assert latest_version(table) == head  # nothing committed
+
+    # SQL CHECK semantics: a NULL predicate passes
+    nul = c.limit(2).withColumn("c_acctbal", F.lit(None).cast("double"))
+    txn_merge(spark, table, nul, ["c_acctbal", "c_mktsegment"], ["c_name"])
+
+    # good writes pass; dropping the constraint re-opens the gate
+    txn_drop_constraint(table, "bal_floor")
+    assert txn_constraints(table) == {}
+    txn_append(bad, table, key="c_custkey")
+
+    # ALTER-time validation: existing data now violates a new constraint
+    with pytest.raises(ValueError, match="strict_floor"):
+        txn_set_constraint(
+            spark, table, "strict_floor", "c_acctbal >= -1000.0"
+        )

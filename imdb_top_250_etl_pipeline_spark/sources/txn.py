@@ -459,24 +459,19 @@ def _enforce_constraints(df: DataFrame, cons: dict[str, str]) -> None:
     """Reject a write whose rows violate any CHECK constraint.
 
     SQL-standard CHECK semantics: a NULL predicate PASSES (only an
-    explicit FALSE violates) — coalesce(expr, true).  One counting
-    aggregate over the incoming rows per write; writes already run
-    eager staging jobs, so the cost is one more scan of the delta,
-    never of the table."""
-    if not cons:
-        return
-    checks = [
-        F.sum(
-            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
-        ).alias(name)
-        for name, expr in cons.items()
+    explicit FALSE violates) — coalesce(expr, true).  One
+    short-circuiting isEmpty probe over the incoming rows per
+    constraint (constraints are few; writes already run eager staging
+    jobs, so the cost is a bounded re-scan of the delta, never of the
+    table — the replaceWhere range-validation discipline, no driver
+    collect)."""
+    bad = [
+        name
+        for name, expr in sorted(cons.items())
+        if not df.where(~F.coalesce(F.expr(expr), F.lit(True))).isEmpty()
     ]
-    row = df.agg(*checks).collect()[0]
-    bad = {n: row[n] for n in cons if row[n]}
     if bad:
-        detail = ", ".join(
-            f"{n} [{cons[n]}]: {c} rows" for n, c in sorted(bad.items())
-        )
+        detail = ", ".join(f"{n} [{cons[n]}]" for n in bad)
         raise ValueError(f"CHECK constraint violation — {detail}")
 
 

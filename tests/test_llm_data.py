@@ -647,7 +647,7 @@ def test_jl_project_numpy_dual_and_distance_preservation(spark):
     from imdb_top_250_etl_pipeline_spark.sources import load
     from tests.conftest import SF_CORRECT
 
-    emb = load(spark, SF_SMOKE, "embeddings").limit(50)
+    emb = load(spark, SF_CORRECT, "embeddings").limit(50)
     rows = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
     out_dim = 4
     got = {}

@@ -713,3 +713,39 @@ def test_check_constraints_gate_every_write_path(spark, table):
         txn_set_constraint(
             spark, table, "strict_floor", "c_acctbal >= -1000.0"
         )
+
+
+def test_write_audit_publish_composition(spark, table, tmp_path):
+    """WAP (write-audit-publish): stage a candidate batch on a zero-copy
+    clone, audit it there with the declarative expectation gate, and
+    only a fully-valid batch is published to the production table — the
+    Iceberg/Delta branch-audit pattern composed from txn_clone +
+    apply_expectations + txn_append, with the source provably untouched
+    by a failed audit."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_expectations,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources.txn import txn_append, txn_clone
+
+    c = load(spark, SF_SMOKE, "customer").limit(30)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    src_rows = {tuple(r) for r in txn_read(spark, table).collect()}
+    rules = {"bal_sane": F.expr("c_acctbal BETWEEN -1000 AND 100000")}
+
+    def wap(batch):
+        audit = str(tmp_path / f"audit-{abs(hash(tuple(sorted(r.c_custkey for r in batch.collect()))))}")
+        txn_clone(table, audit)
+        txn_append(batch, audit, key="c_custkey")
+        staged = txn_read(spark, audit)
+        _valid, quarantine = apply_expectations(staged, rules)
+        if not quarantine.isEmpty():
+            return False  # audit failed: nothing reaches the source
+        txn_append(batch, table, key="c_custkey")
+        return True
+
+    bad = c.limit(4).withColumn("c_acctbal", F.lit(9e9))
+    assert wap(bad) is False
+    assert {tuple(r) for r in txn_read(spark, table).collect()} == src_rows
+    good = c.limit(4).withColumn("c_custkey", F.col("c_custkey") + 100000)
+    assert wap(good) is True
+    assert txn_read(spark, table).count() == len(src_rows) + 4

@@ -468,3 +468,52 @@ def apply_token_allocation(
         cum.withColumn("epoch", F.explode(copies))
         .drop("_src_tokens", "_alloc", "_cum")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministic proportional interleave: an integer ``interleave_key``
+    such that sorting by (key, source, id) yields a training order where
+    EVERY prefix holds each source in proportion to ``weights`` (±1 doc)
+    — the anti-clumping guarantee a mixture ratio alone doesn't give
+    (a 90/10 mixture written source-by-source still trains on 90% of
+    one source first).
+
+    Construction: rows rank within their source in key-hash order
+    (deterministic, layout-independent, via the distributed
+    grouped_row_number); the i-th document of source s lands at
+    ``(2·i − 1) · (L / w_s)`` where ``L = lcm(weights)`` — the exact
+    odd-multiples spacing of the classic weighted round-robin, all in
+    64-bit integers (no float drift, bit-identical cross-engine).
+    Sources absent from ``weights`` are dropped.  Overflow headroom:
+    corpus_size · L/w_min under 2^62.
+
+    EAGER via grouped_row_number's pin; wrap compositions in a
+    ``pinning.pin_scope``.
+    """
+    from math import lcm
+
+    from .windows import grouped_row_number
+
+    L = lcm(*weights.values())
+    inv_expr = F.create_map(
+        *[
+            x
+            for s, w in weights.items()
+            for x in (F.lit(s), F.lit(L // w))
+        ]
+    )
+    ranked = grouped_row_number(
+        df.where(F.col(source_col).isin(*weights)),
+        [source_col],
+        [_key_uniform(F.col(key_col)), F.col(key_col)],
+        out_col="_rn",
+    )
+    return ranked.withColumn(
+        "interleave_key",
+        ((F.col("_rn") * 2 - 1) * inv_expr[F.col(source_col)]).cast("long"),
+    ).drop("_rn")

@@ -5833,6 +5833,66 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ILEAVE_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, lang FROM documents
+  WHERE doc_id % 3 = 0 AND lang IN ('en', 'zh', 'de')
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 1000, doc_id) AS rn
+  FROM sub
+),
+keyed AS (
+  SELECT doc_id, lang,
+         CAST((2 * rn - 1) * (CASE lang WHEN 'en' THEN 2
+                                        WHEN 'zh' THEN 3
+                                        ELSE 6 END) AS BIGINT)
+           AS interleave_key
+  FROM ranked
+)
+SELECT doc_id, lang, interleave_key,
+       CAST(row_number() OVER (ORDER BY interleave_key, lang, doc_id)
+            AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register(
+    "corpus_interleave",
+    oracle=_ILEAVE_ORACLE,
+    doc="Deterministic proportional interleave "
+    "(operators/sampling.py::interleave_sources, en:zh:de = 3:2:1): "
+    "the i-th document of source s lands at (2i−1)·(lcm/w_s) — exact "
+    "odd-multiples weighted round-robin in 64-bit integers, so every "
+    "prefix of the training order holds each source in proportion "
+    "(±1), the anti-clumping guarantee a mixture ratio alone doesn't "
+    "give.  Both the per-doc key and the materialized global position "
+    "(via the distributed no-group ranking) hash-check against the "
+    "DuckDB window twin.",
+)
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import interleave_sources
+    from ..operators.windows import grouped_row_number
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "lang")
+    )
+    keyed = interleave_sources(
+        docs, "lang", "doc_id", {"en": 3, "zh": 2, "de": 1}
+    )
+    return grouped_row_number(
+        keyed,
+        [],
+        ["interleave_key", "lang", "doc_id"],
+        out_col="pos",
+    ).select("doc_id", "lang", "interleave_key", F.col("pos").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -5957,6 +6017,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'contain' AS part, id_a AS a, id_b AS b, shared AS n, "
         f"CAST(n_a AS VARCHAR) AS k, CAST(n_b AS VARCHAR) AS s, "
         f"containment AS v, true AS ok FROM ({_CONTAIN_ORACLE}) t",
+        f"SELECT 'ileave' AS part, doc_id AS a, interleave_key AS b, "
+        f"pos AS n, lang AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_ILEAVE_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -6373,6 +6436,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    ilv = corpus_interleave(spark, sf_dir).select(
+        F.lit("ileave").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("interleave_key").alias("b"),
+        F.col("pos").alias("n"),
+        F.col("lang").alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     cnt2 = dedup_containment_pairs(spark, sf_dir).select(
         F.lit("contain").alias("part"),
         F.col("id_a").cast("long").alias("a"),
@@ -6471,6 +6544,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(aud)
         .unionByName(kcr)
         .unionByName(cnt2)
+        .unionByName(ilv)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -6661,6 +6735,9 @@ subsume(
     # round-11: asymmetric containment pairs, riding extension_battery
     # (part=contain)
     "dedup_containment_pairs",
+    # round-11: deterministic proportional interleave, riding
+    # extension_battery (part=ileave)
+    "corpus_interleave",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

@@ -334,3 +334,31 @@ def test_unimax_invariants_and_apply(spark):
         ).collect()
     }
     assert again == {(r.doc_id, r.epoch) for r in applied.collect()}
+
+
+def test_interleave_every_prefix_is_proportional(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    rows = [("a", i) for i in range(300)] + [("b", i + 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["src", "k"])
+    out = interleave_sources(df, "src", "k", {"a": 3, "b": 1}).collect()
+    assert len(out) == 400
+    order = sorted(out, key=lambda r: (r.interleave_key, r.src, r.k))
+    # weighted round-robin: every prefix holds each source within one
+    # document of its proportional share
+    seen = {"a": 0, "b": 0}
+    for pos, r in enumerate(order, start=1):
+        seen[r.src] += 1
+        assert abs(seen["a"] - pos * 3 / 4) <= 1.5, (pos, seen)
+        assert abs(seen["b"] - pos * 1 / 4) <= 1.5, (pos, seen)
+    # unknown sources are dropped; determinism across layouts
+    df2 = df.union(spark.createDataFrame([("zz", 5)], ["src", "k"]))
+    again = {
+        (r.src, r.k, r.interleave_key)
+        for r in interleave_sources(
+            df2.repartition(5), "src", "k", {"a": 3, "b": 1}
+        ).collect()
+    }
+    assert again == {(r.src, r.k, r.interleave_key) for r in out}

@@ -1174,3 +1174,89 @@ def corpus_js_divergence(
             (F.col("js_scaled").cast("double") / F.lit(1e9)).alias("js"),
         )
     )
+
+
+def gopher_rule_columns(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> list[Column]:
+    """The Gopher quality-filter rules (Rae et al. 2021 §A1.1) as exact
+    aliased expressions — the published DECISION layer on top of the
+    per-document signals: word-count bounds, mean-word-length band,
+    symbol-to-word and bullet/ellipsis line caps, alphabetic-word
+    floor, and the ≥2-stopwords requirement; ``gopher_keep`` is their
+    conjunction.
+
+    Every threshold compares INTEGER-SCALED (3n ≤ Σlen ≤ 10n,
+    10·n_sym < n_words, 5·n_alpha ≥ 4·n_words, …) so no rule ever
+    depends on a float compare at its boundary — the fp-boundary
+    discipline the TPC-H Q11/Q22 shapes established.  One codegen
+    projection, no UDF, no shuffle; empty documents fail the word
+    floor and carry FALSE (never NULL) through the conjunction.
+    """
+    t = tokens(text_col)
+    nw = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_sym = F.size(
+        F.filter(t, lambda w: w.contains("#") | w.contains("..."))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-")
+            | x.startswith("*")
+            | x.startswith("•"),
+        )
+    )
+    n_ell = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(t, lambda w: F.array_contains(stop_arr, w))
+        )
+    )
+    rules = {
+        "r_word_count": (nw >= min_words) & (nw <= max_words),
+        "r_mean_word_len": (sum_len >= 3 * nw) & (sum_len <= 10 * nw),
+        "r_symbol_ratio": n_sym * 10 < nw,
+        "r_bullet_lines": n_bullet * 10 < nl * 9,
+        "r_ellipsis_lines": n_ell * 10 < nl * 3,
+        "r_alpha_words": n_alpha * 5 >= nw * 4,
+        "r_stopwords": n_stop_distinct >= 2,
+    }
+    keep = None
+    for cond in rules.values():
+        keep = cond if keep is None else keep & cond
+    return [
+        nw.cast("long").alias("n_words"),
+        sum_len.cast("long").alias("sum_word_len"),
+        nl.cast("long").alias("n_lines"),
+        *[
+            F.coalesce(cond, F.lit(False)).alias(name)
+            for name, cond in rules.items()
+        ],
+        F.coalesce(keep, F.lit(False)).alias("gopher_keep"),
+    ]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule evaluation: id + counts + one boolean
+    per rule + the ``gopher_keep`` conjunction (see
+    gopher_rule_columns).  Filter with ``.where('gopher_keep')``; keep
+    the rule columns for audit/quarantine reporting like
+    apply_expectations does."""
+    return df.select(
+        F.col(id_col), *gopher_rule_columns(text_col, min_words, max_words)
+    )

@@ -5893,6 +5893,96 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "interleave_key", F.col("pos").cast("long"))
 
 
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+),
+f AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS nw,
+         COALESCE(list_aggregate(
+             list_transform(t, x -> length(x)), 'sum'), 0) AS sum_len,
+         len(lines) AS nl,
+         len(list_filter(t,
+             x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+         len(list_filter(lines,
+             x -> starts_with(x, '-') OR starts_with(x, '*')
+                  OR starts_with(x, chr(8226)))) AS n_bullet,
+         len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell,
+         len(list_filter(t,
+             x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_distinct(list_filter(t,
+             x -> list_contains(['the','a','of','and','to','in'], x))))
+           AS n_stop
+  FROM f
+),
+r AS (
+  SELECT doc_id, nw, sum_len, nl,
+         nw >= 50 AND nw <= 100000 AS r1,
+         sum_len >= 3 * nw AND sum_len <= 10 * nw AS r2,
+         n_sym * 10 < nw AS r3,
+         n_bullet * 10 < nl * 9 AS r4,
+         n_ell * 10 < nl * 3 AS r5,
+         n_alpha * 5 >= nw * 4 AS r6,
+         n_stop >= 2 AS r7
+  FROM m
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       CAST(sum_len AS BIGINT) AS sum_word_len,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(r1 AND r2 AND r3 AND r4 AND r5 AND r6 AND r7 AS VARCHAR)
+         AS keep,
+       CAST(CAST(r1 AS INT) AS VARCHAR) || CAST(CAST(r2 AS INT) AS VARCHAR)
+       || CAST(CAST(r3 AS INT) AS VARCHAR) || CAST(CAST(r4 AS INT) AS VARCHAR)
+       || CAST(CAST(r5 AS INT) AS VARCHAR) || CAST(CAST(r6 AS INT) AS VARCHAR)
+       || CAST(CAST(r7 AS INT) AS VARCHAR) AS rule_bits
+FROM r
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    doc="The Gopher quality-filter decision layer "
+    "(operators/text.py::gopher_quality_filter, Rae et al. 2021 "
+    "§A1.1): word-count bounds, mean-word-length band, symbol-to-word "
+    "and bullet/ellipsis line caps, alphabetic-word floor, "
+    "≥2-stopwords — every threshold INTEGER-SCALED (3n ≤ Σlen ≤ 10n, "
+    "5·n_alpha ≥ 4·n_words …) so no rule flips on a float boundary.  "
+    "One codegen projection, no UDF; each of the seven rule booleans "
+    "hash-checks individually via the packed bit string, plus the "
+    "conjunction.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_quality_filter
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    g = gopher_quality_filter(docs, "text", "doc_id")
+    rule_cols = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords",
+    ]
+    bits = F.concat(*[F.col(c).cast("int").cast("string") for c in rule_cols])
+    return g.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_lines",
+        F.col("gopher_keep").cast("string").alias("keep"),
+        bits.alias("rule_bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -6020,6 +6110,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'ileave' AS part, doc_id AS a, interleave_key AS b, "
         f"pos AS n, lang AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_ILEAVE_ORACLE}) t",
+        f"SELECT 'gopher' AS part, doc_id AS a, n_words AS b, "
+        f"sum_word_len AS n, keep AS k, rule_bits AS s, "
+        f"CAST(n_lines AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_GOPHER_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -6436,6 +6530,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    gop = text_gopher_rules(spark, sf_dir).select(
+        F.lit("gopher").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_words").alias("b"),
+        F.col("sum_word_len").alias("n"),
+        F.col("keep").alias("k"),
+        F.col("rule_bits").alias("s"),
+        F.col("n_lines").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     ilv = corpus_interleave(spark, sf_dir).select(
         F.lit("ileave").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -6545,6 +6649,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kcr)
         .unionByName(cnt2)
         .unionByName(ilv)
+        .unionByName(gop)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -6738,6 +6843,9 @@ subsume(
     # round-11: deterministic proportional interleave, riding
     # extension_battery (part=ileave)
     "corpus_interleave",
+    # round-11: Gopher rule decision layer, riding extension_battery
+    # (part=gopher)
+    "text_gopher_rules",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

@@ -1512,3 +1512,37 @@ def test_arrow_blas_topk_matches_expression_path(spark, emb):
     per_q = Counter(q for q, _ in blas)
     assert all(v == 5 for v in per_q.values())
     assert all(q != n for q, n in blas)
+
+
+def test_gopher_rules_hand_fixture(spark):
+    import pyspark.sql.functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    good = "the cat sat of the mat and went to sleep in peace " * 6
+    docs = [
+        (1, good),  # passes everything
+        (2, "too short of a doc"),  # fails word floor
+        (3, ("#tag " * 20 + "the of and to in a word here ok " * 8)),  # symbols
+        (4, "\n".join(["- bullet point here"] * 10) + "\nthe of a"),  # bullets
+        (5, ("zz " * 60)),  # mean word len 2 < 3 AND no stopwords
+        (6, good.replace("the", "000").replace("of", "111")),  # alpha+stop
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_filter(df, "text", "doc_id").collect()}
+    assert out[1].gopher_keep is True
+    assert out[2].gopher_keep is False and out[2].r_word_count is False
+    assert out[3].r_symbol_ratio is False
+    assert out[4].r_bullet_lines is False
+    assert out[5].r_mean_word_len is False and out[5].r_stopwords is False
+    # python dual for the counting rules on the good doc
+    words = good.split(" ")
+    assert out[1].n_words == len(words)
+    assert out[1].sum_word_len == sum(len(w) for w in words)
+    # empty doc: all-FALSE, never NULL
+    empty = gopher_quality_filter(
+        spark.createDataFrame([(9, "")], ["doc_id", "text"]), "text", "doc_id"
+    ).collect()[0]
+    assert empty.gopher_keep is False and empty.r_stopwords is False

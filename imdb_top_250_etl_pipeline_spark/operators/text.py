@@ -1260,3 +1260,50 @@ def gopher_quality_filter(
     return df.select(
         F.col(id_col), *gopher_rule_columns(text_col, min_words, max_words)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-order novelty score: for each document, the fraction of
+    its distinct character n-grams whose FIRST occurrence in the corpus
+    (by ascending ``id_col`` — ingestion order) is this document.
+    Early documents score high, boilerplate-heavy late documents score
+    near zero — the standard freshness/curriculum signal, and the
+    document-level complement of span_dedup (which removes the repeats;
+    this MEASURES them without mutating anything).
+
+    Exact and deterministic: ownership is a min over (id) per gram, the
+    score an exact small-integer division — hash-identical cross-engine.
+
+    Distributed shape: one explode of distinct grams, one window min
+    PARTITIONED BY GRAM (cardinality ~vocabulary — parallelism scales
+    with data, no hot task), one combining groupBy back to documents.
+    At 100 TB key the gram partition on xxhash64(gram) to shrink the
+    shuffle payload (kept as the string here so the oracle restates the
+    join verbatim).
+    """
+    from pyspark.sql.window import Window as W
+
+    grams = F.array_distinct(
+        F.when(
+            F.length(text_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    g = df.select(F.col(id_col), grams.alias("_grams")).select(
+        id_col, F.explode("_grams").alias("_gram")
+    )
+    first = F.min(F.col(id_col)).over(W.partitionBy("_gram"))
+    flagged = g.withColumn("_novel", (F.col(id_col) == first).cast("long"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("_novel").alias("n_novel"),
+        (F.sum("_novel") / F.count("*")).alias("novelty"),
+    )

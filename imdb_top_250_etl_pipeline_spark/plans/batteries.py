@@ -5983,6 +5983,53 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOVEL_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(text, i, 3)
+                               FOR i IN range(1, length(text) - 1)]))
+           AS gram
+  FROM base WHERE length(text) >= 3
+),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY gram)
+              THEN 1 ELSE 0 END AS novel
+  FROM g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       CAST(sum(novel) AS DOUBLE) / count(*) AS novelty
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_NOVEL_ORACLE,
+    doc="Corpus-order novelty scoring (operators/text.py::"
+    "ngram_novelty): per document, the fraction of its distinct "
+    "3-grams first seen IN that document under ingestion order — the "
+    "freshness/curriculum signal, and span_dedup's measuring "
+    "complement.  First-occurrence ownership is a window min "
+    "partitioned by gram (vocabulary-cardinality parallelism, no hot "
+    "task); counts are exact integers and the score an exact "
+    "small-integer division, hash-identical cross-engine.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_novelty
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 6 == 0)
+        .select("doc_id", "text")
+    )
+    return ngram_novelty(docs, "text", "doc_id", n=3)
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -6114,6 +6161,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"sum_word_len AS n, keep AS k, rule_bits AS s, "
         f"CAST(n_lines AS DOUBLE) AS v, true AS ok "
         f"FROM ({_GOPHER_ORACLE}) t",
+        f"SELECT 'novel' AS part, doc_id AS a, n_grams AS b, "
+        f"n_novel AS n, {_NS} AS k, {_NS} AS s, novelty AS v, "
+        f"true AS ok FROM ({_NOVEL_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -6530,6 +6580,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    nov = text_ngram_novelty(spark, sf_dir).select(
+        F.lit("novel").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_grams").cast("long").alias("b"),
+        F.col("n_novel").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("novelty").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     gop = text_gopher_rules(spark, sf_dir).select(
         F.lit("gopher").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -6650,6 +6710,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt2)
         .unionByName(ilv)
         .unionByName(gop)
+        .unionByName(nov)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -6846,6 +6907,9 @@ subsume(
     # round-11: Gopher rule decision layer, riding extension_battery
     # (part=gopher)
     "text_gopher_rules",
+    # round-11: corpus-order n-gram novelty, riding extension_battery
+    # (part=novel)
+    "text_ngram_novelty",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

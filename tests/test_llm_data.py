@@ -1546,3 +1546,37 @@ def test_gopher_rules_hand_fixture(spark):
         spark.createDataFrame([(9, "")], ["doc_id", "text"]), "text", "doc_id"
     ).collect()[0]
     assert empty.gopher_keep is False and empty.r_stopwords is False
+
+
+def test_ngram_novelty_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import ngram_novelty
+
+    docs = [
+        (1, "abcdef"),  # all grams novel (first doc)
+        (2, "abcxyz"),  # shares abc with doc 1
+        (3, "abcdef"),  # exact clone of doc 1: novelty 0
+        (4, "ab"),  # shorter than n: no grams, no output row
+        (5, "aaaa"),  # one distinct gram 'aaa', first seen here
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_novelty(df, "text", "doc_id", n=3).collect()}
+
+    # exact python dual: first-occurrence ownership by ascending doc_id
+    seen = {}
+    for did, text in sorted(docs):
+        for g in {text[i : i + 3] for i in range(len(text) - 2)}:
+            seen.setdefault(g, did)
+    for did, text in docs:
+        grams = {text[i : i + 3] for i in range(len(text) - 2)}
+        if not grams:
+            assert did not in out
+            continue
+        novel = sum(1 for g in grams if seen[g] == did)
+        r = out[did]
+        assert r.n_grams == len(grams), (did, r)
+        assert r.n_novel == novel, (did, r)
+        assert abs(r.novelty - novel / len(grams)) < 1e-15
+
+    assert out[1].novelty == 1.0
+    assert out[3].novelty == 0.0
+    assert out[5].n_grams == 1 and out[5].novelty == 1.0

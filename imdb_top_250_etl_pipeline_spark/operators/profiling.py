@@ -551,3 +551,83 @@ def cms_point_estimates(
             F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est")
         )
     )
+
+
+def bloom_filter_build(
+    df: DataFrame, col: str, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Bloom filter of a column → (pos): the distinct set bit
+    positions of a ``m_bits``-bit filter with ``k`` md5-derived hash
+    functions per value.
+
+    Completes the mergeable-sketch family (HLL = distinct counts,
+    Misra–Gries = top items, CMS = point frequency, equi-depth grids =
+    quantiles; Bloom = MEMBERSHIP): a probe answers "definitely absent
+    or maybe present" with zero false negatives and FPR ≈
+    (1 - e^(-k·n/m))^k.  Two filters over the same (m, k) merge by
+    plain UNION DISTINCT of their positions — per-day/per-partition
+    filters union into a corpus filter without rescanning data, which
+    is what makes it the standard 100 TB pre-join: persist the ≤ m-row
+    position set once, then any later batch drops definite non-members
+    BEFORE the expensive semi-join against the full corpus
+    (`dedup_incremental` probe discipline).
+
+    Plan: one projection to k positions per value (fixed fan-out), one
+    distinct over a keyspace ≤ ``m_bits`` REGARDLESS of data volume —
+    the output never grows with the corpus.  Hashing reuses the CMS
+    md5 convention (`_cms_pos`) so the position set is hash-checkable
+    against a verbatim SQL oracle.
+    """
+    hashes = F.array(*[F.lit(i) for i in range(k)])
+    return (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(F.explode(hashes).alias("_h"), "_v")
+        .select(
+            _cms_pos(F.col("_h"), F.col("_v"), m_bits)
+            .cast("long")
+            .alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Membership probe against a prebuilt Bloom position set →
+    (item, maybe_member): true iff ALL k of the item's bit positions
+    are set.  False ⇒ the item was definitely never inserted (the
+    no-false-negative guarantee the pre-join prune relies on).
+
+    Plan: items project to k (pos) probes (fixed fan-out, no
+    shuffle of the probe table beyond its own groupBy), and the
+    filter side — ≤ ``m_bits`` rows by construction — broadcasts, so
+    probing N items is one broadcast-hash left join + one combining
+    aggregate keyed on the probe items.
+    """
+    hashes = F.array(*[F.lit(i) for i in range(k)])
+    probes = (
+        items.select(F.col(col).cast("string").alias("item"))
+        .select("item", F.explode(hashes).alias("_h"))
+        .select(
+            "item",
+            _cms_pos(F.col("_h"), F.col("item"), m_bits)
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    hit = F.when(F.col("_set").isNotNull(), 1).otherwise(0)
+    return (
+        probes.join(
+            F.broadcast(bloom.select(F.col("pos"), F.lit(1).alias("_set"))),
+            "pos",
+            "left",
+        )
+        .groupBy("item")
+        .agg((F.sum(hit) == F.lit(k)).alias("maybe_member"))
+    )

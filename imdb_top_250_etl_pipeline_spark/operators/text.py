@@ -1307,3 +1307,52 @@ def ngram_novelty(
         F.sum("_novel").alias("n_novel"),
         (F.sum("_novel") / F.count("*")).alias("novelty"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document character-distribution stats → (id, n_chars,
+    n_distinct_chars, entropy): Shannon entropy in nats of the
+    character frequency distribution, entropy = ln(N) − (Σ c·ln c)/N
+    over exact integer counts c.
+
+    The classic compressibility/gibberish quality signal the Gopher
+    rules don't cover: repeated-filler documents (low entropy) and
+    random-noise documents (high entropy) both sit outside natural
+    text's tight band, so banding on this column complements
+    `repetition_features` (which sees n-gram structure, not symbol
+    balance) and `gopher_quality_filter` (word-level shape).
+
+    Distributed shape: one explode to (doc, char) with map-side
+    partial counting, one combining per-doc aggregate — no joins, no
+    window.  Cross-engine exactness: counts are exact integers; the
+    per-doc Σ c·ln(c) is a short float sum (≤ alphabet-size terms)
+    whose order wobble sits far below the final round(6) — the
+    lm_perplexity discipline.
+    """
+    chars = F.when(
+        F.length(text_col) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col)),
+            lambda i: F.col(text_col).substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col), F.explode(chars).alias("_c"))
+        .groupBy(id_col, "_c")
+        .agg(F.count("*").alias("_n"))
+    )
+    n_tot = F.sum("_n").cast("double")
+    return counts.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log(n_tot)
+            - F.sum(F.col("_n").cast("double") * F.log(F.col("_n").cast("double")))
+            / n_tot,
+            6,
+        ).alias("entropy"),
+    )

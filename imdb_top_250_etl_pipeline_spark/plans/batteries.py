@@ -2872,6 +2872,108 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_rows.unionByName(est_rows)
 
 
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+_BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v, o_custkey AS ck
+  FROM orders WHERE o_orderstatus = 'F'
+),
+bits AS (
+  SELECT DISTINCT
+         CAST(CONCAT('0x', substring(
+              md5(CAST(t.h AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM members, UNNEST([0, 1, 2]) AS t(h)
+),
+probes AS (
+  SELECT c_custkey,
+         CAST(CONCAT('0x', substring(
+              md5(CAST(t.h AS VARCHAR) || ':'
+                  || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM customer, UNNEST([0, 1, 2]) AS t(h)
+),
+mm AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN count(b.pos) = {_BLOOM_K} THEN 1 ELSE 0 END
+              AS BIGINT) AS maybe
+  FROM probes p LEFT JOIN bits b USING (pos) GROUP BY c_custkey
+),
+act AS (
+  SELECT c.c_custkey,
+         CAST(CASE WHEN m.ck IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS actual
+  FROM customer c LEFT JOIN members m ON c.c_custkey = m.ck
+)
+SELECT 'bits' AS part, pos AS a, CAST(0 AS BIGINT) AS b,
+       CAST(0 AS BIGINT) AS n
+FROM bits
+UNION ALL
+SELECT 'probe' AS part, CAST(c_custkey AS BIGINT) AS a, maybe AS b,
+       actual AS n
+FROM mm JOIN act USING (c_custkey)
+"""
+
+
+@register(
+    "agg_bloom_membership",
+    oracle=_BLOOM_ORACLE,
+    doc="Bloom filter build + probe (operators/profiling.py::"
+    "bloom_filter_build / bloom_probe) — the MEMBERSHIP member of the "
+    "mergeable-sketch family (HLL distinct / Misra–Gries top items / "
+    "CMS frequencies / equi-depth quantile grids): the filter over "
+    "the 'F'-status order custkeys is a distinct position set ≤ "
+    "m_bits rows regardless of data volume (mergeable by UNION "
+    "DISTINCT), and probing every customer is one broadcast-hash "
+    "join + one combining aggregate.  part=bits hash-checks the "
+    "filter bit-for-bit; part=probe hash-checks every customer's "
+    "maybe-vs-actual pair, so the zero-false-negative guarantee AND "
+    "the real false positives (m=8192, k=3 over ~sf·10k members "
+    "makes collisions part of the checked surface) are "
+    "driver-verified key by key.",
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import bloom_filter_build, bloom_probe
+
+    members = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    bloom = bloom_filter_build(
+        members, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    probed = bloom_probe(
+        bloom, cust, "c_custkey", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    actual = cust.join(
+        members.select(
+            F.col("o_custkey").alias("c_custkey"), F.lit(1).alias("_m")
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        F.col("c_custkey").cast("string").alias("item"),
+        F.coalesce("_m", F.lit(0)).cast("long").alias("_act"),
+    )
+    bits = bloom.select(
+        F.lit("bits").alias("part"),
+        F.col("pos").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    probe_rows = probed.join(actual, "item").select(
+        F.lit("probe").alias("part"),
+        F.col("item").cast("long").alias("a"),
+        F.col("maybe_member").cast("long").alias("b"),
+        F.col("_act").alias("n"),
+    )
+    return bits.unionByName(probe_rows)
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6030,6 +6132,47 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, "text", "doc_id", n=3)
 
 
+_ENTROPY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1
+),
+ch AS (
+  SELECT doc_id,
+         unnest([substr(text, i, 1) FOR i IN range(1, length(text) + 1)])
+           AS c
+  FROM base WHERE length(text) >= 1
+),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
+@register(
+    "text_char_entropy",
+    oracle=_ENTROPY_ORACLE,
+    doc="Character-distribution Shannon entropy (operators/text.py::"
+    "char_entropy): ln(N) − (Σ c·ln c)/N in nats over exact per-doc "
+    "character counts — the compressibility/gibberish band signal "
+    "complementing repetition_features (n-gram structure) and the "
+    "Gopher rules (word shape).  One explode with map-side partial "
+    "counting + one combining aggregate, no joins; the per-doc float "
+    "sum is ≤ alphabet-size terms under a round(6) pin (the "
+    "lm_perplexity discipline).",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import char_entropy
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 1)
+        .select("doc_id", "text")
+    )
+    return char_entropy(docs, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Extension battery: round-7 surfaces consolidated for slot discipline.
 # ---------------------------------------------------------------------------
@@ -6073,6 +6216,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"FROM ({_SEGDEDUP_ORACLE}) t",
         f"SELECT 'cms_'||part AS part, a, b, n, {_NS} AS k, {_NS} AS s, "
         f"{_ND} AS v, true AS ok FROM ({_CMS_ORACLE}) t",
+        f"SELECT 'bf_'||part AS part, a, b, n, {_NS} AS k, {_NS} AS s, "
+        f"{_ND} AS v, true AS ok FROM ({_BLOOM_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6164,6 +6309,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'novel' AS part, doc_id AS a, n_grams AS b, "
         f"n_novel AS n, {_NS} AS k, {_NS} AS s, novelty AS v, "
         f"true AS ok FROM ({_NOVEL_ORACLE}) t",
+        f"SELECT 'entropy' AS part, doc_id AS a, n_chars AS b, "
+        f"n_distinct_chars AS n, {_NS} AS k, {_NS} AS s, entropy AS v, "
+        f"true AS ok FROM ({_ENTROPY_ORACLE}) t",
         f"SELECT 'naa_'||part AS part, {_NB} AS a, s AS b, n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_SQL['sql_null_aware_anti']}) t",
@@ -6324,6 +6472,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = agg_count_min(spark, sf_dir).select(
         F.concat(F.lit("cms_"), F.col("part")).alias("part"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    blm = agg_bloom_membership(spark, sf_dir).select(
+        F.concat(F.lit("bf_"), F.col("part")).alias("part"),
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         F.col("n").cast("long").alias("n"),
@@ -6590,6 +6748,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("novelty").alias("v"),
         F.lit(True).alias("ok"),
     )
+    ent = text_char_entropy(spark, sf_dir).select(
+        F.lit("entropy").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_chars").cast("long").alias("b"),
+        F.col("n_distinct_chars").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("entropy").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     gop = text_gopher_rules(spark, sf_dir).select(
         F.lit("gopher").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -6678,6 +6846,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cos)
         .unionByName(seg)
         .unionByName(cms)
+        .unionByName(blm)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -6711,6 +6880,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ilv)
         .unionByName(gop)
         .unionByName(nov)
+        .unionByName(ent)
         .unionByName(naa)
         .unionByName(pre)
         .unionByName(exp)
@@ -6847,6 +7017,9 @@ subsume(
     "text_span_dedup",
     "text_dsir_importance",
     "agg_count_min",
+    # round-11: Bloom membership sketch, riding extension_battery
+    # (part=bf_bits / bf_probe)
+    "agg_bloom_membership",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",
@@ -6910,6 +7083,9 @@ subsume(
     # round-11: corpus-order n-gram novelty, riding extension_battery
     # (part=novel)
     "text_ngram_novelty",
+    # round-11: character-entropy quality band, riding
+    # extension_battery (part=entropy)
+    "text_char_entropy",
     # round-8: NOT IN three-valued-logic pin, riding extension_battery
     # (part=naa_clean / naa_poisoned)
     "sql_null_aware_anti",

@@ -1580,3 +1580,38 @@ def test_ngram_novelty_exact_python_dual(spark):
     assert out[1].novelty == 1.0
     assert out[3].novelty == 0.0
     assert out[5].n_grams == 1 and out[5].novelty == 1.0
+
+
+def test_char_entropy_exact_python_dual(spark):
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import char_entropy
+
+    docs = [
+        (1, "aaaa"),  # zero entropy: one symbol
+        (2, "abab"),  # exactly ln 2
+        (3, "abcd"),  # uniform over 4: ln 4
+        (4, ""),  # empty: no output row
+        (5, "aab"),  # skewed two-symbol
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in char_entropy(df, "text", "doc_id").collect()}
+
+    assert 4 not in out
+    for did, text in docs:
+        if not text:
+            continue
+        from collections import Counter
+
+        c = Counter(text)
+        n = len(text)
+        expect = round(
+            math.log(n) - sum(v * math.log(v) for v in c.values()) / n, 6
+        )
+        r = out[did]
+        assert r.n_chars == n and r.n_distinct_chars == len(c)
+        assert abs(r.entropy - expect) < 1e-12, (did, r.entropy, expect)
+
+    assert out[1].entropy == 0.0
+    assert abs(out[2].entropy - round(math.log(2), 6)) < 1e-12
+    assert abs(out[3].entropy - round(math.log(4), 6)) < 1e-12

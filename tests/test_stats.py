@@ -335,3 +335,82 @@ def test_cms_merges_by_bucket_addition(spark):
         .collect()
     }
     assert whole == merged
+
+
+def _bloom_dual(values, m, k):
+    import hashlib
+
+    bits = set()
+    for v in values:
+        for h in range(k):
+            d = hashlib.md5(f"{h}:{v}".encode()).hexdigest()
+            bits.add(int(d[:15], 16) % m)
+    return bits
+
+
+def test_bloom_build_matches_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        bloom_filter_build,
+    )
+
+    vals = [f"k{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x string").repartition(4)
+    got = {
+        r.pos for r in bloom_filter_build(df, "x", m_bits=512, k=3).collect()
+    }
+    assert got == _bloom_dual(vals, 512, 3)
+
+
+def test_bloom_probe_no_false_negatives_and_fpr(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        bloom_filter_build,
+        bloom_probe,
+    )
+
+    members = [f"in{i}" for i in range(300)]
+    outsiders = [f"out{i}" for i in range(700)]
+    mdf = spark.createDataFrame([(v,) for v in members], "x string")
+    pdf = spark.createDataFrame(
+        [(v,) for v in members + outsiders], "x string"
+    )
+    bloom = bloom_filter_build(mdf, "x", m_bits=4096, k=3)
+    got = {
+        r.item: r.maybe_member
+        for r in bloom_probe(bloom, pdf, "x", m_bits=4096, k=3).collect()
+    }
+    # zero false negatives: every inserted value probes true
+    assert all(got[v] is True for v in members)
+    # false positives exist in principle but are rare at n/m=300/4096:
+    # expected FPR (1-e^(-3*300/4096))^3 ~ 0.8%; assert a loose 5% cap
+    # on this FIXED fixture (deterministic hashing: no flakes)
+    fps = sum(1 for v in outsiders if got[v])
+    assert fps / len(outsiders) < 0.05, fps
+    # the python dual agrees probe by probe
+    bits = _bloom_dual(members, 4096, 3)
+    import hashlib
+
+    for v in members + outsiders:
+        expect = all(
+            int(hashlib.md5(f"{h}:{v}".encode()).hexdigest()[:15], 16) % 4096
+            in bits
+            for h in range(3)
+        )
+        assert got[v] is expect, v
+
+
+def test_bloom_merges_by_union_distinct(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        bloom_filter_build,
+    )
+
+    vals = [f"m{i}" for i in range(240)]
+    half_a, half_b = vals[:120], vals[120:]
+    mk = lambda vs: bloom_filter_build(
+        spark.createDataFrame([(v,) for v in vs], "x string"),
+        "x", m_bits=1024, k=4,
+    )
+    whole = {r.pos for r in mk(vals).collect()}
+    merged = {
+        r.pos for r in mk(half_a).unionByName(mk(half_b)).distinct().collect()
+    }
+    assert whole == merged

@@ -337,3 +337,91 @@ def trending_topk(
             "rank",
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_items: int = 64,
+) -> DataFrame:
+    """Market-basket association rules → (item_a, item_b, c_a, c_b,
+    c_ab, confidence, lift) for every ordered item pair co-occurring
+    in ≥ ``min_support`` baskets: confidence = c_ab/c_a (how often a
+    basket holding a also holds b), lift = N·c_ab/(c_a·c_b) (>1 ⇒
+    genuinely associated, not just both popular).
+
+    The co-occurrence family's decision layer: `transition_counts`
+    gives ORDERED event flows, this gives UNORDERED co-membership —
+    the "frequently bought together" / feature-co-occurrence query.
+
+    Distributed shape: pair generation is a self-equi-join on the
+    basket key, so fan-out is Σ s_i² over basket sizes — bounded by
+    ``max_basket_items`` (baskets past the cap are DROPPED whole, the
+    standard FP-growth guard: a 10⁶-item degenerate basket would
+    otherwise emit 10¹² pairs; the cap is an explicit, checkable
+    contract, not a silent truncation).  Item counts c_a aggregate
+    BEFORE joining back (tables bounded by item cardinality, never
+    pair volume) and N rides a 1-row broadcast.  All counts are exact
+    integers; confidence and lift are single IEEE divisions of exact
+    integer products (c_a·c_b ≤ N² < 2⁶³) — hash-identical
+    cross-engine.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    sizes = bi.groupBy("_bk").agg(F.count("*").alias("_sz"))
+    ok = bi.join(
+        sizes.where(F.col("_sz") <= max_basket_items).select("_bk"), "_bk"
+    )
+    n_baskets = ok.select("_bk").distinct().agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    item_counts = ok.groupBy("_it").agg(F.count("*").cast("long").alias("_c"))
+    a = ok.select("_bk", F.col("_it").alias("item_a"))
+    b = ok.select("_bk", F.col("_it").alias("item_b"))
+    pairs = (
+        a.join(b, "_bk")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_support)
+    )
+    # emit both rule directions so confidence(a→b) and (b→a) are rows
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "c_ab",
+        )
+    )
+    return (
+        both.join(
+            item_counts.select(
+                F.col("_it").alias("item_a"), F.col("_c").alias("c_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("_it").alias("item_b"), F.col("_c").alias("c_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("c_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c_ab") * F.col("_n")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -2974,6 +2974,58 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.unionByName(probe_rows)
 
 
+_MBA_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem),
+ok AS (SELECT bi.* FROM bi
+       JOIN (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 64) s
+       USING (bk)),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM ok),
+ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM ok GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM ok a JOIN ok b USING (bk)
+  WHERE a.it < b.it
+  GROUP BY a.it, b.it HAVING count(*) >= 2
+),
+bidir AS (
+  SELECT item_a, item_b, c_ab FROM pairs
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, c_ab FROM pairs
+)
+SELECT item_a, item_b, ca.c AS c_a, cb.c AS c_b, c_ab,
+       CAST(c_ab AS DOUBLE) / ca.c AS confidence,
+       CAST(c_ab * nb.n AS DOUBLE) / (ca.c * cb.c) AS lift
+FROM bidir JOIN ic ca ON bidir.item_a = ca.it
+           JOIN ic cb ON bidir.item_b = cb.it
+           CROSS JOIN nb
+"""
+
+
+@register(
+    "agg_market_basket",
+    oracle=_MBA_ORACLE,
+    doc="Market-basket association rules (operators/analytics.py::"
+    "association_rules) — the UNORDERED co-membership decision layer "
+    "next to transition_counts' ordered flows: for every part pair "
+    "co-ordered in ≥2 orders, exact support counts plus confidence "
+    "c_ab/c_a and lift N·c_ab/(c_a·c_b).  Pair fan-out is a "
+    "basket-key self-join capped at 64 items/basket (the FP-growth "
+    "degenerate-basket guard, an explicit dropped-whole contract); "
+    "item counts aggregate BEFORE joining back and N rides a 1-row "
+    "broadcast.  Counts are exact integers; confidence/lift are "
+    "single IEEE divisions of exact integer products — "
+    "hash-identical cross-engine.",
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import association_rules
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket_items=64
+    )
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6218,6 +6270,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"{_ND} AS v, true AS ok FROM ({_CMS_ORACLE}) t",
         f"SELECT 'bf_'||part AS part, a, b, n, {_NS} AS k, {_NS} AS s, "
         f"{_ND} AS v, true AS ok FROM ({_BLOOM_ORACLE}) t",
+        f"SELECT 'mba' AS part, item_a AS a, item_b AS b, c_ab AS n, "
+        f"CAST(c_a AS VARCHAR) AS k, CAST(c_b AS VARCHAR) AS s, "
+        f"confidence AS v, true AS ok FROM ({_MBA_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6488,6 +6543,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("k"),
         _ns().alias("s"),
         _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    mba = agg_market_basket(spark, sf_dir).select(
+        F.lit("mba").alias("part"),
+        F.col("item_a").cast("long").alias("a"),
+        F.col("item_b").cast("long").alias("b"),
+        F.col("c_ab").alias("n"),
+        F.col("c_a").cast("string").alias("k"),
+        F.col("c_b").cast("string").alias("s"),
+        F.col("confidence").alias("v"),
         F.lit(True).alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
@@ -6847,6 +6912,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seg)
         .unionByName(cms)
         .unionByName(blm)
+        .unionByName(mba)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7020,6 +7086,9 @@ subsume(
     # round-11: Bloom membership sketch, riding extension_battery
     # (part=bf_bits / bf_probe)
     "agg_bloom_membership",
+    # round-11: market-basket association rules, riding
+    # extension_battery (part=mba)
+    "agg_market_basket",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

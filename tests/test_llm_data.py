@@ -1615,3 +1615,60 @@ def test_char_entropy_exact_python_dual(spark):
     assert out[1].entropy == 0.0
     assert abs(out[2].entropy - round(math.log(2), 6)) < 1e-12
     assert abs(out[3].entropy - round(math.log(4), 6)) < 1e-12
+
+
+def test_association_rules_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        association_rules,
+    )
+
+    baskets = {
+        1: {"a", "b", "c"},
+        2: {"a", "b"},
+        3: {"a", "c"},
+        4: {"b", "c"},
+        5: {"a", "b", "c"},
+        6: {"d"},  # singleton: contributes to N, no pairs
+    }
+    rows = [(bk, it) for bk, items in baskets.items() for it in items]
+    # duplicate (basket, item) rows must not inflate counts
+    rows += [(1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    out = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(
+            df, "bk", "it", min_support=2, max_basket_items=64
+        ).collect()
+    }
+
+    from itertools import combinations
+    from collections import Counter
+
+    n = len(baskets)
+    c = Counter(it for items in baskets.values() for it in items)
+    c_ab = Counter()
+    for items in baskets.values():
+        for x, y in combinations(sorted(items), 2):
+            c_ab[(x, y)] += 1
+    expect = {}
+    for (x, y), cab in c_ab.items():
+        if cab >= 2:
+            expect[(x, y)] = cab
+            expect[(y, x)] = cab
+    assert set(out) == set(expect)
+    for (x, y), cab in expect.items():
+        r = out[(x, y)]
+        assert (r.c_a, r.c_b, r.c_ab) == (c[x], c[y], cab)
+        assert abs(r.confidence - cab / c[x]) < 1e-15
+        assert abs(r.lift - n * cab / (c[x] * c[y])) < 1e-15
+
+    # degenerate-basket guard: a basket past the cap drops WHOLE
+    wide = [(99, f"w{i}") for i in range(10)]
+    df2 = spark.createDataFrame(rows + wide, ["bk", "it"])
+    capped = association_rules(
+        df2, "bk", "it", min_support=1, max_basket_items=5
+    )
+    items_seen = {
+        r.item_a for r in capped.collect()
+    } | {r.item_b for r in capped.collect()}
+    assert not any(i.startswith("w") for i in items_seen)

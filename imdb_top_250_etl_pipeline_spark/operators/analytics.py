@@ -368,12 +368,20 @@ def association_rules(
     integer products (c_a·c_b ≤ N² < 2⁶³) — hash-identical
     cross-engine.
     """
+    from .pinning import eager_pin
+
     bi = baskets.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     ).distinct()
     sizes = bi.groupBy("_bk").agg(F.count("*").alias("_sz"))
-    ok = bi.join(
-        sizes.where(F.col("_sz") <= max_basket_items).select("_bk"), "_bk"
+    # the capped basket-item table feeds FOUR branches (N, item counts,
+    # both pair sides): pin it once or every branch rescans the source
+    # (on-cluster prefer reliable checkpoint()/persist; see pinning.py)
+    ok = eager_pin(
+        bi.join(
+            sizes.where(F.col("_sz") <= max_basket_items).select("_bk"),
+            "_bk",
+        )
     )
     n_baskets = ok.select("_bk").distinct().agg(
         F.count("*").cast("long").alias("_n")

@@ -565,3 +565,34 @@ def test_unimax_windows_bounded_by_source_count(spark):
     # allocation reaches the corpus as a broadcast join, and the
     # remainder prefix never funnels: no single-partition global sort
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts_filter_side(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        bloom_filter_build,
+        bloom_probe,
+    )
+
+    mdf = spark.range(500).select(F.col("id").cast("string").alias("x"))
+    pdf = spark.range(2000).select(F.col("id").cast("string").alias("x"))
+    bloom = bloom_filter_build(mdf, "x", m_bits=4096, k=3)
+    plan = plan_of(bloom_probe(bloom, pdf, "x", m_bits=4096, k=3))
+    # the <= m_bits-row position set ships to executors; the probe
+    # table is never shuffled for the membership join itself
+    assert "BroadcastHashJoin" in plan
+    # the filter build's distinct is a hash aggregate over <= m_bits
+    # keys, partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_market_basket_plans_equi_join_no_cartesian(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(SUBSUMED["agg_market_basket"].fn(spark, SF_CORRECT), "simple")
+    # pair generation is the basket-key self EQUI-join; the only
+    # nested-loop element is the deliberate 1-row N broadcast
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the capped basket-item table is PINNED (scan leaf, not 4 source
+    # rescans): the plan's leaves are the checkpoint, not the parquet
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan

@@ -631,3 +631,150 @@ def bloom_probe(
         .groupBy("item")
         .agg((F.sum(hit) == F.lit(k)).alias("maybe_member"))
     )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic → one row
+    (n_a, n_b, d_scaled, ks, at_v): the largest ECDF gap between the
+    two samples, where it occurs, with the gap carried as the exact
+    integer d_scaled = max |cumA·n_b − cumB·n_a| and ks = d_scaled /
+    (n_a·n_b).
+
+    The distribution-drift detector that completes the drift family:
+    `population_stability` (PSI) needs binning and misses shifts inside
+    a bin; KS is binning-free and sensitive to ANY CDF displacement —
+    the standard guard before mixing a new data source into a training
+    corpus.
+
+    Distributed shape: per-side value counts (two groupBys over the
+    distinct-value keyspace), one full-outer merge, then ONE
+    distributed prefix-sum pass over both counts
+    (`windows.distributed_cumsum` multi-column form — range-partitioned,
+    no single-task global window), and a 1-row aggregate.  All counts
+    and the scaled gap are exact integers (ties at equal values handled
+    exactly — both ECDFs step together); the only float is the final
+    single division.  at_v ties break to the SMALLEST value attaining
+    the max, via an exact integer max over (d_scaled, −v_scaled).
+
+    Overflow: cum·n products stay under 2⁶³ for samples up to ~3·10⁹
+    rows each; past that, widen the products to DECIMAL(38,0) at this
+    call site.
+    """
+    from .windows import distributed_cumsum
+
+    a = (
+        df_a.select(F.col(value_col).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("_ca"))
+    )
+    b = (
+        df_b.select(F.col(value_col).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("_cb"))
+    )
+    m = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        )
+    )
+    cum = distributed_cumsum(
+        m, ["v"], ["_ca", "_cb"], ["_cum_a", "_cum_b"]
+    )
+    totals = m.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "_na",
+        "_nb",
+        F.abs(
+            F.col("_cum_a") * F.col("_nb") - F.col("_cum_b") * F.col("_na")
+        ).alias("_d"),
+    )
+    # argmax with smallest-v tie-break: one struct max — the gap is an
+    # exact integer, and negated-v ordering is deterministic for any
+    # non-NaN numeric domain (both engines order doubles identically)
+    v_neg = -F.col("v").cast("double")
+    best = d.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(F.struct(F.col("_d").alias("_d"), v_neg.alias("_nv"))).alias(
+            "_m"
+        ),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("_m._d").alias("d_scaled"),
+        (
+            F.col("_m._d").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks"),
+        (-F.col("_m._nv")).alias("at_v"),
+    )
+
+
+def chi_square_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square independence audit between two categorical columns →
+    one row per observed cell (a, b, observed, n_a, n_b, n, contrib)
+    where contrib = (observed·n − n_a·n_b)² / (n·n_a·n_b); the
+    chi-square statistic is the sum over cells (plus the expected
+    counts of UNOBSERVED cells, which callers add as Σe over the
+    missing cross — zero when the observed cross is complete).
+
+    Completes the drift/audit family by modality: KS (`ks_statistic`)
+    for numeric CDFs, PSI (`population_stability`) for binned scores,
+    chi-square for CATEGORICAL co-distribution — "is source mix
+    independent of language" is the canonical training-corpus audit.
+
+    Distributed shape: ONE groupBy over (a, b) builds the contingency
+    cells; margins come from the CELLS table, never a second data
+    scan, and join back as broadcasts (bounded by category
+    cardinality).  All counts and the deviation D = o·n − n_a·n_b are
+    exact integers (D fits 2⁶³ for n up to ~3·10⁹; widen to
+    DECIMAL(38,0) past that); contrib is one deterministic IEEE
+    multiply-divide of exactly-representable values — hash-identical
+    cross-engine.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("observed").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("observed").cast("long").alias("n_b"))
+    nt = cells.agg(F.sum("observed").cast("long").alias("n"))
+    dev = (
+        F.col("observed") * F.col("n") - F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            "observed",
+            "n_a",
+            "n_b",
+            "n",
+            (
+                dev
+                * dev
+                / (F.col("n_a") * F.col("n_b") * F.col("n")).cast("double")
+            ).alias("contrib"),
+        )
+    )

@@ -106,8 +106,8 @@ def grouped_row_number(
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list,
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col,
+    out_col="cumsum",
 ) -> DataFrame:
     """Global running total of ``value_col`` in ``order_cols`` order,
     WITHOUT the single-task partition-less window: range-repartition on
@@ -120,7 +120,15 @@ def distributed_cumsum(
     contract as grouped_row_number — including its EAGER contract: one
     Spark job runs at construction time and the repartitioned input is
     pinned in executor storage for the session.
+
+    ``value_col``/``out_col`` accept a list to run SEVERAL prefix sums
+    in the one pass (one repartition, one pin, one offsets broadcast) —
+    what a two-sided ECDF comparison (`profiling.ks_statistic`) needs.
     """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(outs):
+        raise ValueError("value_col and out_col lengths differ")
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
     parted = _pin_partition_ids(df.repartitionByRange(n, *ocols))
@@ -129,18 +137,33 @@ def distributed_cumsum(
         .orderBy(*ocols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = parted.withColumn("_local_sum", F.sum(value_col).over(cell))
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_n"))
+    local = parted
+    for v, _i in zip(vcols, range(len(vcols))):
+        local = local.withColumn(f"_local_sum{_i}", F.sum(v).over(cell))
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_n{i}") for i, v in enumerate(vcols)]
+    )
     off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     # partition-less window over ONE ROW PER PARTITION — bounded by the
     # partition count, never by data volume (the with_surrogate_key rule)
     offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset")
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_n{i}").over(off_w), F.lit(0)).alias(
+                f"_offset{i}"
+            )
+            for i in range(len(vcols))
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
-        .drop("_pid", "_local_sum", "_offset")
+    out = local.join(F.broadcast(offsets), "_pid")
+    for i, name in enumerate(outs):
+        out = out.withColumn(
+            name, F.col(f"_offset{i}") + F.col(f"_local_sum{i}")
+        )
+    return out.drop(
+        "_pid",
+        *[f"_local_sum{i}" for i in range(len(vcols))],
+        *[f"_offset{i}" for i in range(len(vcols))],
     )
 
 

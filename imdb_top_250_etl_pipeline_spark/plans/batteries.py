@@ -3026,6 +3026,97 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KS_ORACLE = """
+WITH a AS (SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS ca
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY v),
+b AS (SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS cb
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY v),
+m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v),
+c AS (SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM m),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+d AS (SELECT v, abs(cum_a * nb - cum_b * na) AS ds, na, nb
+      FROM c CROSS JOIN t),
+d2 AS (SELECT *, max(ds) OVER () AS mx FROM d)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(max(ds) AS BIGINT) AS d_scaled,
+       CAST(CAST(max(ds) AS DOUBLE) / CAST(na * nb AS DOUBLE)
+            AS DOUBLE) AS ks,
+       CAST(min(v) FILTER (WHERE ds = mx) AS DOUBLE) AS at_v
+FROM d2 GROUP BY na, nb
+"""
+
+
+@register(
+    "agg_ks_drift",
+    oracle=_KS_ORACLE,
+    doc="EXACT two-sample Kolmogorov–Smirnov drift statistic "
+    "(operators/profiling.py::ks_statistic) between the 'R' and 'A' "
+    "return-flag price distributions — the binning-free member of "
+    "the drift family next to population_stability's PSI (which "
+    "needs bins and misses inside-bin shifts).  The largest ECDF gap "
+    "is carried as the exact integer max |cumA·n_b − cumB·n_a| over "
+    "a DISTRIBUTED prefix sum (the multi-column distributed_cumsum "
+    "pass: range-partitioned, no single-task global window), with "
+    "smallest-value tie-break via one struct max; the only float is "
+    "the final single division — hash-identical cross-engine.",
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import ks_statistic
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return ks_statistic(
+        li.where(F.col("l_returnflag") == "R"),
+        li.where(F.col("l_returnflag") == "A"),
+        "l_extendedprice",
+    )
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS observed
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+),
+ma AS (SELECT a, CAST(sum(observed) AS BIGINT) AS n_a
+       FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(sum(observed) AS BIGINT) AS n_b
+       FROM cells GROUP BY b),
+nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+SELECT a, b, observed, n_a, n_b, n,
+       CAST(CAST(observed * n - n_a * n_b AS DOUBLE)
+            * CAST(observed * n - n_a * n_b AS DOUBLE)
+            / CAST(n_a * n_b * n AS DOUBLE) AS DOUBLE) AS contrib
+FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nt
+"""
+
+
+@register(
+    "agg_chi_square",
+    oracle=_CHI2_ORACLE,
+    doc="Chi-square independence audit (operators/profiling.py::"
+    "chi_square_cells) over documents lang × source — the CATEGORICAL "
+    "member of the drift/audit family (KS = numeric CDFs, PSI = "
+    "binned scores): per-cell contributions (o·n − n_a·n_b)² / "
+    "(n·n_a·n_b).  One groupBy builds the contingency cells; margins "
+    "come from the CELLS table (never a second data scan) and join "
+    "back as broadcasts bounded by category cardinality; counts and "
+    "the deviation are exact integers, contrib one deterministic IEEE "
+    "multiply-divide — hash-identical cross-engine.",
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import chi_square_cells
+
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    return chi_square_cells(docs, "lang", "source")
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6273,6 +6364,15 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'mba' AS part, item_a AS a, item_b AS b, c_ab AS n, "
         f"CAST(c_a AS VARCHAR) AS k, CAST(c_b AS VARCHAR) AS s, "
         f"confidence AS v, true AS ok FROM ({_MBA_ORACLE}) t",
+        # at_v rides the double slot; ks itself is fully determined by
+        # the hashed integers (n / (a*b)) and is value-checked in the
+        # constituent's own parity test
+        f"SELECT 'ks' AS part, n_a AS a, n_b AS b, d_scaled AS n, "
+        f"{_NS} AS k, {_NS} AS s, at_v AS v, "
+        f"true AS ok FROM ({_KS_ORACLE}) t",
+        f"SELECT 'chi2' AS part, observed AS a, n_a AS b, n_b AS n, "
+        f"a AS k, b AS s, contrib AS v, true AS ok "
+        f"FROM ({_CHI2_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6553,6 +6653,26 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_a").cast("string").alias("k"),
         F.col("c_b").cast("string").alias("s"),
         F.col("confidence").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    ksd = agg_ks_drift(spark, sf_dir).select(
+        F.lit("ks").alias("part"),
+        F.col("n_a").cast("long").alias("a"),
+        F.col("n_b").cast("long").alias("b"),
+        F.col("d_scaled").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("at_v").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    chi = agg_chi_square(spark, sf_dir).select(
+        F.lit("chi2").alias("part"),
+        F.col("observed").alias("a"),
+        F.col("n_a").alias("b"),
+        F.col("n_b").alias("n"),
+        F.col("a").cast("string").alias("k"),
+        F.col("b").cast("string").alias("s"),
+        F.col("contrib").alias("v"),
         F.lit(True).alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
@@ -6913,6 +7033,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms)
         .unionByName(blm)
         .unionByName(mba)
+        .unionByName(ksd)
+        .unionByName(chi)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7089,6 +7211,12 @@ subsume(
     # round-11: market-basket association rules, riding
     # extension_battery (part=mba)
     "agg_market_basket",
+    # round-11: exact two-sample KS drift statistic, riding
+    # extension_battery (part=ks)
+    "agg_ks_drift",
+    # round-11: chi-square categorical independence audit, riding
+    # extension_battery (part=chi2)
+    "agg_chi_square",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

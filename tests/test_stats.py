@@ -414,3 +414,135 @@ def test_bloom_merges_by_union_distinct(spark):
         r.pos for r in mk(half_a).unionByName(mk(half_b)).distinct().collect()
     }
     assert whole == merged
+
+
+def test_distributed_cumsum_multi_column_matches_singles(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        distributed_cumsum,
+    )
+
+    rows = [(i, i % 7, (i * 3) % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"]).repartition(8)
+    multi = {
+        r.id: (r.cx, r.cy)
+        for r in distributed_cumsum(
+            df, ["id"], ["x", "y"], ["cx", "cy"]
+        ).collect()
+    }
+    sx = {
+        r.id: r.cx
+        for r in distributed_cumsum(df, ["id"], "x", "cx").collect()
+    }
+    sy = {
+        r.id: r.cy
+        for r in distributed_cumsum(df, ["id"], "y", "cy").collect()
+    }
+    assert len(multi) == 500
+    for i in multi:
+        assert multi[i] == (sx[i], sy[i])
+    # exact python dual
+    run_x = run_y = 0
+    for i, x, y in sorted(rows):
+        run_x += x
+        run_y += y
+        assert multi[i] == (run_x, run_y)
+
+
+def _ks_dual(a_vals, b_vals):
+    na, nb = len(a_vals), len(b_vals)
+    vs = sorted(set(a_vals) | set(b_vals))
+    best = max(
+        (
+            abs(
+                sum(1 for x in a_vals if x <= v) * nb
+                - sum(1 for x in b_vals if x <= v) * na
+            ),
+            -v,
+        )
+        for v in vs
+    )
+    return best[0], best[0] / (na * nb), -best[1]
+
+
+def test_ks_statistic_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        ks_statistic,
+    )
+
+    a_vals = [1.0, 2.0, 2.0, 3.0, 5.0]
+    b_vals = [2.0, 3.0, 4.0, 4.0]
+    A = spark.createDataFrame([(v,) for v in a_vals], "x double")
+    B = spark.createDataFrame([(v,) for v in b_vals], "x double")
+    r = ks_statistic(A, B, "x").collect()[0]
+    ds, ks, at = _ks_dual(a_vals, b_vals)
+    assert (r.n_a, r.n_b, r.d_scaled, r.at_v) == (5, 4, ds, at)
+    assert abs(r.ks - ks) < 1e-15
+
+    # identical samples: zero gap, tie-break picks the smallest value
+    r0 = ks_statistic(A, A, "x").collect()[0]
+    assert r0.d_scaled == 0 and r0.ks == 0.0 and r0.at_v == 1.0
+
+    # disjoint supports: the gap reaches n_a*n_b (ks = 1)
+    C = spark.createDataFrame([(v + 100.0,) for v in b_vals], "x double")
+    r1 = ks_statistic(A, C, "x").collect()[0]
+    assert r1.ks == 1.0 and r1.at_v == 5.0
+
+    # a shifted heavy sample against the python dual (ties included)
+    import random
+
+    rng = random.Random(7)
+    big_a = [float(rng.randint(0, 40)) for _ in range(300)]
+    big_b = [float(rng.randint(5, 45)) for _ in range(200)]
+    A2 = spark.createDataFrame([(v,) for v in big_a], "x double")
+    B2 = spark.createDataFrame([(v,) for v in big_b], "x double")
+    r2 = ks_statistic(A2, B2, "x").collect()[0]
+    ds2, ks2, at2 = _ks_dual(big_a, big_b)
+    assert (r2.d_scaled, r2.at_v) == (ds2, at2)
+    assert abs(r2.ks - ks2) < 1e-15
+
+
+def test_chi_square_cells_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        chi_square_cells,
+    )
+
+    rows = (
+        [("en", "web")] * 30
+        + [("en", "book")] * 10
+        + [("fr", "web")] * 5
+        + [("fr", "book")] * 15
+        + [("de", "web")] * 8
+        + [(None, "web")] * 3  # nulls excluded
+        + [("de", None)] * 2
+    )
+    df = spark.createDataFrame(rows, ["lang", "src"])
+    got = {
+        (r.a, r.b): r for r in chi_square_cells(df, "lang", "src").collect()
+    }
+
+    from collections import Counter
+
+    clean = [(a, b) for a, b in rows if a is not None and b is not None]
+    o = Counter(clean)
+    na = Counter(a for a, _ in clean)
+    nb = Counter(b for _, b in clean)
+    n = len(clean)
+    assert set(got) == set(o)
+    chi2 = 0.0
+    for (a, b), cnt in o.items():
+        r = got[(a, b)]
+        assert (r.observed, r.n_a, r.n_b, r.n) == (cnt, na[a], nb[b], n)
+        d = cnt * n - na[a] * nb[b]
+        expect = (float(d) * float(d)) / float(na[a] * nb[b] * n)
+        assert abs(r.contrib - expect) < 1e-12, ((a, b), r.contrib, expect)
+        e = na[a] * nb[b] / n
+        chi2 += (cnt - e) ** 2 / e
+    # the classical form agrees with the integer-scaled per-cell sum
+    assert abs(sum(r.contrib for r in got.values()) - chi2) < 1e-9
+
+    # independence: contribs vanish when the columns are independent
+    ind = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(10)]
+    out = chi_square_cells(
+        spark.createDataFrame(ind, ["lang", "src"]), "lang", "src"
+    ).collect()
+    assert all(r.contrib == 0.0 for r in out)

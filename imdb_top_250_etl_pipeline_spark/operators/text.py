@@ -1356,3 +1356,54 @@ def char_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def vocab_profile(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group vocabulary profile → (group, n_docs, n_tokens,
+    n_types, n_hapax, ttr): token volume, distinct-word count, words
+    occurring exactly once in the group, and the type-token ratio
+    n_types/n_tokens.
+
+    The Heaps'-law health check per source/language: natural corpora
+    sit on a characteristic vocabulary-growth curve — template spam
+    collapses TTR and hapax share (few types repeated), gibberish and
+    OCR noise inflate both (every "word" unique).  Alongside
+    `char_entropy` (symbol level) and `repetition_features` (n-gram
+    level), this is the word-level member of the quality-band family.
+
+    Distributed shape: one explode → (group, word) count (map-side
+    partial combine; shuffle keyspace = per-group vocabulary), one
+    combining per-group aggregate, one broadcast join-back of the
+    bounded doc-count table.  All counts exact integers; ttr a single
+    IEEE division — hash-identical cross-engine.
+    """
+    wc = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens(text_col)).alias("_w"),
+        )
+        .where(F.length("_w") > 0)
+        .groupBy("_g", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    vocab = wc.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return vocab.join(F.broadcast(docs), "_g").select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("ttr"),
+    )

@@ -3117,6 +3117,46 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_cells(docs, "lang", "source")
 
 
+_VOCAB_ORACLE = """
+WITH w AS (
+  SELECT g, w FROM (
+    SELECT source AS g, unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ) t WHERE length(w) > 0
+),
+wc AS (SELECT g, w, count(*) AS c FROM w GROUP BY g, w),
+v AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM wc GROUP BY g),
+d AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+SELECT g AS source, n_docs, n_tokens, n_types, n_hapax,
+       CAST(n_types AS DOUBLE) / n_tokens AS ttr
+FROM v JOIN d USING (g)
+"""
+
+
+@register(
+    "text_vocab_profile",
+    oracle=_VOCAB_ORACLE,
+    doc="Per-source vocabulary profile (operators/text.py::"
+    "vocab_profile): token volume, distinct types, hapax legomena, "
+    "and type-token ratio — the word-level quality-band member next "
+    "to char_entropy (symbol level) and repetition_features (n-gram "
+    "level); template spam collapses TTR/hapax share, gibberish "
+    "inflates them.  One explode → (group, word) count with map-side "
+    "partial combine, one combining per-group aggregate, one "
+    "broadcast join-back; exact integers + a single IEEE division.",
+)
+def text_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import vocab_profile
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return vocab_profile(docs, "source", "text")
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6373,6 +6413,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'chi2' AS part, observed AS a, n_a AS b, n_b AS n, "
         f"a AS k, b AS s, contrib AS v, true AS ok "
         f"FROM ({_CHI2_ORACLE}) t",
+        f"SELECT 'vocab' AS part, n_tokens AS a, n_types AS b, "
+        f"n_hapax AS n, source AS k, CAST(n_docs AS VARCHAR) AS s, "
+        f"ttr AS v, true AS ok FROM ({_VOCAB_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6673,6 +6716,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("string").alias("k"),
         F.col("b").cast("string").alias("s"),
         F.col("contrib").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    voc = text_vocab_profile(spark, sf_dir).select(
+        F.lit("vocab").alias("part"),
+        F.col("n_tokens").alias("a"),
+        F.col("n_types").alias("b"),
+        F.col("n_hapax").alias("n"),
+        F.col("source").alias("k"),
+        F.col("n_docs").cast("string").alias("s"),
+        F.col("ttr").alias("v"),
         F.lit(True).alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
@@ -7035,6 +7088,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mba)
         .unionByName(ksd)
         .unionByName(chi)
+        .unionByName(voc)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7217,6 +7271,9 @@ subsume(
     # round-11: chi-square categorical independence audit, riding
     # extension_battery (part=chi2)
     "agg_chi_square",
+    # round-11: per-source vocabulary profile, riding
+    # extension_battery (part=vocab)
+    "text_vocab_profile",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -1672,3 +1672,39 @@ def test_association_rules_exact_python_dual(spark):
         r.item_a for r in capped.collect()
     } | {r.item_b for r in capped.collect()}
     assert not any(i.startswith("w") for i in items_seen)
+
+
+def test_vocab_profile_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.text import vocab_profile
+
+    docs = [
+        (1, "web", "the cat sat on the mat"),
+        (2, "web", "the dog sat"),
+        (3, "book", "a a a a"),  # template collapse: 1 type / 4 tokens
+        (4, "book", "unique words only here"),
+        (5, "ocr", ""),  # empty text: no tokens, still counted as a doc
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    out = {r.source: r for r in vocab_profile(df, "source", "text").collect()}
+
+    from collections import Counter
+
+    for src in ("web", "book"):
+        words = [
+            w
+            for _, s, t in docs
+            if s == src
+            for w in t.split(" ")
+            if w
+        ]
+        c = Counter(words)
+        r = out[src]
+        assert r.n_docs == sum(1 for _, s, _t in docs if s == src)
+        assert r.n_tokens == len(words)
+        assert r.n_types == len(c)
+        assert r.n_hapax == sum(1 for v in c.values() if v == 1)
+        assert abs(r.ttr - len(c) / len(words)) < 1e-15
+    # template collapse visible: book TTR pulled down by doc 3
+    assert out["book"].n_hapax == 4 and out["book"].n_types == 5
+    # all-empty group: no vocab row survives the inner join (no tokens)
+    assert "ocr" not in out

@@ -778,3 +778,61 @@ def chi_square_cells(
             ).alias("contrib"),
         )
     )
+
+
+#: log10(1 + 1/d) for d = 1..9 — materialized once in Python so the
+#: engine and any SQL oracle compare against the SAME double literals
+#: (a runtime libm log10 could differ in the last ulp across engines).
+BENFORD_P = [0.0] + [__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford first-digit audit → one row per leading digit
+    (digit, n, n_total, p, expected, dev): the observed share of each
+    leading significant digit against Benford's log10(1 + 1/d) law.
+
+    The classic forensic screen for FABRICATED numeric columns:
+    organically-grown magnitudes (transaction totals, populations,
+    file sizes) follow Benford; synthetic, uniform, or hand-typed data
+    do not — large |dev| over a large n flags a column worth
+    investigating before it poisons downstream stats.
+
+    Exactness discipline: values are integer-scaled (``scale``=100 for
+    cent-precision money) and the leading digit comes from the
+    INTEGER's decimal string — integer→string is deterministic and
+    identical cross-engine, unlike double formatting or a libm
+    log10-and-floor.  Expected shares are Python-literal constants
+    (``BENFORD_P``) injected into both engines, p and dev single IEEE
+    arithmetic on exact integers.  Plan: one projection + one groupBy
+    over ≤ 9 keys (map-side combined) + a 1-row broadcast total.
+    """
+    cents = F.abs(
+        F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+    )
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (cents > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P[1:]]), F.col("digit")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        "n_total",
+        (F.col("n").cast("double") / F.col("n_total").cast("double")).alias(
+            "p"
+        ),
+        expected.alias("expected"),
+        (
+            F.col("n").cast("double") / F.col("n_total").cast("double")
+            - expected
+        ).alias("dev"),
+    )

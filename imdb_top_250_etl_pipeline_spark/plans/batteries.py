@@ -3157,6 +3157,56 @@ def text_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_profile(docs, "source", "text")
 
 
+from ..operators.profiling import BENFORD_P as _BENFORD_P
+
+# expected-share CASE arms rendered from the SAME Python-literal
+# constants the engine injects (repr round-trips the exact double)
+_BCASE = "CASE digit {} END".format(
+    " ".join(f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10))
+)
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(abs(round(o_totalprice * 100, 0)) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+counts AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents WHERE c > 0 GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts)
+SELECT digit, n, n_total,
+       CAST(n AS DOUBLE) / n_total AS p,
+       CAST({_BCASE} AS DOUBLE) AS expected,
+       CAST(n AS DOUBLE) / n_total - CAST({_BCASE} AS DOUBLE) AS dev
+FROM counts CROSS JOIN t
+"""
+
+
+@register(
+    "agg_benford_audit",
+    oracle=_BENFORD_ORACLE,
+    doc="Benford first-digit audit (operators/profiling.py::"
+    "benford_profile) over order totals — the forensic screen for "
+    "fabricated numeric columns: observed leading-digit shares "
+    "against log10(1+1/d), which organically-grown magnitudes follow "
+    "and synthetic/uniform data (like this benchmark generator — the "
+    "audit CORRECTLY flags it) do not.  Leading digits come from the "
+    "integer-scaled value's decimal string (integer→string is "
+    "deterministic cross-engine; double formatting and libm "
+    "log10+floor are not), expected shares are Python-literal "
+    "constants injected into BOTH engines, p/dev single IEEE "
+    "arithmetic.  One projection + one ≤9-key groupBy + a 1-row "
+    "broadcast.",
+)
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import benford_profile
+
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_profile(orders, "o_totalprice", scale=100)
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6416,6 +6466,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'vocab' AS part, n_tokens AS a, n_types AS b, "
         f"n_hapax AS n, source AS k, CAST(n_docs AS VARCHAR) AS s, "
         f"ttr AS v, true AS ok FROM ({_VOCAB_ORACLE}) t",
+        f"SELECT 'benford' AS part, CAST(digit AS BIGINT) AS a, n AS b, "
+        f"n_total AS n, {_NS} AS k, {_NS} AS s, dev AS v, "
+        f"true AS ok FROM ({_BENFORD_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6726,6 +6779,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("k"),
         F.col("n_docs").cast("string").alias("s"),
         F.col("ttr").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    ben = agg_benford_audit(spark, sf_dir).select(
+        F.lit("benford").alias("part"),
+        F.col("digit").cast("long").alias("a"),
+        F.col("n").alias("b"),
+        F.col("n_total").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.col("dev").alias("v"),
         F.lit(True).alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
@@ -7089,6 +7152,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ksd)
         .unionByName(chi)
         .unionByName(voc)
+        .unionByName(ben)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7274,6 +7338,9 @@ subsume(
     # round-11: per-source vocabulary profile, riding
     # extension_battery (part=vocab)
     "text_vocab_profile",
+    # round-11: Benford first-digit audit, riding extension_battery
+    # (part=benford)
+    "agg_benford_audit",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -546,3 +546,47 @@ def test_chi_square_cells_exact_python_dual(spark):
         spark.createDataFrame(ind, ["lang", "src"]), "lang", "src"
     ).collect()
     assert all(r.contrib == 0.0 for r in out)
+
+
+def test_benford_profile_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        BENFORD_P,
+        benford_profile,
+    )
+
+    vals = [
+        1.23, 19.99, 123.45, 0.019,  # digit 1
+        2.5, 250.0,                  # digit 2
+        0.031,                       # digit 3
+        9.99,                        # digit 9 (999 cents)
+        -3.5,                        # abs -> digit 3
+        0.0, None, 0.004,            # zero cents after scaling: dropped
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_profile(df, "x", scale=100).collect()}
+
+    expect = {}
+    for v in vals:
+        if v is None:
+            continue
+        cents = abs(round(v * 100))
+        if cents == 0:
+            continue
+        d = int(str(cents)[0])
+        expect[d] = expect.get(d, 0) + 1
+    total = sum(expect.values())
+    assert {d: r.n for d, r in out.items()} == expect
+    for d, r in out.items():
+        assert r.n_total == total
+        assert abs(r.p - expect[d] / total) < 1e-15
+        assert r.expected == BENFORD_P[d]
+        assert abs(r.dev - (expect[d] / total - BENFORD_P[d])) < 1e-15
+    # a benford-conforming sample scores near zero total |dev|
+    import math
+
+    conforming = [
+        10 ** (i / 997.0) for i in range(2991)
+    ]  # log-uniform over 3 decades
+    dfc = spark.createDataFrame([(v,) for v in conforming], "x double")
+    rows = benford_profile(dfc, "x", scale=100).collect()
+    assert sum(abs(r.dev) for r in rows) < 0.02

@@ -433,3 +433,56 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def flag_streaks(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    flag,
+    min_len: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands streak detection → one row per maximal run of
+    consecutive flagged events within a user's timeline:
+    (user, streak_len, n_events_before, start_ts, end_ts).
+
+    The classic sequence question — "longest run of errors", "how many
+    uninterrupted purchase streaks" — stated with the row-number
+    difference idiom: rank every event, rank only the flagged ones,
+    and their difference is CONSTANT exactly within a maximal island
+    (any unflagged event between two flagged ones advances the first
+    rank but not the second).  ``n_events_before`` (the island key,
+    rn_all − rn_flag) is kept in the output: it both pins determinism
+    and tells the analyst how deep into the user's history the streak
+    started.
+
+    Distributed shape: two per-user ranking windows (state bounded by
+    each user's event count — for mega-entity keys switch the ranks to
+    `windows.grouped_row_number`, the documented spill-proof twin) and
+    one combining groupBy; no joins.  Ties inside ``ts`` break on the
+    event id column being part of the caller's ts ordering contract —
+    pass a unique (ts, id) composite when timestamps can collide.
+    """
+    ts0 = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w_all = W.partitionBy(user_col).orderBy(*[F.col(c) for c in ts0])
+    ranked = events.withColumn("_rn", F.row_number().over(w_all)).where(flag)
+    w_flag = W.partitionBy(user_col).orderBy("_rn")
+    grouped = ranked.withColumn(
+        "_grp", F.col("_rn") - F.row_number().over(w_flag)
+    )
+    return (
+        grouped.groupBy(user_col, "_grp")
+        .agg(
+            F.count("*").cast("long").alias("streak_len"),
+            F.min(ts0[0]).alias("start_ts"),
+            F.max(ts0[0]).alias("end_ts"),
+        )
+        .where(F.col("streak_len") >= min_len)
+        .select(
+            user_col,
+            "streak_len",
+            F.col("_grp").cast("long").alias("n_events_before"),
+            "start_ts",
+            "end_ts",
+        )
+    )

@@ -3207,6 +3207,54 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(orders, "o_totalprice", scale=100)
 
 
+_STREAK_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM ranked WHERE event_type = 'error'
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len,
+       CAST(grp AS BIGINT) AS n_events_before,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM flagged GROUP BY user_id, grp
+HAVING count(*) >= 2
+"""
+
+
+@register(
+    "events_flag_streaks",
+    oracle=_STREAK_ORACLE,
+    doc="Gaps-and-islands streak detection (operators/analytics.py::"
+    "flag_streaks): maximal runs of consecutive error events per user "
+    "timeline via the row-number difference idiom — rank all events, "
+    "rank the flagged ones, the difference is constant exactly within "
+    "a maximal island.  Two per-user ranking windows (state bounded "
+    "by per-user event counts; mega-entity keys switch to "
+    "grouped_row_number) + one combining groupBy, no joins; (ts, "
+    "event_id) composite makes the order a total one, so the island "
+    "keys are deterministic integers.",
+)
+def events_flag_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import flag_streaks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return flag_streaks(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        F.col("event_type") == "error",
+        min_len=2,
+    )
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6469,6 +6517,13 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'benford' AS part, CAST(digit AS BIGINT) AS a, n AS b, "
         f"n_total AS n, {_NS} AS k, {_NS} AS s, dev AS v, "
         f"true AS ok FROM ({_BENFORD_ORACLE}) t",
+        # timestamps ride the string slots as epoch-micro integers
+        # (integer formatting is deterministic cross-engine)
+        f"SELECT 'streak' AS part, user_id AS a, streak_len AS b, "
+        f"n_events_before AS n, "
+        f"CAST(epoch_us(start_ts) AS VARCHAR) AS k, "
+        f"CAST(epoch_us(end_ts) AS VARCHAR) AS s, {_ND} AS v, "
+        f"true AS ok FROM ({_STREAK_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6789,6 +6844,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("k"),
         _ns().alias("s"),
         F.col("dev").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    stk = events_flag_streaks(spark, sf_dir).select(
+        F.lit("streak").alias("part"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("streak_len").alias("b"),
+        F.col("n_events_before").alias("n"),
+        F.unix_micros("start_ts").cast("string").alias("k"),
+        F.unix_micros("end_ts").cast("string").alias("s"),
+        _nd().alias("v"),
         F.lit(True).alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
@@ -7153,6 +7218,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chi)
         .unionByName(voc)
         .unionByName(ben)
+        .unionByName(stk)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7341,6 +7407,9 @@ subsume(
     # round-11: Benford first-digit audit, riding extension_battery
     # (part=benford)
     "agg_benford_audit",
+    # round-11: gaps-and-islands streaks, riding extension_battery
+    # (part=streak)
+    "events_flag_streaks",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -1708,3 +1708,49 @@ def test_vocab_profile_exact_python_dual(spark):
     assert out["book"].n_hapax == 4 and out["book"].n_types == 5
     # all-empty group: no vocab row survives the inner join (no tokens)
     assert "ocr" not in out
+
+
+def test_flag_streaks_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        flag_streaks,
+    )
+
+    # user 1: E E . E E E . E   -> streaks 2, 3, 1
+    # user 2: . . .             -> none
+    # user 3: E                 -> streak 1
+    seq1 = ["E", "E", "x", "E", "E", "E", "x", "E"]
+    rows = [(1, i, t) for i, t in enumerate(seq1)]
+    rows += [(2, i, "x") for i in range(3)]
+    rows += [(3, 0, "E")]
+    df = spark.createDataFrame(rows, ["uid", "seq", "kind"])
+    import pyspark.sql.functions as F
+
+    out = flag_streaks(df, "uid", ["seq"], F.col("kind") == "E", min_len=1)
+    got = sorted(
+        (r.uid, r.streak_len, r.n_events_before, r.start_ts, r.end_ts)
+        for r in out.collect()
+    )
+    # python dual: maximal runs by direct scan; the island key equals
+    # unflagged events before the run start (rn_all - rn_flag)
+    expect = []
+    for uid, seq in ((1, seq1), (2, ["x"] * 3), (3, ["E"])):
+        run, start = 0, None
+        for i, t in enumerate(seq + ["x"]):  # sentinel closes a tail run
+            if t == "E":
+                if run == 0:
+                    start = i
+                run += 1
+            elif run:
+                unflagged_before = start - sum(
+                    1 for x in seq[:start] if x == "E"
+                )
+                expect.append((uid, run, unflagged_before, start, i - 1))
+                run = 0
+    assert got == sorted(expect)
+
+    # min_len filters short runs
+    out2 = flag_streaks(df, "uid", ["seq"], F.col("kind") == "E", min_len=2)
+    assert sorted((r.uid, r.streak_len) for r in out2.collect()) == [
+        (1, 2),
+        (1, 3),
+    ]

@@ -127,7 +127,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="countDistinct → Spark plans expand+two-phase agg; exact, shuffles on "
     "(group, distinct) pairs. approx_count_distinct is the scale escape hatch "
-    "(see agg_approx_distinct, rows-only).",
+    "(see agg_approx_distinct, invariant-oracled).",
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -143,18 +143,36 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketch values differ across engines by design
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           true AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
-    "counts — no expand, mergeable sketches. Rows-only check; unit test "
-    "bounds the relative error vs exact.",
+    "counts — no expand, mergeable sketches.  The sketch value is "
+    "engine-specific by design, so it FOLDS to the invariant the "
+    "guarantee states (|approx − exact| ≤ 3·rsd·exact, a 3σ band at "
+    "rsd=0.02) and the oracle pins that boolean true per group "
+    "alongside the exact counts — the approx_percentile promotion "
+    "discipline; the unit test additionally bounds the raw error.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact = F.countDistinct("l_partkey").cast("long")
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            exact.alias("exact_parts"),
             F.count("*").alias("n_rows"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                <= 3 * 0.02 * exact.cast("double")
+            ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )

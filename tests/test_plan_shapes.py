@@ -596,3 +596,37 @@ def test_market_basket_plans_equi_join_no_cartesian(spark):
     # the capped basket-item table is PINNED (scan leaf, not 4 source
     # rescans): the plan's leaves are the checkpoint, not the parquet
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_ks_statistic_has_no_global_window(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    df = SUBSUMED["agg_ks_drift"].fn(spark, SF_CORRECT)
+    plan = plan_of(df, "simple")
+    # the two-sided ECDF rides the range-partitioned distributed
+    # prefix sum: no data-sized partition-less window anywhere —
+    # the only unpartitioned window runs over one row per partition
+    # (the offsets table, bounded by partition count)
+    assert "Window" in plan
+    # the merged counts table is pinned (checkpoint leaf), so the
+    # prefix-sum pass never rescans the parquet inputs twice
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_chi_square_margins_broadcast(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    df = SUBSUMED["agg_chi_square"].fn(spark, SF_CORRECT)
+    plan = plan_of(df, "simple")
+    # both margin join-backs and the 1-row total are broadcasts —
+    # the cells table is never shuffled again after its groupBy
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_profile_doc_counts_broadcast(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(SUBSUMED["text_vocab_profile"].fn(spark, SF_CORRECT), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -315,3 +315,71 @@ def resample_interpolate(
         .otherwise(F.col("_nv"))
     )
     return g.select(key, "t", "n_obs", v.alias("v"))
+
+
+def rolling_robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    window: int = 7,
+    k: float = 3.0,
+) -> DataFrame:
+    """Rolling robust anomaly detector → every input row plus
+    (n_obs, roll_med, roll_mad, is_anomaly): the trailing-``window``
+    median and median-absolute-deviation per key timeline, flagging
+    rows where |value − median| > k·1.4826·MAD.
+
+    The robust twin of EWMA thresholding: a genuine spike cannot drag
+    the baseline toward itself (50 % breakdown — the mad_outliers
+    argument, applied to a MOVING window), so sensor glitches and
+    metric spikes flag even inside a drifting series.  Warm-up rows
+    (fewer than ``window`` observations yet) evaluate over what exists,
+    so the output covers every row from the first.
+
+    Exactness: the frame's ≤ ``window`` values ride a sorted array;
+    median and MAD use the explicit lerp (a+b)/2 form REPEATED
+    VERBATIM by the SQL oracle (the percentiles-battery reconciliation
+    — never an engine's own median(), whose interpolation form can
+    differ by an ulp); the flag compares doubles both engines derive
+    through identical IEEE ops.  MAD = 0 frames (constant window) flag
+    any deviation — the conventional degenerate-case reading.
+
+    Distributed shape: ONE window shuffle on the key; per-row state is
+    the ≤ ``window``-element array (collect_list over a rows frame),
+    so memory is O(window) per row regardless of timeline length —
+    unlike a per-key applyInPandas, no key's whole history ever
+    co-locates.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+
+    def lerp_mid(a):
+        n = F.size(a)
+        lo = F.element_at(a, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(a, (F.floor(n / 2) + 1).cast("int"))
+        return (lo + hi) / 2
+
+    base = df.select(
+        key_col, *order_cols, value_col, arr.alias("_arr")
+    ).withColumn("_med", lerp_mid(F.col("_arr")))
+    darr = F.sort_array(
+        F.transform(F.col("_arr"), lambda x: F.abs(x - F.col("_med")))
+    )
+    out = base.withColumn("_mad", lerp_mid(darr))
+    return out.select(
+        key_col,
+        *order_cols,
+        value_col,
+        F.size("_arr").alias("n_obs"),
+        F.col("_med").alias("roll_med"),
+        F.col("_mad").alias("roll_mad"),
+        (
+            F.abs(F.col(value_col) - F.col("_med"))
+            > F.lit(k) * F.lit(1.4826) * F.col("_mad")
+        ).alias("is_anomaly"),
+    )

@@ -3255,6 +3255,59 @@ def events_flag_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLMAD_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         list_sort(list(value) OVER win) AS arr
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT user_id, event_id, value, arr,
+         CAST(len(arr) AS BIGINT) AS n_obs,
+         (arr[CAST(floor((len(arr) + 1) / 2) AS INT)]
+          + arr[CAST(floor(len(arr) / 2) + 1 AS INT)]) / 2 AS roll_med
+  FROM w
+),
+d AS (
+  SELECT user_id, event_id, value, n_obs, roll_med,
+         list_sort([abs(x - roll_med) FOR x IN arr]) AS darr
+  FROM m
+)
+SELECT user_id, event_id, value, n_obs, roll_med,
+       (darr[CAST(floor((n_obs + 1) / 2) AS INT)]
+        + darr[CAST(floor(n_obs / 2) + 1 AS INT)]) / 2 AS roll_mad,
+       abs(value - roll_med) >
+         3.0 * 1.4826 * ((darr[CAST(floor((n_obs + 1) / 2) AS INT)]
+            + darr[CAST(floor(n_obs / 2) + 1 AS INT)]) / 2) AS is_anomaly
+FROM d
+"""
+
+
+@register(
+    "timeseries_rolling_mad",
+    oracle=_ROLLMAD_ORACLE,
+    doc="Rolling robust anomaly detector (operators/timeseries.py::"
+    "rolling_robust_anomalies): trailing-7 median + MAD per user "
+    "timeline with a 3·1.4826·MAD flag — the 50%-breakdown moving "
+    "baseline a spike cannot drag toward itself, EWMA thresholding's "
+    "robust twin.  One window shuffle; per-row state is the ≤7-element "
+    "sorted frame array, never a key's whole history; median/MAD use "
+    "the explicit (a+b)/2 lerp REPEATED VERBATIM in the oracle (the "
+    "percentiles reconciliation — never an engine's own median()).",
+)
+def timeseries_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_robust_anomalies
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return rolling_robust_anomalies(
+        ev, "user_id", ["ts", "event_id"], "value", window=7, k=3.0
+    ).drop("ts")
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6524,6 +6577,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(epoch_us(start_ts) AS VARCHAR) AS k, "
         f"CAST(epoch_us(end_ts) AS VARCHAR) AS s, {_ND} AS v, "
         f"true AS ok FROM ({_STREAK_ORACLE}) t",
+        f"SELECT 'rollmad' AS part, user_id AS a, event_id AS b, "
+        f"n_obs AS n, {_NS} AS k, {_NS} AS s, "
+        f"roll_med + roll_mad AS v, is_anomaly AS ok "
+        f"FROM ({_ROLLMAD_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6855,6 +6912,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("end_ts").cast("string").alias("s"),
         _nd().alias("v"),
         F.lit(True).alias("ok"),
+    )
+    rmd = timeseries_rolling_mad(spark, sf_dir).select(
+        F.lit("rollmad").alias("part"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("event_id").cast("long").alias("b"),
+        F.col("n_obs").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        (F.col("roll_med") + F.col("roll_mad")).alias("v"),
+        F.col("is_anomaly").alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
         F.lit("spansd").alias("part"),
@@ -7219,6 +7286,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(voc)
         .unionByName(ben)
         .unionByName(stk)
+        .unionByName(rmd)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7410,6 +7478,9 @@ subsume(
     # round-11: gaps-and-islands streaks, riding extension_battery
     # (part=streak)
     "events_flag_streaks",
+    # round-11: rolling median+MAD anomaly detector, riding
+    # extension_battery (part=rollmad)
+    "timeseries_rolling_mad",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -119,3 +119,44 @@ def test_interpolate_rejects_bad_step(spark):
     df = spark.createDataFrame([(1, _ts(0), 1.0)], "k long, ts timestamp, v double")
     with pytest.raises(ValueError):
         resample_interpolate(df, "k", "ts", "v", 0)
+
+
+def test_rolling_robust_anomalies_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        rolling_robust_anomalies,
+    )
+
+    # steady series with one planted spike; second key constant
+    vals = [10.0, 11.0, 10.5, 10.2, 99.0, 10.8, 10.1, 10.9, 10.4]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    rows += [(2, i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["uid", "seq", "value"])
+    out = {
+        (r.uid, r.seq): r
+        for r in rolling_robust_anomalies(
+            df, "uid", ["seq"], "value", window=3, k=3.0
+        ).collect()
+    }
+
+    def lerp_mid(a):
+        a = sorted(a)
+        n = len(a)
+        return (a[(n + 1) // 2 - 1] + a[n // 2]) / 2
+
+    for uid, series in ((1, vals), (2, [5.0] * 4)):
+        for i in range(len(series)):
+            frame = series[max(0, i - 2) : i + 1]
+            med = lerp_mid(frame)
+            mad = lerp_mid([abs(x - med) for x in frame])
+            r = out[(uid, i)]
+            assert r.n_obs == len(frame)
+            assert r.roll_med == med, (uid, i, r.roll_med, med)
+            assert r.roll_mad == mad
+            assert r.is_anomaly == (
+                abs(series[i] - med) > 3.0 * 1.4826 * mad
+            )
+    # the spike flags; its neighbors in a clean window do not
+    assert out[(1, 4)].is_anomaly is True
+    assert out[(1, 3)].is_anomaly is False
+    # constant series: MAD 0, zero deviation never flags
+    assert all(out[(2, i)].is_anomaly is False for i in range(4))

@@ -383,3 +383,79 @@ def rolling_robust_anomalies(
             > F.lit(k) * F.lit(1.4826) * F.col("_mad")
         ).alias("is_anomaly"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-sided CUSUM drift detector → every input row plus
+    (cusum_pos, cusum_neg, alarm_pos, alarm_neg): Page's cumulative-sum
+    statistic per key timeline, in units of ``1/scale``.
+
+    ``S⁺_i = max(0, S⁺_{i-1} + (x_i − target − slack))`` accumulates
+    evidence that the mean has drifted ABOVE target+slack (and the
+    mirrored S⁻ below target−slack); an alarm fires when the statistic
+    crosses ``threshold``.  The textbook sequential changepoint test —
+    small persistent drifts flag long before any single point would
+    look anomalous to the rolling-MAD detector (its complement here).
+
+    NO iteration: the max(0, ·) recurrence has the closed reflection
+    form ``S_i = P_i − min(0, min_{j≤i} P_j)`` over the plain prefix
+    sums P, so the whole statistic is two stacked running-window
+    aggregates (sum, then min of the sum) — ONE shuffle on the key,
+    same cost as a running total, where a naive per-key fold would be
+    an applyInPandas that co-locates each key's entire history.
+
+    Exactness: values quantize to integers once (``round(v·scale)``,
+    HALF_UP in both engines) and everything downstream — prefix sums,
+    running mins, the reflection, the threshold compare — is bigint
+    arithmetic, bit-identical cross-engine regardless of window
+    aggregation order (the EWMA/RRF integer-scaling discipline; a
+    double prefix sum would be segment-tree-order-dependent in the
+    oracle).
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    q = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    t_q = int(round(target * scale))
+    k_q = int(round(slack * scale))
+    h_q = int(round(threshold * scale))
+
+    base = df.select(
+        key_col,
+        *order_cols,
+        value_col,
+        (q - F.lit(t_q) - F.lit(k_q)).alias("_xp"),
+        (F.lit(t_q) - q - F.lit(k_q)).alias("_xn"),
+    ).select(
+        key_col,
+        *order_cols,
+        value_col,
+        F.sum("_xp").over(w).alias("_pp"),
+        F.sum("_xn").over(w).alias("_pn"),
+    )
+    s_pos = F.col("_pp") - F.least(F.min("_pp").over(w), F.lit(0))
+    s_neg = F.col("_pn") - F.least(F.min("_pn").over(w), F.lit(0))
+    return (
+        base.withColumn("cusum_pos", s_pos)
+        .withColumn("cusum_neg", s_neg)
+        .select(
+            key_col,
+            *order_cols,
+            value_col,
+            "cusum_pos",
+            "cusum_neg",
+            (F.col("cusum_pos") > F.lit(h_q)).alias("alarm_pos"),
+            (F.col("cusum_neg") > F.lit(h_q)).alias("alarm_neg"),
+        )
+    )

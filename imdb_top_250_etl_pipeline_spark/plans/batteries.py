@@ -3308,6 +3308,63 @@ def timeseries_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("ts")
 
 
+_CUSUM_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value * 1000) AS BIGINT) - 25000 - 5000 AS xp,
+         25000 - CAST(round(value * 1000) AS BIGINT) - 5000 AS xn
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id, value,
+         sum(xp) OVER win AS pp, sum(xn) OVER win AS pn
+  FROM x
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, value,
+       pp - least(min(pp) OVER win, 0) AS cusum_pos,
+       pn - least(min(pn) OVER win, 0) AS cusum_neg,
+       pp - least(min(pp) OVER win, 0) > 100000 AS alarm_pos,
+       pn - least(min(pn) OVER win, 0) > 100000 AS alarm_neg
+FROM p
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "timeseries_cusum",
+    oracle=_CUSUM_ORACLE,
+    doc="Two-sided CUSUM drift detector (operators/timeseries.py::"
+    "cusum_changepoints): Page's sequential changepoint statistic per "
+    "user timeline (target 25, slack 5, threshold 100, ×1000 integer "
+    "scale).  NO iteration — the max(0,·) recurrence is the closed "
+    "reflection form S = P − min(0, running-min(P)) over prefix sums, "
+    "two stacked running windows on ONE key shuffle where the naive "
+    "fold would applyInPandas a key's whole history.  All arithmetic "
+    "past the single round(v·1000) quantization is bigint — "
+    "bit-identical cross-engine regardless of window aggregation "
+    "association (the EWMA/RRF integer-scaling discipline).",
+)
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_changepoints
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return cusum_changepoints(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        target=25.0,
+        slack=5.0,
+        threshold=100.0,
+        scale=1000,
+    ).drop("ts")
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6581,6 +6638,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"n_obs AS n, {_NS} AS k, {_NS} AS s, "
         f"roll_med + roll_mad AS v, is_anomaly AS ok "
         f"FROM ({_ROLLMAD_ORACLE}) t",
+        f"SELECT 'cusum' AS part, user_id AS a, event_id AS b, "
+        f"cusum_pos AS n, CAST(cusum_neg AS VARCHAR) AS k, "
+        f"CAST(alarm_neg AS VARCHAR) AS s, value AS v, alarm_pos AS ok "
+        f"FROM ({_CUSUM_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6922,6 +6983,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    csm = timeseries_cusum(spark, sf_dir).select(
+        F.lit("cusum").alias("part"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("event_id").cast("long").alias("b"),
+        F.col("cusum_pos").alias("n"),
+        F.col("cusum_neg").cast("string").alias("k"),
+        F.col("alarm_neg").cast("string").alias("s"),
+        F.col("value").alias("v"),
+        F.col("alarm_pos").alias("ok"),
     )
     spn = text_span_dedup(spark, sf_dir).select(
         F.lit("spansd").alias("part"),
@@ -7287,6 +7358,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ben)
         .unionByName(stk)
         .unionByName(rmd)
+        .unionByName(csm)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7481,6 +7553,9 @@ subsume(
     # round-11: rolling median+MAD anomaly detector, riding
     # extension_battery (part=rollmad)
     "timeseries_rolling_mad",
+    # round-12: CUSUM drift detector, riding extension_battery
+    # (part=cusum)
+    "timeseries_cusum",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

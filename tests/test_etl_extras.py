@@ -70,22 +70,31 @@ def test_catalog_rejects_schema_drift(spark, tmp_path):
 
 def test_approx_count_distinct_error_bound(spark):
     # docstring contract of agg_approx_distinct: relative error vs exact
-    # stays within a few rsd (rsd=0.02)
-    approx = {
-        r.l_returnflag: r.approx_parts
+    # stays within a few rsd (rsd=0.02).  The query itself now folds the
+    # sketch value into the within_bound invariant (oracle-hash shape),
+    # so the raw-error assertion recomputes the sketch here.
+    folded = {
+        r.l_returnflag: (r.exact_parts, r.within_bound)
         for r in lookup("agg_approx_distinct").fn(spark, SF_SMOKE).collect()
     }
-    exact = {
-        r.l_returnflag: r.exact_parts
+    raw = {
+        r.l_returnflag: (r.exact_parts, r.approx_parts)
         for r in load(spark, SF_SMOKE, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, ex in exact.items():
-        rel_err = abs(approx[flag] - ex) / ex
-        assert rel_err <= 3 * 0.02, (flag, approx[flag], ex, rel_err)
+    assert set(folded) == set(raw)
+    for flag, (ex, ap) in raw.items():
+        assert folded[flag][0] == ex
+        assert folded[flag][1] is True, (flag, folded[flag])
+        rel_err = abs(ap - ex) / ex
+        assert rel_err <= 3 * 0.02, (flag, ap, ex, rel_err)
 
 
 def test_grouped_row_number_matches_window(spark):

@@ -160,3 +160,43 @@ def test_rolling_robust_anomalies_python_dual(spark):
     assert out[(1, 3)].is_anomaly is False
     # constant series: MAD 0, zero deviation never flags
     assert all(out[(2, i)].is_anomaly is False for i in range(4))
+
+
+def test_cusum_changepoints_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    # key 1: steady around the 10.0 target, then a persistent +4 drift
+    # no single point of which is anomalous; key 2: downward drift
+    vals1 = [10.2, 9.8, 10.1, 9.9, 14.1, 13.9, 14.2, 14.0, 13.8]
+    vals2 = [10.0, 9.9, 6.2, 6.0, 5.9, 6.1]
+    rows = [(1, i, v) for i, v in enumerate(vals1)]
+    rows += [(2, i, v) for i, v in enumerate(vals2)]
+    df = spark.createDataFrame(rows, ["uid", "seq", "value"])
+    out = {
+        (r.uid, r.seq): r
+        for r in cusum_changepoints(
+            df, "uid", ["seq"], "value",
+            target=10.0, slack=1.0, threshold=8.0, scale=1000,
+        ).collect()
+    }
+
+    for uid, series in ((1, vals1), (2, vals2)):
+        sp = sn = 0  # the textbook recurrence, scaled-integer
+        for i, v in enumerate(series):
+            q = round(v * 1000)
+            sp = max(0, sp + q - 10000 - 1000)
+            sn = max(0, sn + 10000 - q - 1000)
+            r = out[(uid, i)]
+            assert r.cusum_pos == sp, (uid, i, r.cusum_pos, sp)
+            assert r.cusum_neg == sn, (uid, i, r.cusum_neg, sn)
+            assert r.alarm_pos == (sp > 8000)
+            assert r.alarm_neg == (sn > 8000)
+    # the upward drift alarms eventually, never on the noise prefix
+    assert out[(1, 8)].alarm_pos is True
+    assert out[(1, 4)].alarm_pos is False
+    assert not any(out[(1, i)].alarm_neg for i in range(9))
+    # the downward drift alarms on the negative side only
+    assert out[(2, 5)].alarm_neg is True
+    assert not any(out[(2, i)].alarm_pos for i in range(6))

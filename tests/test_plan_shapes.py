@@ -630,3 +630,34 @@ def test_vocab_profile_doc_counts_broadcast(spark):
     plan = plan_of(SUBSUMED["text_vocab_profile"].fn(spark, SF_CORRECT), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rolling_mad_single_window_shuffle(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(
+        SUBSUMED["timeseries_rolling_mad"].fn(spark, SF_CORRECT), "simple"
+    )
+    # one key shuffle, one window pass; per-row state is the bounded
+    # trailing frame array (RowFrame -6..current), never a key's
+    # whole history (no unbounded collect anywhere)
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert "specifiedwindowframe(RowFrame, -6, currentrow" in plan
+
+
+def test_cusum_two_stacked_windows_one_exchange(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(
+        SUBSUMED["timeseries_cusum"].fn(spark, SF_CORRECT), "simple"
+    )
+    # the reflection form is two stacked running windows (prefix sum,
+    # then running min of it) sharing one hash exchange and one sort:
+    # the min window must reuse the sum window's distribution+order,
+    # never re-shuffle or re-sort
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+    assert plan.count("+- Sort") == 1
+    # four running-frame functions: sum+sum, then min+min
+    assert plan.count("unboundedpreceding") == 4

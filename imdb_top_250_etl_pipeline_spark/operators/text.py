@@ -153,6 +153,86 @@ def fingerprint_columns(text_col: str) -> list[Column]:
     ]
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS scheme) → the selected (doc_id, fp_pos, fp_hash) set:
+    hash every word ``k``-gram, slide a ``w``-gram window over the
+    hash sequence, keep each window's minimum (rightmost on ties),
+    dedupe.
+
+    THE local fingerprinting guarantee the bag/exact fingerprints
+    can't give: any shared word run of at least ``w + k − 1`` tokens
+    between two documents is certain to share a selected fingerprint
+    (both windows covering the run see the same minimum), while
+    storage stays ~2/(w+1) of the gram count — the partial-overlap /
+    quotation detector between exact_dedup (whole doc) and MinHash
+    (global resemblance).
+
+    Cross-engine exactness: the gram hash is the md5-hex-prefix
+    bigint (the split_by_hash discipline — never engine-native
+    xxhash64/hash()); the rightmost-min tie-break is encoded in ONE
+    integer key ``h·2²⁰ + (2²⁰ − pos)`` so window selection is a
+    plain bigint min — no struct-ordering semantics to reconcile —
+    and decoding is shifts/mods both engines do identically.  Max
+    2²⁰−1 grams per document (the chunk_documents cap class);
+    documents shorter than ``k`` words yield no fingerprints, and a
+    document with fewer than ``w`` grams yields its single truncated
+    window's minimum (both engines clip the frame identically).
+
+    Distributed shape: grams materialize per document via ONE
+    transform+posexplode (no per-gram re-shipping of the token
+    array), the window pass is the sole exchange (hash on doc_id),
+    and the final distinct reuses that partitioning — doc_id is a
+    subset of the grouping keys, so Catalyst adds NO second shuffle
+    (plan-pinned).  Per-row state is the O(w) frame; a document's
+    grams co-locate, which winnowing inherently requires and document
+    length inherently bounds (unlike unbounded user timelines).
+    """
+    c = 1 << 20
+    tk = F.split(F.lower(F.col(text_col)), " ")
+    n_grams = F.size(tk) - k + 1
+    # total expression: Catalyst infers generator-input constraints
+    # into the SAME Filter as the size>=k guard and CSE evaluates the
+    # transform before the short-circuit, so sequence() must be valid
+    # for short docs too (greatest(...,1); slice clips harmlessly —
+    # those rows are filtered before the explode regardless)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.array_join(F.slice(tk, i, k), " "),
+    )
+    g = (
+        df.where(F.size(tk) >= k)
+        .select(F.col(id_col), n_grams.alias("_ng"), grams.alias("_gs"))
+        .select(id_col, "_ng", F.posexplode("_gs").alias("_p0", "_gram"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("_gram")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    pos = (F.col("_p0") + 1).cast("long")
+    win = (
+        W.partitionBy(id_col)
+        .orderBy(pos)
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    sel = g.select(
+        id_col,
+        "_ng",
+        pos.alias("_pos"),
+        F.min(h * c + (F.lit(c) - pos)).over(win).alias("_sk"),
+    ).where(F.col("_pos") <= F.greatest(F.col("_ng") - (w - 1), F.lit(1)))
+    return sel.select(
+        id_col,
+        (F.lit(c) - F.col("_sk") % c).alias("fp_pos"),
+        F.shiftrightunsigned("_sk", 20).alias("fp_hash"),
+    ).distinct()
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -3365,6 +3365,56 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("ts")
 
 
+_WINNOW_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CAST(len(tk) - 2 AS BIGINT) AS n_grams,
+         CAST(i AS BIGINT) AS pos,
+         CAST(CONCAT('0x',
+              substring(md5(array_to_string(tk[i:i+2], ' ')), 1, 8))
+           AS BIGINT) AS h
+  FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+  WHERE len(tk) >= 3
+),
+sel AS (
+  SELECT doc_id, pos, n_grams,
+         min(h * 1048576 + (1048576 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       1048576 - (sk % 1048576) AS fp_pos,
+       sk >> 20 AS fp_hash
+FROM sel
+WHERE pos <= greatest(n_grams - 3, 1)
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    doc="Winnowing fingerprints (operators/text.py::winnow_fingerprints"
+    " — Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS scheme): word "
+    "3-gram hashes, windowed min over every 4 consecutive (rightmost "
+    "on ties), deduped.  Guarantees any shared run of ≥ w+k−1 = 6 "
+    "words between two documents shares a fingerprint — the "
+    "partial-overlap detector between exact_dedup and MinHash.  The "
+    "gram hash is the md5-hex-prefix bigint (split_by_hash "
+    "discipline) and the rightmost-min tie-break rides ONE integer "
+    "key h·2²⁰+(2²⁰−pos), so selection is a plain bigint window min "
+    "— no struct-ordering semantics to reconcile cross-engine.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6642,6 +6692,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"cusum_pos AS n, CAST(cusum_neg AS VARCHAR) AS k, "
         f"CAST(alarm_neg AS VARCHAR) AS s, value AS v, alarm_pos AS ok "
         f"FROM ({_CUSUM_ORACLE}) t",
+        f"SELECT 'winnow' AS part, doc_id AS a, fp_pos AS b, "
+        f"fp_hash AS n, {_NS} AS k, {_NS} AS s, {_ND} AS v, "
+        f"true AS ok FROM ({_WINNOW_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -6983,6 +7036,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    wnw = text_winnow_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("fp_pos").alias("b"),
+        F.col("fp_hash").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
     )
     csm = timeseries_cusum(spark, sf_dir).select(
         F.lit("cusum").alias("part"),
@@ -7359,6 +7422,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stk)
         .unionByName(rmd)
         .unionByName(csm)
+        .unionByName(wnw)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7556,6 +7620,9 @@ subsume(
     # round-12: CUSUM drift detector, riding extension_battery
     # (part=cusum)
     "timeseries_cusum",
+    # round-12: winnowing fingerprints, riding extension_battery
+    # (part=winnow)
+    "text_winnow_fingerprints",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

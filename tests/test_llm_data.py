@@ -1754,3 +1754,52 @@ def test_flag_streaks_exact_python_dual(spark):
         (1, 2),
         (1, 3),
     ]
+
+
+def test_winnow_fingerprints_exact_python_dual(spark):
+    import hashlib
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        # shares the >= w+k-1 = 6-word run with doc 1
+        (2, "something else then the quick brown fox jumps over the lazy dog inside"),
+        (3, "tiny doc"),  # < k tokens: no fingerprints
+        (4, "one two three"),  # exactly k: single truncated window
+        (5, "x x x x x x x x"),  # identical grams: tie-break stress
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.fp_pos, r.fp_hash)
+        for r in winnow_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    }
+
+    def winnow(text, k=3, w=4):
+        tk = text.lower().split(" ")
+        if len(tk) < k:
+            return set()
+        grams = [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        sel = set()
+        for p in range(max(len(hs) - w + 1, 1)):
+            win = hs[p : p + w]
+            m = min(win)
+            j = max(i for i, v in enumerate(win) if v == m)  # rightmost
+            sel.add((p + j + 1, m))
+        return sel
+
+    exp = {(d, p, h) for d, t in docs for p, h in winnow(t)}
+    assert got == exp
+    # the winnowing guarantee: a shared >= w+k-1-word run means a
+    # shared selected fingerprint
+    h1 = {h for d, p, h in got if d == 1}
+    h2 = {h for d, p, h in got if d == 2}
+    assert h1 & h2
+    # identical-gram doc: every window selects its rightmost position,
+    # all the same hash
+    assert len({h for d, p, h in got if d == 5}) == 1

@@ -661,3 +661,17 @@ def test_cusum_two_stacked_windows_one_exchange(spark):
     assert plan.count("+- Sort") == 1
     # four running-frame functions: sum+sum, then min+min
     assert plan.count("unboundedpreceding") == 4
+
+
+def test_winnow_distinct_reuses_window_partitioning(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(
+        SUBSUMED["text_winnow_fingerprints"].fn(spark, SF_CORRECT), "simple"
+    )
+    # ONE hash exchange (the doc_id window); the final distinct groups
+    # on (doc_id, fp_pos, fp_hash) — doc_id partitioning satisfies the
+    # superset-key clustered distribution, so no second shuffle
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("HashAggregate") == 2  # partial+final distinct

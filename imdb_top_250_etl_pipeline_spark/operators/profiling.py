@@ -836,3 +836,73 @@ def benford_profile(
             - expected
         ).alias("dev"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization → every input row plus
+    (src_rank, pooled_target, norm_value): each group's value
+    distribution mapped onto the POOLED distribution, so scores from
+    heterogeneous sources become comparable before a single global
+    threshold cuts them.
+
+    The corpus-calibration step before mixing: a quality classifier
+    reads 0.9 on news and 0.4 on forum text for the same true quality;
+    per-source quantile mapping (the microarray quantile-normalization
+    method, Bolstad et al. 2003) removes the per-source shift without
+    assuming any parametric shape.  Row with within-group rank r of
+    n_g maps to the pooled order statistic at index
+    ceil(r·N/n_g) — rank r/n_g becomes pooled quantile r/n_g.
+
+    Exactness: EVERYTHING is integer rank arithmetic on total orders
+    ((value, id) — the unique-tie-break row_number contract); the
+    normalized value is an order statistic COPIED from the pool, never
+    interpolated, so no float op exists anywhere.
+
+    Distributed shape: within-group ranks ride the distributed
+    grouped_row_number and pooled ranks the surrogate-key pattern —
+    both range-partitioned with per-partition offsets, NO single-task
+    global window (the 100 TB killer a plain ORDER BY window would
+    be); group sizes and the 1-row total broadcast; the final
+    order-statistic lookup is one integer equi-join.  EAGER: both
+    ranking passes localCheckpoint-pin partition ids at construction
+    (the _pin_partition_ids contract) — compose once and reuse.
+    """
+    from .windows import grouped_row_number
+    from ..operators.etl import with_surrogate_key
+
+    ranked = grouped_row_number(
+        df.select(group_col, id_col, value_col),
+        [group_col],
+        [value_col, id_col],
+        out_col="src_rank",
+    )
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("_ng"))
+    total = df.agg(F.count("*").cast("long").alias("_n"))
+    pooled = with_surrogate_key(
+        df.select(value_col, id_col), "_pooled_idx", [value_col, id_col]
+    ).select(
+        F.col("_pooled_idx"), F.col(value_col).alias("norm_value")
+    )
+    target = (
+        ranked.join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            id_col,
+            value_col,
+            F.col("src_rank").cast("long").alias("src_rank"),
+            # ceil(r·N/n_g) in TRUE integer division (div, never a
+            # double /: r·N can pass 2^53 at corpus scale)
+            F.expr(
+                "(cast(src_rank as bigint) * _n + _ng - 1) div _ng"
+            ).alias("pooled_target"),
+        )
+    )
+    return target.join(
+        pooled, target["pooled_target"] == pooled["_pooled_idx"]
+    ).drop("_pooled_idx")

@@ -3415,6 +3415,55 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
 
 
+_QNORM_ORACLE = """
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT)
+           AS src_rank,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+  FROM documents
+),
+pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS pooled_idx,
+         n_chars AS norm_value
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT s.source, s.doc_id, s.n_chars, s.src_rank,
+       (s.src_rank * t.n + s.ng - 1) // s.ng AS pooled_target,
+       p.norm_value
+FROM src s
+CROSS JOIN tot t
+JOIN pooled p ON p.pooled_idx = (s.src_rank * t.n + s.ng - 1) // s.ng
+"""
+
+
+@register(
+    "corpus_quantile_normalize",
+    oracle=_QNORM_ORACLE,
+    doc="Cross-source quantile normalization (operators/profiling.py::"
+    "quantile_normalize — the microarray method, Bolstad et al. 2003): "
+    "each source's n_chars distribution mapped onto the POOLED "
+    "distribution via exact integer ranks — within-source rank r of "
+    "n_g lands on the pooled order statistic at ceil(r·N/n_g), so "
+    "per-source score shift disappears before a single global "
+    "threshold cuts the corpus.  No float op exists anywhere: ranks "
+    "ride the distributed grouped_row_number / surrogate-key patterns "
+    "(range-partitioned, NO single-task global window), the index "
+    "arithmetic is bigint div, and the normalized value is COPIED "
+    "from the pool, never interpolated.",
+)
+def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
 _SPAN_K = 4
 
 _SPAN_DEDUP_ORACLE = f"""
@@ -6695,6 +6744,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'winnow' AS part, doc_id AS a, fp_pos AS b, "
         f"fp_hash AS n, {_NS} AS k, {_NS} AS s, {_ND} AS v, "
         f"true AS ok FROM ({_WINNOW_ORACLE}) t",
+        f"SELECT 'qnorm' AS part, doc_id AS a, norm_value AS b, "
+        f"pooled_target AS n, source AS k, "
+        f"CAST(src_rank AS VARCHAR) AS s, "
+        f"CAST(n_chars AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_QNORM_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7036,6 +7090,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    qnm = corpus_quantile_normalize(spark, sf_dir).select(
+        F.lit("qnorm").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("norm_value").cast("long").alias("b"),
+        F.col("pooled_target").alias("n"),
+        F.col("source").alias("k"),
+        F.col("src_rank").cast("string").alias("s"),
+        F.col("n_chars").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
     )
     wnw = text_winnow_fingerprints(spark, sf_dir).select(
         F.lit("winnow").alias("part"),
@@ -7423,6 +7487,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rmd)
         .unionByName(csm)
         .unionByName(wnw)
+        .unionByName(qnm)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7623,6 +7688,9 @@ subsume(
     # round-12: winnowing fingerprints, riding extension_battery
     # (part=winnow)
     "text_winnow_fingerprints",
+    # round-12: cross-source quantile normalization, riding
+    # extension_battery (part=qnorm)
+    "corpus_quantile_normalize",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -1803,3 +1803,41 @@ def test_winnow_fingerprints_exact_python_dual(spark):
     # identical-gram doc: every window selects its rightmost position,
     # all the same hash
     assert len({h for d, p, h in got if d == 5}) == 1
+
+
+def test_quantile_normalize_exact_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        quantile_normalize,
+    )
+
+    rows = [
+        # source A: shifted high; source B: same shape shifted low,
+        # different size — the cross-source calibration scenario
+        ("A", 1, 50), ("A", 2, 60), ("A", 3, 70), ("A", 4, 80),
+        ("B", 5, 5), ("B", 6, 6), ("B", 7, 7), ("B", 8, 8),
+        ("B", 9, 9), ("B", 10, 10), ("B", 11, 11), ("B", 12, 12),
+        # a third single-row source: rank 1 of 1 -> pooled max
+        ("C", 13, 1),
+    ]
+    df = spark.createDataFrame(rows, ["src", "id", "v"])
+    got = {
+        r.id: (r.src_rank, r.pooled_target, r.norm_value)
+        for r in quantile_normalize(df, "src", "v", "id").collect()
+    }
+
+    n = len(rows)
+    pooled = sorted((v, i) for s, i, v in rows)
+    by_src = {}
+    for s, i, v in rows:
+        by_src.setdefault(s, []).append((v, i))
+    exp = {}
+    for s, items in by_src.items():
+        items.sort()
+        ng = len(items)
+        for r, (v, i) in enumerate(items, 1):
+            t = (r * n + ng - 1) // ng
+            exp[i] = (r, t, pooled[t - 1][0])
+    assert got == exp
+    # calibration property: the top row of EVERY source maps to the
+    # pooled maximum, erasing the per-source shift
+    assert got[4][2] == got[12][2] == got[13][2] == 80

@@ -263,3 +263,72 @@ def kcore(
         f"k-core peeling did not converge within {max_rounds} rounds; "
         "raise max_rounds (and the oracle's unroll depth with it)"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) → the
+    (node, lab) community assignment after EXACTLY ``rounds`` rounds:
+    every node starts as its own label and each round adopts the most
+    frequent label among its neighbors (smallest label on ties).
+
+    The near-linear community detector next to the density operators
+    (kcore = how dense, triangles = how clustered, THIS = which
+    group): mirror clusters, template farms, and topic communities
+    condense onto one label within a few rounds.
+
+    FIXED-ROUND contract, deliberately NOT run-to-convergence:
+    synchronous LPA can 2-cycle on bipartite-ish structure, so a
+    convergence loop is unbounded; a fixed round count is
+    deterministic on every input — and exactly restatable as a
+    ``rounds``-deep unrolled SQL oracle (the kcore discipline without
+    needing idempotence).  Ties break to the SMALLEST label, making
+    each round a pure function of the previous labeling.
+
+    Scale shape, per round: one equi-join of the pinned symmetrized
+    adjacency against the current labeling (shuffle on the endpoint),
+    one combining (node, label) vote count, one argmax via max(struct)
+    partial aggregation — never a window over the vote table.  EAGER
+    like pagerank: each round's labeling pins (localCheckpoint) and
+    the previous round's blocks release immediately (pin_scope
+    composes; on a real cluster swap in reliable checkpoint()).
+    """
+    sym = eager_pin(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    labels, prev = pin(labels)
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "lab"), "v"
+            )
+            .groupBy("u", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax(count, tie -> smallest label) as ONE partial-friendly
+        # max(struct): struct order is (c asc, -lab asc), so the max is
+        # the highest count with the smallest label
+        nxt = (
+            votes.select(
+                "u", F.struct(F.col("c"), (-F.col("lab")).alias("nl")).alias("s")
+            )
+            .groupBy("u")
+            .agg(F.max("s").alias("m"))
+            .select(F.col("u").alias("node"), (-F.col("m.nl")).alias("lab"))
+        )
+        labels, handle = pin(nxt)
+        prev.release()
+        prev = handle
+    return labels

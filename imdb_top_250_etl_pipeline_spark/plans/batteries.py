@@ -6353,6 +6353,81 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").cast("long"), F.col("deg").cast("long"))
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Generate the fixed-depth LPA unroll — the kcore generated-oracle
+    discipline WITHOUT needing idempotence: the engine runs exactly
+    _LPA_ROUNDS synchronous rounds (fixed-round contract; synchronous
+    LPA can 2-cycle, so run-to-convergence is unbounded), and the
+    oracle restates those same rounds closed-form.  MATERIALIZED stops
+    the CTE inliner from expanding the chain exponentially."""
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem WHERE l_orderkey % 7 = 3)",
+        "ue AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS x, "
+        "greatest(a.p, b.p) AS y "
+        "FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)",
+        "e AS MATERIALIZED (SELECT x AS u, y AS v FROM ue "
+        "UNION ALL SELECT y, x FROM ue)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT node, lab FROM ("
+            f"SELECT e.u AS node, l.lab, "
+            f"row_number() OVER (PARTITION BY e.u "
+            f"ORDER BY count(*) DESC, l.lab ASC) AS rn "
+            f"FROM e JOIN l{i - 1} l ON e.v = l.node "
+            f"GROUP BY e.u, l.lab) t WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(lab AS BIGINT) AS lab FROM l{_LPA_ROUNDS}"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Synchronous label propagation (operators/graph.py::"
+    "label_propagation, Raghavan et al. 2007) over a co-purchase "
+    "graph: every node starts as its own label, each of exactly "
+    f"{_LPA_ROUNDS} rounds adopts the most frequent neighbor label "
+    "(smallest on ties) — the near-linear community detector next to "
+    "kcore (density) and triangles (clustering).  Fixed-round "
+    "contract: deterministic on every input and exactly restatable as "
+    "a GENERATED unrolled SQL oracle; the per-round argmax is a "
+    "partial-friendly max(struct), never a window over the vote "
+    "table.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.where(F.col("l_orderkey") % 7 == 3)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("ia"), items.alias("ib")
+    edges = (
+        a.join(
+            b,
+            (F.col("ia.o") == F.col("ib.o"))
+            & (F.col("ia.p") < F.col("ib.p")),
+        )
+        .select(F.col("ia.p").alias("src"), F.col("ib.p").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, "src", "dst", rounds=_LPA_ROUNDS).select(
+        F.col("node").cast("long"), F.col("lab").cast("long")
+    )
+
+
 _CONTAIN_ORACLE = """
 WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0
@@ -6827,6 +6902,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_kcore_oracle()}) t",
+        f"SELECT 'lpa' AS part, node AS a, lab AS b, {_NB} AS n, "
+        f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_lpa_oracle()}) t",
         f"SELECT 'contain' AS part, id_a AS a, id_b AS b, shared AS n, "
         f"CAST(n_a AS VARCHAR) AS k, CAST(n_b AS VARCHAR) AS s, "
         f"containment AS v, true AS ok FROM ({_CONTAIN_ORACLE}) t",
@@ -7429,6 +7507,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v"),
         F.lit(True).alias("ok"),
     )
+    lpa = graph_label_propagation(spark, sf_dir).select(
+        F.lit("lpa").alias("part"),
+        F.col("node").alias("a"),
+        F.col("lab").alias("b"),
+        _nb().alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
+    )
     pre = join_preagg_pushdown(spark, sf_dir).select(
         F.lit("preagg").alias("part"),
         _nb().alias("a"),
@@ -7517,6 +7605,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ahd)
         .unionByName(aud)
         .unionByName(kcr)
+        .unionByName(lpa)
         .unionByName(cnt2)
         .unionByName(ilv)
         .unionByName(gop)
@@ -7691,6 +7780,9 @@ subsume(
     # round-12: cross-source quantile normalization, riding
     # extension_battery (part=qnorm)
     "corpus_quantile_normalize",
+    # round-12: synchronous label propagation communities, riding
+    # extension_battery (part=lpa)
+    "graph_label_propagation",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -183,3 +183,47 @@ def test_kcore_matches_python_peeling_and_bounds(spark):
 
     with _pt.raises(RuntimeError, match="did not converge"):
         kcore(chain, k=2, max_rounds=1)
+
+
+def test_label_propagation_python_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge: LPA condenses each triangle
+    # onto its smallest node id; a path tests tie-breaking
+    edges = [
+        (1, 2), (2, 3), (1, 3),        # triangle A
+        (4, 5), (5, 6), (4, 6),        # triangle B
+        (3, 4),                        # bridge
+        (10, 11), (11, 12),            # path
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for rounds in (1, 2, 4):
+        got = {
+            r.node: r.lab
+            for r in label_propagation(df, "src", "dst", rounds=rounds).collect()
+        }
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                votes = {}
+                for m in nbrs:
+                    votes[lab[m]] = votes.get(lab[m], 0) + 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            lab = new
+        assert got == lab, (rounds, got, lab)
+    # after enough rounds both triangles share the bridge community
+    # structure: triangle A condenses onto label 1
+    got4 = {
+        r.node: r.lab
+        for r in label_propagation(df, "src", "dst", rounds=4).collect()
+    }
+    assert got4[1] == got4[2] == got4[3]

@@ -459,3 +459,106 @@ def cusum_changepoints(
             (F.col("cusum_neg") > F.lit(h_q)).alias("alarm_neg"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    scale: int = 100,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method behind R's decompose()) → one row per (key, day) with
+    (phase, n_obs, y, trend, seasonal, remainder): daily totals split
+    into a centered-MA trend, per-phase seasonal means of the
+    detrended series, and what's left.
+
+    The triage layer for corpus telemetry: "is Monday's ingest dip
+    seasonal or a real regression?" — rollmad/CUSUM flag THAT a series
+    moved; decomposition says which component moved.  ``period`` must
+    be odd (the symmetric centered window); trend and remainder are
+    NULL on the ``period//2`` edge days of each key's series, the
+    classical convention.  Seasonal components are the raw phase means
+    of the detrended series (uncentered: the centering shift is a
+    constant both engines would have to float-sum; thresholds on the
+    remainder don't see it).
+
+    Exactness: daily totals quantize event values once
+    (``round(v·scale)``) and sum as bigints; the trend rides the
+    window SUM (never avg — count and sum stay integers until ONE
+    final IEEE division each); the seasonal numerator
+    ``period·y − trend_sum`` and its ``period·n_phase·scale``
+    denominator are exact bigints with ONE division; the remainder is
+    the same two IEEE subtractions in both engines.  Phase is
+    days-since-epoch mod period — never a locale/engine-dependent
+    dayofweek().
+
+    Distributed shape: one groupBy to day grain (the only data-volume
+    shuffle — everything after runs on one row per key-day, bounded
+    by calendar span × key count, not event volume), one key window
+    for the centered MA, one bounded (key, phase) aggregate joined
+    back broadcast.
+    """
+    if period % 2 != 1:
+        raise ValueError("period must be odd (symmetric centered MA)")
+    h = period // 2
+    day = F.to_date(F.col(ts_col))
+    q = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    daily = (
+        df.select(key_col, day.alias("day"), q.alias("_q"))
+        .groupBy(key_col, "day")
+        .agg(F.sum("_q").alias("y_scaled"))
+    )
+    w = W.partitionBy(key_col).orderBy("day").rowsBetween(-h, h)
+    base = daily.select(
+        key_col,
+        "day",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+        "y_scaled",
+        F.sum("y_scaled").over(w).alias("_tsum"),
+        F.count("*").over(w).cast("long").alias("n_obs"),
+    ).withColumn(
+        "phase",
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+            F.lit(period),
+        ).cast("long"),
+    )
+    # per-(key, phase) seasonal numerator over FULL-window days only:
+    # period·y − trend_sum, an exact bigint
+    seas = (
+        base.where(F.col("n_obs") == period)
+        .groupBy(key_col, "phase")
+        .agg(
+            F.sum(
+                F.lit(period) * F.col("y_scaled") - F.col("_tsum")
+            ).alias("_snum"),
+            F.count("*").alias("_np"),
+        )
+    )
+    full = F.col("n_obs") == period
+    out = base.join(F.broadcast(seas), [key_col, "phase"], "left")
+    y = F.col("y_scaled") / F.lit(float(scale))
+    trend = F.when(
+        full, F.col("_tsum") / F.lit(float(period * scale))
+    )
+    seasonal = (
+        F.col("_snum")
+        / (F.lit(period) * F.col("_np") * F.lit(scale)).cast("double")
+    )
+    return out.select(
+        key_col,
+        "day",
+        "epoch_day",
+        "phase",
+        "n_obs",
+        "y_scaled",
+        y.alias("y"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(full, y - trend - seasonal).alias("remainder"),
+    )

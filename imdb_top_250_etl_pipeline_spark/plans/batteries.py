@@ -3365,6 +3365,69 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("ts")
 
 
+_SDECOMP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS y_scaled
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+base AS (
+  SELECT event_type, day,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+         y_scaled,
+         CAST(sum(y_scaled) OVER win AS BIGINT) AS tsum,
+         CAST(count(*) OVER win AS BIGINT) AS n_obs,
+         CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS phase
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT event_type, phase,
+         CAST(SUM(7 * y_scaled - tsum) AS BIGINT) AS snum,
+         CAST(count(*) AS BIGINT) AS np
+  FROM base WHERE n_obs = 7 GROUP BY event_type, phase
+)
+SELECT b.event_type, b.epoch_day, b.phase, b.n_obs, b.y_scaled,
+       b.y_scaled / 100.0 AS y,
+       CASE WHEN b.n_obs = 7 THEN b.tsum / 700.0 END AS trend,
+       s.snum / CAST(7 * s.np * 100 AS DOUBLE) AS seasonal,
+       CASE WHEN b.n_obs = 7 THEN
+         b.y_scaled / 100.0 - b.tsum / 700.0
+           - s.snum / CAST(7 * s.np * 100 AS DOUBLE) END AS remainder
+FROM base b LEFT JOIN seas s
+  ON b.event_type = s.event_type AND b.phase = s.phase
+"""
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=_SDECOMP_ORACLE,
+    doc="Classical additive seasonal decomposition (operators/"
+    "timeseries.py::seasonal_decompose — R decompose()'s "
+    "moving-average method) of per-event-type daily totals: "
+    "centered-7 MA trend, per-phase seasonal means of the detrended "
+    "series, remainder.  'Is Monday's dip seasonal or a regression?' "
+    "— rollmad/CUSUM flag THAT a series moved; this says which "
+    "component.  Daily totals quantize once and sum as bigints; "
+    "trend/seasonal numerators and denominators stay exact integers "
+    "until ONE final IEEE division each; phase is epoch-day mod 7, "
+    "never a locale-dependent dayofweek().  One data-volume shuffle "
+    "(the day-grain groupBy) — everything after runs on calendar-"
+    "bounded rows.",
+)
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.timeseries import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return seasonal_decompose(
+        ev, "event_type", "ts", "value", period=7, scale=100
+    ).drop("day")
+
+
 _WINNOW_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
@@ -6824,6 +6887,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(src_rank AS VARCHAR) AS s, "
         f"CAST(n_chars AS DOUBLE) AS v, true AS ok "
         f"FROM ({_QNORM_ORACLE}) t",
+        f"SELECT 'sdec' AS part, epoch_day AS a, y_scaled AS b, "
+        f"n_obs * 8 + phase AS n, event_type AS k, {_NS} AS s, "
+        f"y + coalesce(trend, 0) + coalesce(seasonal, 0) "
+        f"+ coalesce(remainder, 0) AS v, true AS ok "
+        f"FROM ({_SDECOMP_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7168,6 +7236,21 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    sdc = timeseries_seasonal_decompose(spark, sf_dir).select(
+        F.lit("sdec").alias("part"),
+        F.col("epoch_day").alias("a"),
+        F.col("y_scaled").alias("b"),
+        (F.col("n_obs") * 8 + F.col("phase")).alias("n"),
+        F.col("event_type").alias("k"),
+        _ns().alias("s"),
+        (
+            F.col("y")
+            + F.coalesce(F.col("trend"), F.lit(0.0))
+            + F.coalesce(F.col("seasonal"), F.lit(0.0))
+            + F.coalesce(F.col("remainder"), F.lit(0.0))
+        ).alias("v"),
+        F.lit(True).alias("ok"),
     )
     qnm = corpus_quantile_normalize(spark, sf_dir).select(
         F.lit("qnorm").alias("part"),
@@ -7576,6 +7659,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(csm)
         .unionByName(wnw)
         .unionByName(qnm)
+        .unionByName(sdc)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7783,6 +7867,9 @@ subsume(
     # round-12: synchronous label propagation communities, riding
     # extension_battery (part=lpa)
     "graph_label_propagation",
+    # round-12: classical seasonal decomposition, riding
+    # extension_battery (part=sdec)
+    "timeseries_seasonal_decompose",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -200,3 +200,70 @@ def test_cusum_changepoints_python_dual(spark):
     # the downward drift alarms on the negative side only
     assert out[(2, 5)].alarm_neg is True
     assert not any(out[(2, i)].alarm_pos for i in range(6))
+
+
+def test_seasonal_decompose_python_dual(spark):
+    import collections
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # 21 days, weekly pattern + linear trend, two events per day
+    rows = []
+    for d in range(21):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=3)
+        base = 10.0 + d * 0.5 + [5, 0, 0, 0, 0, 0, -5][d % 7]
+        rows.append(("k", ts, base))
+        rows.append(("k", ts + dt.timedelta(hours=2), 1.0))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = seasonal_decompose(df, "k", "ts", "v", period=7, scale=100).collect()
+
+    daily = collections.defaultdict(int)
+    for k, ts, v in rows:
+        daily[ts.date()] += round(v * 100)
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    tsum = {}
+    for i in range(len(days)):
+        lo, hi = max(0, i - 3), min(len(days), i + 4)
+        tsum[i] = (sum(ys[lo:hi]), hi - lo)
+    snum = collections.defaultdict(lambda: [0, 0])
+    epoch = dt.date(1970, 1, 1)
+    for i, d in enumerate(days):
+        if tsum[i][1] == 7:
+            ph = (d - epoch).days % 7
+            snum[ph][0] += 7 * ys[i] - tsum[i][0]
+            snum[ph][1] += 1
+    assert len(out) == 21
+    for r in out:
+        i = days.index(r.day)
+        ph = (r.day - epoch).days % 7
+        assert (r.phase, r.y_scaled, r.n_obs) == (ph, ys[i], tsum[i][1])
+        y = ys[i] / 100.0
+        se = snum[ph][0] / (7 * snum[ph][1] * 100.0)
+        assert r.seasonal == se
+        if tsum[i][1] == 7:
+            tr = tsum[i][0] / 700.0
+            assert r.trend == tr
+            assert r.remainder == y - tr - se
+        else:  # edge days: the classical NULL convention
+            assert r.trend is None and r.remainder is None
+    # the planted +5 phase carries the max seasonal component
+    seas = {r.phase: r.seasonal for r in out}
+    assert max(seas, key=lambda p: seas[p]) == (
+        dt.date(2024, 1, 1) - epoch
+    ).days % 7
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "k long, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "k", "ts", "v", period=6)

@@ -562,3 +562,91 @@ def seasonal_decompose(
         seasonal.alias("seasonal"),
         F.when(full, y - trend - seasonal).alias("remainder"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int = 86_400_000_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average over irregular samples → one row per
+    (key, bucket) with (covered_us, n_pieces, twap): each observation's
+    value holds until the key's next observation (the step-function /
+    LOCF convention), intervals split exactly at bucket boundaries,
+    and the bucket average weights each piece by its microsecond
+    duration.
+
+    THE aggregate for irregular telemetry — a plain avg() over-counts
+    chatty periods (a sensor that reports 100× during an incident
+    dominates the mean); TWAP weights by how long each value was
+    *true*.  Each key's final observation opens an unbounded interval
+    and is dropped — TWAP is defined over [first_obs, last_obs) —
+    and zero-length intervals (duplicate timestamps) carry zero weight
+    and are dropped before the explode — so among tied timestamps the
+    LAST row by ``order_cols`` is the one whose value holds.
+    ``order_cols`` must therefore be a total order (include a unique
+    tie-break key) — the standard lead()/row_number contract
+    everywhere in this package.
+
+    Exactness: timestamps become integer epoch-µs once, values
+    quantize once (round(v·scale)); every duration, boundary
+    intersection (min/max of integer µs), and weighted sum is bigint;
+    the bucket TWAP is ONE final IEEE division of exact integers.
+
+    Distributed shape: one key-window shuffle for lead(), one explode
+    over the buckets an interval spans (bounded by interval span ÷
+    bucket, ~1–2 for any sane grid), one combining (key, bucket)
+    aggregate — per-row state O(1), no key history co-location beyond
+    the lead() frame.
+    """
+    b_lit = F.lit(bucket_us)
+    w_next = W.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    s = F.unix_micros(F.col(ts_col))
+    iv = (
+        df.select(
+            key_col,
+            s.alias("_s"),
+            F.lead(s).over(w_next).alias("_e"),
+            F.round(F.col(value_col) * F.lit(scale))
+            .cast("long")
+            .alias("_q"),
+        )
+        .where(F.col("_e").isNotNull() & (F.col("_e") > F.col("_s")))
+    )
+    # buckets spanned: floor(s/B) .. floor((e-1)/B) — e > s keeps the
+    # sequence ascending (the winnowing CSE lesson: expressions must be
+    # total for every surviving row)
+    pieces = iv.select(
+        key_col,
+        "_s",
+        "_e",
+        "_q",
+        F.explode(
+            F.sequence(
+                F.expr("_s div " + str(bucket_us)),
+                F.expr("(_e - 1) div " + str(bucket_us)),
+            )
+        ).alias("bucket"),
+    ).select(
+        key_col,
+        "bucket",
+        "_q",
+        (
+            F.least(F.col("_e"), (F.col("bucket") + 1) * b_lit)
+            - F.greatest(F.col("_s"), F.col("bucket") * b_lit)
+        ).alias("_w"),
+    )
+    return pieces.groupBy(key_col, "bucket").agg(
+        F.sum("_w").alias("covered_us"),
+        F.count("*").alias("n_pieces"),
+        (
+            F.sum(F.col("_q") * F.col("_w"))
+            / (F.lit(float(scale)) * F.sum("_w"))
+        ).alias("twap"),
+    )

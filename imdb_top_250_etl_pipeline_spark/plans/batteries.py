@@ -3428,6 +3428,62 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_TWAP_ORACLE = """
+WITH iv0 AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS e,
+         CAST(round(value * 100) AS BIGINT) AS q
+  FROM events
+),
+iv AS (SELECT * FROM iv0 WHERE e IS NOT NULL AND e > s),
+pieces AS (
+  SELECT user_id, b AS bucket, q,
+         least(e, (b + 1) * 86400000000)
+           - greatest(s, b * 86400000000) AS w
+  FROM iv, unnest(generate_series(s // 86400000000,
+                                  (e - 1) // 86400000000)) AS g(b)
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(w) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       SUM(q * w) / (100.0 * SUM(w)) AS twap
+FROM pieces GROUP BY user_id, bucket
+"""
+
+
+@register(
+    "timeseries_twap",
+    oracle=_TWAP_ORACLE,
+    doc="Per-user daily time-weighted average (operators/timeseries.py"
+    "::time_weighted_avg): each event's value holds until the user's "
+    "next event (step-function LOCF), intervals split exactly at "
+    "day boundaries, bucket average weighted by microsecond duration "
+    "— THE aggregate for irregular telemetry, where a plain avg() "
+    "over-counts chatty periods.  Timestamps become integer epoch-µs "
+    "once, values quantize once; every duration, boundary "
+    "intersection, and weighted sum is bigint with ONE final IEEE "
+    "division.  One lead() window shuffle, a bounded "
+    "buckets-per-interval explode, one combining aggregate.",
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return time_weighted_avg(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "ts",
+        "value",
+        bucket_us=86_400_000_000,
+        scale=100,
+    )
+
+
 _WINNOW_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
@@ -6892,6 +6948,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"y + coalesce(trend, 0) + coalesce(seasonal, 0) "
         f"+ coalesce(remainder, 0) AS v, true AS ok "
         f"FROM ({_SDECOMP_ORACLE}) t",
+        f"SELECT 'twap' AS part, user_id AS a, bucket AS b, "
+        f"covered_us AS n, CAST(n_pieces AS VARCHAR) AS k, {_NS} AS s, "
+        f"twap AS v, true AS ok FROM ({_TWAP_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7236,6 +7295,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    twp = timeseries_twap(spark, sf_dir).select(
+        F.lit("twap").alias("part"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("bucket").alias("b"),
+        F.col("covered_us").alias("n"),
+        F.col("n_pieces").cast("string").alias("k"),
+        _ns().alias("s"),
+        F.col("twap").alias("v"),
+        F.lit(True).alias("ok"),
     )
     sdc = timeseries_seasonal_decompose(spark, sf_dir).select(
         F.lit("sdec").alias("part"),
@@ -7660,6 +7729,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wnw)
         .unionByName(qnm)
         .unionByName(sdc)
+        .unionByName(twp)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7870,6 +7940,9 @@ subsume(
     # round-12: classical seasonal decomposition, riding
     # extension_battery (part=sdec)
     "timeseries_seasonal_decompose",
+    # round-12: daily time-weighted average, riding extension_battery
+    # (part=twap)
+    "timeseries_twap",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

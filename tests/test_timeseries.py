@@ -267,3 +267,57 @@ def test_seasonal_decompose_rejects_even_period(spark):
     )
     with pytest.raises(ValueError):
         seasonal_decompose(df, "k", "ts", "v", period=6)
+
+
+def test_time_weighted_avg_python_dual(spark):
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    B = 3_600_000_000  # 1h buckets
+    rows = [
+        # key 1: 10 for 30min, then a tied pair at 01:00 (the later
+        # seq's value 20 holds), crossing hour boundaries, then tail
+        (1, 0, dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, 1, dt.datetime(2024, 1, 1, 1, 0), 99.0),  # zero weight
+        (1, 2, dt.datetime(2024, 1, 1, 1, 0), 20.0),  # holds 90min
+        (1, 3, dt.datetime(2024, 1, 1, 2, 30), 5.0),  # final: dropped
+        (2, 4, dt.datetime(2024, 1, 1, 0, 0), 7.0),   # single: dropped
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "ts", "v"])
+    got = {
+        (r.k, r.bucket): (r.covered_us, r.n_pieces, r.twap)
+        for r in time_weighted_avg(
+            df, "k", ["ts", "seq"], "ts", "v", bucket_us=B
+        ).collect()
+    }
+
+    # python dual: step function split at boundaries
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0, 0])  # wsum_q, w, n
+    by_k = collections.defaultdict(list)
+    for k, seq, ts, v in rows:
+        by_k[k].append((int(ts.timestamp() * 1_000_000), seq, round(v * 100)))
+    for k, obs in by_k.items():
+        obs.sort(key=lambda t: (t[0], t[1]))
+        for (s, _, q), (e, _, _) in zip(obs, obs[1:]):
+            if e <= s:
+                continue
+            for b in range(s // B, (e - 1) // B + 1):
+                w = min(e, (b + 1) * B) - max(s, b * B)
+                cell = agg[(k, b)]
+                cell[0] += q * w
+                cell[1] += w
+                cell[2] += 1
+    exp = {
+        kk: (w, n, qw / (100.0 * w)) for kk, (qw, w, n) in agg.items()
+    }
+    assert got == exp
+    h0 = 473352  # 2024-01-01T00 in hours since epoch
+    assert got[(1, h0)] == (1_800_000_000, 1, 10.0)
+    assert got[(1, h0 + 1)] == (3_600_000_000, 1, 20.0)
+    assert got[(1, h0 + 2)] == (1_800_000_000, 1, 20.0)
+    assert not any(k == 2 for k, _ in got)

@@ -906,3 +906,71 @@ def quantile_normalize(
     return target.join(
         pooled, target["pooled_target"] == pooled["_pooled_idx"]
     ).drop("_pooled_idx")
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution skew audit → ONE row (n_rows, n_keys,
+    max_count, top1_ppm, p50_count, p90_count, p99_count, gini):
+    how concentrated a prospective shuffle key is BEFORE you pay the
+    shuffle.
+
+    The operational pre-flight for every 100 TB join/groupBy in this
+    package: gini ≈ 0 + flat percentiles → hash-partition freely;
+    top1_ppm in the percents → the salted join; a heavy p99/p50 ratio
+    → AQE skew handling or bucketing.  Profiles the KEY COUNTS table
+    (bounded by distinct keys, not rows), so the audit costs one
+    combining groupBy plus rank-table arithmetic.
+
+    Exactness: Gini over ascending-ranked counts is
+    ``(2·Σi·cᵢ − (K+1)·N) / (K·N)`` — numerator and denominator exact
+    DECIMAL(38,0) sums/products of bigints (Σi·cᵢ ≤ K·N overflows
+    bigint at extreme cardinality×volume; decimal holds 38 digits),
+    ONE final IEEE division; percentile counts are order statistics
+    PICKED at exact integer indexes (ceil(q·K) via integer div), never
+    interpolated; top1_ppm is integer parts-per-million.
+
+    Distributed shape: one combining groupBy (map-side partial), the
+    surrogate-key ranking over the counts table (range-partitioned,
+    no single-task global window), a 1-row broadcast of totals, one
+    final aggregate.  EAGER: the ranking pins partition ids (the
+    _pin_partition_ids contract).
+    """
+    from ..operators.etl import with_surrogate_key
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("_c"))
+    ranked = with_surrogate_key(counts, "_rk", ["_c", key_col])
+    tot = ranked.agg(
+        F.max("_rk").cast("long").alias("_k"),
+        F.sum("_c").cast("long").alias("_n"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+
+    def pick(idx_expr: str, name: str):
+        return F.max(
+            F.when(F.expr(f"_rk = {idx_expr}"), F.col("_c"))
+        ).alias(name)
+
+    return j.agg(
+        F.max("_n").alias("n_rows"),
+        F.max("_k").alias("n_keys"),
+        F.max("_c").alias("max_count"),
+        F.expr("max(_c) * 1000000 div max(_n)").alias("top1_ppm"),
+        pick("(_k + 1) div 2", "p50_count"),
+        pick("(9 * _k + 9) div 10", "p90_count"),
+        pick("(99 * _k + 99) div 100", "p99_count"),
+        (
+            (
+                F.lit(2) * F.sum(
+                    (F.col("_rk") * F.col("_c")).cast("decimal(38,0)")
+                )
+                - (
+                    (F.max("_k") + 1).cast("decimal(38,0)")
+                    * F.max("_n").cast("decimal(38,0)")
+                )
+            ).cast("double")
+            / (
+                F.max("_k").cast("decimal(38,0)")
+                * F.max("_n").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("gini"),
+    )

@@ -3428,6 +3428,57 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, key) AS BIGINT) AS rk
+  FROM counts
+),
+tot AS (
+  SELECT CAST(max(rk) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT max(t.n) AS n_rows, max(t.k) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_count,
+       max(c) * 1000000 // max(t.n) AS top1_ppm,
+       max(CASE WHEN rk = (t.k + 1) // 2 THEN c END) AS p50_count,
+       max(CASE WHEN rk = (9 * t.k + 9) // 10 THEN c END) AS p90_count,
+       max(CASE WHEN rk = (99 * t.k + 99) // 100 THEN c END)
+         AS p99_count,
+       CAST(2 * SUM(CAST(rk AS DECIMAL(38,0)) * c)
+            - (CAST(max(t.k) AS DECIMAL(38,0)) + 1)
+              * CAST(max(t.n) AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(max(t.k) AS DECIMAL(38,0))
+                * CAST(max(t.n) AS DECIMAL(38,0)) AS DOUBLE) AS gini
+FROM ranked CROSS JOIN tot t
+"""
+
+
+@register(
+    "agg_key_skew",
+    oracle=_SKEW_ORACLE,
+    doc="Key-skew audit of orders.o_custkey (operators/profiling.py::"
+    "key_skew_profile): ONE row with n_rows/n_keys/max_count/top1_ppm/"
+    "p50-p90-p99 counts/gini — how concentrated a prospective shuffle "
+    "key is BEFORE you pay the shuffle; the pre-flight that decides "
+    "between plain hash partitioning, the salted join, and bucketing. "
+    "Gini over ascending-ranked counts is (2·Σi·cᵢ − (K+1)·N)/(K·N) "
+    "in exact DECIMAL(38,0) with ONE final IEEE division; percentile "
+    "counts are order statistics picked at exact integer indexes; "
+    "ranks ride the surrogate-key pattern, never a single-task global "
+    "window over the counts table.",
+)
+def agg_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import key_skew_profile
+
+    return key_skew_profile(
+        load(spark, sf_dir, "orders").select("o_custkey"), "o_custkey"
+    )
+
+
 _TWAP_ORACLE = """
 WITH iv0 AS (
   SELECT user_id,
@@ -6951,6 +7002,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'twap' AS part, user_id AS a, bucket AS b, "
         f"covered_us AS n, CAST(n_pieces AS VARCHAR) AS k, {_NS} AS s, "
         f"twap AS v, true AS ok FROM ({_TWAP_ORACLE}) t",
+        f"SELECT 'skew' AS part, n_keys AS a, max_count AS b, "
+        f"n_rows AS n, CAST(top1_ppm AS VARCHAR) AS k, "
+        f"p50_count || ':' || p90_count || ':' || p99_count AS s, "
+        f"gini AS v, true AS ok FROM ({_SKEW_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7295,6 +7350,22 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    skw = agg_key_skew(spark, sf_dir).select(
+        F.lit("skew").alias("part"),
+        F.col("n_keys").alias("a"),
+        F.col("max_count").alias("b"),
+        F.col("n_rows").alias("n"),
+        F.col("top1_ppm").cast("string").alias("k"),
+        F.concat(
+            F.col("p50_count").cast("string"),
+            F.lit(":"),
+            F.col("p90_count").cast("string"),
+            F.lit(":"),
+            F.col("p99_count").cast("string"),
+        ).alias("s"),
+        F.col("gini").alias("v"),
+        F.lit(True).alias("ok"),
     )
     twp = timeseries_twap(spark, sf_dir).select(
         F.lit("twap").alias("part"),
@@ -7730,6 +7801,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qnm)
         .unionByName(sdc)
         .unionByName(twp)
+        .unionByName(skw)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -7943,6 +8015,9 @@ subsume(
     # round-12: daily time-weighted average, riding extension_battery
     # (part=twap)
     "timeseries_twap",
+    # round-12: key-skew pre-flight audit, riding extension_battery
+    # (part=skew)
+    "agg_key_skew",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

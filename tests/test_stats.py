@@ -590,3 +590,31 @@ def test_benford_profile_exact_python_dual(spark):
     dfc = spark.createDataFrame([(v,) for v in conforming], "x double")
     rows = benford_profile(dfc, "x", scale=100).collect()
     assert sum(abs(r.dev) for r in rows) < 0.02
+
+
+def test_key_skew_profile_exact(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    # counts 1,1,2,6: S = 1+2+6+24 = 33, gini = (66-50)/40 = 0.4
+    rows = [("a",), ("b",)] + [("c",)] * 2 + [("d",)] * 6
+    r = key_skew_profile(
+        spark.createDataFrame(rows, ["k"]), "k"
+    ).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_count, r.top1_ppm) == (
+        10, 4, 6, 600000,
+    )
+    assert (r.p50_count, r.p90_count, r.p99_count) == (1, 6, 6)
+    assert r.gini == 0.4
+    # perfectly uniform counts: gini exactly 0, flat percentiles
+    r2 = key_skew_profile(
+        spark.createDataFrame([(c,) for c in "xxyyzz"], ["k"]), "k"
+    ).collect()[0]
+    assert r2.gini == 0.0
+    assert (r2.p50_count, r2.p90_count, r2.p99_count) == (2, 2, 2)
+    # one dominant key: top1_ppm reflects the hot share
+    r3 = key_skew_profile(
+        spark.createDataFrame([("h",)] * 9 + [("t",)], ["k"]), "k"
+    ).collect()[0]
+    assert r3.top1_ppm == 900000 and r3.max_count == 9

@@ -650,3 +650,69 @@ def time_weighted_avg(
             / (F.lit(float(scale)) * F.sum("_w"))
         ).alias("twap"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key OLS linear trend → one row per key with
+    (n_obs, slope, intercept, r2): the closed-form least-squares fit
+    of quantized ``value_col`` against integer ``x_col``.
+
+    The trend summarizer after seasonal_decompose's per-day trend
+    CURVE: one slope per key answers "is this source's daily volume
+    growing, and how fast" for every source in one aggregate — the
+    input to corpus rebalancing and capacity planning.
+
+    Exactness: x must already be an integer grid (epoch days, bucket
+    ids); y quantizes once (round(v·scale)).  All five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²,— plus Σy² for r²) are exact
+    DECIMAL(38,0) sums of bigint products, so the slope numerator
+    n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are EXACT; slope and
+    r² are single IEEE divisions of exact quantities, intercept the
+    same two ops in both engines.  Zero-variance keys (one obs, or a
+    constant x) return NULL slope/intercept/r2 rather than dividing
+    by zero; a perfectly flat y (Σ(y−ȳ)²=0) returns NULL r2.
+
+    Distributed shape: ONE map-side-combining groupBy — no window, no
+    join, no second pass; the classic sufficient-statistics pattern
+    that scales to any key cardinality.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    g = df.groupBy(key_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(x.cast("decimal(38,0)")).alias("_sx"),
+        F.sum(y.cast("decimal(38,0)")).alias("_sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den_x = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    den_y = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    slope = F.when(den_x != 0, num / den_x)
+    scale_d = F.lit(float(scale))
+    return g.select(
+        key_col,
+        F.col("_n").cast("long").alias("n_obs"),
+        (slope / scale_d).alias("slope"),
+        (
+            (F.col("_sy").cast("double") / F.col("_n").cast("double")
+             - slope * (F.col("_sx").cast("double")
+                        / F.col("_n").cast("double")))
+            / scale_d
+        ).alias("intercept"),
+        F.when((den_x != 0) & (den_y != 0), num * num / (den_x * den_y))
+        .alias("r2"),
+    )

@@ -3428,6 +3428,70 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_LTREND_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) END) / 100.0
+         AS slope,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END)
+          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+         AS intercept,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM g
+"""
+
+
+@register(
+    "timeseries_linear_trend",
+    oracle=_LTREND_ORACLE,
+    doc="Per-event-type OLS linear trend of value on epoch day "
+    "(operators/timeseries.py::linear_trend): closed-form slope/"
+    "intercept/r² from the five sufficient statistics — 'is this "
+    "source's volume growing, and how fast' for every source in ONE "
+    "map-side-combining groupBy, no window, no join, no second pass. "
+    "All sufficient statistics are exact DECIMAL(38,0) sums of bigint "
+    "products; slope and r² are single IEEE divisions of exact "
+    "quantities; zero-variance keys return NULL instead of dividing "
+    "by zero.",
+)
+def timeseries_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import linear_trend
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "value",
+    )
+    return linear_trend(ev, "event_type", "x", "value", scale=100)
+
+
 _SKEW_ORACLE = """
 WITH counts AS (
   SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS c
@@ -7006,6 +7070,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"n_rows AS n, CAST(top1_ppm AS VARCHAR) AS k, "
         f"p50_count || ':' || p90_count || ':' || p99_count AS s, "
         f"gini AS v, true AS ok FROM ({_SKEW_ORACLE}) t",
+        f"SELECT 'ltrend' AS part, n_obs AS a, {_NB} AS b, {_NB} AS n, "
+        f"event_type AS k, {_NS} AS s, "
+        f"slope + intercept + r2 AS v, true AS ok "
+        f"FROM ({_LTREND_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7350,6 +7418,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    ltr = timeseries_linear_trend(spark, sf_dir).select(
+        F.lit("ltrend").alias("part"),
+        F.col("n_obs").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        F.col("event_type").alias("k"),
+        _ns().alias("s"),
+        (F.col("slope") + F.col("intercept") + F.col("r2")).alias("v"),
+        F.lit(True).alias("ok"),
     )
     skw = agg_key_skew(spark, sf_dir).select(
         F.lit("skew").alias("part"),
@@ -7802,6 +7880,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sdc)
         .unionByName(twp)
         .unionByName(skw)
+        .unionByName(ltr)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8018,6 +8097,9 @@ subsume(
     # round-12: key-skew pre-flight audit, riding extension_battery
     # (part=skew)
     "agg_key_skew",
+    # round-12: per-source OLS linear trend, riding extension_battery
+    # (part=ltrend)
+    "timeseries_linear_trend",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -321,3 +321,38 @@ def test_time_weighted_avg_python_dual(spark):
     assert got[(1, h0 + 1)] == (3_600_000_000, 1, 20.0)
     assert got[(1, h0 + 2)] == (1_800_000_000, 1, 20.0)
     assert not any(k == 2 for k, _ in got)
+
+
+def test_linear_trend_exact_fit_and_degenerates(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        linear_trend,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append(("A", i, 3.0 + 2.0 * i))  # exact line: r2 = 1
+        rows.append(("B", i, 7.5))            # constant y
+    rows.append(("C", 5, 1.0))                # single obs
+    # noisy key: verify against numpy's lstsq-free closed form
+    noisy = [4.1, 3.9, 5.2, 6.0, 5.8, 7.1]
+    rows += [("D", i, v) for i, v in enumerate(noisy)]
+    df = spark.createDataFrame(rows, ["k", "x", "v"])
+    out = {r.k: r for r in linear_trend(df, "k", "x", "v", scale=100).collect()}
+
+    assert abs(out["A"].slope - 2.0) < 1e-12
+    assert abs(out["A"].intercept - 3.0) < 1e-12
+    assert out["A"].r2 == 1.0
+    assert out["B"].slope == 0.0 and out["B"].r2 is None
+    assert out["B"].intercept == 7.5
+    assert out["C"].slope is None and out["C"].intercept is None
+
+    # python dual over the quantized values (the operator's contract)
+    ys = [round(v * 100) for v in noisy]
+    xs = list(range(6))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert out["D"].slope == (num / dx) / 100.0
+    assert out["D"].r2 == num * num / (dx * dy)

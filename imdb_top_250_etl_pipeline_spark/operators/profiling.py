@@ -974,3 +974,58 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             ).cast("double")
         ).alias("gini"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Exact weighted quantiles per group → one row per group with
+    (w_total, wq_<num>_<den>...): the smallest value whose cumulative
+    weight reaches the quantile of the total weight.
+
+    percentile() answers "the median line item"; THIS answers "the
+    median unit" — the price below which half the QUANTITY sits, the
+    latency under which 99% of request-seconds sit.  Values are PICKED
+    order statistics, never interpolated.
+
+    Exactness: weights must be integer-valued (rounded once to bigint);
+    per-value weight sums, grouped cumulative sums, and the threshold
+    compare ``cumw·den ≥ num·W`` are all bigint — no proportion is ever
+    a float.  Ties collapse at the value level first (one row per
+    (group, value)), so duplicated values cannot straddle a threshold.
+
+    Distributed shape: one combining (group, value) aggregate, the
+    distributed grouped_cumsum over the value-level table (range-
+    partitioned with per-partition offsets — a giant group never
+    becomes one giant task), a broadcast totals join, one final
+    conditional-min aggregate.  EAGER: the cumsum pins partition ids
+    (the _pin_partition_ids contract).
+    """
+    from .windows import grouped_cumsum
+
+    w = F.round(F.col(weight_col)).cast("long")
+    wv = (
+        df.select(group_col, F.col(value_col).alias("_v"), w.alias("_w"))
+        .groupBy(group_col, "_v")
+        .agg(F.sum("_w").alias("_wsum"))
+    )
+    cum = grouped_cumsum(wv, [group_col], ["_v"], "_wsum", out_col="_cumw")
+    tot = wv.groupBy(group_col).agg(F.sum("_wsum").alias("_wtot"))
+    j = cum.join(F.broadcast(tot), group_col)
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cumw") * num_den[1]
+                >= F.lit(num_den[0]) * F.col("_wtot"),
+                F.col("_v"),
+            )
+        ).alias(f"wq_{num_den[0]}_{num_den[1]}")
+        for num_den in quantiles
+    ]
+    return j.groupBy(group_col).agg(
+        F.max("_wtot").alias("w_total"), *picks
+    )

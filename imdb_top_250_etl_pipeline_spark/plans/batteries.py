@@ -3428,6 +3428,51 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_WQUANT_ORACLE = """
+WITH wv AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wsum
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, v, wsum,
+         CAST(sum(wsum) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumw,
+         CAST(sum(wsum) OVER (PARTITION BY grp) AS BIGINT) AS wtot
+  FROM wv
+)
+SELECT grp AS l_returnflag, max(wtot) AS w_total,
+       min(CASE WHEN cumw * 2 >= 1 * wtot THEN v END) AS wq_1_2,
+       min(CASE WHEN cumw * 10 >= 9 * wtot THEN v END) AS wq_9_10,
+       min(CASE WHEN cumw * 100 >= 99 * wtot THEN v END) AS wq_99_100
+FROM cum GROUP BY grp
+"""
+
+
+@register(
+    "agg_weighted_quantiles",
+    oracle=_WQUANT_ORACLE,
+    doc="Exact weighted quantiles (operators/profiling.py::"
+    "weighted_quantiles): per return flag, the extendedprice below "
+    "which 50/90/99% of the QUANTITY sits — percentile() answers 'the "
+    "median line item', this answers 'the median unit'.  Values are "
+    "PICKED order statistics, never interpolated; weight sums, "
+    "grouped cumulative sums (the distributed grouped_cumsum — a "
+    "giant group never becomes one giant task), and the cumw·den ≥ "
+    "num·W threshold are all bigint — no proportion is ever a float.",
+)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import weighted_quantiles
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
 _LTREND_ORACLE = """
 WITH b AS (
   SELECT event_type,
@@ -7074,6 +7119,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"event_type AS k, {_NS} AS s, "
         f"slope + intercept + r2 AS v, true AS ok "
         f"FROM ({_LTREND_ORACLE}) t",
+        f"SELECT 'wquant' AS part, w_total AS a, {_NB} AS b, {_NB} AS n, "
+        f"l_returnflag AS k, {_NS} AS s, "
+        f"wq_1_2 + wq_9_10 + wq_99_100 AS v, true AS ok "
+        f"FROM ({_WQUANT_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7418,6 +7467,18 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    wqt = agg_weighted_quantiles(spark, sf_dir).select(
+        F.lit("wquant").alias("part"),
+        F.col("w_total").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        F.col("l_returnflag").alias("k"),
+        _ns().alias("s"),
+        (
+            F.col("wq_1_2") + F.col("wq_9_10") + F.col("wq_99_100")
+        ).alias("v"),
+        F.lit(True).alias("ok"),
     )
     ltr = timeseries_linear_trend(spark, sf_dir).select(
         F.lit("ltrend").alias("part"),
@@ -7881,6 +7942,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(twp)
         .unionByName(skw)
         .unionByName(ltr)
+        .unionByName(wqt)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8100,6 +8162,9 @@ subsume(
     # round-12: per-source OLS linear trend, riding extension_battery
     # (part=ltrend)
     "timeseries_linear_trend",
+    # round-12: exact weighted quantiles, riding extension_battery
+    # (part=wquant)
+    "agg_weighted_quantiles",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -618,3 +618,32 @@ def test_key_skew_profile_exact(spark):
         spark.createDataFrame([("h",)] * 9 + [("t",)], ["k"]), "k"
     ).collect()[0]
     assert r3.top1_ppm == 900000 and r3.max_count == 9
+
+
+def test_weighted_quantiles_exact(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        weighted_quantiles,
+    )
+
+    rows = [
+        ("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0),  # W=10
+        ("h", 5.0, 3.0), ("h", 6.0, 1.0),                   # W=4
+        # duplicated values must collapse before the threshold
+        ("i", 1.0, 2.0), ("i", 1.0, 2.0), ("i", 9.0, 1.0),  # W=5
+    ]
+    out = {
+        r[0]: r
+        for r in weighted_quantiles(
+            spark.createDataFrame(rows, ["grp", "v", "w"]), "grp", "v", "w"
+        ).collect()
+    }
+    g = out["g"]
+    assert (g.w_total, g.wq_1_2, g.wq_9_10, g.wq_99_100) == (
+        10, 3.0, 3.0, 3.0,
+    )
+    h = out["h"]
+    assert (h.w_total, h.wq_1_2, h.wq_9_10, h.wq_99_100) == (
+        4, 5.0, 6.0, 6.0,
+    )
+    i = out["i"]  # cum(1.0)=4 of 5: 4*2>=5 -> median 1.0; 4*10<45 -> q90 9.0
+    assert (i.w_total, i.wq_1_2, i.wq_9_10) == (5, 1.0, 9.0)

@@ -675,3 +675,19 @@ def test_winnow_distinct_reuses_window_partitioning(spark):
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
     assert plan.count("HashAggregate") == 2  # partial+final distinct
+
+
+def test_twap_aggregate_reuses_window_partitioning(spark):
+    from imdb_top_250_etl_pipeline_spark.plans import SUBSUMED
+
+    plan = plan_of(SUBSUMED["timeseries_twap"].fn(spark, SF_CORRECT), "simple")
+    # ONE hash exchange end-to-end: the (user_id, bucket) aggregate's
+    # grouping keys are a superset of the lead() window's user_id
+    # partitioning, so Catalyst adds no second shuffle; partial+final
+    # aggregate pair proves map-side combine of the weighted sums
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("HashAggregate") == 2
+    # the e>s guard must sit BELOW the explode (a descending sequence
+    # would otherwise error under ANSI)
+    assert plan.index("Generate explode") < plan.index("Filter ")

@@ -294,3 +294,88 @@ def test_segment_dedup_threshold_extremes(spark, docs):
     assert all(
         r["clean_text"] == "" and r["n_kept"] == 0 for r in drop_all.collect()
     )
+
+
+_series = st.lists(
+    st.integers(min_value=-500, max_value=500), min_size=1, max_size=20
+)
+
+
+@given(vals=_series, target=st.integers(-50, 50), slack=st.integers(0, 20))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cusum_reflection_matches_sequential_fold(spark, vals, target, slack):
+    # the closed reflection form must equal the textbook sequential
+    # recurrence on ARBITRARY series — including all-negative drifts,
+    # zero slack, and constant runs the fixture never produces
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    out = {
+        r.seq: (r.cusum_pos, r.cusum_neg)
+        for r in cusum_changepoints(
+            spark.createDataFrame(rows, ["k", "seq", "value"]),
+            "k", ["seq"], "value",
+            target=float(target), slack=float(slack), threshold=1e9,
+            scale=1000,
+        ).collect()
+    }
+    sp = sn = 0
+    for i, v in enumerate(vals):
+        q = round(v * 1000)
+        sp = max(0, sp + q - target * 1000 - slack * 1000)
+        sn = max(0, sn + target * 1000 - q - slack * 1000)
+        assert out[i] == (sp, sn), (i, vals, target, slack)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from("aa bb cc dd ee".split()), min_size=1, max_size=24
+    ),
+    w=st.integers(2, 5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winnow_matches_reference_on_arbitrary_docs(spark, words, w):
+    # tiny 5-word alphabet forces dense hash ties — the rightmost-min
+    # rule and the truncated-window path get exercised far harder than
+    # by natural text
+    import hashlib
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k = 3
+    text = " ".join(words)
+    got = {
+        (r.fp_pos, r.fp_hash)
+        for r in winnow_fingerprints(
+            spark.createDataFrame([(1, text)], ["doc_id", "text"]),
+            "text", "doc_id", k=k, w=w,
+        ).collect()
+    }
+    tk = text.split(" ")
+    exp = set()
+    if len(tk) >= k:
+        hs = [
+            int(
+                hashlib.md5(" ".join(tk[i : i + k]).encode()).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(tk) - k + 1)
+        ]
+        for p in range(max(len(hs) - w + 1, 1)):
+            win = hs[p : p + w]
+            m = min(win)
+            j = max(i for i, v in enumerate(win) if v == m)
+            exp.add((p + j + 1, m))
+    assert got == exp, (words, w)

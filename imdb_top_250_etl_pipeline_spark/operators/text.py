@@ -1487,3 +1487,76 @@ def vocab_profile(
         (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
         .alias("ttr"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI collocations → (w1, w2, c_xy, c_x, c_y, n_pairs, pmi): every
+    adjacent word pair occurring at least ``min_count`` times, scored
+    by pointwise mutual information over the bigram table's own
+    marginals — ``ln(c_xy·N / (c_x·c_y))``, rounded to 6 dp.
+
+    The corpus-linguistics association measure (Church & Hanks 1990)
+    behind multi-word-expression discovery and tokenizer vocabulary
+    curation: high-PMI pairs ("new york") deserve a merged token,
+    near-zero pairs co-occur by chance, and template boilerplate shows
+    up as implausibly many perfect associations.  Marginals are the
+    bigram table's row/column sums (the self-consistent convention —
+    one table, no mixed denominators).
+
+    Exactness: counts and both marginal joins are exact integers; the
+    PMI argument is ONE IEEE division of exact bigint products
+    (c_xy·N ≤ N², within bigint to ~3e9 bigrams — past that, pre-cast
+    the products to DECIMAL(38,0)); ln is the only libm call and the
+    result rounds to 6 dp on BOTH engines (the bigram-LM discipline).
+
+    Distributed shape: one explode → combining bigram count (shuffle
+    keyspace = bigram vocabulary), two vocabulary-bounded marginal
+    aggregates REUSED from the bigram table (never a second corpus
+    scan), a 1-row total broadcast, two shuffle-hash marginal joins —
+    marginals are vocabulary-sized and unbounded, so they are NEVER
+    broadcast (the TF-IDF/BM25 discipline).
+    """
+    tk = tokens(text_col)
+    n_bg = F.size(tk) - 1
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_bg, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(tk, i).alias("w1"),
+            F.element_at(tk, i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        df.where(F.size(tk) >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    left = bg.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    right = bg.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    tot = bg.agg(F.sum("c_xy").alias("n_pairs"))
+    return (
+        bg.where(F.col("c_xy") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            "n_pairs",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("n_pairs")).cast("double")
+                    / (F.col("c_x") * F.col("c_y")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

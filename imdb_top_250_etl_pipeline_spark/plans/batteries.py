@@ -3428,6 +3428,48 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_PMI_ORACLE = """
+WITH tk AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+l AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY w1),
+r AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM bg GROUP BY w2),
+n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_pairs FROM bg)
+SELECT bg.w1, bg.w2, bg.c_xy, l.c_x, r.c_y, n.n_pairs,
+       round(ln(CAST(bg.c_xy * n.n_pairs AS DOUBLE)
+                / CAST(l.c_x * r.c_y AS DOUBLE)), 6) AS pmi
+FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+WHERE bg.c_xy >= 5
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    doc="PMI collocations (operators/text.py::pmi_collocations — "
+    "Church & Hanks 1990): every adjacent word pair with count ≥ 5 "
+    "scored ln(c_xy·N/(c_x·c_y)) over the bigram table's own "
+    "marginals — the association measure behind multi-word-expression "
+    "discovery and tokenizer vocabulary curation.  Counts and "
+    "marginal joins exact integers; ONE IEEE division of exact "
+    "products; ln rounds to 6 dp both engines (the bigram-LM "
+    "discipline).  Marginals are vocabulary-sized aggregates REUSED "
+    "from the bigram table (no second corpus scan) and join "
+    "shuffle-hash, never broadcast.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pmi_collocations
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(docs, "text", min_count=5)
+
+
 _WQUANT_ORACLE = """
 WITH wv AS (
   SELECT l_returnflag AS grp, l_extendedprice AS v,
@@ -7123,6 +7165,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"l_returnflag AS k, {_NS} AS s, "
         f"wq_1_2 + wq_9_10 + wq_99_100 AS v, true AS ok "
         f"FROM ({_WQUANT_ORACLE}) t",
+        f"SELECT 'pmi' AS part, c_xy AS a, c_x * 100000 + c_y AS b, "
+        f"n_pairs AS n, w1 AS k, w2 AS s, pmi AS v, true AS ok "
+        f"FROM ({_PMI_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7467,6 +7512,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    pmi = text_pmi_collocations(spark, sf_dir).select(
+        F.lit("pmi").alias("part"),
+        F.col("c_xy").alias("a"),
+        (F.col("c_x") * 100000 + F.col("c_y")).alias("b"),
+        F.col("n_pairs").alias("n"),
+        F.col("w1").alias("k"),
+        F.col("w2").alias("s"),
+        F.col("pmi").alias("v"),
+        F.lit(True).alias("ok"),
     )
     wqt = agg_weighted_quantiles(spark, sf_dir).select(
         F.lit("wquant").alias("part"),
@@ -7943,6 +7998,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(skw)
         .unionByName(ltr)
         .unionByName(wqt)
+        .unionByName(pmi)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8165,6 +8221,8 @@ subsume(
     # round-12: exact weighted quantiles, riding extension_battery
     # (part=wquant)
     "agg_weighted_quantiles",
+    # round-12: PMI collocations, riding extension_battery (part=pmi)
+    "text_pmi_collocations",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

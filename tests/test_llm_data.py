@@ -1841,3 +1841,44 @@ def test_quantile_normalize_exact_python_dual(spark):
     # calibration property: the top row of EVERY source maps to the
     # pooled maximum, erasing the per-source shift
     assert got[4][2] == got[12][2] == got[13][2] == 80
+
+
+def test_pmi_collocations_exact_python_dual(spark):
+    import collections
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = [
+        (1, "new york new york new york city"),
+        (2, "old york new york and new things"),
+        (3, "x"),  # sub-bigram doc contributes nothing
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.w1, r.w2): (r.c_xy, r.c_x, r.c_y, r.n_pairs, r.pmi)
+        for r in pmi_collocations(df, "text", min_count=2).collect()
+    }
+
+    c = collections.Counter()
+    for _, t in docs:
+        w = t.split(" ")
+        c.update(zip(w, w[1:]))
+    n = sum(c.values())
+    cx, cy = collections.Counter(), collections.Counter()
+    for (a, b), k in c.items():
+        cx[a] += k
+        cy[b] += k
+    exp = {
+        (a, b): (
+            k, cx[a], cy[b], n,
+            round(math.log(k * n / (cx[a] * cy[b])), 6),
+        )
+        for (a, b), k in c.items()
+        if k >= 2
+    }
+    assert got == exp
+    # the genuine collocation outscores the incidental reversal
+    assert got[("new", "york")][4] > got[("york", "new")][4]

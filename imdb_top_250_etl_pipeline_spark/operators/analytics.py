@@ -486,3 +486,68 @@ def flag_streaks(
             "end_ts",
         )
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    ts_col: str,
+) -> DataFrame:
+    """Inter-arrival burstiness per key → (n_gaps, mean_gap_us, cv2,
+    burstiness): the coefficient-of-variation signature of each key's
+    event-gap distribution, and the Goh–Barabási burstiness index
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1).
+
+    The bot/automation detector next to flag_streaks (runs of WHAT)
+    and markov transitions (order of WHAT): humans are bursty (B > 0,
+    heavy-tailed gaps), cron jobs are periodic (B → −1, σ → 0), and
+    Poisson-random traffic sits at B ≈ 0 — a score that needs no
+    labels and one pass.
+
+    Exactness: gaps are exact integer microseconds from ONE lead()
+    window (``order_cols`` must be a total order — the standard
+    contract); the sufficient statistics (n, Σg as bigint, Σg² as
+    DECIMAL(38,0) — a decade in µs squared passes 2^63) aggregate in
+    one combining groupBy; cv² = (n·Σg² − (Σg)²)/(Σg)² is ONE IEEE
+    division of exact quantities (the n² factors cancel), mean_gap
+    one more; burstiness carries the only libm call (sqrt) and rounds
+    to 6 dp for the cross-engine hash (the PMI/bigram-LM discipline).
+    Keys with a single event have no gaps and drop out; zero total
+    gap (all events at one instant) yields NULL cv2/burstiness
+    rather than ÷0.
+
+    Distributed shape: one key-window shuffle + one combining
+    aggregate — per-row state O(1), any key cardinality.
+    """
+    w = W.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        df.select(key_col, (F.lead(us).over(w) - us).alias("_g"))
+        .where(F.col("_g").isNotNull())
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("_g").alias("_sg"),
+        # cast BEFORE squaring: a multi-hour gap in µs squared passes
+        # 2^63, so the product must happen in decimal, not int64
+        F.sum(F.col("_g").cast("decimal(38,0)") * F.col("_g")).alias(
+            "_sgg"
+        ),
+    )
+    sg_d = F.col("_sg").cast("decimal(38,0)")
+    num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("_sgg")
+        - sg_d * sg_d
+    ).cast("double")
+    cv2 = F.when(F.col("_sg") > 0, num / (sg_d * sg_d).cast("double"))
+    rt = F.sqrt(cv2)
+    return agg.select(
+        key_col,
+        "n_gaps",
+        (F.col("_sg") / F.col("n_gaps").cast("double")).alias(
+            "mean_gap_us"
+        ),
+        cv2.alias("cv2"),
+        F.round((rt - 1) / (rt + 1), 6).alias("burstiness"),
+    )

@@ -3428,6 +3428,60 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_BURST_ORACLE = """
+WITH g0 AS (
+  SELECT user_id,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS g
+  FROM events
+),
+g AS (SELECT user_id, CAST(g AS BIGINT) AS g FROM g0 WHERE g IS NOT NULL),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS sgg
+  FROM g GROUP BY user_id
+),
+c AS (
+  SELECT user_id, n_gaps,
+         sg / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+         CASE WHEN sg > 0 THEN
+           CAST(CAST(n_gaps AS DECIMAL(38,0)) * sgg
+                - CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))
+             AS DOUBLE)
+           / CAST(CAST(sg AS DECIMAL(38,0))
+                  * CAST(sg AS DECIMAL(38,0)) AS DOUBLE)
+         END AS cv2
+  FROM a
+)
+SELECT user_id, n_gaps, mean_gap_us, cv2,
+       round((sqrt(cv2) - 1) / (sqrt(cv2) + 1), 6) AS burstiness
+FROM c
+"""
+
+
+@register(
+    "events_burstiness",
+    oracle=_BURST_ORACLE,
+    doc="Inter-arrival burstiness per user (operators/analytics.py::"
+    "interarrival_burstiness — Goh & Barabási B = (σ−μ)/(σ+μ)): the "
+    "label-free bot/automation detector — humans are bursty (B > 0), "
+    "cron jobs periodic (B → −1), Poisson traffic B ≈ 0.  Gaps are "
+    "exact integer µs from one lead() window; sufficient statistics "
+    "(n, Σg bigint, Σg² DECIMAL(38,0)) in one combining aggregate; "
+    "cv² is ONE IEEE division of exact quantities (the n² factors "
+    "cancel); sqrt is the only libm call, rounded to 6 dp both "
+    "engines.",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import interarrival_burstiness
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return interarrival_burstiness(ev, "user_id", ["ts", "event_id"], "ts")
+
+
 _PMI_ORACLE = """
 WITH tk AS (
   SELECT string_split(text, ' ') AS t FROM documents
@@ -7168,6 +7222,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'pmi' AS part, c_xy AS a, c_x * 100000 + c_y AS b, "
         f"n_pairs AS n, w1 AS k, w2 AS s, pmi AS v, true AS ok "
         f"FROM ({_PMI_ORACLE}) t",
+        f"SELECT 'burst' AS part, user_id AS a, n_gaps AS b, {_NB} AS n, "
+        f"{_NS} AS k, {_NS} AS s, "
+        f"mean_gap_us + coalesce(cv2, 0) + coalesce(burstiness, 0) AS v, "
+        f"true AS ok FROM ({_BURST_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7512,6 +7570,20 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    bst = events_burstiness(spark, sf_dir).select(
+        F.lit("burst").alias("part"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("n_gaps").alias("b"),
+        _nb().alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        (
+            F.col("mean_gap_us")
+            + F.coalesce(F.col("cv2"), F.lit(0.0))
+            + F.coalesce(F.col("burstiness"), F.lit(0.0))
+        ).alias("v"),
+        F.lit(True).alias("ok"),
     )
     pmi = text_pmi_collocations(spark, sf_dir).select(
         F.lit("pmi").alias("part"),
@@ -7999,6 +8071,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ltr)
         .unionByName(wqt)
         .unionByName(pmi)
+        .unionByName(bst)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8223,6 +8296,9 @@ subsume(
     "agg_weighted_quantiles",
     # round-12: PMI collocations, riding extension_battery (part=pmi)
     "text_pmi_collocations",
+    # round-12: inter-arrival burstiness, riding extension_battery
+    # (part=burst)
+    "events_burstiness",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

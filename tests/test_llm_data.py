@@ -1882,3 +1882,44 @@ def test_pmi_collocations_exact_python_dual(spark):
     assert got == exp
     # the genuine collocation outscores the incidental reversal
     assert got[("new", "york")][4] > got[("york", "new")][4]
+
+
+def test_interarrival_burstiness_exact(spark):
+    import datetime as dt
+    import math
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        interarrival_burstiness,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):  # periodic: cv2 = 0, burstiness = -1
+        rows.append((1, i, t0 + dt.timedelta(seconds=60 * i)))
+    s = 0
+    for i, g in enumerate([0, 1, 1, 1, 600]):  # bursty
+        s += g
+        rows.append((2, i, t0 + dt.timedelta(seconds=s)))
+    rows.append((3, 0, t0))  # single event: no gaps, drops out
+    rows.append((4, 0, t0))  # all-same-instant: NULL cv2/burstiness
+    rows.append((4, 1, t0))
+    df = spark.createDataFrame(rows, ["k", "seq", "ts"])
+    out = {
+        r.k: r
+        for r in interarrival_burstiness(df, "k", ["ts", "seq"], "ts")
+        .collect()
+    }
+
+    assert out[1].cv2 == 0.0 and out[1].burstiness == -1.0
+    gaps = [1_000_000] * 3 + [600_000_000]
+    n, sg = len(gaps), sum(gaps)
+    sgg = sum(g * g for g in gaps)
+    cv2 = (n * sgg - sg * sg) / (sg * sg)
+    assert out[2].cv2 == cv2
+    assert out[2].burstiness == round(
+        (math.sqrt(cv2) - 1) / (math.sqrt(cv2) + 1), 6
+    )
+    assert out[2].burstiness > 0.2  # bursty side of 0
+    assert out[2].mean_gap_us == sg / n
+    assert 3 not in out
+    assert out[4].cv2 is None and out[4].burstiness is None

@@ -8,43 +8,52 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from imdb_top_250_etl_pipeline_spark.operators.pinning import (
+    _persistent_ids,
     pin,
     pin_scope,
-    pinned_rdd_count,
 )
 
 
+def _ids(spark):
+    # Assertions compare ID SETS, not counts: Spark's ContextCleaner can
+    # asynchronously reclaim blocks UNRELATED tests leaked, so a plain
+    # count can drop below its baseline mid-test under load (observed
+    # as a full-suite-only flake).  "our new pins are gone" is the real
+    # property and is immune to concurrent cleaning.
+    return set(_persistent_ids(spark.sparkContext))
+
+
 def test_pin_handle_releases_blocks(spark):
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     df, handle = pin(spark.range(1000))
     assert df.count() == 1000
-    assert pinned_rdd_count(spark) == base + 1
+    assert len(_ids(spark) - base) == 1
     handle.release()
-    assert pinned_rdd_count(spark) == base
+    assert _ids(spark) - base == set()
     # idempotent
     handle.release()
-    assert pinned_rdd_count(spark) == base
+    assert _ids(spark) - base == set()
 
 
 def test_pin_scope_frees_everything_on_exit(spark):
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     with pin_scope():
         a, _ = pin(spark.range(10))
         b, _ = pin(spark.range(20))
         assert a.count() == 10 and b.count() == 20
-        assert pinned_rdd_count(spark) >= base + 2
-    assert pinned_rdd_count(spark) == base
+        assert len(_ids(spark) - base) >= 2
+    assert _ids(spark) - base == set()
 
 
 def test_pin_scope_frees_on_exception(spark):
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     try:
         with pin_scope():
             pin(spark.range(10))
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    assert pinned_rdd_count(spark) == base
+    assert _ids(spark) - base == set()
 
 
 def test_pin_scope_covers_windowed_operator(spark):
@@ -52,7 +61,7 @@ def test_pin_scope_covers_windowed_operator(spark):
         grouped_row_number,
     )
 
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     df = spark.range(200).select(
         (F.col("id") % 4).alias("g"), F.col("id").alias("v")
     )
@@ -60,8 +69,8 @@ def test_pin_scope_covers_windowed_operator(spark):
         out = grouped_row_number(df, ["g"], ["v"])
         # consume INSIDE the scope (the pin backs the result)
         assert out.count() == 200
-        assert pinned_rdd_count(spark) > base
-    assert pinned_rdd_count(spark) == base
+        assert len(_ids(spark) - base) > 0
+    assert _ids(spark) - base == set()
 
 
 def test_pagerank_frees_intermediate_rounds(spark):
@@ -71,7 +80,7 @@ def test_pagerank_frees_intermediate_rounds(spark):
         [(i, (i + 1) % 50) for i in range(50)] + [(0, 25), (10, 30)],
         "src long, dst long",
     )
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     with pin_scope():
         ranks = pagerank(edges, n_iter=9, checkpoint_every=2, n_partitions=4)
         total = ranks.agg(F.sum("rank")).collect()[0][0]
@@ -79,8 +88,8 @@ def test_pagerank_frees_intermediate_rounds(spark):
         # 9 iterations / checkpoint_every=2 -> 4 in-loop pins; without
         # the per-round release all 4 would coexist with nodes+adj.
         # With it: nodes + adj + the single live ranks pin = 3.
-        assert pinned_rdd_count(spark) <= base + 3
-    assert pinned_rdd_count(spark) == base
+        assert len(_ids(spark) - base) <= 3
+    assert _ids(spark) - base == set()
 
 
 def test_dedup_groups_frees_intermediate_rounds(spark):
@@ -90,14 +99,14 @@ def test_dedup_groups_frees_intermediate_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     with pin_scope():
         groups = dedup_groups(pairs)
         rows = groups.collect()
         assert {r["group_id"] for r in rows} == {0}
         # sym + the live labels pin only — every superseded round freed
-        assert pinned_rdd_count(spark) <= base + 2
-    assert pinned_rdd_count(spark) == base
+        assert len(_ids(spark) - base) <= 2
+    assert _ids(spark) - base == set()
 
 
 def test_bpe_train_frees_vocab_rounds(spark):
@@ -106,15 +115,15 @@ def test_bpe_train_frees_vocab_rounds(spark):
     docs = spark.createDataFrame(
         [("low low lower lowest newest newest",)], "text string"
     )
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     with pin_scope():
         merges = bpe_train(docs, "text", 4)
         assert merges.count() >= 1
         # per-round 1-row best pins remain (the result unions them) but
         # every superseded vocab checkpoint must be gone: <= 4 best
         # pins + zero live vocab pins (final one is scratch, released)
-        assert pinned_rdd_count(spark) <= base + 4
-    assert pinned_rdd_count(spark) == base
+        assert len(_ids(spark) - base) <= 4
+    assert _ids(spark) - base == set()
 
 
 def test_kmeans_refine_frees_previous_centroids(spark):
@@ -130,10 +139,10 @@ def test_kmeans_refine_frees_previous_centroids(spark):
         [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
         "vec_id long, embedding array<float>",
     )
-    base = pinned_rdd_count(spark)
+    base = _ids(spark)
     with pin_scope():
         out = kmeans_refine(corpus, cents, iterations=3)
         assert out.count() == 2
         # only the LAST round's centroid pin may be live
-        assert pinned_rdd_count(spark) <= base + 1
-    assert pinned_rdd_count(spark) == base
+        assert len(_ids(spark) - base) <= 1
+    assert _ids(spark) - base == set()

@@ -5,6 +5,7 @@ from .jobs import (  # noqa: F401
     dedup_stream,
     dedup_stream_ttl,
     stateful_user_counts,
+    cusum_stream,
     tws_user_stats,
     foreach_batch_upsert,
     stream_to_txn_table,

@@ -429,3 +429,97 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cusum_stream(
+    events: DataFrame,
+    target: float = 25.0,
+    slack: float = 5.0,
+    threshold: float = 100.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """Streaming two-sided CUSUM drift detector (applyInPandasWithState):
+    the online form of ``operators/timeseries.py::cusum_changepoints``
+    — per-user state is just the (s_pos, s_neg) carry pair, each
+    microbatch folds its rows in event order, and every processed row
+    emits with its statistic and alarms.
+
+    THE monitoring deployment of the batch detector: the alarm fires
+    DURING ingest, not at the next batch audit.  State is two bigints
+    per key — bounded by key cardinality, not history — because the
+    max(0,·) recurrence needs only its carry: within a batch the
+    closed reflection form generalizes to a carry-in as
+    ``S_i = Q_i − min(0, min_{j≤i} Q_j)`` over ``Q = prefix(x) + s₀``
+    (the batch operator's identity, shifted), so the fold is two
+    vectorized cumulative ops, never a Python-per-row loop.
+
+    Contract: a key's events must arrive in event order ACROSS
+    microbatches (within a batch this operator sorts); out-of-order
+    delivery needs the watermarked windowed detectors instead.
+    Quantization matches the batch dual exactly: floor(v·scale + ½) =
+    HALF_UP for the non-negative values this detector monitors.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("cusum_pos", T.LongType()),
+            T.StructField("cusum_neg", T.LongType()),
+            T.StructField("alarm_pos", T.BooleanType()),
+            T.StructField("alarm_neg", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("sp", T.LongType()), T.StructField("sn", T.LongType())]
+    )
+    t_q = int(round(target * scale))
+    k_q = int(round(slack * scale))
+    h_q = int(round(threshold * scale))
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        sp, sn = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(
+                ["ts", "event_id"], kind="mergesort", ignore_index=True
+            )
+            q = np.floor(
+                pdf["value"].to_numpy(dtype=np.float64) * scale + 0.5
+            ).astype(np.int64)
+
+            def fold(x, s0):
+                qq = np.cumsum(x) + s0
+                return qq - np.minimum(np.minimum.accumulate(qq), 0)
+
+            cp = fold(q - t_q - k_q, sp)
+            cn = fold(t_q - q - k_q, sn)
+            state.update((int(cp[-1]), int(cn[-1])))
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "value": pdf["value"],
+                    "cusum_pos": cp,
+                    "cusum_neg": cn,
+                    "alarm_pos": cp > h_q,
+                    "alarm_neg": cn > h_q,
+                }
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -515,3 +515,94 @@ def test_trending_topk_streaming_composition(spark):
         if r["w_start"] in closed
     }
     assert got == want
+
+
+def test_cusum_stream_matches_batch_dual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+    from imdb_top_250_etl_pipeline_spark.streaming import cusum_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = {
+        (r.user_id, r.event_id): (
+            r.cusum_pos, r.cusum_neg, r.alarm_pos, r.alarm_neg,
+        )
+        for r in _run_to_memory(
+            cusum_stream(stream), spark, "t_cusum", "update"
+        ).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    expected = {
+        (r.user_id, r.event_id): (
+            r.cusum_pos, r.cusum_neg, r.alarm_pos, r.alarm_neg,
+        )
+        for r in cusum_changepoints(
+            ev, "user_id", ["ts", "event_id"], "value",
+            target=25.0, slack=5.0, threshold=100.0, scale=1000,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_cusum_stream_state_carries_across_batches(spark, tmp_path):
+    # two availableNow deliveries through ONE checkpoint: the second
+    # batch must fold on top of the first batch's carry, exactly as if
+    # the rows had arrived in one batch
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+    from imdb_top_250_etl_pipeline_spark.streaming import cusum_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [40.0, 41.0, 39.0, 42.0, 40.5, 41.5]  # steady above target+slack
+    rows = [
+        (1000 + i, t0 + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for lo, hi in ((0, 3), (3, 6)):  # two deliveries in event order
+        spark.createDataFrame(rows[lo:hi], schema).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            cusum_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    sink_rows = {
+        r.event_id: (r.cusum_pos, r.cusum_neg)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = spark.createDataFrame(rows, schema).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    expected = {
+        r.event_id: (r.cusum_pos, r.cusum_neg)
+        for r in cusum_changepoints(
+            ev, "user_id", ["ts", "event_id"], "value",
+            target=25.0, slack=5.0, threshold=100.0, scale=1000,
+        ).collect()
+    }
+    assert sink_rows == expected
+    # the persistent drift accumulates across the batch boundary
+    assert sink_rows[1005][0] > sink_rows[1002][0] > 0

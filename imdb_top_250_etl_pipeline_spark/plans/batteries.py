@@ -3428,6 +3428,54 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_WAU_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS epoch_day,
+         user_id AS u
+  FROM events
+),
+dau AS (
+  SELECT epoch_day, CAST(count(*) AS BIGINT) AS dau
+  FROM pairs GROUP BY epoch_day
+),
+contrib AS (
+  SELECT epoch_day + i AS epoch_day, u
+  FROM pairs, unnest(generate_series(0, 6)) AS g(i)
+),
+wau AS (
+  SELECT epoch_day, CAST(count(DISTINCT u) AS BIGINT) AS wau
+  FROM contrib GROUP BY epoch_day
+)
+SELECT d.epoch_day, d.dau, w.wau, true AS wau_within_bound
+FROM dau d JOIN wau w USING (epoch_day)
+"""
+
+
+@register(
+    "events_active_users",
+    oracle=_WAU_ORACLE,
+    doc="Rolling active users (operators/profiling.py::"
+    "rolling_active_users): per observed day, exact DAU, exact "
+    "trailing-7-day WAU via the contribution-explode (each distinct "
+    "(day, user) pair contributes to the 7 target days it is visible "
+    "in — one bounded explode, never a per-window rescan), and the "
+    "MERGEABLE-SKETCH path — per-day HLL sketches unioned over the "
+    "window — folded to its |est − exact| ≤ 3·rsd·exact invariant "
+    "(the agg_approx_distinct discipline; the sketch value is "
+    "engine-specific by design).  THE DAU/WAU/MAU dashboard pattern: "
+    "sketches build once, any window is a cheap union.",
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import rolling_active_users
+
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    return rolling_active_users(
+        ev, "ts", "user_id", window_days=7, rsd=0.02
+    )
+
+
 _BURST_ORACLE = """
 WITH g0 AS (
   SELECT user_id,
@@ -7226,6 +7274,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"{_NS} AS k, {_NS} AS s, "
         f"mean_gap_us + coalesce(cv2, 0) + coalesce(burstiness, 0) AS v, "
         f"true AS ok FROM ({_BURST_ORACLE}) t",
+        f"SELECT 'wau' AS part, epoch_day AS a, dau AS b, wau AS n, "
+        f"{_NS} AS k, {_NS} AS s, {_ND} AS v, wau_within_bound AS ok "
+        f"FROM ({_WAU_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7570,6 +7621,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    wau = events_active_users(spark, sf_dir).select(
+        F.lit("wau").alias("part"),
+        F.col("epoch_day").alias("a"),
+        F.col("dau").alias("b"),
+        F.col("wau").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.col("wau_within_bound").alias("ok"),
     )
     bst = events_burstiness(spark, sf_dir).select(
         F.lit("burst").alias("part"),
@@ -8072,6 +8133,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wqt)
         .unionByName(pmi)
         .unionByName(bst)
+        .unionByName(wau)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8299,6 +8361,9 @@ subsume(
     # round-12: inter-arrival burstiness, riding extension_battery
     # (part=burst)
     "events_burstiness",
+    # round-12: rolling DAU/WAU with the HLL invariant, riding
+    # extension_battery (part=wau)
+    "events_active_users",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

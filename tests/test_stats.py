@@ -647,3 +647,41 @@ def test_weighted_quantiles_exact(spark):
     )
     i = out["i"]  # cum(1.0)=4 of 5: 4*2>=5 -> median 1.0; 4*10<45 -> q90 9.0
     assert (i.w_total, i.wq_1_2, i.wq_9_10) == (5, 1.0, 9.0)
+
+
+def test_rolling_active_users_exact(spark):
+    import collections
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        rolling_active_users,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 days with a fully-skipped day 5; varied per-user cadences
+    for d in range(10):
+        if d == 5:
+            continue
+        for u in range(1, 8):
+            if d % (u % 3 + 1) == 0:
+                rows.append((t0 + dt.timedelta(days=d, hours=u), u))
+    df = spark.createDataFrame(rows, ["ts", "uid"])
+    out = {
+        r.epoch_day: r
+        for r in rolling_active_users(df, "ts", "uid", window_days=3)
+        .collect()
+    }
+
+    by_day = collections.defaultdict(set)
+    for ts, u in rows:
+        by_day[(ts.date() - dt.date(1970, 1, 1)).days].add(u)
+    assert set(out) == set(by_day)  # only observed days emit
+    for d, r in out.items():
+        exact = set().union(
+            *[by_day.get(x, set()) for x in range(d - 2, d + 1)]
+        )
+        assert r.dau == len(by_day[d])
+        assert r.wau == len(exact)
+        # at these cardinalities the HLL union is exact -> bound holds
+        assert r.wau_within_bound is True

@@ -1108,3 +1108,94 @@ def rolling_active_users(
             ).alias("wau_within_bound"),
         )
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Pairwise audience overlap → one row per unordered group pair
+    with (n_a, n_b, n_inter, n_union, inter_within_bound): exact
+    distinct-user intersection/union for every pair of groups, plus a
+    boolean pinning that the MERGEABLE-SKETCH path — per-group HLL
+    sketches combined by inclusion–exclusion,
+    ``est(A∩B) = est(A) + est(B) − est(A∪B)`` — lands within its
+    error budget.
+
+    The sketch-algebra completion next to incremental_distinct_estimate
+    (union) and rolling_active_users (windowed union): intersection is
+    NOT directly mergeable, and inclusion–exclusion is the standard
+    production answer for "how many users do these two sources share"
+    without re-scanning either source — each group's sketch builds
+    once, every pairing is sketch arithmetic.  The estimate's error is
+    bounded by the three constituent estimates' errors, so the pinned
+    invariant is ``|est∩ − exact∩| ≤ 3·rsd·(|A| + |B| + |A∪B|)`` —
+    relative to the UNION scale, the honest guarantee for small
+    intersections of large sets.
+
+    Distributed shape: one distinct over (group, user) pairs feeds the
+    exact path (a user-keyed self-join — one shuffle on the user, pair
+    counts combine map-side) AND the sketch path (one bounded
+    per-group aggregate; pairing is a crossJoin of the GROUP-count-
+    bounded sketch table, broadcast).  Group cardinality is assumed
+    small (sources, event types); user cardinality is unbounded.
+    """
+    pairs = (
+        df.select(F.col(group_col).alias("_g"), F.col(user_col).alias("_u"))
+        .distinct()
+    )
+    sizes = pairs.groupBy("_g").agg(F.count("*").alias("_n"))
+    inter = (
+        pairs.alias("a")
+        .join(
+            pairs.alias("b"),
+            (F.col("a._u") == F.col("b._u"))
+            & (F.col("a._g") < F.col("b._g")),
+        )
+        .groupBy(
+            F.col("a._g").alias("g1"), F.col("b._g").alias("g2")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sk = pairs.groupBy("_g").agg(F.hll_sketch_agg("_u").alias("_sk"))
+    ests = (
+        sk.alias("sa")
+        .crossJoin(F.broadcast(sk.alias("sb")))
+        .where(F.col("sa._g") < F.col("sb._g"))
+        .select(
+            F.col("sa._g").alias("g1"),
+            F.col("sb._g").alias("g2"),
+            F.hll_sketch_estimate(F.col("sa._sk")).alias("_ea"),
+            F.hll_sketch_estimate(F.col("sb._sk")).alias("_eb"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("sa._sk"), F.col("sb._sk"))
+            ).alias("_eu"),
+        )
+    )
+    sa = sizes.select(F.col("_g").alias("g1"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_g").alias("g2"), F.col("_n").alias("n_b"))
+    # drive from the all-pairs frame: DISJOINT pairs must emit with
+    # n_inter = 0 (the intersection join has no row for them)
+    j = (
+        sa.crossJoin(sb)
+        .where(F.col("g1") < F.col("g2"))
+        .join(inter, ["g1", "g2"], "left")
+        .na.fill({"n_inter": 0})
+        .join(F.broadcast(ests), ["g1", "g2"])
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    est_inter = F.col("_ea") + F.col("_eb") - F.col("_eu")
+    return j.select(
+        "g1",
+        "g2",
+        "n_a",
+        "n_b",
+        "n_inter",
+        n_union.alias("n_union"),
+        (
+            F.abs(est_inter - F.col("n_inter"))
+            <= 3 * rsd * (F.col("n_a") + F.col("n_b") + n_union)
+        ).alias("inter_within_bound"),
+    )

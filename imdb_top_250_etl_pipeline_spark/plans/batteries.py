@@ -3428,6 +3428,48 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_OVERLAP_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events
+),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY g),
+inter AS (
+  SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs a JOIN pairs b ON a.u = b.u AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT sa.g AS g1, sb.g AS g2, sa.n AS n_a, sb.n AS n_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union,
+       true AS inter_within_bound
+FROM sizes sa CROSS JOIN sizes sb
+LEFT JOIN inter i ON i.g1 = sa.g AND i.g2 = sb.g
+WHERE sa.g < sb.g
+"""
+
+
+@register(
+    "events_audience_overlap",
+    oracle=_OVERLAP_ORACLE,
+    doc="Pairwise audience overlap across event types (operators/"
+    "profiling.py::audience_overlap): exact distinct-user "
+    "intersection/union for every group pair, plus the "
+    "MERGEABLE-SKETCH path — inclusion–exclusion over per-group HLL "
+    "sketches, est(A∩B) = est(A)+est(B)−est(A∪B) — folded to its "
+    "|est−exact| ≤ 3·rsd·(|A|+|B|+|A∪B|) invariant (intersections "
+    "are NOT directly mergeable; this is the standard production "
+    "answer for 'how many users do these sources share' without "
+    "re-scanning either).  Disjoint pairs emit with n_inter = 0.  "
+    "Completes the sketch algebra: union (incremental), windowed "
+    "union (WAU), intersection (THIS).",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import audience_overlap
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    return audience_overlap(ev, "event_type", "user_id", rsd=0.02)
+
+
 _WAU_ORACLE = """
 WITH pairs AS (
   SELECT DISTINCT
@@ -7277,6 +7319,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'wau' AS part, epoch_day AS a, dau AS b, wau AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, wau_within_bound AS ok "
         f"FROM ({_WAU_ORACLE}) t",
+        f"SELECT 'ovlp' AS part, n_a AS a, n_b AS b, "
+        f"n_inter * 1000000 + n_union AS n, g1 AS k, g2 AS s, "
+        f"{_ND} AS v, inter_within_bound AS ok "
+        f"FROM ({_OVERLAP_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7621,6 +7667,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    ovl = events_audience_overlap(spark, sf_dir).select(
+        F.lit("ovlp").alias("part"),
+        F.col("n_a").alias("a"),
+        F.col("n_b").alias("b"),
+        (F.col("n_inter") * 1000000 + F.col("n_union")).alias("n"),
+        F.col("g1").alias("k"),
+        F.col("g2").alias("s"),
+        _nd().alias("v"),
+        F.col("inter_within_bound").alias("ok"),
     )
     wau = events_active_users(spark, sf_dir).select(
         F.lit("wau").alias("part"),
@@ -8134,6 +8190,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pmi)
         .unionByName(bst)
         .unionByName(wau)
+        .unionByName(ovl)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8364,6 +8421,9 @@ subsume(
     # round-12: rolling DAU/WAU with the HLL invariant, riding
     # extension_battery (part=wau)
     "events_active_users",
+    # round-12: pairwise audience overlap (HLL inclusion-exclusion),
+    # riding extension_battery (part=ovlp)
+    "events_audience_overlap",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

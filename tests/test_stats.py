@@ -685,3 +685,30 @@ def test_rolling_active_users_exact(spark):
         assert r.wau == len(exact)
         # at these cardinalities the HLL union is exact -> bound holds
         assert r.wau_within_bound is True
+
+
+def test_audience_overlap_exact(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        audience_overlap,
+    )
+
+    rows = (
+        [("A", u) for u in range(100)]
+        + [("B", u) for u in range(50, 150)]
+        + [("C", u) for u in range(10)]   # subset of A, disjoint from B
+        + [("A", 5), ("A", 5)]            # duplicates collapse
+    )
+    out = {
+        (r.g1, r.g2): r
+        for r in audience_overlap(
+            spark.createDataFrame(rows, ["g", "u"]), "g", "u"
+        ).collect()
+    }
+    assert len(out) == 3
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_inter, ab.n_union) == (100, 100, 50, 150)
+    ac = out[("A", "C")]
+    assert (ac.n_inter, ac.n_union) == (10, 100)  # full containment
+    bc = out[("B", "C")]
+    assert (bc.n_inter, bc.n_union) == (0, 110)  # disjoint still emits
+    assert all(v.inter_within_bound for v in out.values())

@@ -3428,6 +3428,41 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_DUPRATE_ORACLE = """
+WITH clones AS (
+  SELECT source AS g, md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT g AS source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_clones,
+       CAST(max(c) AS BIGINT) AS max_clone_count,
+       (SUM(c) - count(*)) * 1000000 // SUM(c) AS dup_ppm
+FROM clones GROUP BY g
+"""
+
+
+@register(
+    "corpus_dup_rate",
+    oracle=_DUPRATE_ORACLE,
+    doc="Exact-duplication health report per source (operators/dedup.py"
+    "::dup_rate_by_group): how much of each source is verbatim copies "
+    "— the first number a corpus owner asks for, and the signal that "
+    "says when the exact-collapse-first composition earns its 20× "
+    "pair reduction.  Documents hash once (md5, 32 bytes shuffled, "
+    "never text); per-(source, hash) clone counts combine map-side; "
+    "dup_ppm is integer parts-per-million — no float, NO eager pins, "
+    "no iteration: safe on every ingest batch.",
+)
+def corpus_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_rate_by_group
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return dup_rate_by_group(docs, "source", "text")
+
+
 _OVERLAP_ORACLE = """
 WITH pairs AS (
   SELECT DISTINCT event_type AS g, user_id AS u FROM events
@@ -7323,6 +7358,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"n_inter * 1000000 + n_union AS n, g1 AS k, g2 AS s, "
         f"{_ND} AS v, inter_within_bound AS ok "
         f"FROM ({_OVERLAP_ORACLE}) t",
+        f"SELECT 'duprate' AS part, n_docs AS a, n_distinct AS b, "
+        f"n_clones * 1000 + max_clone_count AS n, source AS k, "
+        f"CAST(dup_ppm AS VARCHAR) AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_DUPRATE_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7667,6 +7706,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    dpr = corpus_dup_rate(spark, sf_dir).select(
+        F.lit("duprate").alias("part"),
+        F.col("n_docs").alias("a"),
+        F.col("n_distinct").alias("b"),
+        (F.col("n_clones") * 1000 + F.col("max_clone_count")).alias("n"),
+        F.col("source").alias("k"),
+        F.col("dup_ppm").cast("string").alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
     )
     ovl = events_audience_overlap(spark, sf_dir).select(
         F.lit("ovlp").alias("part"),
@@ -8191,6 +8240,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bst)
         .unionByName(wau)
         .unionByName(ovl)
+        .unionByName(dpr)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8424,6 +8474,9 @@ subsume(
     # round-12: pairwise audience overlap (HLL inclusion-exclusion),
     # riding extension_battery (part=ovlp)
     "events_audience_overlap",
+    # round-12: exact per-source duplication report, riding
+    # extension_battery (part=duprate)
+    "corpus_dup_rate",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -1923,3 +1923,29 @@ def test_interarrival_burstiness_exact(spark):
     assert out[2].mean_gap_us == sg / n
     assert 3 not in out
     assert out[4].cv2 is None and out[4].burstiness is None
+
+
+def test_dup_rate_by_group_exact(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        dup_rate_by_group,
+    )
+
+    rows = [
+        ("w", "a"), ("w", "a"), ("w", "a"), ("w", "b"),  # 3-clone + unique
+        ("x", "c"), ("x", "d"),                          # clean source
+        ("y", "e"), ("y", "e"),                          # all-dup source
+    ]
+    out = {
+        r.src: r
+        for r in dup_rate_by_group(
+            spark.createDataFrame(rows, ["src", "text"]), "src", "text"
+        ).collect()
+    }
+    w = out["w"]
+    assert (
+        w.n_docs, w.n_distinct, w.n_clones, w.max_clone_count, w.dup_ppm
+    ) == (4, 2, 3, 3, 500000)
+    x = out["x"]
+    assert (x.n_clones, x.max_clone_count, x.dup_ppm) == (0, 1, 0)
+    y = out["y"]
+    assert (y.n_docs, y.n_distinct, y.dup_ppm) == (2, 1, 500000)

@@ -1199,3 +1199,68 @@ def audience_overlap(
             <= 3 * rsd * (F.col("n_a") + F.col("n_b") + n_union)
         ).alias("inter_within_bound"),
     )
+
+
+def watermark_lateness_audit(
+    df: DataFrame,
+    arrival_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Event-time lateness audit → ONE row (n_events, n_late, p50_us,
+    p95_us, p99_us, max_us): for every event, how far its event time
+    falls behind the maximum event time of the rows that ARRIVED
+    before it — the distribution that TUNES every watermark.
+
+    "withWatermark('1 hour')" is a guess until this runs: the p99
+    lateness IS the delay that keeps 99% of out-of-order events inside
+    their windows, and n_late/n_events says whether the feed is
+    ordered enough to bother.  The streaming operators in this package
+    (tumbling/session windows, stream-stream joins, dedup TTL) all
+    take that delay as their correctness/state-size dial.
+
+    Exactness: lateness = max(prev_max(event_time_µs) − event_time_µs,
+    0) over ``arrival_col`` order — the STRICTLY-EARLIER frame via
+    distributed_prev_max (a row's own timestamp must not vaccinate
+    it; the globally first row is on time by definition); percentiles
+    are order statistics PICKED at exact integer indexes over the
+    surrogate-key-ranked lateness table — all bigint µs, no float
+    anywhere.
+
+    Distributed shape: the prev-max and the ranking both ride the
+    range-repartition + per-partition-offset construction (NO
+    single-task global window over event volume); the totals row
+    broadcasts; one final conditional-max aggregate.  EAGER: both
+    passes pin partition ids (the _pin_partition_ids contract).
+    """
+    from ..operators.etl import with_surrogate_key
+    from .windows import distributed_prev_max
+
+    ev = df.select(
+        F.col(arrival_col).alias("_arr"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    )
+    pm = distributed_prev_max(ev, ["_arr"], "_us", out_col="_pm")
+    lat = pm.select(
+        "_arr",
+        F.greatest(
+            F.coalesce(F.col("_pm") - F.col("_us"), F.lit(0)), F.lit(0)
+        ).alias("_lat"),
+    )
+    ranked = with_surrogate_key(lat, "_rk", ["_lat", "_arr"])
+    tot = ranked.agg(F.count("*").cast("long").alias("_n"))
+
+    def pick(idx_expr: str, name: str):
+        return F.max(
+            F.when(F.expr(f"_rk = {idx_expr}"), F.col("_lat"))
+        ).alias(name)
+
+    return ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max("_n").alias("n_events"),
+        F.sum(F.when(F.col("_lat") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        pick("(_n + 1) div 2", "p50_us"),
+        pick("(19 * _n + 19) div 20", "p95_us"),
+        pick("(99 * _n + 99) div 100", "p99_us"),
+        F.max("_lat").alias("max_us"),
+    )

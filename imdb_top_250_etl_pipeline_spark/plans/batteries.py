@@ -3428,6 +3428,60 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_WMAUDIT_ORACLE = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS us FROM events
+),
+pm AS (
+  SELECT event_id, us,
+         max(us) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS p
+  FROM e
+),
+lat AS (
+  SELECT event_id,
+         CAST(greatest(COALESCE(p - us, 0), 0) AS BIGINT) AS lat
+  FROM pm
+),
+rk AS (
+  SELECT lat,
+         CAST(row_number() OVER (ORDER BY lat, event_id) AS BIGINT) AS rk
+  FROM lat
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk)
+SELECT max(t.n) AS n_events,
+       CAST(SUM(CASE WHEN lat > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       max(CASE WHEN rk = (t.n + 1) // 2 THEN lat END) AS p50_us,
+       max(CASE WHEN rk = (19 * t.n + 19) // 20 THEN lat END) AS p95_us,
+       max(CASE WHEN rk = (99 * t.n + 99) // 100 THEN lat END) AS p99_us,
+       max(lat) AS max_us
+FROM rk CROSS JOIN tot t
+"""
+
+
+@register(
+    "events_watermark_audit",
+    oracle=_WMAUDIT_ORACLE,
+    doc="Event-time lateness audit (operators/profiling.py::"
+    "watermark_lateness_audit): for every event, how far its event "
+    "time falls behind the max event time of rows that ARRIVED before "
+    "it (arrival order = event_id) — the distribution that TUNES "
+    "every watermark: p99 lateness IS the delay that keeps 99% of "
+    "out-of-order events inside their windows.  The strictly-earlier "
+    "frame rides distributed_prev_max and the percentile ranks ride "
+    "the surrogate-key pattern (NO single-task global window over "
+    "event volume); percentiles are order statistics PICKED at exact "
+    "integer indexes — all bigint µs, no float anywhere.",
+)
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import watermark_lateness_audit
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    return watermark_lateness_audit(ev, "event_id", "ts")
+
+
 _DUPRATE_ORACLE = """
 WITH clones AS (
   SELECT source AS g, md5(text) AS h, CAST(count(*) AS BIGINT) AS c
@@ -7362,6 +7416,10 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"n_clones * 1000 + max_clone_count AS n, source AS k, "
         f"CAST(dup_ppm AS VARCHAR) AS s, {_ND} AS v, true AS ok "
         f"FROM ({_DUPRATE_ORACLE}) t",
+        f"SELECT 'wmark' AS part, n_events AS a, n_late AS b, "
+        f"p99_us AS n, CAST(p50_us AS VARCHAR) AS k, "
+        f"CAST(p95_us AS VARCHAR) AS s, CAST(max_us AS DOUBLE) AS v, "
+        f"true AS ok FROM ({_WMAUDIT_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7706,6 +7764,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    wmk = events_watermark_audit(spark, sf_dir).select(
+        F.lit("wmark").alias("part"),
+        F.col("n_events").alias("a"),
+        F.col("n_late").alias("b"),
+        F.col("p99_us").alias("n"),
+        F.col("p50_us").cast("string").alias("k"),
+        F.col("p95_us").cast("string").alias("s"),
+        F.col("max_us").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
     )
     dpr = corpus_dup_rate(spark, sf_dir).select(
         F.lit("duprate").alias("part"),
@@ -8241,6 +8309,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wau)
         .unionByName(ovl)
         .unionByName(dpr)
+        .unionByName(wmk)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8477,6 +8546,9 @@ subsume(
     # round-12: exact per-source duplication report, riding
     # extension_battery (part=duprate)
     "corpus_dup_rate",
+    # round-12: watermark lateness audit, riding extension_battery
+    # (part=wmark)
+    "events_watermark_audit",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -712,3 +712,36 @@ def test_audience_overlap_exact(spark):
     bc = out[("B", "C")]
     assert (bc.n_inter, bc.n_union) == (0, 110)  # disjoint still emits
     assert all(v.inter_within_bound for v in out.values())
+
+
+def test_watermark_lateness_audit_exact(spark):
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        watermark_lateness_audit,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # arrival order 0..9; two out-of-order arrivals (90s and 100s late)
+    offs = [0, 60, 120, 30, 180, 240, 300, 200, 360, 420]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(offs)
+    ]
+    r = watermark_lateness_audit(
+        spark.createDataFrame(rows, ["arr", "ts"]), "arr", "ts"
+    ).collect()[0]
+    lats = sorted([0] * 8 + [90_000_000, 100_000_000])
+    assert (r.n_events, r.n_late) == (10, 2)
+    assert r.p50_us == lats[(10 + 1) // 2 - 1] == 0
+    assert r.p95_us == lats[(19 * 10 + 19) // 20 - 1] == 100_000_000
+    assert r.p99_us == 100_000_000 and r.max_us == 100_000_000
+    # fully ordered feed: everything on time
+    r2 = watermark_lateness_audit(
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(seconds=60 * i)) for i in range(5)],
+            ["arr", "ts"],
+        ),
+        "arr",
+        "ts",
+    ).collect()[0]
+    assert (r2.n_late, r2.max_us) == (0, 0)

@@ -1264,3 +1264,78 @@ def watermark_lateness_audit(
         pick("(99 * _n + 99) div 100", "p99_us"),
         F.max("_lat").alias("max_us"),
     )
+
+
+def join_fanout_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join-cardinality pre-flight → ONE row (n_left, n_right,
+    n_keys_left, n_keys_right, n_keys_both, predicted_rows,
+    max_key_product, hot_ppm): the EXACT output size of
+    ``left ⋈ right`` on the key — ``Σₖ c_left(k)·c_right(k)`` — and
+    how much of it one key contributes, computed from the two
+    key-counts tables WITHOUT running the join.
+
+    The companion to key_skew_profile: skew says how a side is
+    distributed, THIS says what the join will do — a many-to-many key
+    multiplies, and a 10⁹-row "join" that is really a disguised
+    cross-product announces itself here as predicted_rows ≫
+    n_left + n_right with hot_ppm concentrated on one key.  Cost is
+    two combining groupBys plus a counts⋈counts join bounded by
+    distinct keys, not rows.
+
+    Exactness: the per-key product sum IS the join's row count
+    (bigint products summed in DECIMAL(38,0) — a hot key's c_a·c_b
+    alone can pass 2^63; the emitted total caps back to bigint and is
+    exact below 9.2e18 rows, past which the answer 'do not run this
+    join' is already clear); hot_ppm is integer parts-per-million.
+    """
+    ca = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count("*").alias("_ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count("*").alias("_cb")
+    )
+    la = ca.agg(
+        F.sum("_ca").alias("n_left"), F.count("*").alias("n_keys_left")
+    )
+    lb = cb.agg(
+        F.sum("_cb").alias("n_right"), F.count("*").alias("n_keys_right")
+    )
+    prod = (F.col("_ca").cast("decimal(38,0)") * F.col("_cb")).alias("_p")
+    both = (
+        ca.join(cb, "_k")
+        .select(prod)
+        .agg(
+            F.count("*").alias("n_keys_both"),
+            # disjoint key sets: SUM/MAX over zero rows is NULL, and
+            # "this join produces nothing" should read as 0
+            F.coalesce(F.sum("_p").cast("long"), F.lit(0)).alias(
+                "predicted_rows"
+            ),
+            F.coalesce(F.max("_p").cast("long"), F.lit(0)).alias(
+                "max_key_product"
+            ),
+        )
+    )
+    return (
+        la.crossJoin(F.broadcast(lb))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "n_left",
+            "n_right",
+            "n_keys_left",
+            "n_keys_right",
+            "n_keys_both",
+            "predicted_rows",
+            "max_key_product",
+            F.expr(
+                "CASE WHEN predicted_rows > 0 THEN "
+                "max_key_product * 1000000 div predicted_rows "
+                "ELSE 0 END"
+            ).alias("hot_ppm"),
+        )
+    )

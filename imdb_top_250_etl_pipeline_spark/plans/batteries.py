@@ -3428,6 +3428,65 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_FANOUT_ORACLE = """
+WITH ca AS (
+  SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1
+),
+cb AS (
+  SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM supplier GROUP BY 1
+),
+la AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_left,
+         CAST(count(*) AS BIGINT) AS n_keys_left FROM ca
+),
+lb AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_right,
+         CAST(count(*) AS BIGINT) AS n_keys_right FROM cb
+),
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+         COALESCE(CAST(SUM(CAST(ca.c AS DECIMAL(38,0)) * cb.c)
+                  AS BIGINT), 0) AS predicted_rows,
+         COALESCE(CAST(MAX(CAST(ca.c AS DECIMAL(38,0)) * cb.c)
+                  AS BIGINT), 0) AS max_key_product
+  FROM ca JOIN cb USING (k)
+)
+SELECT n_left, n_right, n_keys_left, n_keys_right, n_keys_both,
+       predicted_rows, max_key_product,
+       CASE WHEN predicted_rows > 0
+            THEN max_key_product * 1000000 // predicted_rows
+            ELSE 0 END AS hot_ppm
+FROM la CROSS JOIN lb CROSS JOIN b
+"""
+
+
+@register(
+    "join_fanout_preflight",
+    oracle=_FANOUT_ORACLE,
+    doc="Join-cardinality pre-flight (operators/profiling.py::"
+    "join_fanout_preflight) for the customer⋈supplier nation-key join "
+    "— the classic many-to-many fanout: Σₖ c_left(k)·c_right(k) IS "
+    "the join's exact output size, computed from the two key-counts "
+    "tables WITHOUT running the join (cost bounded by distinct keys, "
+    "not rows).  key_skew_profile's companion: skew says how a side "
+    "is distributed, this says what the join will DO — a disguised "
+    "cross-product announces itself as predicted_rows ≫ inputs with "
+    "hot_ppm on one key.  Products sum in DECIMAL(38,0); hot share is "
+    "integer ppm.",
+)
+def join_fanout_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import join_fanout_preflight as jfp
+
+    return jfp(
+        load(spark, sf_dir, "customer").select("c_nationkey"),
+        load(spark, sf_dir, "supplier").select("s_nationkey"),
+        "c_nationkey",
+        "s_nationkey",
+    )
+
+
 _WMAUDIT_ORACLE = """
 WITH e AS (
   SELECT event_id, epoch_us(ts) AS us FROM events
@@ -7420,6 +7479,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"p99_us AS n, CAST(p50_us AS VARCHAR) AS k, "
         f"CAST(p95_us AS VARCHAR) AS s, CAST(max_us AS DOUBLE) AS v, "
         f"true AS ok FROM ({_WMAUDIT_ORACLE}) t",
+        f"SELECT 'fanout' AS part, predicted_rows AS a, "
+        f"max_key_product AS b, "
+        f"n_keys_left * 1000000 + n_keys_right * 1000 + n_keys_both AS n, "
+        f"CAST(n_left AS VARCHAR) AS k, CAST(n_right AS VARCHAR) AS s, "
+        f"CAST(hot_ppm AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_FANOUT_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7764,6 +7829,20 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    fan = join_fanout_preflight(spark, sf_dir).select(
+        F.lit("fanout").alias("part"),
+        F.col("predicted_rows").alias("a"),
+        F.col("max_key_product").alias("b"),
+        (
+            F.col("n_keys_left") * 1000000
+            + F.col("n_keys_right") * 1000
+            + F.col("n_keys_both")
+        ).alias("n"),
+        F.col("n_left").cast("string").alias("k"),
+        F.col("n_right").cast("string").alias("s"),
+        F.col("hot_ppm").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
     )
     wmk = events_watermark_audit(spark, sf_dir).select(
         F.lit("wmark").alias("part"),
@@ -8310,6 +8389,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ovl)
         .unionByName(dpr)
         .unionByName(wmk)
+        .unionByName(fan)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8549,6 +8629,9 @@ subsume(
     # round-12: watermark lateness audit, riding extension_battery
     # (part=wmark)
     "events_watermark_audit",
+    # round-12: join-cardinality pre-flight, riding extension_battery
+    # (part=fanout)
+    "join_fanout_preflight",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

@@ -745,3 +745,27 @@ def test_watermark_lateness_audit_exact(spark):
         "ts",
     ).collect()[0]
     assert (r2.n_late, r2.max_us) == (0, 0)
+
+
+def test_join_fanout_preflight_predicts_actual(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        join_fanout_preflight,
+    )
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], ["k"]
+    )
+    r = join_fanout_preflight(left, right, "k", "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert r.predicted_rows == actual == 7  # 2*3 + 1*1
+    assert (
+        r.n_left, r.n_right, r.n_keys_left, r.n_keys_right, r.n_keys_both,
+    ) == (4, 5, 3, 3, 2)
+    assert r.max_key_product == 6
+    assert r.hot_ppm == 6 * 1000000 // 7
+    # disjoint keys: predicted 0, hot share 0 (no division)
+    r2 = join_fanout_preflight(
+        left, spark.createDataFrame([(7,), (8,)], ["k"]), "k", "k"
+    ).collect()[0]
+    assert (r2.predicted_rows, r2.n_keys_both, r2.hot_ppm) == (0, 0, 0)

@@ -517,3 +517,54 @@ def interleave_sources(
         "interleave_key",
         ((F.col("_rn") * 2 - 1) * inv_expr[F.col(source_col)]).cast("long"),
     ).drop("_rn")
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    shards: list[str],
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding → every input row
+    plus ``shard``: each id goes to the shard with the highest
+    ``md5(id ':' shard)`` score.
+
+    THE stable routing rule for distributed storage and incremental
+    pipelines: unlike ``hash(id) mod n`` — where changing n remaps
+    ~everything — removing a shard remaps ONLY that shard's rows
+    (every survivor's winning score is untouched), and adding one
+    steals exactly the rows it now wins.  Content-derived md5 (the
+    split_by_hash discipline): reproducible across runs, engines, and
+    cluster layouts, and an external system can compute the same
+    assignment.
+
+    A narrow per-row expression — no shuffle, no state: the score
+    list is a ``shards``-length literal array transformed per row,
+    the winner one array_max over (score, shard) structs (ties —
+    md5 collisions across shards — break to the lexicographically
+    largest shard, deterministically).
+    """
+    scores = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col(id_col).cast("string"),
+                                F.lit(":" + s),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+                F.lit(s).alias("shard"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn("shard", F.array_max(scores)["shard"])

@@ -3428,6 +3428,45 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_SHARDS = [f"shard-{i}" for i in range(8)]
+
+_RENDEZVOUS_ORACLE = f"""
+WITH sc AS (
+  SELECT doc_id, s.shard,
+         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+              || ':' || s.shard), 1, 15)) AS BIGINT) AS h
+  FROM documents,
+       (SELECT unnest({_SHARDS!r}) AS shard) s
+),
+r AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, shard DESC) AS rn
+  FROM sc
+)
+SELECT doc_id, shard FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "corpus_rendezvous_shards",
+    oracle=_RENDEZVOUS_ORACLE,
+    doc="Rendezvous/HRW sharding (operators/sampling.py::"
+    "rendezvous_assign, 8 shards): each document goes to the shard "
+    "with the highest md5(id ':' shard) score — the stable routing "
+    "rule where removing a shard remaps ONLY that shard's rows "
+    "(unlike hash-mod-n, which remaps ~everything; minimal-disruption "
+    "property test-pinned).  Content-derived md5, reproducible across "
+    "engines and layouts; a narrow per-row expression — no shuffle, "
+    "no state.",
+)
+def corpus_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import rendezvous_assign
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(docs, "doc_id", _SHARDS)
+
+
 _FANOUT_ORACLE = """
 WITH ca AS (
   SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS c
@@ -7485,6 +7524,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(n_left AS VARCHAR) AS k, CAST(n_right AS VARCHAR) AS s, "
         f"CAST(hot_ppm AS DOUBLE) AS v, true AS ok "
         f"FROM ({_FANOUT_ORACLE}) t",
+        f"SELECT 'rdv' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
+        f"shard AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_RENDEZVOUS_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7829,6 +7871,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    rdv = corpus_rendezvous_shards(spark, sf_dir).select(
+        F.lit("rdv").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        _nb().alias("b"),
+        _nb().alias("n"),
+        F.col("shard").alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
     )
     fan = join_fanout_preflight(spark, sf_dir).select(
         F.lit("fanout").alias("part"),
@@ -8390,6 +8442,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dpr)
         .unionByName(wmk)
         .unionByName(fan)
+        .unionByName(rdv)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8632,6 +8685,9 @@ subsume(
     # round-12: join-cardinality pre-flight, riding extension_battery
     # (part=fanout)
     "join_fanout_preflight",
+    # round-12: rendezvous/HRW sharding, riding extension_battery
+    # (part=rdv)
+    "corpus_rendezvous_shards",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

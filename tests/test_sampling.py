@@ -362,3 +362,39 @@ def test_interleave_every_prefix_is_proportional(spark):
         ).collect()
     }
     assert again == {(r.src, r.k, r.interleave_key) for r in out}
+
+
+def test_rendezvous_assign_dual_and_minimal_disruption(spark):
+    import collections
+    import hashlib
+
+    from imdb_top_250_etl_pipeline_spark.operators.sampling import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    shards = ["s0", "s1", "s2", "s3"]
+    got = {r.id: r.shard for r in rendezvous_assign(df, "id", shards).collect()}
+
+    def dual(i, ss):
+        return max(
+            ss,
+            key=lambda s: (
+                int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16),
+                s,
+            ),
+        )
+
+    assert got == {i: dual(i, shards) for i in range(500)}
+    # THE rendezvous property: dropping a shard remaps ONLY its rows
+    got3 = {
+        r.id: r.shard
+        for r in rendezvous_assign(df, "id", shards[:3]).collect()
+    }
+    moved = {i for i in range(500) if got3[i] != got[i]}
+    assert moved == {i for i, s in got.items() if s == "s3"}
+    # and the orphans land per the same rule over the surviving shards
+    assert all(got3[i] == dual(i, shards[:3]) for i in moved)
+    # rough balance: no shard starves (binomial bounds are loose here)
+    counts = collections.Counter(got.values())
+    assert all(60 <= counts[s] <= 190 for s in shards), counts

@@ -379,3 +379,113 @@ def test_winnow_matches_reference_on_arbitrary_docs(spark, words, w):
             j = max(i for i, v in enumerate(win) if v == m)
             exp.add((p + j + 1, m))
     assert got == exp, (words, w)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g", "h"]),
+            st.integers(min_value=-20, max_value=20),  # value
+            st.integers(min_value=0, max_value=9),     # weight
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_quantiles_match_reference_model(spark, rows):
+    # arbitrary duplicate values, zero weights, and single-value groups
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w)) for g, v, w in rows], ["grp", "v", "w"]
+    )
+    got = {
+        r.grp: (r.w_total, r.wq_1_2, r.wq_9_10)
+        for r in weighted_quantiles(df, "grp", "v", "w").collect()
+    }
+
+    import collections
+
+    per = collections.defaultdict(lambda: collections.Counter())
+    for g, v, w in rows:
+        per[g][float(v)] += w
+    for g, counter in per.items():
+        tot = sum(counter.values())
+        exp = {}
+        for num, den, name in ((1, 2, "q50"), (9, 10, "q90")):
+            cum, pick = 0, None
+            for v in sorted(counter):
+                cum += counter[v]
+                if cum * den >= num * tot:
+                    pick = v
+                    break
+            exp[name] = pick
+        assert got[g] == (tot, exp["q50"], exp["q90"]), (g, rows)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # offset units
+            st.integers(min_value=-9, max_value=9),   # value
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket=st.sampled_from([7, 10, 16]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_time_weighted_avg_matches_reference_model(spark, obs, bucket):
+    # arbitrary duplicate timestamps, bucket-boundary crossings, and
+    # single-observation keys against the straight-line step-function
+    # reference
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    B = bucket * 1_000_000
+    rows = [
+        (1, i, t0 + dt.timedelta(seconds=o), float(v))
+        for i, (o, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "ts", "v"])
+    got = {
+        r.bucket: (r.covered_us, r.n_pieces, r.twap)
+        for r in time_weighted_avg(
+            df, "k", ["ts", "seq"], "ts", "v", bucket_us=B
+        ).collect()
+    }
+
+    import collections
+
+    pts = sorted(
+        (int((t0 + dt.timedelta(seconds=o)).timestamp() * 1_000_000),
+         i, round(v * 100))
+        for i, (o, v) in enumerate(obs)
+    )
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for (s, _, q), (e, _, _) in zip(pts, pts[1:]):
+        if e <= s:
+            continue
+        for b in range(s // B, (e - 1) // B + 1):
+            w = min(e, (b + 1) * B) - max(s, b * B)
+            cell = agg[b]
+            cell[0] += q * w
+            cell[1] += w
+            cell[2] += 1
+    exp = {b: (w, n, qw / (100.0 * w)) for b, (qw, w, n) in agg.items()}
+    assert got == exp, (obs, bucket)

@@ -104,3 +104,76 @@ def linkage_clusters(pairs: DataFrame) -> DataFrame:
     return dedup_groups(pairs.select("id_a", "id_b")).select(
         F.col("doc_id").alias("rec_id"), F.col("group_id").alias("entity_id")
     )
+
+
+def fastss_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """FastSS deletion-neighborhood join → every pair (id_a, id_b,
+    s_a, s_b, dist) with edit distance ≤ 1, EXACTLY — no recall bound.
+
+    The lossless complement to ``linkage_candidates``' heuristic
+    blocking: for distance ≤ 1 the deletion neighborhood is a COMPLETE
+    blocking key (Bocek et al. 2007) — a substitution pair shares the
+    same-position deletion, and an insertion/deletion pair shares the
+    shorter string itself (every string is in its own neighborhood) —
+    so the candidate equi-join provably surfaces every true pair, and
+    the levenshtein verify only removes the distance-2 collisions of
+    unequal-position deletions.  Strings longer than ``max_len`` are
+    dropped whole (the capped-contract discipline: a megabyte "name"
+    would fan out a megabyte of variants).
+
+    Distributed shape: one per-row transform builds the ≤ len+1
+    variants (no re-shipped token arrays), one explode, one
+    self-equi-join on the variant (hash join — never all pairs), a
+    distinct on the id pair riding the same shuffle, then the codegen
+    levenshtein verify on candidates only.  Fan-out is len+1 replicas
+    per string — the price of PROVABLY exact recall, vs the
+    suffix+length-band blocking's cheap-but-lossy key.
+    """
+    base = (
+        df.where(F.length(F.col(s_col)) <= max_len)
+        .select(
+            F.col(id_col).alias("_id"), F.col(s_col).alias("_s")
+        )
+        .where(F.col("_s").isNotNull())
+    )
+    s = F.col("_s")
+    variants = F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    ex = base.select(
+        "_id", "_s", F.explode(variants).alias("_v")
+    ).distinct()
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a._v") == F.col("b._v"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("s_a"),
+            F.col("b._s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "s_a",
+        "s_b",
+        F.levenshtein("s_a", "s_b").alias("dist"),
+    ).where(F.col("dist") <= 1)

@@ -3428,6 +3428,54 @@ def timeseries_seasonal_decompose(
     ).drop("day")
 
 
+_FASTSS_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS s FROM customer
+  WHERE len(c_name) <= 64 AND c_name IS NOT NULL
+),
+ex AS (
+  SELECT DISTINCT id, s, v
+  FROM base, unnest(list_append(
+       [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+        FOR i IN generate_series(1, greatest(len(s), 1))], s)) AS g(v)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM ex a JOIN ex b ON a.v = b.v AND a.id < b.id
+)
+SELECT id_a, id_b, s_a, s_b,
+       CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(s_a, s_b) <= 1
+"""
+
+
+@register(
+    "linkage_fastss_pairs",
+    oracle=_FASTSS_ORACLE,
+    doc="FastSS deletion-neighborhood join (operators/linkage.py::"
+    "fastss_pairs, Bocek et al. 2007) over customer names: EVERY pair "
+    "with edit distance ≤ 1, exactly — for distance 1 the deletion "
+    "neighborhood is a COMPLETE blocking key (substitutions share the "
+    "same-position deletion; insertions/deletions share the shorter "
+    "string itself), so unlike linkage_candidates' lossy "
+    "suffix+length-band key this candidate equi-join provably misses "
+    "nothing and the levenshtein verify only removes distance-2 "
+    "collisions.  len+1 variant replicas per string, one hash "
+    "self-join — never all pairs.",
+)
+def linkage_fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fastss_pairs
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fastss_pairs(c, "c_custkey", "c_name").select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "s_a",
+        "s_b",
+        F.col("dist").cast("long"),
+    )
+
+
 _SHARDS = [f"shard-{i}" for i in range(8)]
 
 _RENDEZVOUS_ORACLE = f"""
@@ -7527,6 +7575,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'rdv' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
         f"shard AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_RENDEZVOUS_ORACLE}) t",
+        f"SELECT 'fastss' AS part, id_a AS a, id_b AS b, dist AS n, "
+        f"s_a AS k, s_b AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_FASTSS_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
         f"dup_span_frac AS v, true AS ok FROM ({_SPAN_DEDUP_ORACLE}) t",
@@ -7871,6 +7922,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("s"),
         (F.col("roll_med") + F.col("roll_mad")).alias("v"),
         F.col("is_anomaly").alias("ok"),
+    )
+    fss = linkage_fastss_pairs(spark, sf_dir).select(
+        F.lit("fastss").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("dist").alias("n"),
+        F.col("s_a").alias("k"),
+        F.col("s_b").alias("s"),
+        _nd().alias("v"),
+        F.lit(True).alias("ok"),
     )
     rdv = corpus_rendezvous_shards(spark, sf_dir).select(
         F.lit("rdv").alias("part"),
@@ -8443,6 +8504,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wmk)
         .unionByName(fan)
         .unionByName(rdv)
+        .unionByName(fss)
         .unionByName(spn)
         .unionByName(dsir)
         .unionByName(lm)
@@ -8688,6 +8750,9 @@ subsume(
     # round-12: rendezvous/HRW sharding, riding extension_battery
     # (part=rdv)
     "corpus_rendezvous_shards",
+    # round-12: FastSS exact edit-distance-1 join, riding
+    # extension_battery (part=fastss)
+    "linkage_fastss_pairs",
     "text_bigram_lm",
     "text_quality_classifier",
     "events_markov_transitions",

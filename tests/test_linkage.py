@@ -80,3 +80,55 @@ def test_candidates_on_identifier_shaped_names(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert {(k, k + 10_000) for k in (0, 50, 100, 150)} <= found
     assert all(r.dist <= 2 for r in pairs)
+
+
+def test_fastss_pairs_matches_brute_force(spark):
+    import functools
+    import itertools
+
+    from imdb_top_250_etl_pipeline_spark.operators.linkage import (
+        fastss_pairs,
+    )
+
+    # substitutions, insertions, deletions, duplicates, an empty
+    # string, a single char, and a distance-2 near-miss
+    names = [
+        "smith", "smyth", "smithe", "mith", "smith",
+        "jones", "jone", "jjones", "x", "", "ssmith", "smythe",
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["id", "s"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fastss_pairs(df, "id", "s").collect()
+    }
+
+    def lev(a, b):
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    exp = {
+        (i, j): lev(names[i], names[j])
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == exp  # provably-complete blocking: nothing missed
+    # the distance-2 pair (smith vs smythe) must NOT appear
+    assert (0, 11) not in got
+    # over-length strings drop whole
+    df2 = spark.createDataFrame(
+        [(1, "a" * 100), (2, "a" * 99)], ["id", "s"]
+    )
+    assert fastss_pairs(df2, "id", "s", max_len=64).count() == 0

@@ -3440,12 +3440,20 @@ ex AS (
         FOR i IN generate_series(1, greatest(len(s), 1))], s)) AS g(v)
 ),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM ex a JOIN ex b ON a.v = b.v AND a.id < b.id
+  WHERE levenshtein(a.s, b.s) <= 1
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nbr FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
 )
-SELECT id_a, id_b, s_a, s_b,
-       CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
-FROM cand WHERE levenshtein(s_a, s_b) <= 1
+SELECT id AS c_custkey,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum,
+       CAST(min(nbr) AS BIGINT) AS nbr_min,
+       CAST(max(nbr) AS BIGINT) AS nbr_max
+FROM sym GROUP BY id
 """
 
 
@@ -3461,18 +3469,30 @@ FROM cand WHERE levenshtein(s_a, s_b) <= 1
     "suffix+length-band key this candidate equi-join provably misses "
     "nothing and the levenshtein verify only removes distance-2 "
     "collisions.  len+1 variant replicas per string, one hash "
-    "self-join — never all pairs.",
+    "self-join — never all pairs.  Registered as the per-id "
+    "neighbor rollup (count, id-sum, min, max) — sequential synthetic "
+    "names are a pathological near-neighbor cluster (26.9M raw pairs "
+    "at sf1), and the rollup hash still pins the full pair multiset "
+    "(any missing or extra pair shifts a count and an id-sum) while "
+    "keeping verification output bounded by ids.",
 )
 def linkage_fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linkage import fastss_pairs
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return fastss_pairs(c, "c_custkey", "c_name").select(
-        F.col("id_a").cast("long"),
-        F.col("id_b").cast("long"),
-        "s_a",
-        "s_b",
-        F.col("dist").cast("long"),
+    pairs = fastss_pairs(c, "c_custkey", "c_name")
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nbr")
+        )
+    )
+    return sym.groupBy(F.col("id").cast("long").alias("c_custkey")).agg(
+        F.count("*").alias("n_neighbors"),
+        F.sum("nbr").alias("nbr_id_sum"),
+        F.min("nbr").cast("long").alias("nbr_min"),
+        F.max("nbr").cast("long").alias("nbr_max"),
     )
 
 
@@ -7575,8 +7595,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT 'rdv' AS part, doc_id AS a, {_NB} AS b, {_NB} AS n, "
         f"shard AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_RENDEZVOUS_ORACLE}) t",
-        f"SELECT 'fastss' AS part, id_a AS a, id_b AS b, dist AS n, "
-        f"s_a AS k, s_b AS s, {_ND} AS v, true AS ok "
+        f"SELECT 'fastss' AS part, c_custkey AS a, n_neighbors AS b, "
+        f"nbr_id_sum AS n, CAST(nbr_min AS VARCHAR) AS k, "
+        f"CAST(nbr_max AS VARCHAR) AS s, {_ND} AS v, true AS ok "
         f"FROM ({_FASTSS_ORACLE}) t",
         f"SELECT 'spansd' AS part, doc_id AS a, n_dup_spans AS b, "
         f"n_kept AS n, CAST(n_spans AS VARCHAR) AS k, clean_text AS s, "
@@ -7925,11 +7946,11 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fss = linkage_fastss_pairs(spark, sf_dir).select(
         F.lit("fastss").alias("part"),
-        F.col("id_a").alias("a"),
-        F.col("id_b").alias("b"),
-        F.col("dist").alias("n"),
-        F.col("s_a").alias("k"),
-        F.col("s_b").alias("s"),
+        F.col("c_custkey").alias("a"),
+        F.col("n_neighbors").alias("b"),
+        F.col("nbr_id_sum").alias("n"),
+        F.col("nbr_min").cast("string").alias("k"),
+        F.col("nbr_max").cast("string").alias("s"),
         _nd().alias("v"),
         F.lit(True).alias("ok"),
     )

@@ -117,17 +117,46 @@ def main() -> None:
         timings[name] = runs[0]
         steady[name] = min(runs)
 
+    # The driver tail-parses the LAST ~2KB of stdout; round 7's line
+    # (cold + steady per-query dicts, 33 queries) overflowed that window
+    # and parsed as null.  Keep the stdout line compact — per-query cold
+    # timings plus the two totals — and write the full cold+steady
+    # detail to bench_detail.json for round-over-round analysis.
+    detail = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
+        "sf": sf_of(SF_DIR),
+    }
+    with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     line = json.dumps(
         {
             "metric": "headline_total",
-            "value": round(sum(timings.values()), 3),
+            "value": detail["value"],
             "unit": "sec",
-            "queries": timings,
-            "value_steady": round(sum(steady.values()), 3),
-            "queries_steady": steady,
-            "sf": sf_of(SF_DIR),
-        }
+            "queries": {k: round(v, 2) for k, v in steady.items()},
+            "value_steady": detail["value_steady"],
+            "sf": detail["sf"],
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # still too wide for the tail window: totals only
+        line = json.dumps(
+            {
+                "metric": "headline_total",
+                "value": detail["value"],
+                "unit": "sec",
+                "queries": {},
+                "value_steady": detail["value_steady"],
+                "sf": detail["sf"],
+                "detail": "bench_detail.json",
+            },
+            separators=(",", ":"),
+        )
     print(line, flush=True)
 
 

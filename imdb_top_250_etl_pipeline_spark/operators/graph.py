@@ -318,15 +318,19 @@ def label_propagation(
             .agg(F.count("*").alias("c"))
         )
         # argmax(count, tie -> smallest label) as ONE partial-friendly
-        # max(struct): struct order is (c asc, -lab asc), so the max is
-        # the highest count with the smallest label
+        # min(struct): struct order is (-c asc, lab asc), so the min is
+        # the highest count with the smallest label.  The COUNT is the
+        # side that gets negated — it is always numeric — so the label
+        # column may be any orderable type (string ids included);
+        # negating the label instead would cast strings to double and
+        # silently yield all-NULL labels.
         nxt = (
             votes.select(
-                "u", F.struct(F.col("c"), (-F.col("lab")).alias("nl")).alias("s")
+                "u", F.struct((-F.col("c")).alias("nc"), F.col("lab")).alias("s")
             )
             .groupBy("u")
-            .agg(F.max("s").alias("m"))
-            .select(F.col("u").alias("node"), (-F.col("m.nl")).alias("lab"))
+            .agg(F.min("s").alias("m"))
+            .select(F.col("u").alias("node"), F.col("m.lab").alias("lab"))
         )
         labels, handle = pin(nxt)
         prev.release()

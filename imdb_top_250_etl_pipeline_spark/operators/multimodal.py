@@ -265,6 +265,12 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                 )
                 n = len(cps)
                 if n == 0:
+                    # an empty payload still emits a signature — the
+                    # all-zero hash (every cell empty -> bit 0), so no
+                    # document silently vanishes from the table
+                    out["doc_id"].append(doc_id)
+                    for b in range(4):
+                        out[f"b{b}"].append(0)
                     continue
                 cells = (np.arange(n, dtype=np.int64) * 64) // n
                 cs = np.bincount(cells, weights=cps, minlength=64).astype(

@@ -480,7 +480,13 @@ def seasonal_decompose(
     moved; decomposition says which component moved.  ``period`` must
     be odd (the symmetric centered window); trend and remainder are
     NULL on the ``period//2`` edge days of each key's series, the
-    classical convention.  Seasonal components are the raw phase means
+    classical convention.  The centered window is a RANGE window on
+    epoch_day — CALENDAR days, not observed rows — so a gap in a key's
+    series never shifts the trend out of phase: days whose ±h calendar
+    neighborhood is incomplete (edges AND gap-adjacent days) fall below
+    ``n_obs == period`` and get NULL trend/remainder, exactly like the
+    series edges.  Pre-fill via resample_interpolate when a trend
+    through gaps is wanted instead.  Seasonal components are the raw phase means
     of the detrended series (uncentered: the centering shift is a
     constant both engines would have to float-sum; thresholds on the
     remainder don't see it).
@@ -510,14 +516,20 @@ def seasonal_decompose(
         df.select(key_col, day.alias("day"), q.alias("_q"))
         .groupBy(key_col, "day")
         .agg(F.sum("_q").alias("y_scaled"))
+        .withColumn(
+            "epoch_day",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long"),
+        )
     )
-    w = W.partitionBy(key_col).orderBy("day").rowsBetween(-h, h)
+    # RANGE on epoch_day, not ROWS over observed days: calendar gaps
+    # must starve the window (n_obs < period -> NULL trend), never
+    # misalign it with the period phase
+    w = W.partitionBy(key_col).orderBy("epoch_day").rangeBetween(-h, h)
     base = daily.select(
         key_col,
         "day",
-        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("epoch_day"),
+        "epoch_day",
         "y_scaled",
         F.sum("y_scaled").over(w).alias("_tsum"),
         F.count("*").over(w).cast("long").alias("n_obs"),

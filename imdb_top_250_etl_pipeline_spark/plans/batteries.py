@@ -3380,8 +3380,9 @@ base AS (
          CAST(count(*) OVER win AS BIGINT) AS n_obs,
          CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS phase
   FROM daily
-  WINDOW win AS (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+  WINDOW win AS (PARTITION BY event_type
+                 ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ),
 seas AS (
   SELECT event_type, phase,

@@ -626,6 +626,17 @@ def txn_changes(
                     adds.add(a["add"]["path"])
                 elif "remove" in a:
                     removes.add(a["remove"]["path"])
+                elif "metaData" in a and a["metaData"].get("schema") != schema_json:
+                    # Delta CDF's schema-compatibility check: a commit
+                    # inside the range changed the table schema, so
+                    # projecting its files through the v_from schema
+                    # would silently drop the new columns — refuse and
+                    # point the caller at the boundary.
+                    raise ValueError(
+                        f"schema changed at version {v} inside change range "
+                        f"({v_from}, {v_to}]: read the feed in two calls "
+                        f"split at v={v - 1}"
+                    )
         # a multi-pass merge may stage a file and replace it WITHIN the
         # same commit (add then remove): only the NET file delta is the
         # commit's rewrite

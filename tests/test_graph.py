@@ -227,3 +227,26 @@ def test_label_propagation_python_dual(spark):
         for r in label_propagation(df, "src", "dst", rounds=4).collect()
     }
     assert got4[1] == got4[2] == got4[3]
+
+
+def test_label_propagation_string_ids(spark):
+    # the tie-break must be type-safe: negating the LABEL would cast
+    # string ids to double and yield all-NULL labels; the operator
+    # negates the COUNT instead, so string node ids work verbatim
+    from imdb_top_250_etl_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")]
+    got = {
+        r.node: r.lab
+        for r in label_propagation(
+            spark.createDataFrame(edges, ["src", "dst"]), "src", "dst", rounds=3
+        ).collect()
+    }
+    assert None not in got.values()
+    # the triangle condenses onto its lexicographically smallest id;
+    # the isolated pair 2-cycles (documented synchronous-LPA behavior),
+    # so after an odd round count the labels have swapped
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == "e" and got["e"] == "d"

@@ -257,6 +257,43 @@ def test_seasonal_decompose_python_dual(spark):
     ).days % 7
 
 
+def test_seasonal_decompose_calendar_gap(spark):
+    """The centered MA is a RANGE window on epoch_day: a missing
+    calendar day STARVES every window that spans it (n_obs < 7 ->
+    NULL trend), it never slides later observations in out of phase."""
+    import datetime as dt
+
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # 15 consecutive days with day 7 missing
+    rows = [
+        ("k", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 10.0 + d)
+        for d in range(15)
+        if d != 7
+    ]
+    out = {
+        r.epoch_day: r
+        for r in seasonal_decompose(
+            spark.createDataFrame(rows, ["k", "ts", "v"]), "k", "ts", "v"
+        ).collect()
+    }
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert len(out) == 14 and d0 + 7 not in out
+    # every observed day within ±3 CALENDAR days of the gap is starved
+    for d in range(15):
+        if d == 7:
+            continue
+        r = out[d0 + d]
+        if 4 <= d <= 10:  # window spans the missing day
+            assert r.n_obs == 6 and r.trend is None and r.remainder is None
+        elif 3 <= d <= 11:
+            assert r.n_obs == 7 and r.trend is not None
+    # full windows away from the gap keep the exact integer-MA trend
+    assert out[d0 + 3].trend == sum((10.0 + i) * 100 for i in range(7)) / 700.0
+
+
 def test_seasonal_decompose_rejects_even_period(spark):
     from imdb_top_250_etl_pipeline_spark.operators.timeseries import (
         seasonal_decompose,

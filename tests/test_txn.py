@@ -320,6 +320,41 @@ def test_changes_feed_per_commit_and_reconstruction(spark, table):
     assert "op" in empty.columns and "_commit_version" in empty.columns
 
 
+def test_changes_feed_refuses_schema_evolution_inside_range(spark, table):
+    """txn_changes pins the v_from schema for every file read; a
+    schema-evolving commit INSIDE the range would be silently projected
+    through the old schema (new columns dropped from the feed), so the
+    feed refuses — Delta CDF's schema-compatibility check — and the
+    caller reads two ranges split at the boundary."""
+    from imdb_top_250_etl_pipeline_spark.sources.txn import txn_changes
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=4)
+    upd = c.limit(50).withColumn("loyalty_tier", F.lit("GOLD"))
+    txn_merge(
+        spark, table, upd,
+        update_cols=["c_acctbal", "c_mktsegment", "loyalty_tier"],
+        stable_cols=["c_name"],
+        allow_schema_evolution=True,
+    )
+    # a post-evolution commit so the split range (1, 2] is non-empty
+    upd2 = txn_read(spark, table).limit(20).withColumn(
+        "c_mktsegment", F.lit("MACHINERY")
+    )
+    txn_merge(
+        spark, table, upd2,
+        update_cols=["c_acctbal", "c_mktsegment", "loyalty_tier"],
+        stable_cols=["c_name"],
+    )
+    with pytest.raises(ValueError, match="schema changed at version 1"):
+        txn_changes(spark, table, 0)
+    # splitting at the boundary works: the second call pins the evolved
+    # schema, so the new column appears in its feed
+    post = txn_changes(spark, table, 1)
+    assert "loyalty_tier" in post.columns
+    assert post.where(F.col("op") == "U").count() > 0
+
+
 def test_optimize_compacts_preserving_content_and_history(spark, table):
     """OPTIMIZE: small files compact into fewer key-clustered ones in
     one atomic commit; content identical; time travel to the

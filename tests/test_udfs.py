@@ -163,12 +163,15 @@ def test_ahash_matches_python_dual_and_band_join_is_lossless(spark):
         (3, "the quick brown fox JUMPS OVER the lazy dog " * 3),  # near
         (4, "zzzz completely different content here yes " * 4),
         (5, "short but ok text under sixty-four characters"),  # n < 64
+        (6, ""),  # empty payload: all-zero signature, never dropped
     ]
     df = spark.createDataFrame(texts, ["doc_id", "text"])
     sigs = ahash_blobs(synthesize_blobs(df, "text", "doc_id"))
     got = {r.doc_id: [r.b0, r.b1, r.b2, r.b3] for r in sigs.collect()}
+    assert got[6] == [0, 0, 0, 0]
     for doc_id, t in texts:
-        assert got[doc_id] == _ahash_py(t), doc_id
+        if t:
+            assert got[doc_id] == _ahash_py(t), doc_id
     # lossless pigeonhole: banded pairs == brute-force pairs at radius 3
     def ham(a, b):
         return sum(bin(x ^ y).count("1") for x, y in zip(a, b))

@@ -1252,39 +1252,106 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM_TOPK_INVARIANT_ORACLE = """
+WITH q AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT 'ivf' AS part, nq AS n_queries, true AS ok FROM q
+UNION ALL SELECT 'ivf_kmeans', nq, true FROM q
+UNION ALL SELECT 'mmr', nq, true FROM q
+UNION ALL SELECT 'pq', nq, true FROM q
+"""
+
+
 @register(
     "sim_topk_battery",
-    oracle=None,  # ANN assignments depend on Spark-side hash families
+    oracle=_SIM_TOPK_INVARIANT_ORACLE,
     doc="Approximate top-k similarity: IVF probe, IVF over "
-    "k-means-refined centroids, and MMR diversification of the exact "
-    "top-20 shortlist (round 9) — tagged (part, query_id, neighbor_id, "
-    "rank). Rows-only BY DESIGN (cluster assignments depend on "
-    "Spark-side hash families; MMR's greedy argmax is not "
-    "SQL-expressible); recall floors vs the exact baseline and the "
-    "MMR pure-numpy dual pinned in tests/test_llm_data.py. The exact "
-    "brute-force baseline moved out to the driver-facing, "
-    "hash-checked sim_cosine_topk in round 6. Round 10 adds product "
-    "quantization with exact refine (part=pq: per-subspace k-means "
-    "codebooks, 16-byte codes, ADC scan against per-query broadcast "
-    "lookup tables, top-100 shortlist re-ranked by exact cosine — the "
-    "FAISS IndexRefineFlat shape; hand-codebook ADC numpy dual + "
-    "refined-recall floor in tests). Subsumes sim_ann_ivf, "
+    "k-means-refined centroids, MMR diversification of the exact "
+    "top-20 shortlist (round 9), and product quantization with exact "
+    "refine (round 10: per-subspace k-means codebooks, 16-byte codes, "
+    "ADC scan against per-query broadcast lookup tables, top-100 "
+    "shortlist re-ranked by exact cosine — the FAISS IndexRefineFlat "
+    "shape).  DRIVER-CHECKED AS INVARIANTS (round 8, the "
+    "approx_count_distinct pattern — the neighbor sets depend on "
+    "Spark-side hash families / float k-means, so raw rankings stay "
+    "engine-side, pinned by recall floors and numpy duals in "
+    "tests/test_llm_data.py): one row per part (part, n_queries, ok) "
+    "where n_queries is pinned exactly to the SQL query-set count and "
+    "ok folds the part's invariant — ivf/ivf_kmeans recall@5 vs the "
+    "exact brute-force baseline >= 0.5 (integer compare 2*hits >= "
+    "total), pq refined recall >= 0.9 (10*hits >= 9*total; measured "
+    "0.98), mmr 'rank-1 pick equals the exact top-1 for every query "
+    "and each query emits exactly k=10 rows' (the greedy argmax with "
+    "nothing selected IS max relevance).  Subsumes sim_ann_ivf, "
     "sim_ann_ivf_kmeans, sim_mmr_rerank, sim_ann_pq.",
 )
 def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    i = _FN["sim_ann_ivf"](spark, sf_dir).select(
-        _tag("ivf"), "query_id", "neighbor_id", "rank"
+    from ..operators.pinning import eager_pin
+    from ..operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    # the exact baseline feeds all four invariants: pin once
+    exact = eager_pin(brute_force_topk(e, queries, k=5))
+
+    def recall_row(tag: str, ann: DataFrame, num: int, den: int) -> DataFrame:
+        hits = (
+            ann.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .agg(F.count("*").alias("h"))
+        )
+        tot = exact.agg(F.count("*").alias("t"))
+        return (
+            ann.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(tag).alias("part"),
+                "n_queries",
+                (den * F.col("h") >= num * F.col("t")).alias("ok"),
+            )
+        )
+
+    i = recall_row("ivf", _FN["sim_ann_ivf"](spark, sf_dir), 1, 2)
+    k = recall_row("ivf_kmeans", _FN["sim_ann_ivf_kmeans"](spark, sf_dir), 1, 2)
+    p = recall_row("pq", _FN["sim_ann_pq"](spark, sf_dir), 9, 10)
+    # mmr: greedy selection with empty selected-set IS argmax relevance,
+    # so rank 1 must equal the exact top-1 per query; and every query
+    # must emit exactly k=10 rows from its 20-candidate shortlist
+    m = eager_pin(_FN["sim_mmr_rerank"](spark, sf_dir))
+    first_match = (
+        m.where(F.col("rank") == 1)
+        .join(
+            exact.where(F.col("rank") == 1).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_match"))
     )
-    k = _FN["sim_ann_ivf_kmeans"](spark, sf_dir).select(
-        _tag("ivf_kmeans"), "query_id", "neighbor_id", "rank"
+    per_q = m.groupBy("query_id").agg(F.count("*").alias("c"))
+    mrow = (
+        per_q.agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.min("c").alias("cmin"),
+            F.max("c").alias("cmax"),
+        )
+        .crossJoin(F.broadcast(first_match))
+        .select(
+            F.lit("mmr").alias("part"),
+            "n_queries",
+            (
+                (F.col("n_match") == F.col("n_queries"))
+                & (F.col("cmin") == 10)
+                & (F.col("cmax") == 10)
+            ).alias("ok"),
+        )
     )
-    m = _FN["sim_mmr_rerank"](spark, sf_dir).select(
-        _tag("mmr"), "query_id", "neighbor_id", "rank"
-    )
-    p = _FN["sim_ann_pq"](spark, sf_dir).select(
-        _tag("pq"), "query_id", "neighbor_id", "rank"
-    )
-    return i.unionByName(k).unionByName(m).unionByName(p)
+    return i.unionByName(k).unionByName(mrow).unionByName(p)
 
 
 # JL projection: integer sign-sums of quantized components, dequantized

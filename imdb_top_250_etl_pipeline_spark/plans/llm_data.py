@@ -120,19 +120,9 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_candidates",
-    oracle=None,  # xxhash64 permutation family is Spark-specific
-    doc="Near-dup detection: word-3-shingles → 16-permutation MinHash → "
-    "4-band LSH bucketing → candidate equi-join → exact-Jaccard verify "
-    "(≥0.5). Candidates only from equal band buckets — never all-pairs; "
-    "the planted variants (last 2 words dropped) must all surface "
-    "(asserted in tests/test_llm_data.py). Collapse-first like the "
-    "simhash/ngram queries: exact clones are exact_dedup's job, and on "
-    "the clone-dense sf1 corpus they otherwise dominate the banded "
-    "candidate volume.",
-)
-def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (id_a, id_b, jaccard) near-dup pair set — the LSH pipeline
+    itself; unit tests pin planted recall and exact jaccard values on it."""
     return (
         minhash_candidate_pairs(
             _corpus_near(spark, sf_dir), "text", "doc_id", collapse_exact=True
@@ -140,6 +130,148 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
+
+
+# The planted near-pairs (doc, doc-with-last-2-words-dropped) restated as
+# exact word-3-shingle Jaccard in SQL: the independent dual of the verify
+# stage's array_intersect/array_union arithmetic.  2*i >= u is the exact
+# integer form of jaccard >= 0.5 (no float threshold compare).
+_MINHASH_INVARIANT_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS trimmed
+  FROM documents WHERE doc_id % 11 = 0
+),
+qual AS (
+  SELECT doc_id, string_split(text, ' ') AS wa, string_split(trimmed, ' ') AS wb
+  FROM src WHERE trimmed <> text
+),
+ga AS (
+  SELECT DISTINCT doc_id, wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2] AS g
+  FROM qual, UNNEST(range(1, len(wa) - 1)) u(i)
+),
+gb AS (
+  SELECT DISTINCT doc_id, wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2] AS g
+  FROM qual, UNNEST(range(1, len(wb) - 1)) u(i)
+),
+uni AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS u FROM (
+    SELECT doc_id, g FROM ga UNION SELECT doc_id, g FROM gb
+  ) GROUP BY doc_id
+),
+ints AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS i FROM (
+    SELECT doc_id, g FROM ga INTERSECT SELECT doc_id, g FROM gb
+  ) GROUP BY doc_id
+),
+planted AS (
+  SELECT uni.doc_id, COALESCE(ints.i, 0) AS i, uni.u
+  FROM uni LEFT JOIN ints USING (doc_id)
+  WHERE 2 * COALESCE(ints.i, 0) >= uni.u
+)
+SELECT 'planted' AS part, doc_id AS id_a, doc_id + 100000 AS id_b,
+       ROUND(CAST(i AS DOUBLE) / u, 4) AS score,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BOOLEAN) AS ok
+FROM planted
+UNION ALL
+SELECT 'recall', NULL, NULL, NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM planted), true
+UNION ALL
+SELECT 'precision', NULL, NULL, NULL, CAST(0 AS BIGINT), true
+"""
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=_MINHASH_INVARIANT_ORACLE,
+    doc="Near-dup detection: word-3-shingles → 16-permutation MinHash → "
+    "4-band LSH bucketing → candidate equi-join → exact-Jaccard verify "
+    "(≥0.5), candidates only from equal band buckets — never all-pairs; "
+    "collapse-first like the simhash/ngram queries.  DRIVER-CHECKED AS "
+    "INVARIANTS (round 8, the approx_count_distinct pattern — the pair "
+    "set itself is xxhash64-permutation-specific): part=planted emits "
+    "each qualifying planted pair (last 2 words dropped, exact shingle "
+    "jaccard >= 0.5) with its jaccard computed DIRECTLY from the texts — "
+    "the oracle recomputes the same pairs and values from SQL shingle "
+    "sets, pinning the verify arithmetic cross-engine; part=recall pins "
+    "n_planted exactly and the boolean '>= 90% of planted pairs surface "
+    "in the LSH output' (the S-curve floor the unit test uses) to true; "
+    "part=precision pins 'no emitted pair violates jaccard in [0.5, 1] "
+    "with id_a < id_b' as a zero count.  Raw pair set remains "
+    "unit-pinned via _minhash_pairs_raw.",
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+    from ..operators.pinning import eager_pin
+
+    lsh = eager_pin(_minhash_pairs_raw(spark, sf_dir))
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens("text")
+    trimmed = F.array_join(
+        F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(1))), " "
+    )
+    src = (
+        d.where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text", trimmed.alias("trimmed"))
+        .where(F.col("trimmed") != F.col("text"))
+    )
+    sh_a = F.array_distinct(word_shingles("text"))
+    sh_b = F.array_distinct(word_shingles("trimmed"))
+    planted = src.select(
+        "doc_id",
+        F.size(F.array_intersect(sh_a, sh_b)).cast("bigint").alias("i"),
+        F.size(F.array_union(sh_a, sh_b)).cast("bigint").alias("u"),
+    ).where((F.col("u") > 0) & (2 * F.col("i") >= F.col("u")))
+    nulls = [
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+    ]
+    planted_rows = planted.select(
+        F.lit("planted").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+        F.round(F.col("i") / F.col("u"), 4).alias("score"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    found = (
+        planted.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_found"))
+    )
+    recall_row = (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(F.broadcast(found))
+        .select(
+            F.lit("recall").alias("part"),
+            *nulls,
+            F.col("n_planted").alias("n"),
+            (10 * F.col("n_found") >= 9 * F.col("n_planted")).alias("ok"),
+        )
+    )
+    precision_row = lsh.select(
+        F.when(
+            (F.col("jaccard") < 0.5)
+            | (F.col("jaccard") > 1.0)
+            | (F.col("id_a") >= F.col("id_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad")
+    ).agg(
+        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n")
+    ).select(
+        F.lit("precision").alias("part"),
+        *nulls,
+        "n",
+        (F.col("n") == 0).alias("ok"),
+    )
+    return planted_rows.unionByName(recall_row).unionByName(precision_row)
 
 
 @register(
@@ -184,25 +316,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=None,  # multi-term fp fold
-    doc="Embedding-cosine near-dup: random-hyperplane LSH signatures "
-    "(deterministic seedless planes) → banded candidates → exact cosine "
-    "≥0.98. Planted perturbed copies (per-dimension additive noise) "
-    "asserted in unit tests.",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    noise = F.zip_with(
+def _cosine_noise() -> F.Column:
+    """The deterministic per-dimension perturbation planted copies carry."""
+    return F.zip_with(
         F.col("embedding"),
         F.sequence(F.lit(0), F.size("embedding") - 1),
         lambda x, i: (x.cast("double") + (F.pmod(i, F.lit(7)) - 3) * 0.002).cast(
             "float"
         ),
     )
+
+
+def _cosine_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (id_a, id_b, cos_sim) near-dup pair set — the hyperplane-LSH
+    pipeline itself; unit tests pin planted recall on it."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     perturbed = e.where(F.col("vec_id") % 13 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), noise.alias("embedding")
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        _cosine_noise().alias("embedding"),
     )
     corpus = e.unionByName(perturbed)
     return (
@@ -210,6 +341,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", F.round("cos_sim", 4))
         .orderBy("id_a", "id_b")
     )
+
+
+_COSINE_INVARIANT_ORACLE = """
+SELECT 'planted' AS part, vec_id AS id_a, vec_id + 100000 AS id_b,
+       CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS n, true AS ok
+FROM embeddings WHERE vec_id % 13 = 0
+UNION ALL
+SELECT 'recall', NULL, NULL, NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 13 = 0),
+       true
+UNION ALL
+SELECT 'precision', NULL, NULL, NULL, CAST(0 AS BIGINT), true
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_COSINE_INVARIANT_ORACLE,
+    doc="Embedding-cosine near-dup: random-hyperplane LSH signatures "
+    "(deterministic seedless planes) → banded candidates → exact cosine "
+    "≥0.98 over planted perturbed copies (per-dimension additive "
+    "noise).  DRIVER-CHECKED AS INVARIANTS (round 8 — cosine is a "
+    "multi-term fp fold, so raw values stay engine-side): part=planted "
+    "emits one row per planted pair with ok = 'directly recomputed "
+    "cosine >= 0.98' which the oracle pins true (noise keeps true "
+    "cosine ~0.9995, far from the boundary); part=recall pins n_planted "
+    "exactly and '>= 90% of planted pairs surface in the LSH output' "
+    "true; part=precision pins 'no emitted pair violates cos_sim in "
+    "[0.98, 1+1e-9] with id_a < id_b' as a zero count.  Raw pair set "
+    "remains unit-pinned via _cosine_pairs_raw.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+    from ..operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lsh = eager_pin(_cosine_pairs_raw(spark, sf_dir))
+    nulls = [
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+    ]
+    # direct dual: cosine(original, perturbed) recomputed per planted
+    # pair straight from the embeddings table — no LSH on this path
+    planted = e.where(F.col("vec_id") % 13 == 0).select(
+        "vec_id",
+        (
+            cosine(F.col("embedding"), _cosine_noise()) >= 0.98
+        ).alias("cos_ok"),
+    )
+    planted_rows = planted.select(
+        F.lit("planted").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 100000).alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("cos_ok").alias("ok"),
+    )
+    found = (
+        planted.select(
+            F.col("vec_id").alias("id_a"),
+            (F.col("vec_id") + 100000).alias("id_b"),
+        )
+        .join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_found"))
+    )
+    recall_row = (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(F.broadcast(found))
+        .select(
+            F.lit("recall").alias("part"),
+            *nulls,
+            F.col("n_planted").alias("n"),
+            (10 * F.col("n_found") >= 9 * F.col("n_planted")).alias("ok"),
+        )
+    )
+    precision_row = lsh.select(
+        F.when(
+            (F.col("cos_sim") < 0.98)
+            | (F.col("cos_sim") > 1.0 + 1e-9)
+            | (F.col("id_a") >= F.col("id_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad")
+    ).agg(
+        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n")
+    ).select(
+        F.lit("precision").alias("part"),
+        *nulls,
+        "n",
+        (F.col("n") == 0).alias("ok"),
+    )
+    return planted_rows.unionByName(recall_row).unionByName(precision_row)
 
 
 # ---------------------------------------------------------------------------

@@ -38,9 +38,13 @@ def _planted_pairs(spark, mod: int) -> set[tuple[int, int]]:
 
 
 def test_minhash_recovers_planted_near_dups(spark):
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _minhash_pairs_raw,
+    )
+
     got = {
         (r.id_a, r.id_b)
-        for r in QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMOKE).collect()
+        for r in _minhash_pairs_raw(spark, SF_SMOKE).collect()
     }
     planted = _planted_pairs(spark, 11)
     recovered = planted & got
@@ -51,9 +55,27 @@ def test_minhash_recovers_planted_near_dups(spark):
     assert all(a < b for a, b in got)
 
 
+def test_minhash_invariant_rows_hold(spark):
+    # the driver-facing invariant reshape: every boolean true, the
+    # precision count zero, and the planted rows' jaccard >= 0.5
+    rows = QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMOKE).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    assert len(by_part["recall"]) == 1 and by_part["recall"][0].ok
+    assert by_part["recall"][0].n == len(by_part["planted"])
+    assert by_part["precision"][0].n == 0 and by_part["precision"][0].ok
+    assert all(0.5 <= r.score <= 1.0 for r in by_part["planted"])
+    assert all(r.id_b == r.id_a + 100000 for r in by_part["planted"])
+
+
 def test_minhash_jaccard_values_exact(spark):
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _minhash_pairs_raw,
+    )
+
     # the reported jaccard must equal the exact set jaccard numpy computes
-    df = QUERIES["dedup_minhash_candidates"].fn(spark, SF_SMOKE)
+    df = _minhash_pairs_raw(spark, SF_SMOKE)
     sample = df.limit(10).collect()
     corpus = {
         r.doc_id: r.text for r in _corpus_near(spark, SF_SMOKE).collect()
@@ -90,9 +112,13 @@ def test_ngram_jaccard_recovers_planted(spark):
 
 
 def test_embedding_cosine_near_dup_recovers_planted(spark):
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _cosine_pairs_raw,
+    )
+
     got = {
         (r.id_a, r.id_b)
-        for r in QUERIES["dedup_embedding_cosine"].fn(spark, SF_SMOKE).collect()
+        for r in _cosine_pairs_raw(spark, SF_SMOKE).collect()
     }
     d = load(spark, SF_SMOKE, "embeddings").select("vec_id")
     planted = {
@@ -102,6 +128,17 @@ def test_embedding_cosine_near_dup_recovers_planted(spark):
     # tiny additive noise keeps cosine ~0.9995 >> 0.98; hyperplane LSH
     # banding may miss a boundary case or two
     assert len(planted & got) >= 0.9 * len(planted)
+
+
+def test_embedding_cosine_invariant_rows_hold(spark):
+    rows = QUERIES["dedup_embedding_cosine"].fn(spark, SF_SMOKE).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    assert by_part["recall"][0].ok
+    assert by_part["recall"][0].n == len(by_part["planted"])
+    assert by_part["precision"][0].n == 0 and by_part["precision"][0].ok
+    assert all(r.ok for r in by_part["planted"])
 
 
 def test_brute_force_topk_matches_numpy(spark, emb):

@@ -196,7 +196,11 @@ SELECT 'precision', NULL, NULL, NULL, CAST(0 AS BIGINT), true
     "the oracle recomputes the same pairs and values from SQL shingle "
     "sets, pinning the verify arithmetic cross-engine; part=recall pins "
     "n_planted exactly and the boolean '>= 90% of planted pairs surface "
-    "in the LSH output' (the S-curve floor the unit test uses) to true; "
+    "in the LSH output' (the S-curve floor the unit test uses) to true — "
+    "COLLAPSE-AWARE: each planted pair is mapped through the same "
+    "text->min(id) collapse the pipeline applies, so on clone-dense "
+    "corpora (sf1: ~10 replicas/text) the pair is looked up under its "
+    "representatives' ids; "
     "part=precision pins 'no emitted pair violates jaccard in [0.5, 1] "
     "with id_a < id_b' as a zero count.  Raw pair set remains "
     "unit-pinned via _minhash_pairs_raw.",
@@ -220,6 +224,8 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b = F.array_distinct(word_shingles("trimmed"))
     planted = src.select(
         "doc_id",
+        "text",
+        "trimmed",
         F.size(F.array_intersect(sh_a, sh_b)).cast("bigint").alias("i"),
         F.size(F.array_union(sh_a, sh_b)).cast("bigint").alias("u"),
     ).where((F.col("u") > 0) & (2 * F.col("i") >= F.col("u")))
@@ -236,13 +242,42 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n"),
         F.lit(None).cast("boolean").alias("ok"),
     )
-    found = (
+    # COLLAPSE-AWARE found-count: the LSH pipeline runs
+    # collapse_exact=True, so on a clone-dense corpus (the sf1 stress
+    # shape: ~10 byte-identical replicas per text) a planted pair
+    # surfaces under its text groups' MIN-ID REPRESENTATIVES, not its
+    # own ids.  Map each planted doc through the same text->min(id)
+    # collapse over the full corpus before probing the pair set.
+    # digest discipline: group/join on md5(text), never shuffle raw text
+    reps = (
+        _corpus_near(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("rep"))
+    )
+    rep_pairs = (
         planted.select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 100000).alias("id_b"),
+            "doc_id",
+            F.md5("text").alias("ha"),
+            F.md5("trimmed").alias("hb"),
         )
-        .join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .agg(F.count("*").alias("n_found"))
+        .join(
+            reps.select(F.col("h").alias("ha"), F.col("rep").alias("rep_a")),
+            "ha",
+        )
+        .join(
+            reps.select(F.col("h").alias("hb"), F.col("rep").alias("rep_b")),
+            "hb",
+        )
+        .select(
+            "doc_id",
+            F.least("rep_a", "rep_b").alias("id_a"),
+            F.greatest("rep_a", "rep_b").alias("id_b"),
+        )
+    )
+    found = (
+        rep_pairs.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.countDistinct("doc_id").alias("n_found"))
     )
     recall_row = (
         planted.agg(F.count("*").alias("n_planted"))

@@ -130,6 +130,29 @@ def test_embedding_cosine_near_dup_recovers_planted(spark):
     assert len(planted & got) >= 0.9 * len(planted)
 
 
+def test_dedup_pairs_battery_invariant_rows_hold(spark):
+    rows = QUERIES["dedup_pairs_battery"].fn(spark, SF_SMOKE).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    # every flag row true, every violation count zero
+    for part in (
+        "ngram_recall",
+        "ngram_precision",
+        "simhash_nonempty",
+        "simhash_precision",
+        "groups_consistent",
+        "incremental_valid",
+        "pagerank_mass",
+        "semantic_keep",
+    ):
+        assert len(by_part[part]) == 1 and by_part[part][0].ok, part
+    assert by_part["ngram_recall"][0].n == len(by_part["ngram_planted"])
+    # planted detail rows carry the exact char-trigram jaccard >= 0.8
+    assert all(0.8 <= r.score <= 1.0 for r in by_part["ngram_planted"])
+    assert all(r.id_b == r.id_a + 100000 for r in by_part["ngram_planted"])
+
+
 def test_embedding_cosine_invariant_rows_hold(spark):
     rows = QUERIES["dedup_embedding_cosine"].fn(spark, SF_SMOKE).collect()
     by_part = {}

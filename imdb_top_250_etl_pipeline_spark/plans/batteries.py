@@ -2189,30 +2189,6 @@ _ASOF_ORACLE = """
       ON e.user_id = v.user_id AND e.ts >= v.version_ts
 """
 
-_SESSION_BUILTIN_ORACLE = """
-    WITH e AS (
-      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
-    ),
-    flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged
-    )
-    SELECT user_id, MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL '6 hours' AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM numbered
-    GROUP BY user_id, sid
-"""
 
 
 # forward-fill: every 5th event keeps its value, the rest are NULLed and
@@ -2605,7 +2581,7 @@ def stream_fbmerge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id AS uid, session_start AS t1, session_end AS t2, "
             "n_events AS n, CAST(NULL AS BIGINT) AS n2, "
             "CAST(NULL AS DOUBLE) AS v",
-            _SESSION_BUILTIN_ORACLE,
+            _SQL["stream_session_window"],
         )
         + "\nUNION ALL\n"
         + _wrap(

@@ -413,11 +413,38 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_window",
-    oracle=None,  # built-in session_window gap semantics are Spark's own
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '6 hours' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
     doc="Built-in F.session_window (6h gap) aggregation — the native "
     "session operator Structured Streaming uses with watermarks; "
     "cross-checked against stream_sessionize's explicit lag+cumsum "
-    "construction in tests/test_streaming.py.",
+    "construction in tests/test_streaming.py.  HASH-CHECKED since "
+    "judge-round 8: the gaps-and-islands restatement (a gap of exactly "
+    "the 6h interval starts a new session; window end = last event + "
+    "gap) had been the stream_battery's session_builtin oracle all "
+    "along — the standalone registration now carries it too.",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")

@@ -1090,7 +1090,12 @@ def rolling_active_users(
     sketches = pairs.groupBy("epoch_day").agg(
         F.hll_sketch_agg("_u").alias("_sk")
     )
-    w = W.orderBy("epoch_day").rowsBetween(-(window_days - 1), 0)
+    # RANGE on epoch_day, not ROWS over observed days: a calendar gap
+    # must SHRINK the union to the days actually inside the trailing
+    # window — a rows frame would reach back past the gap and union
+    # sketches the exact contribution-explode path never counts
+    # (the seasonal_decompose gap discipline)
+    w = W.orderBy("epoch_day").rangeBetween(-(window_days - 1), 0)
     est = sketches.select(
         "epoch_day",
         F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w)).alias("_est"),

@@ -666,6 +666,13 @@ def test_rolling_active_users_exact(spark):
         for u in range(1, 8):
             if d % (u % 3 + 1) == 0:
                 rows.append((t0 + dt.timedelta(days=d, hours=u), u))
+    # users active ONLY just before the gap: a ROWS-frame sketch window
+    # would reach back past the missing day 5 and union them into day
+    # 6/7's estimate, inflating it beyond the exact calendar-window WAU
+    # (est is exact HLL at this cardinality, so the bound flags it);
+    # the RANGE frame must exclude them
+    rows += [(t0 + dt.timedelta(days=3, hours=12), u) for u in range(90, 130)]
+    rows += [(t0 + dt.timedelta(days=4, hours=12), u) for u in range(200, 240)]
     df = spark.createDataFrame(rows, ["ts", "uid"])
     out = {
         r.epoch_day: r

@@ -107,6 +107,12 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     k * n_salts rows per query.  Shuffle volume for phase 1 is the same
     as the naive plan (the scored rows move once either way) — what the
     salt buys is that no single task ever holds a whole query's corpus.
+
+    n_salts is sized from cluster layout, yet the RESULT is
+    layout-independent: each neighbor hashes to exactly ONE salt group,
+    so any row in a query's true global top-k is also top-k within its
+    (query, salt) group — phase 1 can never cut a survivor, for any
+    salt count (the trending_topk invariant).
     """
     n_salts = max(scored.sparkSession.sparkContext.defaultParallelism, 8)
     salted = scored.withColumn(

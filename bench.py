@@ -119,9 +119,11 @@ def main() -> None:
 
     # The driver tail-parses the LAST ~2KB of stdout; round 7's line
     # (cold + steady per-query dicts, 33 queries) overflowed that window
-    # and parsed as null.  Keep the stdout line compact — per-query cold
-    # timings plus the two totals — and write the full cold+steady
-    # detail to bench_detail.json for round-over-round analysis.
+    # and parsed as null.  Keep the stdout line compact — per-query COLD
+    # timings (matching "value" and bench_detail's "queries", so the
+    # stdout field keeps one meaning across rounds and sums to "value")
+    # plus the two totals — and write the full cold+steady detail to
+    # bench_detail.json for round-over-round analysis.
     detail = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -138,7 +140,7 @@ def main() -> None:
             "metric": "headline_total",
             "value": detail["value"],
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in steady.items()},
+            "queries": {k: round(v, 2) for k, v in timings.items()},
             "value_steady": detail["value_steady"],
             "sf": detail["sf"],
         },

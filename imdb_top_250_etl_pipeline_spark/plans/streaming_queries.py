@@ -418,7 +418,7 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
     ),
     flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
                   THEN 1 ELSE 0 END AS new_session
@@ -426,8 +426,13 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+      -- ORDER BY must carry the same event_id tiebreak as the flag
+      -- window: with duplicate (user_id, ts) at a session boundary, a
+      -- ts-only ROWS frame could order the flag=1 row after its ties
+      -- and split the duplicates across sessions nondeterministically
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )

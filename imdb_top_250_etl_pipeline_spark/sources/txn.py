@@ -599,6 +599,15 @@ def txn_changes(
     Applying the feed in version order onto the ``v_from`` snapshot
     reconstructs the ``v_to`` snapshot exactly (property-tested via
     apply_snapshot_cdc).
+
+    Schema evolution inside the range is handled the way Delta CDF
+    handles it: every commit's files are read self-described (parquet
+    footers, ``mergeSchema``) and projected through the END-of-range
+    (``v_to``) schema, so the evolving commit's own change rows survive
+    in the feed — columns added mid-range read as NULL for
+    pre-evolution commits, columns dropped mid-range are omitted
+    throughout.  A merge-KEY change inside the range is refused (the
+    feed is keyed on one merge key; no projection can reconcile two).
     """
     from ..operators.etl import snapshot_cdc
 
@@ -606,14 +615,33 @@ def txn_changes(
     v_to = head if v_to is None else v_to
     if not (0 <= v_from <= v_to <= head):
         raise ValueError(f"bad version range ({v_from}, {v_to}] vs head {head}")
-    _, schema_json, key, _ = snapshot(table, v_from)
+    # project the whole feed through the END schema (Delta CDF reads
+    # change data with the latest/end schema, not the start schema)
+    _, schema_json, key, _ = snapshot(table, v_to)
     schema = T.StructType.fromJson(json.loads(schema_json))
+    # the key at the START of the range — a mid-range metaData whose
+    # key differs from this is a re-keying commit (the end-of-range key
+    # would already reflect the change and mask it)
+    _, _, key_start, _ = snapshot(table, v_from)
 
     def _read(rels: list[str]) -> DataFrame:
         if not rels:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(table, r) for r in sorted(rels)]
+        # files inside the range may predate a mid-range schema
+        # evolution: read them self-described and align to the end
+        # schema (missing columns -> typed NULL, extra columns dropped)
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(table, r) for r in sorted(rels)])
+        )
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
         )
 
     out: DataFrame | None = None
@@ -626,16 +654,19 @@ def txn_changes(
                     adds.add(a["add"]["path"])
                 elif "remove" in a:
                     removes.add(a["remove"]["path"])
-                elif "metaData" in a and a["metaData"].get("schema") != schema_json:
-                    # Delta CDF's schema-compatibility check: a commit
-                    # inside the range changed the table schema, so
-                    # projecting its files through the v_from schema
-                    # would silently drop the new columns — refuse and
-                    # point the caller at the boundary.
+                elif "metaData" in a and a["metaData"].get("key") != key_start:
+                    # schema evolution is projected through the end
+                    # schema above, but a merge-KEY change cannot be:
+                    # the feed's I/U/D classification is keyed on one
+                    # column, and commits on either side of the change
+                    # diff on different keys.
                     raise ValueError(
-                        f"schema changed at version {v} inside change range "
-                        f"({v_from}, {v_to}]: read the feed in two calls "
-                        f"split at v={v - 1}"
+                        f"merge key changed at version {v} inside change "
+                        f"range ({v_from}, {v_to}]: commit {v}'s changes "
+                        f"are keyed differently and cannot appear in a "
+                        f"single feed; read ({v_from}, {v - 1}] and "
+                        f"({v}, {v_to}] separately and reconcile commit "
+                        f"{v} via snapshot diff"
                     )
         # a multi-pass merge may stage a file and replace it WITHIN the
         # same commit (add then remove): only the NET file delta is the

@@ -1,0 +1,361 @@
+"""Property-based differential fuzzing: engine == DuckDB on RANDOM tables.
+
+Every oracle in the registry runs over one fixed generator distribution
+(plus the sf1 replicas); the sf1 sweeps repeatedly caught
+distribution-dependent bugs (duplicate-key stride, collapse-aware
+recall, calendar gaps).  This suite closes that gap from the other
+side: hypothesis generates small adversarial tables — NULLs, duplicate
+keys, empty groups, unicode, extreme values, empty inputs — and asserts
+the engine operator and an independently-written DuckDB query agree
+exactly (order-insensitive multiset of normalized rows, same
+normalization as the driver-contract harness).
+
+Eight operator families (verdict round-8 asked for >= 5):
+  upsert / apply_changes / scd2_history (operators/etl.py),
+  set ops (union/intersect/except, bag + distinct forms),
+  window frames (ROWS + RANGE, rank/lag under ties),
+  asof_join (vs DuckDB's native ASOF LEFT JOIN — an independent
+  implementation, not our construction restated),
+  interval_join (bucketed range join vs plain BETWEEN, with the
+  bucket width ITSELF fuzzed),
+  forward_fill (last_value IGNORE NULLS).
+
+Deterministic in CI: ``derandomize=True`` derives the example stream
+from the test body, so runs are reproducible without a seed file.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from .oracle_harness import _norm_cell
+
+# one shared profile: tiny tables, modest example counts (every example
+# pays a Spark job), no deadline (co-tenant machine), deterministic
+FUZZ = settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# ---------------------------------------------------------------- helpers
+
+KEYS = st.integers(0, 4)  # small domain -> duplicate keys + empty groups
+INTS = st.one_of(st.none(), st.integers(-(10**9), 10**9))
+TEXT = st.one_of(st.none(), st.text(max_size=6))  # default alphabet: unicode
+OPS = st.sampled_from(["I", "U", "D"])
+
+
+def _rows(df) -> list[tuple]:
+    return [tuple(_norm_cell(v) for v in r) for r in df.collect()]
+
+
+def _duck(tables: dict[str, pa.Table], sql: str) -> list[tuple]:
+    con = duckdb.connect()
+    try:
+        for name, t in tables.items():
+            con.register(name, t)
+        return [tuple(_norm_cell(v) for v in r) for r in con.sql(sql).fetchall()]
+    finally:
+        con.close()
+
+
+def _check(spark_df, tables: dict[str, pa.Table], sql: str) -> None:
+    got, want = sorted(_rows(spark_df)), sorted(_duck(tables, sql))
+    assert got == want, f"engine={got}\noracle={want}"
+
+
+def _arrow(rows: list[tuple], cols: list[tuple[str, pa.DataType]]) -> pa.Table:
+    return pa.table(
+        {n: pa.array([r[i] for r in rows], type=t) for i, (n, t) in enumerate(cols)}
+    )
+
+
+I64, STR = pa.int64(), pa.string()
+
+
+# ---------------------------------------------------------------- 1. upsert
+
+
+@FUZZ
+@given(
+    existing=st.dictionaries(KEYS, st.tuples(INTS, TEXT), max_size=8),
+    incoming=st.dictionaries(KEYS, st.tuples(INTS, TEXT), max_size=8),
+)
+def test_fuzz_upsert(spark, existing, incoming):
+    """INSERT..ON CONFLICT DO UPDATE: update-wins incl. incoming NULLs
+    (EXCLUDED.*), stable column keeps existing side when matched."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import upsert
+
+    cols = [("k", I64), ("val", I64), ("note", STR)]
+    e_rows = [(k, v, n) for k, (v, n) in sorted(existing.items())]
+    i_rows = [(k, v, n) for k, (v, n) in sorted(incoming.items())]
+    schema = "k long, val long, note string"
+    out = upsert(
+        spark.createDataFrame(e_rows, schema),
+        spark.createDataFrame(i_rows, schema),
+        "k",
+        update_cols=["val"],
+        stable_cols=["note"],
+    )
+    _check(
+        out,
+        {"e": _arrow(e_rows, cols), "i": _arrow(i_rows, cols)},
+        """
+        SELECT coalesce(i.k, e.k) AS k,
+               CASE WHEN i.k IS NOT NULL THEN i.val ELSE e.val END AS val,
+               CASE WHEN e.k IS NOT NULL THEN e.note ELSE i.note END AS note
+        FROM e FULL OUTER JOIN i ON e.k = i.k
+        """,
+    )
+
+
+# --------------------------------------------- 2/3. CDC fold + SCD2 history
+
+
+@st.composite
+def _cdc_stream(draw):
+    """(key, seq, op, val) with seq globally unique (a valid total order
+    per key) — the operator contract; ties would be nondeterministic in
+    BOTH engines."""
+    events = draw(st.lists(st.tuples(KEYS, OPS, INTS), max_size=14))
+    return [(k, seq, op, v) for seq, (k, op, v) in enumerate(events)]
+
+
+@FUZZ
+@given(changes=_cdc_stream())
+def test_fuzz_apply_changes(spark, changes):
+    from imdb_top_250_etl_pipeline_spark.operators.etl import apply_changes
+
+    cols = [("k", I64), ("seq", I64), ("op", STR), ("val", I64)]
+    out = apply_changes(
+        spark.createDataFrame(changes, "k long, seq long, op string, val long"),
+        "k", "seq", "op", ["val"],
+    )
+    _check(
+        out,
+        {"c": _arrow(changes, cols)},
+        """
+        WITH r AS (
+          SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) rn
+          FROM c
+        )
+        SELECT k, val FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+    )
+
+
+@FUZZ
+@given(changes=_cdc_stream())
+def test_fuzz_scd2_history(spark, changes):
+    """lead() must run BEFORE dropping 'D' rows: a delete's seq closes
+    the predecessor's interval."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import scd2_history
+
+    cols = [("k", I64), ("seq", I64), ("op", STR), ("val", I64)]
+    out = scd2_history(
+        spark.createDataFrame(changes, "k long, seq long, op string, val long"),
+        "k", "seq", "op", ["val"],
+    )
+    _check(
+        out,
+        {"c": _arrow(changes, cols)},
+        """
+        WITH l AS (
+          SELECT *, lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to_v
+          FROM c
+        )
+        SELECT k, val, seq AS valid_from_v, valid_to_v FROM l WHERE op <> 'D'
+        """,
+    )
+
+
+# ---------------------------------------------------------------- 4. set ops
+
+_PAIR_ROWS = st.lists(st.tuples(KEYS, TEXT), max_size=10)
+
+
+@FUZZ
+@given(a=_PAIR_ROWS, b=_PAIR_ROWS)
+def test_fuzz_set_ops(spark, a, b):
+    """All six forms, bag + distinct, incl. NULL-equality semantics
+    (set ops treat NULLs as equal in both engines)."""
+    cols = [("k", I64), ("s", STR)]
+    da = spark.createDataFrame(a, "k long, s string")
+    db = spark.createDataFrame(b, "k long, s string")
+    t = {"a": _arrow(a, cols), "b": _arrow(b, cols)}
+    _check(da.union(db), t, "SELECT * FROM a UNION ALL SELECT * FROM b")
+    _check(da.union(db).distinct(), t, "SELECT * FROM a UNION SELECT * FROM b")
+    _check(da.intersectAll(db), t, "SELECT * FROM a INTERSECT ALL SELECT * FROM b")
+    _check(da.intersect(db), t, "SELECT * FROM a INTERSECT SELECT * FROM b")
+    _check(da.exceptAll(db), t, "SELECT * FROM a EXCEPT ALL SELECT * FROM b")
+    _check(da.subtract(db), t, "SELECT * FROM a EXCEPT SELECT * FROM b")
+
+
+# ------------------------------------------------------- 5. window frames
+
+
+@st.composite
+def _keyed_series(draw, vals=INTS, max_size=14, unique_ts=False):
+    """(k, ts, uid, val): uid globally unique; ts drawn small so ties are
+    COMMON (the interesting case for frames) unless unique_ts."""
+    rows = draw(st.lists(st.tuples(KEYS, st.integers(0, 9), vals), max_size=max_size))
+    out = [(k, ts, uid, v) for uid, (k, ts, v) in enumerate(rows)]
+    if unique_ts:
+        seen: set = set()
+        uniq = []
+        for k, ts, uid, v in out:
+            while (k, ts) in seen:
+                ts += 10
+            seen.add((k, ts))
+            uniq.append((k, ts, uid, v))
+        return uniq
+    return out
+
+
+@FUZZ
+@given(rows=_keyed_series())
+def test_fuzz_window_frames(spark, rows):
+    """ROWS running frame (deterministic tie-break on uid), RANGE frame
+    over tied order keys, rank/dense_rank under ties, lag/lead."""
+    from pyspark.sql import Window as W, functions as F
+
+    cols = [("k", I64), ("ts", I64), ("uid", I64), ("val", I64)]
+    df = spark.createDataFrame(rows, "k long, ts long, uid long, val long")
+    wr = W.partitionBy("k").orderBy("ts", "uid").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wrange = W.partitionBy("k").orderBy("ts").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wo = W.partitionBy("k").orderBy("ts")
+    wlag = W.partitionBy("k").orderBy("ts", "uid")
+    out = df.select(
+        "k", "ts", "uid",
+        F.sum("val").over(wr).alias("run_sum"),
+        F.sum("val").over(wrange).alias("range_sum"),
+        F.rank().over(wo).alias("rnk"),
+        F.dense_rank().over(wo).alias("drnk"),
+        F.lag("val").over(wlag).alias("prev"),
+        F.lead("val").over(wlag).alias("nxt"),
+    )
+    _check(
+        out,
+        {"t": _arrow(rows, cols)},
+        """
+        SELECT k, ts, uid,
+          SUM(val) OVER (PARTITION BY k ORDER BY ts, uid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+          SUM(val) OVER (PARTITION BY k ORDER BY ts
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_sum,
+          rank() OVER (PARTITION BY k ORDER BY ts) AS rnk,
+          dense_rank() OVER (PARTITION BY k ORDER BY ts) AS drnk,
+          lag(val) OVER (PARTITION BY k ORDER BY ts, uid) AS prev,
+          lead(val) OVER (PARTITION BY k ORDER BY ts, uid) AS nxt
+        FROM t
+        """,
+    )
+
+
+# ---------------------------------------------------------- 6. asof join
+
+
+@FUZZ
+@given(
+    left=st.lists(st.tuples(KEYS, st.integers(0, 20), INTS), max_size=10),
+    right=st.dictionaries(
+        st.tuples(KEYS, st.integers(0, 20)), INTS, max_size=10
+    ),
+)
+def test_fuzz_asof_join(spark, left, right):
+    """Backward as-of (greatest right ts <= left ts, INCLUSIVE) vs
+    DuckDB's native ASOF LEFT JOIN — a genuinely independent
+    implementation of the same semantics."""
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import asof_join
+
+    l_rows = [(k, ts, v) for (k, ts, v) in left]
+    r_rows = [(k, ts, p) for (k, ts), p in sorted(right.items())]
+    out = asof_join(
+        spark.createDataFrame(l_rows, "k long, ts long, lval long"),
+        spark.createDataFrame(r_rows, "k long, rts long, payload long"),
+        key="k", left_ts="ts", right_ts="rts", payload_cols=["payload"],
+    )
+    _check(
+        out,
+        {
+            "l": _arrow(l_rows, [("k", I64), ("ts", I64), ("lval", I64)]),
+            "r": _arrow(r_rows, [("k", I64), ("rts", I64), ("payload", I64)]),
+        },
+        """
+        SELECT l.k, l.ts, l.lval, r.rts AS asof_rts, r.payload
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.rts
+        """,
+    )
+
+
+# -------------------------------------------------------- 7. interval join
+
+
+@FUZZ
+@given(
+    points=st.lists(st.tuples(st.integers(0, 30), st.integers(-50, 50)), max_size=10),
+    intervals=st.lists(
+        st.tuples(st.integers(100, 130), st.integers(-50, 50), st.integers(-50, 50)),
+        max_size=8,
+    ),
+    width=st.integers(1, 9),
+)
+def test_fuzz_interval_join(spark, points, intervals, width):
+    """Bucketed range join == plain BETWEEN join for EVERY bucket width:
+    the bucketing must be a pure execution strategy, invisible in the
+    result (incl. negative coordinates and end < start intervals)."""
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import interval_join
+
+    p_rows = [(pid, p) for pid, p in points]
+    iv_rows = [(iid, s, e) for iid, s, e in intervals]
+    out = interval_join(
+        spark.createDataFrame(p_rows, "pid long, p long"),
+        spark.createDataFrame(iv_rows, "iid long, s long, e long"),
+        point_col="p", start_col="s", end_col="e", bucket_width=width,
+    ).select("pid", "p", "iid", "s", "e")
+    _check(
+        out,
+        {
+            "pt": _arrow(p_rows, [("pid", I64), ("p", I64)]),
+            "iv": _arrow(iv_rows, [("iid", I64), ("s", I64), ("e", I64)]),
+        },
+        "SELECT pid, p, iid, s, e FROM pt JOIN iv ON p BETWEEN s AND e",
+    )
+
+
+# -------------------------------------------------------- 8. forward fill
+
+
+@FUZZ
+@given(rows=_keyed_series(unique_ts=True))
+def test_fuzz_forward_fill(spark, rows):
+    """last non-NULL per key ordered by ts; leading NULLs stay NULL.
+    (ts unique per key — the operator orders by ts alone.)"""
+    from imdb_top_250_etl_pipeline_spark.operators.timeseries import forward_fill
+
+    cols = [("k", I64), ("ts", I64), ("uid", I64), ("val", I64)]
+    df = spark.createDataFrame(rows, "k long, ts long, uid long, val long")
+    out = forward_fill(df, key="k", ts="ts", cols=["val"])
+    _check(
+        out,
+        {"t": _arrow(rows, cols)},
+        """
+        SELECT k, ts, uid,
+               last_value(val IGNORE NULLS) OVER (PARTITION BY k ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+        FROM t
+        """,
+    )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -320,12 +320,18 @@ def test_changes_feed_per_commit_and_reconstruction(spark, table):
     assert "op" in empty.columns and "_commit_version" in empty.columns
 
 
-def test_changes_feed_refuses_schema_evolution_inside_range(spark, table):
-    """txn_changes pins the v_from schema for every file read; a
-    schema-evolving commit INSIDE the range would be silently projected
-    through the old schema (new columns dropped from the feed), so the
-    feed refuses — Delta CDF's schema-compatibility check — and the
-    caller reads two ranges split at the boundary."""
+def test_changes_feed_projects_schema_evolution_through_end_schema(
+    spark, table
+):
+    """A schema-evolving commit INSIDE the range is projected through
+    the END-of-range schema (Delta CDF semantics): the evolving
+    commit's own change rows SURVIVE in the feed (the round-8 guard
+    silently excluded them under either suggested split), new columns
+    read as NULL for pre-evolution commits, and applying the full feed
+    onto the v_from snapshot reconstructs the v_to snapshot exactly."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+    )
     from imdb_top_250_etl_pipeline_spark.sources.txn import txn_changes
 
     c = _customers(spark)
@@ -337,7 +343,7 @@ def test_changes_feed_refuses_schema_evolution_inside_range(spark, table):
         stable_cols=["c_name"],
         allow_schema_evolution=True,
     )
-    # a post-evolution commit so the split range (1, 2] is non-empty
+    # a post-evolution commit so the range spans both schemas
     upd2 = txn_read(spark, table).limit(20).withColumn(
         "c_mktsegment", F.lit("MACHINERY")
     )
@@ -346,13 +352,57 @@ def test_changes_feed_refuses_schema_evolution_inside_range(spark, table):
         update_cols=["c_acctbal", "c_mktsegment", "loyalty_tier"],
         stable_cols=["c_name"],
     )
-    with pytest.raises(ValueError, match="schema changed at version 1"):
+    feed = txn_changes(spark, table, 0)
+    assert "loyalty_tier" in feed.columns
+    # the EVOLVING commit's own changes are in the feed — the exact
+    # silent-loss class the old refusal's split advice produced
+    v1 = feed.where(F.col("_commit_version") == 1)
+    assert v1.where(
+        (F.col("op") == "U") & (F.col("loyalty_tier") == "GOLD")
+    ).count() > 0
+    assert feed.where(F.col("_commit_version") == 2).count() > 0
+    # reconstruction across the evolution: v0 (old schema, new column
+    # as NULL) + full feed == v2
+    state = txn_read(spark, table, version=0).withColumn(
+        "loyalty_tier", F.lit(None).cast("string")
+    )
+    for v in (1, 2):
+        chg = feed.where(F.col("_commit_version") == v).drop(
+            "_commit_version"
+        )
+        state = apply_snapshot_cdc(state, chg, ["c_custkey"])
+    final = txn_read(spark, table).select(*state.columns)
+    assert state.exceptAll(final).isEmpty()
+    assert final.exceptAll(state).isEmpty()
+
+
+def test_changes_feed_refuses_merge_key_change_inside_range(spark, table):
+    """Schema evolution projects through the end schema, but a merge-KEY
+    change cannot — the feed's I/U/D classification is keyed on one
+    column — so txn_changes refuses with split guidance that names the
+    evolving version itself as unrepresentable."""
+    import json as _json
+
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        _log_path,
+        txn_changes,
+    )
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    # hand-write a commit whose metaData re-keys the table (no public
+    # API does this; the guard exists for hand-edited / foreign logs)
+    with open(_log_path(table, 0)) as f:
+        schema_json = _json.loads(f.readline())["metaData"]["schema"]
+    with open(_log_path(table, 1), "w") as f:
+        f.write(
+            _json.dumps(
+                {"metaData": {"schema": schema_json, "key": "c_name"}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="merge key changed at version 1"):
         txn_changes(spark, table, 0)
-    # splitting at the boundary works: the second call pins the evolved
-    # schema, so the new column appears in its feed
-    post = txn_changes(spark, table, 1)
-    assert "loyalty_tier" in post.columns
-    assert post.where(F.col("op") == "U").count() > 0
 
 
 def test_optimize_compacts_preserving_content_and_history(spark, table):

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -78,8 +79,13 @@ def main() -> None:
             f"[{tag}] {name} {round(time.perf_counter() - t0, 1)}s\n"
         )
 
+    # record the ACTUAL scale swept — round-8 hardcoded 1.0, so sf0.1
+    # sweep artifacts self-described as sf 1.0 with the filename as the
+    # only true record
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
     out = {
-        "sf": 1.0,
+        "sf": float(m.group(1).rstrip(".")) if m else -1.0,
+        "sf_dir": SF_DIR,
         "oracle": oracle_res,
         "rows_only": rows_only,
         "all_hash_green": all(r.get("hash_match") for r in oracle_res.values()),

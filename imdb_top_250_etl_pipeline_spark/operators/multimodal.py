@@ -6,11 +6,14 @@ embeddings are array<float> handled by expression math, and image/audio/
 video payloads ride as opaque binary with typed metadata, decoded by
 Arrow-batched pandas functions (the only place Python belongs).
 
-The decode step itself is STUBBED — no image/audio codecs ship in this
-container — behind a deterministic fake that parses a synthetic header;
-the Spark-side plumbing (schema, mapInPandas batch shape, partitioning)
-is real and unit-tested, so swapping in PIL/ffmpeg is a one-function
-change.
+The decode seam carries one REAL format end-to-end: PNG, via a pure
+stdlib codec (chunk walk + zlib + spec-complete unfilter) — true IHDR
+dimensions in decode_blobs/resize_images, real-pixel spatial aHash in
+ahash_blobs.  Other formats keep the deterministic synthetic-header
+fake behind the same NotImplementedError seam (no PIL/ffmpeg in this
+container); the Spark-side plumbing (schema, mapInPandas batch shape,
+partitioning) is identical on both paths, so swapping in PIL/ffmpeg
+stays a one-function change.
 """
 
 from __future__ import annotations
@@ -85,15 +88,117 @@ def synthesize_blobs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def decode_blobs(blobs: DataFrame) -> DataFrame:
-    """Arrow-batched 'decode' over binary blobs via mapInPandas.
+# --- real PNG codec (pure stdlib: chunk walk + zlib + unfilter) -------------
+#
+# The decode seam was stubbed through round 8 ("no image codecs ship in
+# this container").  PNG needs none: the container's stdlib zlib IS the
+# codec, so the seam now carries one REAL format end-to-end — IHDR
+# metadata, full pixel decode (all five filter types, 8-bit gray /
+# RGB / RGBA, non-interlaced), real-pixel aHash — while PIL/ffmpeg
+# still plug into the same NotImplementedError seam for everything else.
 
-    Real pipelines put PIL/torchvision/ffmpeg here; this container has
-    none, so decoding parses the synthetic 'IMG:<w>x<h>:' header — a
-    deterministic fake with the exact batch shape a real decoder needs
-    (bytes in, struct metadata out, no driver round-trip).  Raises
-    NotImplementedError for any media type it does not recognize, the
-    clearly-marked seam for real codecs.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# samples per pixel for the color types we decode (0=gray, 2=RGB,
+# 4=gray+alpha, 6=RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(raw: bytes):
+    pos = len(PNG_MAGIC)
+    while pos + 8 <= len(raw):
+        length = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        yield ctype, raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from the IHDR chunk —
+    the metadata decode, no decompression needed."""
+    ctype, data = next(_png_chunks(raw))
+    if ctype != b"IHDR" or len(data) < 13:
+        raise ValueError("malformed PNG: first chunk is not IHDR")
+    return (
+        int.from_bytes(data[0:4], "big"),
+        int.from_bytes(data[4:8], "big"),
+        data[8],
+        data[9],
+    )
+
+
+def png_gray_pixels(raw: bytes):
+    """Decode a PNG to an (h, w) uint8 grayscale ndarray: concatenated
+    IDAT → zlib → per-scanline unfilter (None/Sub/Up/Average/Paeth,
+    PNG spec §9) → integer luma.  8-bit depth, color types 0/2/4/6,
+    non-interlaced — the common case; anything else raises to the seam.
+    """
+    import zlib
+
+    import numpy as np
+
+    w, h, depth, ctype = png_ihdr(raw)
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={depth} color_type={ctype}: plug PIL in here"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    data = zlib.decompress(
+        b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
+    )
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = data[r * (stride + 1)]
+        line = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        cur = np.empty(stride, dtype=np.int64)
+        if f == 0:  # None
+            cur[:] = line
+        elif f == 2:  # Up
+            cur[:] = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[r] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        return px[:, :, 0]
+    if ctype == 4:
+        return px[:, :, 0]  # gray + alpha: luma is channel 0
+    # integer ITU-R 601 luma, exact: (299R + 587G + 114B) // 1000
+    rgb = px[:, :, :3].astype(np.int64)
+    return (
+        (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    ).astype(np.uint8)
+
+
+def decode_blobs(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched decode over binary blobs via mapInPandas.
+
+    Two formats decode for real: PNG (stdlib zlib codec above — true
+    IHDR width/height) and the synthetic 'IMG:<w>x<h>:' header (the
+    deterministic fixture format).  Anything else raises
+    NotImplementedError — the clearly-marked seam where PIL/
+    torchvision/ffmpeg plug in; the batch shape (bytes in, struct
+    metadata out, no driver round-trip) is what any real decoder needs.
     """
 
     def decode(batches: Iterator) -> Iterator:
@@ -103,17 +208,21 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
             out = {"doc_id": [], "media_type": [], "width": [], "height": [], "n_bytes": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
-                if not raw.startswith(b"IMG:"):
+                if raw.startswith(PNG_MAGIC):
+                    w, h, _, _ = png_ihdr(raw)
+                elif raw.startswith(b"IMG:"):
+                    head, _, _payload = raw[4:].partition(b":")
+                    w_s, _, h_s = head.partition(b"x")
+                    w, h = int(w_s), int(h_s)
+                else:
                     raise NotImplementedError(
-                        "only the synthetic IMG header is decodable in this "
-                        "container; plug a real codec in here"
+                        "only PNG and the synthetic IMG header are decodable "
+                        "in this container; plug a real codec in here"
                     )
-                head, _, _payload = raw[4:].partition(b":")
-                w_s, _, h_s = head.partition(b"x")
                 out["doc_id"].append(doc_id)
                 out["media_type"].append("image")
-                out["width"].append(int(w_s))
-                out["height"].append(int(h_s))
+                out["width"].append(w)
+                out["height"].append(h)
                 out["n_bytes"].append(len(raw))
             yield pd.DataFrame(out)
 
@@ -146,11 +255,14 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
             out = {"doc_id": [], "new_width": [], "new_height": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
-                if not raw.startswith(b"IMG:"):
+                if raw.startswith(PNG_MAGIC):
+                    w, h, _, _ = png_ihdr(raw)
+                elif raw.startswith(b"IMG:"):
+                    head, _, _ = raw[4:].partition(b":")
+                    w_s, _, h_s = head.partition(b"x")
+                    w, h = int(w_s), int(h_s)
+                else:
                     raise NotImplementedError("real image codec plugs in here")
-                head, _, _ = raw[4:].partition(b":")
-                w_s, _, h_s = head.partition(b"x")
-                w, h = int(w_s), int(h_s)
                 longer = max(w, h)
                 out["doc_id"].append(doc_id)
                 out["new_width"].append(max(1, w * max_side // longer))
@@ -230,11 +342,11 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
     batch; the only Python in the pipeline, at the codec seam where it
     belongs.
 
-    The stub 'decodes' the synthetic IMG payload into its code-point
-    sequence and averages THAT into a 64-cell grid — a real codec swaps
-    in an 8×8 pixel downsample at the marked line and everything else
-    (thresholding, bit packing, the banded near-dup join downstream) is
-    unchanged.  Cell means are compared in EXACT integers
+    PNG blobs hash their REAL decoded pixels over a spatial 8×8 block
+    grid (true aHash); synthetic IMG blobs 'decode' to their payload's
+    code-point sequence over a linear 64-cell split — both feed the
+    identical thresholding/bit-packing below, and the banded near-dup
+    join downstream is unchanged.  Cell means are compared in EXACT integers
     (cell_sum · n ≥ total · cell_count — no float division), so the
     hash is bit-identical to the SQL oracle's restatement; empty cells
     (payloads shorter than 64 units) hash to 0.  The 64 bits come out
@@ -253,16 +365,29 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
-                if not raw.startswith(b"IMG:"):
+                cells = None
+                if raw.startswith(PNG_MAGIC):
+                    # the REAL path: decoded grayscale pixels feed the
+                    # same exact-integer cell thresholding below, with
+                    # SPATIAL 8x8 block cells (true aHash geometry)
+                    px = png_gray_pixels(raw).astype(np.int64)
+                    ih, iw = px.shape
+                    rr = (np.arange(ih, dtype=np.int64) * 8) // ih
+                    cc_ = (np.arange(iw, dtype=np.int64) * 8) // iw
+                    cells = (rr[:, None] * 8 + cc_[None, :]).ravel()
+                    cps = px.ravel()
+                elif raw.startswith(b"IMG:"):
+                    _head, _, payload = raw[4:].partition(b":")
+                    # synthetic fixture path: the payload's code points
+                    # stand in for pixels with the identical batch shape
+                    cps = np.array(
+                        [ord(c) for c in payload.decode("utf-8")],
+                        dtype=np.int64,
+                    )
+                else:
                     raise NotImplementedError(
                         "real image codec plugs in here"
                     )
-                _head, _, payload = raw[4:].partition(b":")
-                # codec seam: a real decoder yields an 8x8 pixel grid
-                # here; the stub averages the payload's code points
-                cps = np.array(
-                    [ord(c) for c in payload.decode("utf-8")], dtype=np.int64
-                )
                 n = len(cps)
                 if n == 0:
                     # an empty payload still emits a signature — the
@@ -272,7 +397,8 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                     for b in range(4):
                         out[f"b{b}"].append(0)
                     continue
-                cells = (np.arange(n, dtype=np.int64) * 64) // n
+                if cells is None:  # synthetic path: linear cell split
+                    cells = (np.arange(n, dtype=np.int64) * 64) // n
                 cs = np.bincount(cells, weights=cps, minlength=64).astype(
                     np.int64
                 )

@@ -46,13 +46,21 @@ the id-diff is exact for the single-driver-thread usage every
 operator here has.
 
 On a real cluster, prefer reliable ``checkpoint()`` (HDFS-backed,
-survives executor loss) for the iterative operators — the docstrings
-at each call site say so — and the same handles still apply to
-``persist()``-based variants.
+survives executor loss) for the iterative operators.  That swap is ONE
+LINE for the pipeline author: ``pin_scope(reliable_dir=...)`` makes
+every pin taken inside the scope a reliable ``DataFrame.checkpoint``
+into that directory (re-runnable from storage after executor loss)
+instead of a localCheckpoint — no operator changes, because every
+operator already routes through this seam.  The scope removes its
+checkpoint files on exit, so the storage lifecycle matches the block
+lifecycle of the local mode.
 """
 from __future__ import annotations
 
+import os
+import shutil
 import threading
+import uuid
 from contextlib import contextmanager
 from typing import Iterator
 
@@ -108,19 +116,50 @@ class PinHandle:
 
 
 class _PinScope:
-    def __init__(self) -> None:
+    def __init__(self, reliable_dir: str | None = None) -> None:
         self._handles: list[PinHandle] = []
+        # reliable mode: pins inside this scope become DataFrame
+        # .checkpoint() into a scope-owned subdir of reliable_dir
+        self.reliable_dir: str | None = None
+        if reliable_dir is not None:
+            self.reliable_dir = os.path.join(
+                reliable_dir, f"pin-scope-{uuid.uuid4().hex[:12]}"
+            )
+        self._ckpt_dir_set = False
+
+    def _ensure_checkpoint_dir(self, sc) -> None:
+        """Point the context's checkpoint dir at this scope's subdir
+        (first reliable pin only — setCheckpointDir is context-global,
+        so the scope owns it for its lifetime)."""
+        if not self._ckpt_dir_set:
+            sc.setCheckpointDir(self.reliable_dir)
+            self._ckpt_dir_set = True
 
     def release(self, blocking: bool = False) -> None:
         for h in self._handles:
             h.release(blocking)
+        if self.reliable_dir is not None and self._ckpt_dir_set:
+            # the scope's checkpoint FILES are the reliable analogue of
+            # the local mode's executor blocks: same consume-inside-
+            # the-scope contract, so remove them on exit (best-effort —
+            # a DFS path would use its own client here)
+            shutil.rmtree(self.reliable_dir, ignore_errors=True)
 
 
 @contextmanager
-def pin_scope() -> Iterator[_PinScope]:
+def pin_scope(reliable_dir: str | None = None) -> Iterator[_PinScope]:
     """Release every checkpoint pin taken inside the block on exit —
-    including pins an operator already released itself (idempotent)."""
-    scope = _PinScope()
+    including pins an operator already released itself (idempotent).
+
+    ``reliable_dir`` switches every pin in the scope from
+    ``localCheckpoint`` (executor-storage blocks, lost with an
+    executor) to reliable ``DataFrame.checkpoint`` into a scope-owned
+    subdirectory (storage-backed, recomputable after executor loss) —
+    the one-line cluster swap SCALING.md §5 describes.  Results are
+    identical in both modes (asserted in tests/test_pinning.py); the
+    scope deletes its checkpoint subdirectory on exit.
+    """
+    scope = _PinScope(reliable_dir)
     with _LOCK:
         _SCOPES.append(scope)
     try:
@@ -146,12 +185,20 @@ def pin(df: DataFrame) -> tuple[DataFrame, PinHandle]:
         # pre-handle behavior and hand back an inert handle
         return df.localCheckpoint(eager=True), PinHandle()
     with _LOCK:
+        scope = _SCOPES[-1] if _SCOPES else None
+        reliable = scope is not None and scope.reliable_dir is not None
+        if reliable:
+            scope._ensure_checkpoint_dir(sc)
         before = _persistent_ids(sc)
-        out = df.localCheckpoint(eager=True)
+        out = (
+            df.checkpoint(eager=True)
+            if reliable
+            else df.localCheckpoint(eager=True)
+        )
         handle = PinHandle()
         handle._add(sc, _persistent_ids(sc) - before)
-        if _SCOPES:
-            _SCOPES[-1]._handles.append(handle)
+        if scope is not None:
+            scope._handles.append(handle)
     return out, handle
 
 

@@ -10,7 +10,7 @@ the engine operator and an independently-written DuckDB query agree
 exactly (order-insensitive multiset of normalized rows, same
 normalization as the driver-contract harness).
 
-Eight operator families (verdict round-8 asked for >= 5):
+Ten operator families (verdict round-8 asked for >= 5):
   upsert / apply_changes / scd2_history (operators/etl.py),
   set ops (union/intersect/except, bag + distinct forms),
   window frames (ROWS + RANGE, rank/lag under ties),
@@ -18,7 +18,15 @@ Eight operator families (verdict round-8 asked for >= 5):
   implementation, not our construction restated),
   interval_join (bucketed range join vs plain BETWEEN, with the
   bucket width ITSELF fuzzed),
-  forward_fill (last_value IGNORE NULLS).
+  forward_fill (last_value IGNORE NULLS),
+  the join family (inner/left/right/full/semi/anti/null-safe over
+  nullable duplicate keys),
+  groupBy aggregates + ROLLUP (where the empty-input fuzz immediately
+  found a REAL cross-engine divergence — see test_fuzz_groupby_rollup).
+
+A sibling model-based fuzz for the transaction log (random
+merge/append/optimize/restore programs vs a dict model) lives in
+tests/test_txn.py::test_fuzz_txn_log_vs_model.
 
 Deterministic in CI: ``derandomize=True`` derives the example stream
 from the test body, so runs are reproducible without a seed file.
@@ -359,3 +367,110 @@ def test_fuzz_forward_fill(spark, rows):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ------------------------------------------------------------- 9. joins
+
+
+@FUZZ
+@given(a=_PAIR_ROWS, b=_PAIR_ROWS)
+def test_fuzz_join_family(spark, a, b):
+    """inner/left/right/full/semi/anti on a NULLABLE key (NULL never
+    equi-matches) plus the null-safe form (<=> / IS NOT DISTINCT FROM,
+    where NULL == NULL) — duplicate keys multiply rows identically in
+    both engines."""
+    rows_a = [(k if s is None or len(s) % 3 else None, s) for k, s in a]
+    rows_b = [(k, s) for k, s in b]
+    cols = [("k", I64), ("s", STR)]
+    da = spark.createDataFrame(rows_a, "k long, s string")
+    db = spark.createDataFrame(rows_b, "k long, s string").toDF("k2", "s2")
+    t = {
+        "a": _arrow(rows_a, cols),
+        "b": _arrow(rows_b, [("k2", I64), ("s2", STR)]),
+    }
+    for how, sql_join in [
+        ("inner", "JOIN"),
+        ("left", "LEFT JOIN"),
+        ("right", "RIGHT JOIN"),
+        ("full", "FULL JOIN"),
+    ]:
+        _check(
+            da.join(db, da.k == db.k2, how).select("k", "s", "k2", "s2"),
+            t,
+            f"SELECT k, s, k2, s2 FROM a {sql_join} b ON a.k = b.k2",
+        )
+    _check(
+        da.join(db, da.k == db.k2, "semi"),
+        t,
+        "SELECT k, s FROM a WHERE EXISTS (SELECT 1 FROM b WHERE a.k = b.k2)",
+    )
+    _check(
+        da.join(db, da.k == db.k2, "anti"),
+        t,
+        "SELECT k, s FROM a WHERE NOT EXISTS "
+        "(SELECT 1 FROM b WHERE a.k = b.k2)",
+    )
+    _check(
+        da.join(db, da.k.eqNullSafe(db.k2), "inner").select(
+            "k", "s", "k2", "s2"
+        ),
+        t,
+        "SELECT k, s, k2, s2 FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2",
+    )
+
+
+# -------------------------------------------------------- 10. aggregates
+
+
+@FUZZ
+@given(rows=st.lists(st.tuples(st.one_of(st.none(), KEYS), INTS), max_size=14))
+def test_fuzz_groupby_rollup(spark, rows):
+    """groupBy aggregates over a NULLABLE grouping key (NULL is a real
+    group), null-skipping SUM/MIN/MAX/AVG-as-exact, count(*) vs
+    count(col) vs count(distinct col), and ROLLUP with the grouping
+    marker (NULL key group vs rollup-total row disambiguated by
+    GROUPING()) — all exact integers, no float drift."""
+    from pyspark.sql import functions as F
+
+    cols = [("k", I64), ("v", I64)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    t = {"t": _arrow(rows, cols)}
+    _check(
+        df.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.count("v").alias("nv"),
+            F.countDistinct("v").alias("ndv"),
+            F.sum("v").alias("sv"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ),
+        t,
+        """
+        SELECT k, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(v) AS BIGINT) AS nv,
+               CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+               sum(v) AS sv, min(v) AS mn, max(v) AS mx
+        FROM t GROUP BY k
+        """,
+    )
+    rollup_sql = """
+        SELECT k, CAST(GROUPING(k) AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n, sum(v) AS sv
+        FROM t GROUP BY ROLLUP(k)
+        """
+    rollup_df = df.rollup("k").agg(
+        F.grouping("k").cast("long").alias("g"),
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+    )
+    if not rows:
+        # KNOWN ENGINE DIVERGENCE, found by this fuzz on 2026-08-15:
+        # over EMPTY input, SQL-standard ROLLUP still emits the ()
+        # grouping set's grand-total row (DuckDB and Postgres do);
+        # Spark emits zero rows (both the DataFrame rollup() and
+        # spark.sql GROUP BY ROLLUP).  Upstream Spark semantics, not
+        # engine code — pinned here so the divergence stays visible.
+        assert _rows(rollup_df) == []
+        assert len(_duck(t, rollup_sql)) == 1
+    else:
+        _check(rollup_df, t, rollup_sql)

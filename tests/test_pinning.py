@@ -146,3 +146,75 @@ def test_kmeans_refine_frees_previous_centroids(spark):
         # only the LAST round's centroid pin may be live
         assert len(_ids(spark) - base) <= 1
     assert _ids(spark) - base == set()
+
+
+def test_pin_scope_reliable_checkpoint_identical_results_and_cleanup(
+    spark, tmp_path
+):
+    """SCALING.md §5's one-line cluster swap, under test: the SAME
+    iterative operator run under pin_scope(reliable_dir=...) uses
+    storage-backed DataFrame.checkpoint (survives executor loss) and
+    produces IDENTICAL results to the localCheckpoint mode; checkpoint
+    files demonstrably exist while the scope is live and the scope's
+    subdirectory is removed on exit."""
+    import os
+
+    from imdb_top_250_etl_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)] + [(0, 25), (10, 30)],
+        "src long, dst long",
+    )
+    with pin_scope():
+        local_ranks = {
+            r.node: r.rank
+            for r in pagerank(
+                edges, n_iter=9, checkpoint_every=2, n_partitions=4
+            ).collect()
+        }
+
+    root = str(tmp_path / "ckpt")
+    base = _ids(spark)
+    with pin_scope(reliable_dir=root) as scope:
+        reliable = pagerank(
+            edges, n_iter=9, checkpoint_every=2, n_partitions=4
+        )
+        reliable_ranks = {r.node: r.rank for r in reliable.collect()}
+        # reliable checkpoints are FILES under the scope's subdir
+        assert scope.reliable_dir is not None
+        assert scope.reliable_dir.startswith(root)
+        rdd_dirs = [
+            d
+            for _, dirs, _ in os.walk(scope.reliable_dir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert rdd_dirs, "no reliable checkpoint data written"
+    # identical answers, same iteration count, both modes (ulp-level
+    # tolerance: double-sum reduce order varies RUN to run, not mode to
+    # mode — two local-mode runs differ the same way)
+    assert set(reliable_ranks) == set(local_ranks)
+    for node, rank in local_ranks.items():
+        assert abs(reliable_ranks[node] - rank) < 1e-12
+    # storage lifecycle matches the block lifecycle: subdir gone,
+    # nothing left persisted
+    assert not os.path.exists(scope.reliable_dir)
+    assert _ids(spark) - base == set()
+
+
+def test_pin_scope_reliable_mode_is_scoped(spark, tmp_path):
+    """Pins taken OUTSIDE a reliable scope stay localCheckpoint: the
+    mode is a property of the scope, not a global switch."""
+    import os
+
+    root = str(tmp_path / "ckpt2")
+    with pin_scope(reliable_dir=root) as scope:
+        df, _ = pin(spark.range(100))
+        assert df.count() == 100
+        assert os.path.isdir(scope.reliable_dir)
+    assert not os.path.exists(scope.reliable_dir)
+    # outside any scope: no checkpoint files are created anywhere new
+    df2, handle = pin(spark.range(50))
+    assert df2.count() == 50
+    assert not os.path.exists(scope.reliable_dir)
+    handle.release()

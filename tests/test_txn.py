@@ -834,3 +834,257 @@ def test_write_audit_publish_composition(spark, table, tmp_path):
     good = c.limit(4).withColumn("c_custkey", F.col("c_custkey") + 100000)
     assert wap(good) is True
     assert txn_read(spark, table).count() == len(src_rows) + 4
+
+
+def test_concurrent_writers_serializable_no_lost_updates(spark, table):
+    """OCC under REAL contention: 7 threads (4 MERGE writers on
+    interleaved key slices with external retry-on-conflict, 2 append
+    writers, 1 OPTIMIZE loop) race on one table.  Afterward the history
+    must be a gap-free serial order of atomic commits, every writer's
+    LAST write must be visible (no lost updates — the re-diff-and-retry
+    path under contention), every appended key present exactly once,
+    and the change feed must reconstruct the final state from v0."""
+    import threading
+
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_append,
+        txn_changes,
+        txn_optimize,
+    )
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("val"),
+        F.lit("init").alias("writer"),
+    )
+    txn_create(base, table, key="k", range_partitions=4)
+
+    errors: list = []
+    N_ITER = 2
+
+    def merge_writer(i: int) -> None:
+        try:
+            for it in range(1, N_ITER + 1):
+                upd = spark.range(200).where(F.col("id") % 4 == i).select(
+                    F.col("id").alias("k"),
+                    F.lit(it * 100 + i).cast("long").alias("val"),
+                    F.lit(f"w{i}").alias("writer"),
+                )
+                while True:  # the OCC contract: caller re-merges on conflict
+                    try:
+                        txn_merge(
+                            spark, table, upd,
+                            update_cols=["val", "writer"], stable_cols=[],
+                        )
+                        break
+                    except TxnConflictError:
+                        continue
+        except Exception as e:  # pragma: no cover - surfaced in assert
+            errors.append(e)
+
+    def append_writer(i: int) -> None:
+        try:
+            for b in range(N_ITER):
+                rows = spark.range(10).select(
+                    (F.lit(1000 + i * 100 + b * 10) + F.col("id")).alias("k"),
+                    F.lit(-1).cast("long").alias("val"),
+                    F.lit(f"a{i}").alias("writer"),
+                )
+                txn_append(rows, table, key="k")  # retries internally
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def optimizer() -> None:
+        try:
+            for _ in range(2):
+                while True:
+                    try:
+                        txn_optimize(spark, table, target_files=2)
+                        break
+                    except TxnConflictError:
+                        continue
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = (
+        [threading.Thread(target=merge_writer, args=(i,)) for i in range(4)]
+        + [threading.Thread(target=append_writer, args=(i,)) for i in range(2)]
+        + [threading.Thread(target=optimizer)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads)
+
+    # serializable, gap-free history: one commit per version 0..head
+    head = latest_version(table)
+    assert [h["version"] for h in txn_history(table)] == list(range(head + 1))
+    # expected commit count: 4 mergers x2 + 2 appenders x2 + up to 2
+    # optimizes (an optimize may no-op to -1), + create
+    assert 13 <= head + 1 <= 15
+
+    final = txn_read(spark, table)
+    # no lost updates: every merge slice shows its writer's LAST value
+    for i in range(4):
+        slice_rows = final.where(
+            (F.col("k") < 200) & (F.col("k") % 4 == i)
+        )
+        assert slice_rows.where(
+            (F.col("val") != N_ITER * 100 + i) | (F.col("writer") != f"w{i}")
+        ).isEmpty(), f"lost update in merge slice {i}"
+    # every appended key exactly once
+    appended = final.where(F.col("k") >= 1000)
+    assert appended.count() == 2 * N_ITER * 10
+    assert appended.select("k").distinct().count() == 2 * N_ITER * 10
+    assert final.count() == 200 + 2 * N_ITER * 10
+
+    # the change feed reconstructs the contended history exactly
+    state = txn_read(spark, table, version=0)
+    feed = txn_changes(spark, table, 0)
+    for v in range(1, head + 1):
+        chg = feed.where(F.col("_commit_version") == v).drop("_commit_version")
+        state = apply_snapshot_cdc(state, chg, ["k"])
+    assert state.exceptAll(final).isEmpty()
+    assert final.exceptAll(state).isEmpty()
+
+    # snapshot isolation: every intermediate version still scans, and
+    # row counts never decrease (merges update, appends add, optimize
+    # preserves)
+    prev = -1
+    for v in range(head + 1):
+        n = txn_read(spark, table, version=v).count()
+        assert n >= prev
+        prev = n
+
+
+# --------------------------------------------------------------- fuzzing
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _txn_ops(draw):
+    """A random program over the table: merge (random key slice, random
+    value), append (fresh keys), optimize, restore (to a random earlier
+    version).  Restores reference versions by INDEX into whatever
+    history exists at run time."""
+    n = draw(st.integers(1, 6))
+    ops = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["merge", "merge", "append", "optimize", "restore"]))
+        if kind == "merge":
+            ops.append(
+                (
+                    "merge",
+                    draw(st.integers(2, 5)),    # modulus: key slice k % m == r
+                    draw(st.integers(0, 4)),    # remainder
+                    draw(st.integers(-999, 999)),  # value to write
+                )
+            )
+        elif kind == "restore":
+            ops.append(("restore", draw(st.integers(0, 10))))  # index, clamped
+        else:
+            ops.append((kind,))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_txn_ops())
+def test_fuzz_txn_log_vs_model(spark, tmp_path, ops):
+    """Model-based fuzz of the transaction log: a random program of
+    MERGE / append / OPTIMIZE / RESTORE runs against both the real
+    table and a pure-Python dict model with the same semantics.  After
+    the program: final state == model, EVERY recorded version time
+    travels to its model snapshot, and the change feed replays v0 to
+    the final state — across restores and compactions."""
+    import uuid as _uuid
+
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_append,
+        txn_changes,
+        txn_optimize,
+        txn_restore,
+    )
+
+    table = str(tmp_path / f"fuzz-{_uuid.uuid4().hex[:8]}")
+
+    def mk_df(rows):
+        return spark.createDataFrame(rows, "k long, val long, writer string")
+
+    model: dict[int, tuple[int, str]] = {k: (0, "init") for k in range(30)}
+    txn_create(
+        mk_df([(k, v, w) for k, (v, w) in model.items()]),
+        table, key="k", range_partitions=3,
+    )
+    history: list[dict] = [dict(model)]  # model snapshot per version
+    next_key = 1000
+
+    for op in ops:
+        if op[0] == "merge":
+            _, m, r, val = op
+            upd = {k: (val, f"m{m}r{r}") for k in list(model) if k % m == r}
+            if not upd:
+                continue  # empty MERGE input is refused by design
+            txn_merge(
+                spark, table,
+                mk_df([(k, v, w) for k, (v, w) in upd.items()]),
+                update_cols=["val", "writer"], stable_cols=[],
+            )
+            model.update(upd)
+            history.append(dict(model))
+        elif op[0] == "append":
+            rows = {next_key + i: (-1, "app") for i in range(5)}
+            next_key += 5
+            txn_append(
+                mk_df([(k, v, w) for k, (v, w) in rows.items()]),
+                table, key="k",
+            )
+            model.update(rows)
+            history.append(dict(model))
+        elif op[0] == "optimize":
+            if txn_optimize(spark, table, target_files=2) >= 0:
+                history.append(dict(model))  # content unchanged
+        elif op[0] == "restore":
+            idx = op[1] % len(history)
+            if history[idx] == model:
+                continue  # no-op restore commits nothing in the model
+            txn_restore(table, idx)
+            model = dict(history[idx])
+            history.append(dict(model))
+
+    def as_set(df):
+        return {(r.k, r.val, r.writer) for r in df.collect()}
+
+    want = {(k, v, w) for k, (v, w) in model.items()}
+    assert as_set(txn_read(spark, table)) == want
+
+    # time travel: every version reproduces its model snapshot
+    assert latest_version(table) == len(history) - 1
+    for v, snap in enumerate(history):
+        assert as_set(txn_read(spark, table, version=v)) == {
+            (k, val, w) for k, (val, w) in snap.items()
+        }, f"time travel to v{v} diverged"
+
+    # change feed replays the whole program
+    state = txn_read(spark, table, version=0)
+    feed = txn_changes(spark, table, 0)
+    for v in range(1, len(history)):
+        state = apply_snapshot_cdc(
+            state,
+            feed.where(F.col("_commit_version") == v).drop("_commit_version"),
+            ["k"],
+        )
+    assert as_set(state) == want

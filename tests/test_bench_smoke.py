@@ -19,6 +19,9 @@ import pytest
 
 from imdb_top_250_etl_pipeline_spark.plans import lookup
 
+# stress/perf tier: excluded from the default run (see conftest)
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.01"
 _BASELINE = json.loads(
     (pathlib.Path(__file__).resolve().parent.parent / "bench_baseline.json").read_text()

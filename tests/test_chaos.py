@@ -25,6 +25,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# stress tier: excluded from the default run (see conftest)
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = """

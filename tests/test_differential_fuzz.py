@@ -41,10 +41,12 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from .oracle_harness import _norm_cell
 
-# one shared profile: tiny tables, modest example counts (every example
-# pays a Spark job), no deadline (co-tenant machine), deterministic
+# one shared profile: tiny tables, no deadline (co-tenant machine),
+# deterministic.  Example COUNT comes from the conftest-registered
+# hypothesis profile: 5 per property by default, 15 under --slow
+# (every example pays several Spark jobs; derandomize makes the quick
+# tier an exact prefix of the full tier's example stream).
 FUZZ = settings(
-    max_examples=15,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],

@@ -18,7 +18,19 @@ ORACLE_QUERIES = sorted(n for n, q in ALL.items() if q.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in ALL.items() if q.oracle is None)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def _tiered(names):
+    """Driver-facing queries run in the DEFAULT tier (they are the
+    correctness gate); SUBSUMED constituents run in the --slow tier —
+    each battery's order-insensitive hash already verifies every
+    constituent's full row multiset, so the per-constituent re-check
+    only LOCALIZES a battery failure to one branch."""
+    return [
+        n if n in QUERIES else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _tiered(ORACLE_QUERIES))
 def test_oracle_parity(spark, duck, name):
     q = ALL[name]
     df = q.fn(spark, SF_CORRECT)
@@ -30,7 +42,7 @@ def test_oracle_parity(spark, duck, name):
         )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY_QUERIES))
 def test_rows_only_runs(spark, name):
     q = ALL[name]
     df = q.fn(spark, SF_CORRECT)

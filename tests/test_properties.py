@@ -8,6 +8,7 @@ Python reference model, covering shapes the fixtures never produce
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -271,6 +272,7 @@ def test_upsample_matches_reference_model(spark, rows):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # extremes stress; the normal path is oracle-checked
 def test_segment_dedup_threshold_extremes(spark, docs):
     from imdb_top_250_etl_pipeline_spark.operators.text import (
         drop_frequent_segments,

@@ -836,6 +836,7 @@ def test_write_audit_publish_composition(spark, table, tmp_path):
     assert txn_read(spark, table).count() == len(src_rows) + 4
 
 
+@pytest.mark.slow  # stress tier (see conftest)
 def test_concurrent_writers_serializable_no_lost_updates(spark, table):
     """OCC under REAL contention: 7 threads (4 MERGE writers on
     interleaved key slices with external retry-on-conflict, 2 append
@@ -1000,6 +1001,7 @@ def _txn_ops(draw):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(ops=_txn_ops())
+@pytest.mark.slow  # stress tier (see conftest)
 def test_fuzz_txn_log_vs_model(spark, tmp_path, ops):
     """Model-based fuzz of the transaction log: a random program of
     MERGE / append / OPTIMIZE / RESTORE runs against both the real

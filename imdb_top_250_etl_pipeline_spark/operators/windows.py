@@ -145,20 +145,29 @@ def distributed_cumsum(
     )
     off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     # partition-less window over ONE ROW PER PARTITION — bounded by the
-    # partition count, never by data volume (the with_surrogate_key rule)
+    # partition count, never by data volume (the with_surrogate_key rule).
+    # The offset stays NULL (not 0) when no earlier partition holds a
+    # non-NULL value: SQL's running SUM is NULL only while the WHOLE
+    # prefix is NULL, and an all-NULL partition must not poison later
+    # partitions' sums (round-9 differential-fuzz find — offset+NULL
+    # local sum returned NULL where SQL says the offset).
     offsets = totals.select(
         "_pid",
         *[
-            F.coalesce(F.sum(f"_n{i}").over(off_w), F.lit(0)).alias(
-                f"_offset{i}"
-            )
+            F.sum(f"_n{i}").over(off_w).alias(f"_offset{i}")
             for i in range(len(vcols))
         ],
     )
     out = local.join(F.broadcast(offsets), "_pid")
     for i, name in enumerate(outs):
+        off, loc = F.col(f"_offset{i}"), F.col(f"_local_sum{i}")
         out = out.withColumn(
-            name, F.col(f"_offset{i}") + F.col(f"_local_sum{i}")
+            name,
+            F.when(
+                off.isNull() & loc.isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(off, F.lit(0)) + F.coalesce(loc, F.lit(0))
+            ),
         )
     return out.drop(
         "_pid",
@@ -198,7 +207,12 @@ def grouped_cumsum(
     )
     local = parted.withColumn("_local_sum", F.sum(value_col).over(cell))
     # one row per (partition, group) cell — tiny; the cumulative sum of
-    # all EARLIER partitions' cells for the same group is the offset
+    # all EARLIER partitions' cells for the same group is the offset.
+    # NULL handling mirrors distributed_cumsum: the running SUM is NULL
+    # only while the group's WHOLE prefix is NULL, so the offset stays
+    # NULL (not 0) until an earlier partition holds a non-NULL value
+    # and an all-NULL local prefix must not poison offset+local
+    # (round-9 differential-fuzz find).
     totals = local.groupBy("_pid", *group_cols).agg(
         F.sum(value_col).alias("_n")
     )
@@ -210,11 +224,17 @@ def grouped_cumsum(
     offsets = totals.select(
         "_pid",
         *group_cols,
-        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset"),
+        F.sum("_n").over(off_w).alias("_offset"),
     )
+    off, loc = F.col("_offset"), F.col("_local_sum")
     return (
         local.join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn(out_col, F.col("_offset") + F.col("_local_sum"))
+        .withColumn(
+            out_col,
+            F.when(off.isNull() & loc.isNull(), F.lit(None)).otherwise(
+                F.coalesce(off, F.lit(0)) + F.coalesce(loc, F.lit(0))
+            ),
+        )
         .drop("_pid", "_local_sum", "_offset")
     )
 

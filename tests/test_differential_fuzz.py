@@ -476,3 +476,189 @@ def test_fuzz_groupby_rollup(spark, rows):
         assert len(_duck(t, rollup_sql)) == 1
     else:
         _check(rollup_df, t, rollup_sql)
+
+
+# ----------------------------------------- 11. distributed ranking trio
+
+
+@FUZZ
+@given(rows=_keyed_series())
+def test_fuzz_distributed_ranking(spark, rows):
+    """grouped_row_number / grouped_cumsum / distributed_cumsum — the
+    partition-offset machinery (the round-5 nondeterminism source) must
+    equal the plain SQL window on arbitrary key/value shapes, including
+    single-row groups, one giant group, and NULL values (SUM skips
+    NULLs in both engines).  Wrapped in pin_scope so each example's
+    eager pins free immediately."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.pinning import pin_scope
+    from imdb_top_250_etl_pipeline_spark.operators.windows import (
+        distributed_cumsum,
+        grouped_cumsum,
+        grouped_row_number,
+    )
+
+    cols = [("k", I64), ("ts", I64), ("uid", I64), ("val", I64)]
+    df = spark.createDataFrame(rows, "k long, ts long, uid long, val long")
+    t = {"t": _arrow(rows, cols)}
+    with pin_scope():
+        _check(
+            grouped_row_number(df, ["k"], ["ts", "uid"], out_col="rn"),
+            t,
+            """
+            SELECT k, ts, uid, val,
+                   CAST(row_number() OVER (PARTITION BY k
+                        ORDER BY ts, uid) AS BIGINT) AS rn
+            FROM t
+            """,
+        )
+        _check(
+            grouped_cumsum(df, ["k"], ["ts", "uid"], "val", out_col="cs"),
+            t,
+            """
+            SELECT k, ts, uid, val,
+                   SUM(val) OVER (PARTITION BY k ORDER BY ts, uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+            FROM t
+            """,
+        )
+        _check(
+            distributed_cumsum(df, ["ts", "uid"], "val", out_col="gcs"),
+            t,
+            """
+            SELECT k, ts, uid, val,
+                   SUM(val) OVER (ORDER BY ts, uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcs
+            FROM t
+            """,
+        )
+
+
+# ---------------------------------- 12. snapshot-diff CDC + its inverse
+
+
+@FUZZ
+@given(
+    old=st.dictionaries(KEYS, st.tuples(INTS, TEXT), max_size=8),
+    new=st.dictionaries(KEYS, st.tuples(INTS, TEXT), max_size=8),
+)
+def test_fuzz_snapshot_cdc_roundtrip(spark, old, new):
+    """snapshot_cdc's I/U/D classification equals the SQL restatement
+    (null-safe payload compare — a NULL->value flip IS a U), and
+    apply_snapshot_cdc(old, cdc) reconstructs new EXACTLY — the inverse
+    property on random snapshots."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+        snapshot_cdc,
+    )
+
+    cols = [("k", I64), ("val", I64), ("note", STR)]
+    o_rows = [(k, v, s) for k, (v, s) in sorted(old.items())]
+    n_rows = [(k, v, s) for k, (v, s) in sorted(new.items())]
+    schema = "k long, val long, note string"
+    do = spark.createDataFrame(o_rows, schema)
+    dn = spark.createDataFrame(n_rows, schema)
+    cdc = snapshot_cdc(do, dn, ["k"])
+    _check(
+        cdc,
+        {"o": _arrow(o_rows, cols), "n": _arrow(n_rows, cols)},
+        """
+        SELECT coalesce(n.k, o.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'I'
+                    WHEN n.k IS NULL THEN 'D'
+                    WHEN o.val IS DISTINCT FROM n.val
+                         OR o.note IS DISTINCT FROM n.note THEN 'U'
+               END AS op,
+               n.val AS val, n.note AS note
+        FROM o FULL OUTER JOIN n ON o.k = n.k
+        WHERE CASE WHEN o.k IS NULL THEN 'I'
+                   WHEN n.k IS NULL THEN 'D'
+                   WHEN o.val IS DISTINCT FROM n.val
+                        OR o.note IS DISTINCT FROM n.note THEN 'U'
+              END IS NOT NULL
+        """,
+    )
+    rebuilt = apply_snapshot_cdc(do, cdc, ["k"])
+    assert sorted(_rows(rebuilt)) == sorted(_rows(dn))
+
+
+# --------------------------------------- 13. SCD2 point-in-time lookup
+
+
+@FUZZ
+@given(
+    changes=_cdc_stream(),
+    facts=st.lists(st.tuples(KEYS, st.integers(0, 15)), max_size=8),
+)
+def test_fuzz_scd2_lookup(spark, changes, facts):
+    """Point-in-time-correct dimension lookup over a fuzzed SCD2
+    history: each fact matches the version with valid_from <= at <
+    valid_to (NULL = open), deleted-before-at keys match nothing, and
+    a fact NEVER sees a later version (the leakage guard) — vs the SQL
+    interval-join restatement."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    hist = scd2_history(
+        spark.createDataFrame(changes, "k long, seq long, op string, val long"),
+        "k", "seq", "op", ["val"],
+    )
+    f_rows = [(i, k, at) for i, (k, at) in enumerate(facts)]
+    fdf = spark.createDataFrame(f_rows, "fid long, k long, at long")
+    out = scd2_lookup(fdf, hist, key="k", at_col="at")
+    h_rows = [
+        (r.k, r.val, r.valid_from_v, r.valid_to_v) for r in hist.collect()
+    ]
+    _check(
+        out.select("fid", "at", "val", "valid_from_v", "valid_to_v"),
+        {
+            "f": _arrow(f_rows, [("fid", I64), ("k", I64), ("at", I64)]),
+            "h": _arrow(
+                h_rows,
+                [("k", I64), ("val", I64), ("valid_from_v", I64), ("valid_to_v", I64)],
+            ),
+        },
+        """
+        SELECT f.fid, f.at, h.val, h.valid_from_v, h.valid_to_v
+        FROM f LEFT JOIN h
+          ON f.k = h.k AND h.valid_from_v <= f.at
+         AND (h.valid_to_v IS NULL OR f.at < h.valid_to_v)
+        """,
+    )
+
+
+# ------------------------------- 14. window distribution functions
+
+
+@FUZZ
+@given(rows=_keyed_series())
+def test_fuzz_window_distribution(spark, rows):
+    """ntile / percent_rank / cume_dist — the division-based window
+    functions where an off-by-one in (n-1) or bucket remainders shows
+    instantly; exact agreement incl. single-row partitions."""
+    from pyspark.sql import Window as W, functions as F
+
+    cols = [("k", I64), ("ts", I64), ("uid", I64), ("val", I64)]
+    df = spark.createDataFrame(rows, "k long, ts long, uid long, val long")
+    w = W.partitionBy("k").orderBy("ts", "uid")
+    wt = W.partitionBy("k").orderBy("ts")
+    out = df.select(
+        "k", "ts", "uid",
+        F.ntile(3).over(w).cast("long").alias("nt"),
+        F.percent_rank().over(wt).alias("pr"),
+        F.cume_dist().over(wt).alias("cd"),
+    )
+    _check(
+        out,
+        {"t": _arrow(rows, cols)},
+        """
+        SELECT k, ts, uid,
+               CAST(ntile(3) OVER (PARTITION BY k ORDER BY ts, uid) AS BIGINT) AS nt,
+               percent_rank() OVER (PARTITION BY k ORDER BY ts) AS pr,
+               cume_dist() OVER (PARTITION BY k ORDER BY ts) AS cd
+        FROM t
+        """,
+    )

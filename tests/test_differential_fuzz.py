@@ -10,7 +10,7 @@ the engine operator and an independently-written DuckDB query agree
 exactly (order-insensitive multiset of normalized rows, same
 normalization as the driver-contract harness).
 
-Seventeen operator families (verdict round-8 asked for >= 5):
+Eighteen operator families (verdict round-8 asked for >= 5):
   upsert / apply_changes / scd2_history (operators/etl.py),
   set ops (union/intersect/except, bag + distinct forms),
   window frames (ROWS + RANGE, rank/lag under ties),
@@ -28,7 +28,8 @@ Seventeen operator families (verdict round-8 asked for >= 5):
   snapshot-diff CDC + its apply-inverse roundtrip, SCD2 point-in-time
   lookup, ntile/percent_rank/cume_dist, exact dedup (sha256
   cross-engine, keep-policy tie-break), the salted two-phase top-k
-  (layout-independence invariant), and pivot vs FILTER aggregation.
+  (layout-independence invariant), pivot vs FILTER aggregation, and
+  the zipWithIndex-style surrogate key vs the global row_number.
 
 A sibling model-based fuzz for the transaction log (random
 merge/append/optimize/restore programs vs a dict model) lives in
@@ -795,3 +796,41 @@ def test_fuzz_pivot(spark, rows):
         FROM t GROUP BY k
         """,
     )
+
+
+# --------------------------------------------- 18. surrogate keys
+
+
+@FUZZ
+@given(
+    keys=st.sets(st.tuples(st.integers(-50, 50), TEXT), max_size=14),
+    start=st.integers(1, 100),
+)
+def test_fuzz_surrogate_key(spark, keys, start):
+    """The zipWithIndex-style surrogate key must equal the plain SQL
+    row_number in the global (k, s) order for ANY key multiset and
+    start — dense ids start..start+n-1, layout-independent (the
+    partition-offset machinery again, on its second consumer).  NULL
+    text sorts FIRST in both engines (Spark default asc_nulls_first ==
+    DuckDB NULLS FIRST in ascending windows).  Wrapped in pin_scope
+    (the operator pins eagerly)."""
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        with_surrogate_key,
+    )
+    from imdb_top_250_etl_pipeline_spark.operators.pinning import pin_scope
+
+    rows = sorted(keys)
+    if not rows:
+        return  # repartitionByRange needs >= 1 row; empty is a no-op
+    df = spark.createDataFrame(rows, "k long, s string")
+    with pin_scope():
+        _check(
+            with_surrogate_key(df, "sid", ["k", "s"], start=start),
+            {"t": _arrow(rows, [("k", I64), ("s", STR)])},
+            f"""
+            SELECT CAST(row_number() OVER (ORDER BY k, s NULLS FIRST)
+                        + {start - 1} AS INT) AS sid,
+                   k, s
+            FROM t
+            """,
+        )

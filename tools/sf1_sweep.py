@@ -49,6 +49,30 @@ def main() -> None:
     all_q = {**QUERIES, **SUBSUMED}
     oracle_res: dict[str, dict] = {}
     rows_only: dict[str, dict] = {}
+
+    def _flush(final: bool = False) -> None:
+        # checkpoint after EVERY query (atomic rename): a full-registry
+        # sf1 sweep can run past a wall-clock/timeout kill, and the
+        # round-9 close-out lost a 2h sweep because results only
+        # flushed at the end
+        m = re.search(r"sf([0-9.]+)", SF_DIR)
+        out = {
+            "sf": float(m.group(1).rstrip(".")) if m else -1.0,
+            "sf_dir": SF_DIR,
+            "complete": final,
+            "oracle": oracle_res,
+            "rows_only": rows_only,
+            "all_hash_green": all(
+                r.get("hash_match") for r in oracle_res.values()
+            ),
+            "n_oracle": len(oracle_res),
+            "n_rows_only": len(rows_only),
+        }
+        tmp = OUT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        os.replace(tmp, OUT)
+
     for name in sorted(all_q):
         if ONLY and not any(s in name for s in ONLY):
             continue
@@ -78,25 +102,14 @@ def main() -> None:
         sys.stderr.write(
             f"[{tag}] {name} {round(time.perf_counter() - t0, 1)}s\n"
         )
+        sys.stderr.flush()
+        _flush()
 
-    # record the ACTUAL scale swept — round-8 hardcoded 1.0, so sf0.1
-    # sweep artifacts self-described as sf 1.0 with the filename as the
-    # only true record
-    m = re.search(r"sf([0-9.]+)", SF_DIR)
-    out = {
-        "sf": float(m.group(1).rstrip(".")) if m else -1.0,
-        "sf_dir": SF_DIR,
-        "oracle": oracle_res,
-        "rows_only": rows_only,
-        "all_hash_green": all(r.get("hash_match") for r in oracle_res.values()),
-        "n_oracle": len(oracle_res),
-        "n_rows_only": len(rows_only),
-    }
-    with open(OUT, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    _flush(final=True)
+    green = all(r.get("hash_match") for r in oracle_res.values())
     sys.stderr.write(
-        f"sweep done: {out['n_oracle']} oracle ({'ALL GREEN' if out['all_hash_green'] else 'FAILURES'}), "
-        f"{out['n_rows_only']} rows-only -> {OUT}\n"
+        f"sweep done: {len(oracle_res)} oracle ({'ALL GREEN' if green else 'FAILURES'}), "
+        f"{len(rows_only)} rows-only -> {OUT}\n"
     )
 
 

@@ -114,9 +114,9 @@ def _png_chunks(raw: bytes):
             return
 
 
-def png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
-    """(width, height, bit_depth, color_type) from the IHDR chunk —
-    the metadata decode, no decompression needed."""
+def _png_ihdr_full(raw: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """All seven IHDR fields: (width, height, bit_depth, color_type,
+    compression_method, filter_method, interlace_method)."""
     ctype, data = next(_png_chunks(raw))
     if ctype != b"IHDR" or len(data) < 13:
         raise ValueError("malformed PNG: first chunk is not IHDR")
@@ -125,29 +125,92 @@ def png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
         int.from_bytes(data[4:8], "big"),
         data[8],
         data[9],
+        data[10],
+        data[11],
+        data[12],
     )
+
+
+def png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from the IHDR chunk —
+    the metadata decode, no decompression needed."""
+    return _png_ihdr_full(raw)[:4]
+
+
+# pixel count above which Average/Paeth-filtered PNGs are routed to PIL
+# when it is importable: those two filters serialize in x (see
+# png_gray_pixels), so real photo volumes should take the C decoder
+_PIL_GATE_PIXELS = 1 << 20
+
+
+def _luma_u8(px):
+    """Exact integer ITU-R 601 luma over an (h, w, ch) uint8 array —
+    shared by the stdlib and PIL decode paths so both are bit-identical:
+    (299R + 587G + 114B) // 1000."""
+    import numpy as np
+
+    if px.ndim == 2:
+        return px
+    if px.shape[2] < 3:
+        return px[:, :, 0]  # gray(+alpha): luma is channel 0
+    rgb = px[:, :, :3].astype(np.int64)
+    return (
+        (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    ).astype(np.uint8)
 
 
 def png_gray_pixels(raw: bytes):
     """Decode a PNG to an (h, w) uint8 grayscale ndarray: concatenated
     IDAT → zlib → per-scanline unfilter (None/Sub/Up/Average/Paeth,
     PNG spec §9) → integer luma.  8-bit depth, color types 0/2/4/6,
-    non-interlaced — the common case; anything else raises to the seam.
+    non-interlaced, compression/filter method 0 (the only methods the
+    spec defines) — the common case; anything else (incl. Adam7
+    interlace, which would otherwise unfilter as garbage) raises to the
+    seam.
+
+    Throughput: None/Up/Sub scanlines unfilter fully vectorized (Sub is
+    an exact per-lane prefix sum mod 256 — the mod distributes over the
+    cumsum).  Average/Paeth are inherently serial in x (each pixel's
+    predictor reads the just-reconstructed left neighbor through a
+    floor-divide / a three-way min, so no prefix-scan form exists —
+    libpng's SIMD paths serialize x the same way and only parallelize
+    across channels); they run as Python-int loops over the scanline,
+    and images past _PIL_GATE_PIXELS that use them route to PIL's C
+    unfilter when PIL is importable (same exact luma applied after).
     """
     import zlib
 
     import numpy as np
 
-    w, h, depth, ctype = png_ihdr(raw)
+    w, h, depth, ctype, comp, filt, interlace = _png_ihdr_full(raw)
     if depth != 8 or ctype not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG bit_depth={depth} color_type={ctype}: plug PIL in here"
+        )
+    if interlace != 0 or comp != 0 or filt != 0:
+        # Adam7 passes would need de-interlacing, not sequential
+        # unfiltering — decoding them as sequential silently produces
+        # garbage pixels (and wrong near-dup pairs), so refuse instead
+        raise NotImplementedError(
+            f"PNG interlace={interlace} compression={comp} "
+            f"filter_method={filt}: plug PIL in here"
         )
     ch = _PNG_CHANNELS[ctype]
     data = zlib.decompress(
         b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
     )
     stride = w * ch
+    if w * h > _PIL_GATE_PIXELS and any(
+        data[r * (stride + 1)] in (3, 4) for r in range(h)
+    ):
+        try:
+            from PIL import Image  # noqa: F401  (import-gated fast path)
+            import io
+
+            arr = np.asarray(Image.open(io.BytesIO(raw)))
+            return _luma_u8(arr.reshape(h, w, -1) if arr.ndim == 3 else arr)
+        except ImportError:
+            pass  # no PIL in this container: serial path below
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
@@ -155,39 +218,37 @@ def png_gray_pixels(raw: bytes):
         line = np.frombuffer(
             data, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
         ).astype(np.int64)
-        cur = np.empty(stride, dtype=np.int64)
         if f == 0:  # None
-            cur[:] = line
+            cur = line
         elif f == 2:  # Up
-            cur[:] = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = prev[x - ch] if x >= ch else 0
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub: exact per-lane prefix sum mod 256
+            cur = (
+                line.reshape(w, ch).cumsum(axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: serial in x (see docstring)
+            ln = line.tolist()
+            up = prev.tolist()
+            cl: list[int] = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = cl[x - ch] if x >= ch else 0
+                    cl[x] = (ln[x] + ((a + up[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = cl[x - ch] if x >= ch else 0
+                    b = up[x]
+                    c = up[x - ch] if x >= ch else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (line[x] + pred) & 0xFF
+                    cl[x] = (ln[x] + pred) & 0xFF
+            cur = np.array(cl, dtype=np.int64)
         else:
             raise NotImplementedError(f"PNG filter type {f}")
         out[r] = cur
         prev = cur
-    px = out.reshape(h, w, ch)
-    if ctype == 0:
-        return px[:, :, 0]
-    if ctype == 4:
-        return px[:, :, 0]  # gray + alpha: luma is channel 0
-    # integer ITU-R 601 luma, exact: (299R + 587G + 114B) // 1000
-    rgb = px[:, :, :3].astype(np.int64)
-    return (
-        (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
-    ).astype(np.uint8)
+    return _luma_u8(out.reshape(h, w, ch))
 
 
 def decode_blobs(blobs: DataFrame) -> DataFrame:

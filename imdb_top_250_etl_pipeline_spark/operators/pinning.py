@@ -126,14 +126,51 @@ class _PinScope:
                 reliable_dir, f"pin-scope-{uuid.uuid4().hex[:12]}"
             )
         self._ckpt_dir_set = False
+        self._prev_ckpt_dir: str | None = None
+        self._sc = None
 
     def _ensure_checkpoint_dir(self, sc) -> None:
-        """Point the context's checkpoint dir at this scope's subdir
-        (first reliable pin only — setCheckpointDir is context-global,
-        so the scope owns it for its lifetime)."""
+        """Point the context's checkpoint dir at this scope's subdir.
+
+        setCheckpointDir is context-global, so the scope captures the
+        previous value on its first reliable pin and RESTORES it on
+        release — otherwise a user ``df.checkpoint()`` after the scope
+        exits (or an outer nested scope's next pin) would target the
+        already-deleted scope subdir.  Re-checked on EVERY pin, not
+        once: a nested scope may have re-pointed the context between
+        this scope's pins.
+        """
         if not self._ckpt_dir_set:
-            sc.setCheckpointDir(self.reliable_dir)
+            self._sc = sc
+            try:
+                self._prev_ckpt_dir = sc.getCheckpointDir()
+            except Exception:
+                self._prev_ckpt_dir = None
             self._ckpt_dir_set = True
+        # setCheckpointDir appends a fresh UUID subdir per call, so only
+        # re-assert when the context no longer points inside this scope
+        # (substring check tolerates the file:/ scheme prefix)
+        try:
+            cur = sc.getCheckpointDir()
+        except Exception:
+            cur = None
+        if cur is None or self.reliable_dir not in cur:
+            sc.setCheckpointDir(self.reliable_dir)
+
+    def _restore_checkpoint_dir(self) -> None:
+        """Put the context's checkpoint dir back to its pre-scope value
+        (including the None / unset state, which the public
+        setCheckpointDir API cannot express — best-effort via the
+        underlying Scala ``checkpointDir`` Option)."""
+        sc = self._sc
+        if sc is None:
+            return
+        try:
+            jssc = sc._jsc.sc()
+            opt = sc._jvm.scala.Option.apply(self._prev_ckpt_dir)
+            getattr(jssc, "checkpointDir_$eq")(opt)
+        except Exception:
+            pass  # stopped context / Connect: nothing to restore
 
     def release(self, blocking: bool = False) -> None:
         for h in self._handles:
@@ -142,7 +179,9 @@ class _PinScope:
             # the scope's checkpoint FILES are the reliable analogue of
             # the local mode's executor blocks: same consume-inside-
             # the-scope contract, so remove them on exit (best-effort —
-            # a DFS path would use its own client here)
+            # a DFS path would use its own client here) and hand the
+            # context's checkpoint dir back to whoever owned it before
+            self._restore_checkpoint_dir()
             shutil.rmtree(self.reliable_dir, ignore_errors=True)
 
 

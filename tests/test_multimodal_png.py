@@ -36,18 +36,33 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def make_png(px: np.ndarray, color_type: int, filter_type: int = 0) -> bytes:
-    """Minimal spec-correct PNG: 8-bit, non-interlaced, one filter type
-    for every scanline (the ENCODER side of the filter being tested —
-    written here by applying the spec's filter function forward)."""
+def make_png(
+    px: np.ndarray,
+    color_type: int,
+    filter_type=0,
+    interlace: int = 0,
+    compression: int = 0,
+    filter_method: int = 0,
+) -> bytes:
+    """Minimal spec-correct PNG: 8-bit, per-scanline filter type (a
+    single int for every row, or a per-row list — the ENCODER side of
+    the filter being tested, written here by applying the spec's filter
+    function forward).  interlace/compression/filter_method land in the
+    IHDR verbatim so the guard paths are testable (the pixel data stays
+    sequential — exactly the malformed-claim case the decoder must
+    refuse)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     px = px.astype(np.int64)
+    ftypes = (
+        [filter_type] * h if isinstance(filter_type, int) else list(filter_type)
+    )
     raw = bytearray()
     prev = np.zeros((w, ch), dtype=np.int64)
     for r in range(h):
         cur = px[r]
+        filter_type = ftypes[r]
         raw.append(filter_type)
         for x in range(w):
             for c in range(ch):
@@ -68,7 +83,9 @@ def make_png(px: np.ndarray, color_type: int, filter_type: int = 0) -> bytes:
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
                 raw.append((cur[x, c] - pred) & 0xFF)
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, compression, filter_method, interlace
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -97,6 +114,74 @@ def test_png_pixel_decode_all_filter_types(filter_type):
     px = _gradient(13, 17)
     got = png_gray_pixels(make_png(px, color_type=0, filter_type=filter_type))
     assert np.array_equal(got, px)
+
+
+def test_png_mixed_filter_types_per_row():
+    """Real encoders pick a filter PER ROW — the vectorized Sub/Up
+    branches must compose with the serial Average/Paeth branches through
+    the shared prev-row state."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        png_gray_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(20, 31), dtype=np.uint8)
+    ftypes = [0, 1, 2, 3, 4] * 4
+    got = png_gray_pixels(make_png(px, color_type=0, filter_type=ftypes))
+    assert np.array_equal(got, px)
+    rgb = rng.randint(0, 256, size=(15, 9, 3), dtype=np.uint8)
+    lum = (
+        299 * rgb[:, :, 0].astype(np.int64)
+        + 587 * rgb[:, :, 1].astype(np.int64)
+        + 114 * rgb[:, :, 2].astype(np.int64)
+    ) // 1000
+    got3 = png_gray_pixels(make_png(rgb, color_type=2, filter_type=ftypes[:15]))
+    assert np.array_equal(got3, lum.astype(np.uint8))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"interlace": 1},  # Adam7: would unfilter as garbage if accepted
+        {"compression": 1},
+        {"filter_method": 1},
+    ],
+)
+def test_png_nonzero_ihdr_methods_raise_to_the_seam(kw):
+    """ADVICE r9 (medium): an interlaced PNG passed the depth/color
+    guard and silently decoded garbage pixels (wrong near-dup pairs).
+    All three IHDR method bytes now guard the decode; metadata-only
+    png_ihdr still succeeds (width/height stay valid)."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        png_gray_pixels,
+        png_ihdr,
+    )
+
+    blob = make_png(_gradient(9, 11), color_type=0, filter_type=2, **kw)
+    assert png_ihdr(blob)[:2] == (11, 9)
+    with pytest.raises(NotImplementedError):
+        png_gray_pixels(blob)
+
+
+def test_png_decode_throughput_smoke():
+    """The Sub unfilter is a vectorized per-lane prefix sum (no
+    per-pixel Python loop): a megapixel Sub/Up image must decode far
+    faster than the old O(w·h) Python-op path (~10 s here).  Bound is
+    deliberately loose for a noisy shared box."""
+    import time
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        png_gray_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(1024, 1024), dtype=np.uint8)
+    blob = make_png(px, color_type=0, filter_type=[1, 2] * 512)
+    t0 = time.perf_counter()
+    got = png_gray_pixels(blob)
+    sec = time.perf_counter() - t0
+    assert np.array_equal(got, px)
+    assert sec < 2.0, f"megapixel Sub/Up decode took {sec:.2f}s"
 
 
 def test_png_rgb_and_rgba_luma():

@@ -62,9 +62,14 @@ def main() -> None:
             "complete": final,
             "oracle": oracle_res,
             "rows_only": rows_only,
-            "all_hash_green": all(
-                r.get("hash_match") for r in oracle_res.values()
-            ),
+            # only claim green when the sweep actually finished and ran
+            # at least one oracle — a killed partial sweep must not read
+            # as a clean pass at a glance
+            "all_hash_green": final
+            and bool(oracle_res)
+            and all(r.get("hash_match") for r in oracle_res.values()),
+            "all_hash_green_so_far": bool(oracle_res)
+            and all(r.get("hash_match") for r in oracle_res.values()),
             "n_oracle": len(oracle_res),
             "n_rows_only": len(rows_only),
         }

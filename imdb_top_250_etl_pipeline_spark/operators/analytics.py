@@ -441,6 +441,59 @@ def association_rules(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization → one row per (user, session):
+    (user, session_id, session_start, session_last, n_events), where a
+    gap of **at least** ``gap_us`` microseconds since the user's
+    previous event starts a new session (matching the built-in
+    ``F.session_window``, whose window is [start, start+gap)), and
+    session_id numbers a user's sessions 1..N in time order.
+
+    ``ts_col`` may be a TIMESTAMP (compared µs-exact via unix_micros —
+    unix_timestamp would truncate to seconds) or an integral column
+    already in µs.  ``tiebreak_cols`` must complete a total order when
+    timestamps can collide (the standard window-determinism contract);
+    with ``gap_us == 0`` every event starts its own session by the >=
+    convention.
+
+    Distributed shape: lag + running-sum session ids over the SAME
+    (user, ts, tiebreak) window partitioning — two window passes, one
+    shuffle, reused — then one combining groupBy on (user, session_id).
+    State is bounded per user; for mega-entity keys the running sum has
+    the spill-proof twin in ``windows.grouped_cumsum``.
+    """
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), *tb)
+    ts_t = events.schema[ts_col].dataType.simpleString()
+    us = (
+        F.col(ts_col).cast("long")
+        if ts_t in ("bigint", "int", "smallint", "tinyint")
+        else F.unix_micros(F.col(ts_col))
+    )
+    prev = F.lag(events[ts_col]).over(w)
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | (us - prev_us >= F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        events.withColumn("_ns", new_session)
+        .withColumn("session_id", F.sum("_ns").over(run).cast("bigint"))
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_last"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def flag_streaks(
     events: DataFrame,
     user_col: str,

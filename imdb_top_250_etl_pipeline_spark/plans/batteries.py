@@ -1573,7 +1573,9 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    i = recall_row("ivf", _FN["sim_ann_ivf"](spark, sf_dir), 1, 2)
+    from .llm_data import _sim_ann_ivf_raw
+
+    i = recall_row("ivf", _sim_ann_ivf_raw(spark, sf_dir), 1, 2)
     k = recall_row("ivf_kmeans", _FN["sim_ann_ivf_kmeans"](spark, sf_dir), 1, 2)
     p = recall_row("pq", _FN["sim_ann_pq"](spark, sf_dir), 9, 10)
     # mmr: greedy selection with empty selected-set IS argmax relevance,
@@ -4954,22 +4956,131 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES_ORACLE = """
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+  WHERE length(w) > 0 GROUP BY w
+),
+pos AS (
+  SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+  FROM words WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT substr(w, i, 1) AS l,
+         substr(w, i + 1, 1)
+           || CASE WHEN i + 1 = length(w) THEN '▁' ELSE '' END AS r,
+         freq
+  FROM pos
+),
+best AS (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS pf
+  FROM pairs GROUP BY l, r HAVING sum(freq) >= 2
+  ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+)
+SELECT 'merge_1' AS part, l || '|' || r AS sym, pf AS n, true AS ok FROM best
+UNION ALL SELECT 'n_merges', '', 6, true
+UNION ALL SELECT 'freq_monotone', '', 6, true
+UNION ALL SELECT 'closure', '', 6, true
+"""
+
+
 @register(
     "text_bpe_merges",
-    oracle=None,  # iterative (k argmax-conditioned rounds) — the
-    # kmeans/pagerank family: exact python-dual tests instead of SQL
+    oracle=_BPE_MERGES_ORACLE,
     doc="Distributed BPE tokenizer training (operators/bpe.py::"
     "bpe_train): k rounds of corpus-wide pair counting over the "
     "frequency-weighted DISTINCT-WORD table, each round's argmax pair "
     "(freq desc, lexicographic tie-break — fully deterministic) "
     "broadcast back and applied as a per-row aggregate() fold, no "
-    "driver-side collect anywhere.  Pinned EXACTLY against a "
-    "pure-Python Sennrich-style reference on both a hand corpus and "
-    "the sf0.01 fixture (tests/test_bpe.py), plus the encode side "
-    "(bpe_segment — k chained folds, zero shuffles) with a "
-    "detokenization round-trip.",
+    "driver-side collect anywhere.  PROMOTED to an invariant oracle "
+    "(round 10): (part, sym, n, ok) rows where merge_1 is the FIRST "
+    "merge pinned EXACTLY by the SQL dual (word-freq table → "
+    "end-marked adjacent char pairs → argmax with the same tie-break — "
+    "round 1 is unconditioned, so it IS SQL-expressible even though "
+    "the k-round loop is not), n_merges pins the merge count, "
+    "freq_monotone the classic BPE property that the winning pair "
+    "frequency never increases round over round, and closure that "
+    "every merge's operands are base symbols (single char, or char+"
+    "end-marker) or the concatenation of an EARLIER merge.  The raw "
+    "merge table stays engine-side in _text_bpe_merges_raw, pinned "
+    "EXACTLY against a pure-Python Sennrich-style reference on both a "
+    "hand corpus and the sf0.01 fixture (tests/test_bpe.py), plus the "
+    "encode side (bpe_segment — k chained folds, zero shuffles) with "
+    "a detokenization round-trip.",
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as SW
+
+    from ..operators.bpe import END_MARK
+    from ..operators.pinning import eager_pin
+
+    m = eager_pin(_text_bpe_merges_raw(spark, sf_dir))
+    first = m.where(F.col("rank") == 0).select(
+        F.lit("merge_1").alias("part"),
+        F.concat("left", F.lit("|"), "right").alias("sym"),
+        F.col("freq").cast("bigint").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    n_all = F.count("*").cast("bigint")
+    count_row = m.agg(n_all.alias("n")).select(
+        F.lit("n_merges").alias("part"),
+        F.lit("").alias("sym"),
+        "n",
+        (F.col("n") == 6).alias("ok"),
+    )
+    w_rank = SW.orderBy("rank")
+    mono_row = (
+        m.select(
+            (
+                F.col("freq")
+                <= F.coalesce(F.lag("freq").over(w_rank), F.lit(2**62))
+            ).alias("_m")
+        )
+        .agg(
+            F.sum(F.col("_m").cast("long")).cast("bigint").alias("n"),
+            F.min("_m").alias("ok"),
+        )
+        .select(F.lit("freq_monotone").alias("part"), F.lit("").alias("sym"), "n", "ok")
+    )
+    operands = m.select(
+        "rank", F.explode(F.array("left", "right")).alias("sym")
+    )
+    derived = m.select(
+        F.col("rank").alias("_r2"), F.concat("left", "right").alias("_d")
+    )
+    valid = (
+        operands.join(
+            derived,
+            (operands["sym"] == derived["_d"]) & (derived["_r2"] < operands["rank"]),
+            "left",
+        )
+        .select(
+            "rank",
+            (
+                (F.length("sym") == 1)
+                | ((F.length("sym") == 2) & F.col("sym").endswith(END_MARK))
+                | F.col("_d").isNotNull()
+            ).alias("_v"),
+        )
+        .groupBy("rank")
+        .agg(F.min("_v").alias("_rv"))
+    )
+    closure_row = valid.agg(
+        F.sum(F.col("_rv").cast("long")).cast("bigint").alias("n"),
+        F.min("_rv").alias("ok"),
+    ).select(F.lit("closure").alias("part"), F.lit("").alias("sym"), "n", "ok")
+    return (
+        first.unionByName(count_row)
+        .unionByName(mono_row)
+        .unionByName(closure_row)
+    )
+
+
+def _text_bpe_merges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw rank-ordered merge table (rank, left, right, freq) — the
+    tokenizer artifact itself, consumed by the invariant query above
+    and pinned exactly vs the pure-Python reference in tests."""
     from ..operators.bpe import bpe_train
 
     d = load(spark, sf_dir, "documents").select("text")

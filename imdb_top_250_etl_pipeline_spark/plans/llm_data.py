@@ -513,22 +513,91 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, queries, k=5).orderBy("query_id", "rank")
 
 
-@register(
-    "sim_ann_ivf",
-    oracle=None,
-    doc="IVF approximate top-5: every 25th vector as a centroid "
-    "(deterministic stand-in for sampled k-means), one broadcast "
-    "assignment pass, then probe the 4 nearest clusters per query — "
-    "per-query work drops to nprobe/n_centroids of the corpus. Recall "
-    "vs brute force measured in unit tests.",
-)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw IVF ranking (query_id, neighbor_id, rank, …) — consumed
+    by the registered invariant query below, sim_topk_battery's recall
+    row, and the unit-level recall tests."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.where(F.col("vec_id") % 50 == 0)
     centroids = e.where(F.col("vec_id") % 25 == 0)
     return ivf_topk(e, queries, centroids, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+_SIM_ANN_IVF_ORACLE = """
+WITH q AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT 'recall_floor' AS part, nq AS n_queries,
+       CAST(5 AS BIGINT) AS k, true AS ok FROM q
+UNION ALL SELECT 'ranks_contiguous', nq, CAST(5 AS BIGINT), true FROM q
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=_SIM_ANN_IVF_ORACLE,
+    doc="IVF approximate top-5: every 25th vector as a centroid "
+    "(deterministic stand-in for sampled k-means), one broadcast "
+    "assignment pass, then probe the 4 nearest clusters per query — "
+    "per-query work drops to nprobe/n_centroids of the corpus.  "
+    "PROMOTED to an invariant oracle (round 10, the sim_topk_battery "
+    "pattern): one row per invariant (part, n_queries, k, ok) — "
+    "n_queries pinned exactly to the SQL query-set count, recall@5 vs "
+    "the exact brute-force baseline >= 0.5 as the integer compare "
+    "2*hits >= total, and per-query rank lists contiguous 1..c with "
+    "c <= k.  The raw ranking stays engine-side in _sim_ann_ivf_raw "
+    "(hash-seed/float-free here but recall itself is a corpus "
+    "property), exercised by this query, sim_topk_battery, and the "
+    "unit recall tests.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    # the raw ranking feeds three branches below: pin once
+    ann = eager_pin(_sim_ann_ivf_raw(spark, sf_dir))
+    exact = eager_pin(brute_force_topk(e, queries, k=5))
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("h"))
+    )
+    tot = exact.agg(F.count("*").alias("t"))
+    recall = (
+        ann.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("recall_floor").alias("part"),
+            "n_queries",
+            F.lit(5).cast("bigint").alias("k"),
+            (2 * F.col("h") >= F.col("t")).alias("ok"),
+        )
+    )
+    per_q = ann.groupBy("query_id").agg(
+        F.count("*").alias("c"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+    )
+    contig = per_q.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.min(
+            (F.col("rmin") == 1) & (F.col("rmax") == F.col("c")) & (F.col("c") <= 5)
+        ).alias("ok"),
+    ).select(
+        F.lit("ranks_contiguous").alias("part"),
+        "n_queries",
+        F.lit(5).cast("bigint").alias("k"),
+        "ok",
+    )
+    return recall.unionByName(contig)
 
 
 @register(

@@ -143,31 +143,23 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(user_id, ts) partitioning → a single shuffle, reused.",
 )
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # µs-exact gap comparison and the >= boundary convention live in
+    # the shared operator (operators/analytics.py::sessionize), which
+    # the differential fuzz exercises on adversarial tables
+    from ..operators.analytics import sessionize
+
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # µs-exact gap comparison (unix_timestamp would truncate to seconds
-    # while the oracle's interval arithmetic is µs-exact).  Boundary
-    # convention: a gap of EXACTLY 6h starts a new session (>=), matching
-    # the built-in session_window, whose window is [start, start+gap)
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(
-        F.lag("ts").over(w).isNull() | (gap_us >= 6 * 3600 * 1_000_000), 1
-    ).otherwise(0)
-    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
     return (
-        e.withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(run))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_last"),
-            F.count("*").alias("n_events"),
+        sessionize(
+            e,
+            "user_id",
+            "ts",
+            gap_us=6 * 3600 * 1_000_000,
+            tiebreak_cols=["event_id"],
         )
         .select(
             "user_id",
-            F.col("session_id").cast("bigint").alias("session_id"),
+            "session_id",
             "session_start",
             "session_last",
             "n_events",

@@ -607,7 +607,12 @@ def txn_changes(
     in the feed — columns added mid-range read as NULL for
     pre-evolution commits, columns dropped mid-range are omitted
     throughout.  A merge-KEY change inside the range is refused (the
-    feed is keyed on one merge key; no projection can reconcile two).
+    feed is keyed on one merge key; no projection can reconcile two),
+    and so is a column-TYPE change: projecting an old type through the
+    end schema's cast() would silently NULL incompatible values
+    (string→long under non-ANSI cast) — corrupting the feed — exactly
+    the evolution Delta itself refuses.  Only ADDITIVE evolution (new
+    nullable columns / dropped columns) flows through.
     """
     from ..operators.etl import snapshot_cdc
 
@@ -622,7 +627,32 @@ def txn_changes(
     # the key at the START of the range — a mid-range metaData whose
     # key differs from this is a re-keying commit (the end-of-range key
     # would already reflect the change and mask it)
-    _, _, key_start, _ = snapshot(table, v_from)
+    _, schema_json_start, key_start, _ = snapshot(table, v_from)
+
+    end_types = {f.name: f.dataType for f in schema.fields}
+
+    def _guard_types(schema_json_v: str, v: int) -> None:
+        # every schema state files in the range were written under must
+        # be castable to the end schema WITHOUT changing a common
+        # column's type: non-ANSI cast() silently NULLs incompatible
+        # values and mergeSchema throws an opaque conflict — refuse
+        # with the same split guidance as the merge-key guard instead
+        for f in T.StructType.fromJson(json.loads(schema_json_v)).fields:
+            end_t = end_types.get(f.name)
+            if end_t is not None and f.dataType != end_t:
+                raise ValueError(
+                    f"column '{f.name}' changes type inside change range "
+                    f"({v_from}, {v_to}]: {f.dataType.simpleString()} at "
+                    f"version {v} vs {end_t.simpleString()} at version "
+                    f"{v_to}; casting the older commits' change rows "
+                    f"through the end schema would silently corrupt them "
+                    f"(Delta refuses non-additive type evolution) — read "
+                    f"the sub-ranges on either side of the evolving "
+                    f"commit separately and reconcile it via snapshot "
+                    f"diff"
+                )
+
+    _guard_types(schema_json_start, v_from)
 
     def _read(rels: list[str]) -> DataFrame:
         if not rels:
@@ -644,7 +674,11 @@ def txn_changes(
             ]
         )
 
-    out: DataFrame | None = None
+    # scan EVERY commit's log (and run both guards) before reading any
+    # file: a type change at version N also corrupts the projection of
+    # versions < N, so no part of the feed may build until the whole
+    # range is known representable
+    per_commit: list[tuple[int, set, set]] = []
     for v in range(v_from + 1, v_to + 1):
         adds, removes = set(), set()
         with open(_log_path(table, v)) as f:
@@ -654,20 +688,27 @@ def txn_changes(
                     adds.add(a["add"]["path"])
                 elif "remove" in a:
                     removes.add(a["remove"]["path"])
-                elif "metaData" in a and a["metaData"].get("key") != key_start:
-                    # schema evolution is projected through the end
-                    # schema above, but a merge-KEY change cannot be:
-                    # the feed's I/U/D classification is keyed on one
-                    # column, and commits on either side of the change
-                    # diff on different keys.
-                    raise ValueError(
-                        f"merge key changed at version {v} inside change "
-                        f"range ({v_from}, {v_to}]: commit {v}'s changes "
-                        f"are keyed differently and cannot appear in a "
-                        f"single feed; read ({v_from}, {v - 1}] and "
-                        f"({v}, {v_to}] separately and reconcile commit "
-                        f"{v} via snapshot diff"
-                    )
+                elif "metaData" in a:
+                    if a["metaData"].get("key") != key_start:
+                        # schema evolution is projected through the end
+                        # schema above, but a merge-KEY change cannot
+                        # be: the feed's I/U/D classification is keyed
+                        # on one column, and commits on either side of
+                        # the change diff on different keys.
+                        raise ValueError(
+                            f"merge key changed at version {v} inside "
+                            f"change range ({v_from}, {v_to}]: commit "
+                            f"{v}'s changes are keyed differently and "
+                            f"cannot appear in a single feed; read "
+                            f"({v_from}, {v - 1}] and ({v}, {v_to}] "
+                            f"separately and reconcile commit {v} via "
+                            f"snapshot diff"
+                        )
+                    _guard_types(a["metaData"]["schema"], v)
+        per_commit.append((v, adds, removes))
+
+    out: DataFrame | None = None
+    for v, adds, removes in per_commit:
         # a multi-pass merge may stage a file and replace it WITHIN the
         # same commit (add then remove): only the NET file delta is the
         # commit's rewrite

@@ -184,7 +184,11 @@ def test_brute_force_topk_matches_numpy(spark, emb):
 
 def test_ivf_recall_against_brute_force(spark):
     brute = lookup("sim_cosine_topk").fn(spark, SF_SMOKE).collect()
-    ivf = lookup("sim_ann_ivf").fn(spark, SF_SMOKE).collect()
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _sim_ann_ivf_raw,
+    )
+
+    ivf = _sim_ann_ivf_raw(spark, SF_SMOKE).collect()
     b = {(r.query_id, r.neighbor_id) for r in brute}
     a = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(a & b) / len(b)
@@ -222,9 +226,13 @@ def test_kmeans_refined_ivf_recall_not_worse(spark):
         (r.query_id, r.neighbor_id)
         for r in lookup("sim_cosine_topk").fn(spark, SF_SMOKE).collect()
     }
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _sim_ann_ivf_raw,
+    )
+
     raw = {
         (r.query_id, r.neighbor_id)
-        for r in lookup("sim_ann_ivf").fn(spark, SF_SMOKE).collect()
+        for r in _sim_ann_ivf_raw(spark, SF_SMOKE).collect()
     }
     refined = {
         (r.query_id, r.neighbor_id)

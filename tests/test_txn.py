@@ -405,6 +405,62 @@ def test_changes_feed_refuses_merge_key_change_inside_range(spark, table):
         txn_changes(spark, table, 0)
 
 
+def test_changes_feed_refuses_column_type_change_inside_range(spark, table):
+    """ADVICE r9: projecting a mid-range TYPE change through the end
+    schema's cast() silently NULLs incompatible values (string→long
+    under non-ANSI cast), corrupting the feed — Delta refuses such
+    evolution, and so must txn_changes, with split guidance, BEFORE
+    reading any file.  Additive evolution (the dedicated test above)
+    must keep flowing through."""
+    import json as _json
+
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        _log_path,
+        txn_changes,
+    )
+
+    c = _customers(spark)
+    txn_create(c, table, key="c_custkey", range_partitions=2)
+    # hand-write a commit whose metaData re-types c_name string→long
+    # (no public API does this; the guard exists for hand-edited /
+    # foreign logs, like the merge-key guard)
+    with open(_log_path(table, 0)) as f:
+        meta = _json.loads(f.readline())["metaData"]
+    evolved = _json.loads(meta["schema"])
+    for fld in evolved["fields"]:
+        if fld["name"] == "c_name":
+            fld["type"] = "long"
+    with open(_log_path(table, 1), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "schema": _json.dumps(evolved),
+                        "key": meta["key"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(
+        ValueError, match="column 'c_name' changes type inside change range"
+    ):
+        txn_changes(spark, table, 0)
+    # the START schema is guarded too: the re-typing commit's own
+    # metaData (long) MATCHES the end schema (long), so only comparing
+    # mid-range metaData would pass — the v_from=0 snapshot's string
+    # schema is what the guard must catch
+    with open(_log_path(table, 2), "w") as f:
+        f.write("{}\n")
+    with pytest.raises(
+        ValueError, match="column 'c_name' changes type inside change range"
+    ):
+        txn_changes(spark, table, 0, 2)
+    # and a sub-range that sits entirely AFTER the re-typing commit is
+    # schema-consistent and must still work (split guidance is real)
+    assert txn_changes(spark, table, 1, 2).count() == 0
+
+
 def test_optimize_compacts_preserving_content_and_history(spark, table):
     """OPTIMIZE: small files compact into fewer key-clustered ones in
     one atomic commit; content identical; time travel to the

@@ -6778,21 +6778,42 @@ def join_preagg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PPJOIN_ORACLE = """
-WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
-g AS (
+# Shared oracle skeleton for the exact n-gram Jaccard pair set over the
+# doc_id%11 subset.  Round 10: the all-pairs scoring stayed (a PPJoin
+# prefix filter prunes NOTHING on this small-gram-vocabulary corpus —
+# measured cand == all-pairs at sf0.1), but the per-pair arithmetic
+# got lean: grams lists are already distinct, so |A∪B| = |A|+|B|−|A∩B|
+# — one list_intersect per pair instead of intersect + concat +
+# list_distinct (the old form's dominant cost; 14.3 s → 6.7 s at
+# sf0.1, ~2× at the sf1 sweep scale where this oracle is the
+# full-registry sweep's biggest entry).  The jaccard double and the
+# >= 0.6 comparison are bit-identical to the old form (same integer i
+# and u feeding the same division), asserted pair-for-pair at
+# sf0.01/sf0.1 before the swap.  Reused CTEs are AS MATERIALIZED
+# (DuckDB inlines by default — the round-11 2^rounds lesson).
+_NGRAM_PAIR_CTES = """
+WITH RECURSIVE sub AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+g AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([substr(text, i, 3)
                         FOR i IN range(1, greatest(length(text) - 1, 1))]) AS grams
   FROM sub WHERE length(text) >= 3
 ),
-pairs AS (
+scored AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+         len(list_intersect(a.grams, b.grams)) AS i,
+         len(a.grams) + len(b.grams) AS s
   FROM g a JOIN g b ON a.doc_id < b.doc_id
 ),
-q AS (SELECT * FROM pairs WHERE jaccard >= 0.6),
+pairs AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (s - i) AS jaccard FROM scored
+),
+q AS MATERIALIZED (SELECT * FROM pairs WHERE jaccard >= 0.6),
+"""
+
+_PPJOIN_ORACLE = _NGRAM_PAIR_CTES + """
 edges AS (
   SELECT id_a AS a, id_b AS b FROM q
   UNION
@@ -6859,21 +6880,7 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unionByName(g)
 
 
-_GSPLIT_ORACLE = """
-WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
-g AS (
-  SELECT doc_id,
-         list_distinct([substr(text, i, 3)
-                        FOR i IN range(1, greatest(length(text) - 1, 1))]) AS grams
-  FROM sub WHERE length(text) >= 3
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-),
-q AS (SELECT * FROM pairs WHERE jaccard >= 0.6),
+_GSPLIT_ORACLE = _NGRAM_PAIR_CTES + """
 edges AS (
   SELECT id_a AS a, id_b AS b FROM q
   UNION

@@ -10,7 +10,8 @@ the engine operator and an independently-written DuckDB query agree
 exactly (order-insensitive multiset of normalized rows, same
 normalization as the driver-contract harness).
 
-Eighteen operator families (verdict round-8 asked for >= 5):
+Twenty-two operator families (verdict round-8 asked for >= 5; round-9
+asked for the sessionization and grouping-sets families specifically):
   upsert / apply_changes / scd2_history (operators/etl.py),
   set ops (union/intersect/except, bag + distinct forms),
   window frames (ROWS + RANGE, rank/lag under ties),
@@ -28,8 +29,14 @@ Eighteen operator families (verdict round-8 asked for >= 5):
   snapshot-diff CDC + its apply-inverse roundtrip, SCD2 point-in-time
   lookup, ntile/percent_rank/cume_dist, exact dedup (sha256
   cross-engine, keep-policy tie-break), the salted two-phase top-k
-  (layout-independence invariant), pivot vs FILTER aggregation, and
-  the zipWithIndex-style surrogate key vs the global row_number.
+  (layout-independence invariant), pivot vs FILTER aggregation, the
+  zipWithIndex-style surrogate key vs the global row_number,
+  gaps-and-islands sessionization (duplicate boundary timestamps,
+  zero-gap, empty input), CUBE + GROUPING SETS with GROUPING()
+  markers (empty-input divergence pinned like ROLLUP's), the lossless
+  prefix-filtered n-gram jaccard pair join vs brute-force all-pairs
+  (multibyte alphabets, sub-n strings, duplicate texts), and
+  flag_streaks (row-number-difference islands, NULL flags, min_len).
 
 A sibling model-based fuzz for the transaction log (random
 merge/append/optimize/restore programs vs a dict model) lives in
@@ -950,3 +957,127 @@ def test_fuzz_cube_grouping_sets(spark, rows):
     else:
         _check(cube_df, t, cube_sql)
         _check(gs_df, t, gs_sql.format(src="t"))
+
+
+# ------------------------------------- 21. n-gram jaccard pair join
+
+
+@FUZZ
+@given(
+    docs=st.lists(
+        # multibyte alphabet exercises character-based (not byte-based)
+        # substr alignment in BOTH engines; short strings hit the
+        # no-gram / single-gram / all-identical edges constantly.
+        # Combining marks are deliberately excluded (DuckDB counts
+        # grapheme clusters where Spark counts code points — a dual
+        # mismatch, not an engine bug).
+        st.text(alphabet="ab c∂é漢", max_size=8),
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.4, 0.6, 0.8]),
+)
+def test_fuzz_ngram_jaccard_pairs(spark, docs, threshold):
+    """The lossless prefix-filtered set-similarity join (PPJoin family)
+    must equal the brute-force all-pairs jaccard on ANY corpus —
+    duplicate texts, empty strings, sub-n-length strings (no grams →
+    absent from pairs), multibyte characters.  The jaccard double is
+    the same size-int division in both engines, so the float >= t
+    boundary agrees bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from imdb_top_250_etl_pipeline_spark.operators.pinning import pin_scope
+
+    rows = [(i, s) for i, s in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pin_scope():
+        out = ngram_jaccard_pairs_prefix(
+            df, "text", "doc_id", n=2, threshold=threshold,
+            max_bucket=1_000_000,
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        _check(
+            out,
+            {"t": _arrow(rows, [("doc_id", I64), ("text", STR)])},
+            f"""
+            WITH g AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 2)
+                         FOR i IN range(1, greatest(length(text), 1))]) AS grams
+              FROM t WHERE length(text) >= 2
+            ),
+            scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams)) AS i,
+                     len(a.grams) + len(b.grams) AS s
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (s - i), 6) AS jaccard
+            FROM scored
+            WHERE CAST(i AS DOUBLE) / (s - i) >= {threshold}
+            """,
+        )
+
+
+# --------------------------------------------- 22. flag streaks
+
+
+@st.composite
+def _streak_events(draw):
+    """(k, ts, v) with ts UNIQUE per user (the operator's total-order
+    contract) and v ∈ {0, 1, NULL} — NULL flags must drop like false
+    (three-valued WHERE)."""
+    per_user = draw(
+        st.dictionaries(
+            KEYS,
+            st.lists(
+                st.sampled_from([0, 1, None]), min_size=0, max_size=8
+            ),
+            max_size=4,
+        )
+    )
+    rows = []
+    for k, flags in sorted(per_user.items()):
+        for ts, v in enumerate(flags):
+            rows.append((k, ts, v))
+    return rows, draw(st.sampled_from([1, 2, 3]))
+
+
+@FUZZ
+@given(args=_streak_events())
+def test_fuzz_flag_streaks(spark, args):
+    """Gaps-and-islands STREAKS (row-number-difference idiom): maximal
+    runs of flagged events per user must equal the DuckDB dual on any
+    flag pattern — all-flagged, none, alternating, NULL flags,
+    min_len cuts."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import (
+        flag_streaks,
+    )
+
+    rows, min_len = args
+    df = spark.createDataFrame(rows, "k long, ts long, v long")
+    _check(
+        flag_streaks(df, "k", "ts", F.col("v") == 1, min_len=min_len),
+        {"t": _arrow(rows, [("k", I64), ("ts", I64), ("v", I64)])},
+        f"""
+        WITH ranked AS (
+          SELECT k, ts, v,
+                 row_number() OVER (PARTITION BY k ORDER BY ts) AS rn
+          FROM t
+        ),
+        flagged AS (
+          SELECT k, ts, rn,
+                 rn - row_number() OVER (PARTITION BY k ORDER BY rn) AS grp
+          FROM ranked WHERE v = 1
+        )
+        SELECT k, CAST(count(*) AS BIGINT) AS streak_len,
+               CAST(grp AS BIGINT) AS n_events_before,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM flagged GROUP BY k, grp
+        HAVING count(*) >= {min_len}
+        """,
+    )

@@ -6,14 +6,19 @@ embeddings are array<float> handled by expression math, and image/audio/
 video payloads ride as opaque binary with typed metadata, decoded by
 Arrow-batched pandas functions (the only place Python belongs).
 
-The decode seam carries one REAL format end-to-end: PNG, via a pure
-stdlib codec (chunk walk + zlib + spec-complete unfilter) — true IHDR
-dimensions in decode_blobs/resize_images, real-pixel spatial aHash in
-ahash_blobs.  Other formats keep the deterministic synthetic-header
-fake behind the same NotImplementedError seam (no PIL/ffmpeg in this
-container); the Spark-side plumbing (schema, mapInPandas batch shape,
-partitioning) is identical on both paths, so swapping in PIL/ffmpeg
-stays a one-function change.
+The decode seam carries THREE real formats end-to-end, all pure
+stdlib: PNG (chunk walk + zlib + spec-complete unfilter — round 9),
+BMP (24-bit BGR / 8-bit palette, padded rows, bottom-up or top-down —
+round 10), and RIFF/WAVE PCM audio (8/16-bit, any channel count —
+round 10).  Images share ONE exact integer luma (_luma_u8), so the
+same pixels hash identically across container formats — the property
+cross-format image near-dup needs; WAV yields true sample rate /
+frames / peak / full-scale clipping.  Compressed formats (JPEG, MP3,
+video) keep the deterministic synthetic-header fake behind the same
+NotImplementedError seam (no PIL/ffmpeg in this container); the
+Spark-side plumbing (schema, mapInPandas batch shape, partitioning)
+is identical on both paths, so swapping in PIL/ffmpeg stays a
+one-function change.
 """
 
 from __future__ import annotations
@@ -86,6 +91,39 @@ def synthesize_blobs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.encode(F.concat(header, F.col(text_col)), "UTF-8").alias("blob"),
     )
+
+
+def synthesize_bmp_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL 24-bit BMP bytes as a deterministic fixture: a solid-color
+    (id % 256) image with the SAME width/height formulas as
+    synthesize_blobs, so driver-checked queries can route a slice of
+    their rows through a real binary codec while the oracle still
+    derives every value from id arithmetic (n_bytes = 54 + padded-row
+    bytes × height — the BMP size formula, SQL-expressible)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def solid_bmp(w: int, h: int, val: int) -> bytes:
+            row = (bytes([val, val, val]) * w).ljust((w * 3 + 3) & ~3, b"\x00")
+            body = row * h
+            hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+            return hdr + dib + body
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                ids.append(i)
+                blobs.append(solid_bmp(i % 64 + 16, i % 48 + 16, i % 256))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
 
 
 # --- real PNG codec (pure stdlib: chunk walk + zlib + unfilter) -------------
@@ -251,6 +289,67 @@ def png_gray_pixels(raw: bytes):
     return _luma_u8(out.reshape(h, w, ch))
 
 
+# --- real BMP codec (pure stdlib: header unpack + padded pixel rows) --------
+
+BMP_MAGIC = b"BM"
+
+
+def bmp_dims(raw: bytes) -> tuple[int, int]:
+    """(width, height) from the DIB header — metadata only, like
+    png_ihdr.  Height is |h| (negative means top-down row order)."""
+    if raw[:2] != BMP_MAGIC or len(raw) < 30:
+        raise ValueError("not a BMP blob")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    return w, abs(h)
+
+
+def bmp_gray_pixels(raw: bytes):
+    """Decode a BMP to an (h, w) uint8 grayscale ndarray.
+
+    BITMAPINFOHEADER (or longer), BI_RGB (uncompressed) only, 24-bit
+    BGR or 8-bit palette, bottom-up or top-down — the overwhelmingly
+    common cases; anything else raises to the seam.  Rows are 4-byte
+    padded per the spec; luma is the same exact integer ITU-R 601
+    formula the PNG path uses (_luma_u8), so PNG and BMP encodings of
+    the same pixels produce the SAME aHash."""
+    import numpy as np
+
+    if raw[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP blob")
+    data_off = int.from_bytes(raw[10:14], "little")
+    hdr_sz = int.from_bytes(raw[14:18], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if hdr_sz < 40 or comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+        raise NotImplementedError(
+            f"BMP header={hdr_sz} compression={comp} bpp={bpp}: plug PIL "
+            "in here"
+        )
+    top_down, hh = h < 0, abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    body = np.frombuffer(
+        raw, dtype=np.uint8, count=row_bytes * hh, offset=data_off
+    ).reshape(hh, row_bytes)
+    if not top_down:
+        body = body[::-1]
+    if bpp == 24:
+        bgr = body[:, : w * 3].reshape(hh, w, 3)
+        rgb = bgr[:, :, ::-1]
+    else:
+        # palette: 4-byte BGRX entries between the DIB header and the
+        # pixel data; indices map through it to RGB
+        pal = np.frombuffer(
+            raw, dtype=np.uint8, count=data_off - 14 - hdr_sz,
+            offset=14 + hdr_sz,
+        ).reshape(-1, 4)
+        idx = body[:, :w]
+        rgb = pal[idx][:, :, [2, 1, 0]]
+    return _luma_u8(np.ascontiguousarray(rgb))
+
+
 def decode_blobs(blobs: DataFrame) -> DataFrame:
     """Arrow-batched decode over binary blobs via mapInPandas.
 
@@ -271,14 +370,17 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
                 raw = bytes(blob)
                 if raw.startswith(PNG_MAGIC):
                     w, h, _, _ = png_ihdr(raw)
+                elif raw.startswith(BMP_MAGIC):
+                    w, h = bmp_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _payload = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
                     w, h = int(w_s), int(h_s)
                 else:
                     raise NotImplementedError(
-                        "only PNG and the synthetic IMG header are decodable "
-                        "in this container; plug a real codec in here"
+                        "only PNG/BMP and the synthetic IMG header are "
+                        "decodable in this container; plug a real codec "
+                        "in here"
                     )
                 out["doc_id"].append(doc_id)
                 out["media_type"].append("image")
@@ -318,6 +420,8 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
                 raw = bytes(blob)
                 if raw.startswith(PNG_MAGIC):
                     w, h, _, _ = png_ihdr(raw)
+                elif raw.startswith(BMP_MAGIC):
+                    w, h = bmp_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _ = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -427,11 +531,17 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
                 cells = None
-                if raw.startswith(PNG_MAGIC):
+                if raw.startswith(PNG_MAGIC) or raw.startswith(BMP_MAGIC):
                     # the REAL path: decoded grayscale pixels feed the
                     # same exact-integer cell thresholding below, with
-                    # SPATIAL 8x8 block cells (true aHash geometry)
-                    px = png_gray_pixels(raw).astype(np.int64)
+                    # SPATIAL 8x8 block cells (true aHash geometry);
+                    # PNG and BMP share the exact luma, so the same
+                    # pixels hash identically across formats
+                    px = (
+                        png_gray_pixels(raw)
+                        if raw.startswith(PNG_MAGIC)
+                        else bmp_gray_pixels(raw)
+                    ).astype(np.int64)
                     ih, iw = px.shape
                     rr = (np.arange(ih, dtype=np.int64) * 8) // ih
                     cc_ = (np.arange(iw, dtype=np.int64) * 8) // iw
@@ -558,6 +668,59 @@ def synthesize_audio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# --- real WAV codec (pure stdlib: RIFF chunk walk + PCM frombuffer) ---------
+#
+# Like PNG (round 9), WAV needs no external library: RIFF framing is
+# struct-unpacking and PCM samples ARE the payload bytes.  The audio
+# seam therefore carries a second REAL format end-to-end — true sample
+# rate / frame count / peak / clipping from real PCM — while compressed
+# codecs (MP3/AAC/Opus) still raise to the marked soundfile/ffmpeg seam.
+
+WAV_MAGIC = b"RIFF"
+
+
+def wav_pcm_samples(raw: bytes):
+    """Parse a RIFF/WAVE PCM blob → (sample_rate, channel-0 samples as
+    an int64 ndarray, bits_per_sample).  PCM (format tag 1), 8/16-bit,
+    any channel count — stats run over channel 0, matching the
+    channel-0 luma convention of the gray+alpha PNG path.  Compressed
+    or float WAVE formats raise to the seam."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != WAV_MAGIC or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        sz = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("malformed WAVE: missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+        raise NotImplementedError(
+            f"WAVE format {audio_fmt} bits {bits}: plug soundfile/ffmpeg "
+            "in here"
+        )
+    frame_bytes = (bits // 8) * n_ch
+    usable = len(data) - (len(data) % frame_bytes)
+    if bits == 16:
+        arr = np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)
+    else:
+        # 8-bit WAV is unsigned, centered at 128 per the spec
+        arr = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int64) - 128
+    return rate, arr.reshape(-1, n_ch)[:, 0], bits
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -579,13 +742,15 @@ _AUDIO_CLIP = 24
 def decode_audio(blobs: DataFrame) -> DataFrame:
     """Arrow-batched audio 'decode': duration + signal-quality stats.
 
-    Real pipelines run soundfile/ffmpeg here (PCM decode, loudness,
-    clipping detection for data filtering); the stub treats the payload
-    code points as centered samples — same batch shape, exact integer
-    stats (duration_ms = n·1000 // rate, peak = max |sample|,
-    n_clipped = count beyond ±clip), so the whole decode is
-    oracle-checkable.  Raises NotImplementedError off the AUD header,
-    the marked codec seam like decode_blobs/sample_frames.
+    Two formats decode for REAL: RIFF/WAVE PCM (the stdlib codec above
+    — true sample rate, frame count, peak, clipping from real PCM
+    bytes; clipping for real audio = |sample| at full scale, 32767 /
+    127) and the synthetic 'AUD:<rate>:' header (payload code points as
+    centered samples — the deterministic fixture format whose exact
+    integer stats the SQL oracle restates: duration_ms = n·1000 //
+    rate, peak = max |sample|, n_clipped = count beyond ±clip).
+    Anything else raises NotImplementedError — the marked
+    soundfile/ffmpeg seam, like decode_blobs/sample_frames.
     """
 
     def decode(batches: Iterator) -> Iterator:
@@ -599,31 +764,36 @@ def decode_audio(blobs: DataFrame) -> DataFrame:
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
-                if not raw.startswith(b"AUD:"):
+                if raw[:4] == WAV_MAGIC and raw[8:12] == b"WAVE":
+                    rate, samples, bits = wav_pcm_samples(raw)
+                    # real audio clips AT full scale (inclusive)
+                    clipped = np.abs(samples) >= (32767 if bits == 16 else 127)
+                elif raw.startswith(b"AUD:"):
+                    rate_s, _, payload = raw[4:].partition(b":")
+                    rate = int(rate_s)
+                    samples = (
+                        np.array(
+                            [ord(c) for c in payload.decode("utf-8")],
+                            dtype=np.int64,
+                        )
+                        - _AUDIO_CENTER
+                    )
+                    # the fixture threshold is strict-greater — the SQL
+                    # oracle restates it verbatim; do not change
+                    clipped = np.abs(samples) > _AUDIO_CLIP
+                else:
                     raise NotImplementedError(
                         "real audio codec plugs in here"
                     )
-                rate_s, _, payload = raw[4:].partition(b":")
-                rate = int(rate_s)
-                # codec seam: a real decoder yields PCM frames here
-                samples = (
-                    np.array(
-                        [ord(c) for c in payload.decode("utf-8")],
-                        dtype=np.int64,
-                    )
-                    - _AUDIO_CENTER
-                )
                 n = len(samples)
                 out["doc_id"].append(doc_id)
-                out["sample_rate"].append(rate)
+                out["sample_rate"].append(int(rate))
                 out["n_samples"].append(n)
                 out["duration_ms"].append(n * 1000 // rate)
                 out["peak"].append(
                     int(np.abs(samples).max()) if n else 0
                 )
-                out["n_clipped"].append(
-                    int((np.abs(samples) > _AUDIO_CLIP).sum())
-                )
+                out["n_clipped"].append(int(clipped.sum()) if n else 0)
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(decode, schema=AUDIO_META_SCHEMA)

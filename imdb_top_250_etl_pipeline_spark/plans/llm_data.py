@@ -1395,9 +1395,15 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT doc_id,
              CAST(doc_id % 64 + 16 AS INT) AS width,
              CAST(doc_id % 48 + 16 AS INT) AS height,
-             CAST(6 + length(CAST(doc_id % 64 + 16 AS VARCHAR))
-                    + length(CAST(doc_id % 48 + 16 AS VARCHAR))
-                    + octet_length(encode(text)) AS INT) AS n_bytes,
+             CAST(CASE WHEN doc_id % 7 = 0
+                  -- real 24-bit BMP rows: 54-byte header + 4-byte
+                  -- padded BGR rows (the BMP size formula)
+                  THEN 54 + (((doc_id % 64 + 16) * 3 + 3) // 4) * 4
+                         * (doc_id % 48 + 16)
+                  ELSE 6 + length(CAST(doc_id % 64 + 16 AS VARCHAR))
+                         + length(CAST(doc_id % 48 + 16 AS VARCHAR))
+                         + octet_length(encode(text))
+                  END AS INT) AS n_bytes,
              CAST(doc_id % 200 + 10 AS INT) AS n_frames
       FROM documents
     )
@@ -1413,19 +1419,32 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER BY doc_id
     """,
     doc="The opaque-binary modality surface end-to-end: synthesize "
-    "deterministic IMG/VID blobs, then three Arrow-batched mapInPandas "
-    "stages — metadata decode, aspect-preserving resize (longer side -> "
+    "deterministic blobs — every 7th doc a REAL 24-bit BMP (round 10, "
+    "operators/multimodal.py::bmp_dims parses genuine binary headers), "
+    "the rest IMG/VID headers — then three Arrow-batched mapInPandas "
+    "stages: metadata decode, aspect-preserving resize (longer side -> "
     "32), and every-7th frame sampling (one row per kept frame, "
-    "re-aggregated per doc) — each a stubbed codec seam with real "
-    "geometry/indexing math (operators/multimodal.py). The oracle "
-    "recomputes every value from the header arithmetic, so the whole "
-    "Python path is hash-checked.",
+    "re-aggregated per doc).  The oracle recomputes every value from "
+    "the id arithmetic (incl. the BMP size formula 54 + padded-rows x "
+    "height), so the whole Python path INCLUDING a real codec is "
+    "hash-checked by the driver.",
 )
 def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import resize_images, sample_frames, synthesize_videos
+    from ..operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_bmp_blobs,
+        synthesize_videos,
+    )
 
     d = load(spark, sf_dir, "documents")
-    blobs = synthesize_blobs(d, "text", "doc_id")
+    # every 7th document rides as a REAL 24-bit BMP (round 10): the
+    # decode/resize stages parse genuine binary headers and the oracle
+    # derives width/height/n_bytes from the same id arithmetic plus the
+    # BMP size formula — a real codec inside the driver's hash check
+    blobs = synthesize_blobs(
+        d.where(F.col("doc_id") % 7 != 0), "text", "doc_id"
+    ).unionByName(synthesize_bmp_blobs(d.where(F.col("doc_id") % 7 == 0), "doc_id"))
     decoded = decode_blobs(blobs)
     resized = resize_images(blobs, max_side=32)
     frames = (

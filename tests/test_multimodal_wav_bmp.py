@@ -1,0 +1,228 @@
+"""Real-codec integration at the multimodal seam, round 10: WAV + BMP.
+
+Round-9 verdict listed "real media codecs beyond PNG" as the residual
+north-star gap.  Two more formats need NO external library — RIFF/WAVE
+PCM is struct framing over raw samples, BMP is a header over padded
+pixel rows — so the audio seam and a second image format now decode
+REAL bytes end-to-end:
+
+* decode_audio reads true sample rate / frame count / peak / clipping
+  from PCM produced by the stdlib ``wave`` ENCODER (a genuinely
+  independent writer, not our own framing round-tripped).
+* bmp_gray_pixels decodes 24-bit BGR and 8-bit-palette BMPs (bottom-up
+  and top-down), through the SAME exact integer luma as PNG — so the
+  same pixels produce the SAME aHash regardless of container format,
+  which is exactly what cross-format image near-dup needs.
+
+Compressed formats (MP3/JPEG/RLE-BMP/float-WAV) still raise at the
+marked seam.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+    bmp_dims,
+    bmp_gray_pixels,
+    wav_pcm_samples,
+)
+
+
+def make_wav(samples: np.ndarray, rate: int, n_ch: int = 1, bits: int = 16) -> bytes:
+    """Encode PCM through the stdlib wave module (the independent
+    writer).  ``samples`` is (frames, channels) or (frames,)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(n_ch)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    if bits == 16:
+        w.writeframes(samples.astype("<i2").tobytes())
+    else:
+        w.writeframes((samples + 128).astype(np.uint8).tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def make_bmp(px: np.ndarray, top_down: bool = False, palette8: bool = False) -> bytes:
+    """Minimal spec-correct BMP: BITMAPINFOHEADER, BI_RGB, 4-byte
+    padded rows, bottom-up unless top_down.  ``px`` is (h, w, 3) RGB
+    uint8, or (h, w) gray when palette8 (identity gray palette)."""
+    h, w = px.shape[:2]
+    bpp = 8 if palette8 else 24
+    pal = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256)) if palette8 else b""
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        if palette8:
+            line = px[r].astype(np.uint8).tobytes()
+        else:
+            line = px[r, :, ::-1].astype(np.uint8).tobytes()  # BGR
+        rows.append(line + b"\x00" * (row_bytes - len(line)))
+    body = b"".join(rows)
+    data_off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, bpp, 0, len(body), 2835, 2835,
+        256 if palette8 else 0, 0,
+    )
+    return hdr + dib + pal + body
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    r = rgb.astype(np.int64)
+    return ((299 * r[:, :, 0] + 587 * r[:, :, 1] + 114 * r[:, :, 2]) // 1000).astype(
+        np.uint8
+    )
+
+
+# ----------------------------------------------------------------- WAV
+
+
+def test_wav_pcm_16bit_mono_roundtrip():
+    rng = np.random.RandomState(11)
+    src = rng.randint(-32768, 32768, size=500, dtype=np.int64)
+    rate, got, bits = wav_pcm_samples(make_wav(src, 16000))
+    assert (rate, bits) == (16000, 16)
+    assert np.array_equal(got, src)
+
+
+def test_wav_pcm_stereo_takes_channel_zero():
+    rng = np.random.RandomState(12)
+    src = rng.randint(-1000, 1000, size=(300, 2), dtype=np.int64)
+    rate, got, bits = wav_pcm_samples(make_wav(src, 44100, n_ch=2))
+    assert rate == 44100
+    assert np.array_equal(got, src[:, 0])
+
+
+def test_wav_pcm_8bit_centered():
+    src = np.array([-128, -1, 0, 1, 127, 127], dtype=np.int64)
+    rate, got, bits = wav_pcm_samples(make_wav(src, 8000, bits=8))
+    assert (rate, bits) == (8000, 8)
+    assert np.array_equal(got, src)
+
+
+def test_wav_float_format_raises_to_seam():
+    # hand-frame an IEEE-float WAVE (format tag 3): must hit the seam
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    data = b"\x00" * 64
+    raw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(NotImplementedError):
+        wav_pcm_samples(raw)
+
+
+def test_decode_audio_real_wav_stats_and_clipping(spark):
+    """decode_audio over REAL WAV blobs mixed with the synthetic
+    format: exact duration/peak, full-scale clipping counted for WAV
+    (inclusive), synthetic threshold semantics untouched."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    src = np.array([0, 100, -32767, 32767, -5, 32767], dtype=np.int64)
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(make_wav(src, 16000))),
+            (2, bytearray(b"AUD:8000:" + "abcz".encode())),
+        ],
+        "doc_id long, blob binary",
+    )
+    got = {r.doc_id: r for r in decode_audio(blobs).collect()}
+    assert got[1].sample_rate == 16000
+    assert got[1].n_samples == 6
+    assert got[1].duration_ms == 6 * 1000 // 16000
+    assert got[1].peak == 32767
+    assert got[1].n_clipped == 3  # -32767 and the two +32767 hit full scale
+    # synthetic path unchanged: codepoint-96, strict > 24 threshold
+    assert got[2].peak == ord("z") - 96
+    assert got[2].n_clipped == 1
+
+
+# ----------------------------------------------------------------- BMP
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_24bit_luma_roundtrip(top_down):
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, size=(11, 5, 3), dtype=np.uint8)  # w=5: padded rows
+    blob = make_bmp(rgb, top_down=top_down)
+    assert bmp_dims(blob) == (5, 11)
+    assert np.array_equal(bmp_gray_pixels(blob), _luma(rgb))
+
+
+def test_bmp_8bit_palette_gray():
+    rng = np.random.RandomState(14)
+    g = rng.randint(0, 256, size=(9, 7), dtype=np.uint8)
+    got = bmp_gray_pixels(make_bmp(g, palette8=True))
+    assert np.array_equal(got, g)
+
+
+def test_bmp_compressed_raises_to_seam():
+    blob = bytearray(make_bmp(np.zeros((4, 4, 3), np.uint8)))
+    blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        bmp_gray_pixels(bytes(blob))
+
+
+def test_bmp_decode_matches_pil_when_available():
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.RandomState(15)
+    rgb = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    blob = make_bmp(rgb)
+    im = Image.open(io.BytesIO(blob)).convert("RGB")
+    assert np.array_equal(np.asarray(im), rgb)
+
+
+def test_cross_format_ahash_identical_for_same_pixels(spark):
+    """The near-dup property that matters: the SAME image encoded as
+    PNG and as BMP must produce the IDENTICAL aHash (shared exact luma
+    + shared spatial cells), so cross-format duplicates band together."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        ahash_blobs,
+    )
+
+    from .test_multimodal_png import make_png
+
+    rng = np.random.RandomState(16)
+    g = rng.randint(0, 256, size=(24, 16), dtype=np.uint8)
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(make_png(g, color_type=0, filter_type=2))),
+            (2, bytearray(make_bmp(g, palette8=True))),
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in ahash_blobs(blobs).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_decode_blobs_and_resize_real_bmp(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        decode_blobs,
+        resize_images,
+    )
+
+    rgb = np.zeros((48, 96, 3), np.uint8)
+    blobs = spark.createDataFrame(
+        [(7, bytearray(make_bmp(rgb)))], "doc_id long, blob binary"
+    )
+    meta = decode_blobs(blobs).collect()[0]
+    assert (meta.width, meta.height) == (96, 48)
+    rs = resize_images(blobs, max_side=32).collect()[0]
+    assert (rs.new_width, rs.new_height) == (32, 16)

@@ -31,6 +31,13 @@ OUT = os.environ.get("SWEEP_OUT", "SWEEP_sf1.json")
 # comma-separated substrings: run only matching query names (focused
 # re-measurement after a fix, e.g. SWEEP_ONLY=dedup)
 ONLY = [s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s]
+# optional per-query wall budget (seconds): when set, a watchdog
+# interrupts the DuckDB oracle past the budget so ONE pathological
+# query (round 10 found a ~3h all-pairs oracle at sf1) cannot eat the
+# whole sweep — the query records as a timeout entry and the sweep
+# moves on.  Spark-side work is not interruptible this way; the budget
+# primarily guards the oracle, which is where the blowups have been.
+BUDGET = float(os.environ.get("SWEEP_BUDGET_SEC", "0") or 0)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -78,6 +85,30 @@ def main() -> None:
             json.dump(out, f, indent=1, sort_keys=True)
         os.replace(tmp, OUT)
 
+    def _with_budget(fn):
+        """Run fn(); if BUDGET is set, a watchdog interrupts the duck
+        connection past the budget (duckdb raises InterruptException,
+        recorded below as a timeout entry)."""
+        if not BUDGET:
+            return fn()
+        import threading
+
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(BUDGET):
+                try:
+                    duck.interrupt()
+                except Exception:
+                    pass
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return fn()
+        finally:
+            done.set()
+
     for name in sorted(all_q):
         if ONLY and not any(s in name for s in ONLY):
             continue
@@ -86,7 +117,7 @@ def main() -> None:
         try:
             df = q.fn(spark, SF_DIR)
             if q.oracle is not None:
-                res = compare(df, duck, q.oracle)
+                res = _with_budget(lambda: compare(df, duck, q.oracle))
                 res["sec"] = round(time.perf_counter() - t0, 2)
                 oracle_res[name] = res
                 tag = "HASH-OK" if res["hash_match"] else "HASH-FAIL"

@@ -73,6 +73,26 @@ def sf_of(path: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
+def _raw_overrides():
+    """Round-10 oracle promotions reshaped two registered queries into
+    invariant-check form (they now ALSO run an exact brute-force
+    baseline / extra self-checks).  The bench keeps timing the RAW
+    operator those queries wrap, so per-query numbers stay comparable
+    with earlier rounds' ledger (bench_baseline.json) — the
+    verification overhead is correctness evidence, not operator cost."""
+    from imdb_top_250_etl_pipeline_spark.plans.batteries import (
+        _text_bpe_merges_raw,
+    )
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _sim_ann_ivf_raw,
+    )
+
+    return {
+        "sim_ann_ivf": _sim_ann_ivf_raw,
+        "text_bpe_merges": _text_bpe_merges_raw,
+    }
+
+
 def main() -> None:
     from imdb_top_250_etl_pipeline_spark.session import get_spark
     from imdb_top_250_etl_pipeline_spark.plans import QUERIES, SUBSUMED, lookup
@@ -108,10 +128,11 @@ def main() -> None:
         # this container shares hardware and single cold runs swing
         # 1.5-3x with co-tenant load — the steady number is the one that
         # reflects the plan.
+        fn = _raw_overrides().get(name) or lookup(name).fn
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            df = lookup(name).fn(spark, SF_DIR)
+            df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = runs[0]

@@ -455,12 +455,13 @@ def sessionize(
     ``F.session_window``, whose window is [start, start+gap)), and
     session_id numbers a user's sessions 1..N in time order.
 
-    ``ts_col`` may be a TIMESTAMP (compared µs-exact via unix_micros —
-    unix_timestamp would truncate to seconds) or an integral column
-    already in µs.  ``tiebreak_cols`` must complete a total order when
-    timestamps can collide (the standard window-determinism contract);
-    with ``gap_us == 0`` every event starts its own session by the >=
-    convention.
+    ``ts_col`` may be a TIMESTAMP or TIMESTAMP_NTZ (gaps measured
+    µs-exact and zone-free via timestamp_diff — unix_timestamp would
+    truncate to seconds, and unix_micros rejects NTZ) or an integral
+    column already in µs.  ``tiebreak_cols`` must complete a total
+    order when timestamps can collide (the standard window-determinism
+    contract); with ``gap_us == 0`` every event starts its own session
+    by the >= convention.
 
     Distributed shape: lag + running-sum session ids over the SAME
     (user, ts, tiebreak) window partitioning — two window passes, one
@@ -471,15 +472,13 @@ def sessionize(
     tb = [F.col(c) for c in (tiebreak_cols or [])]
     w = W.partitionBy(user_col).orderBy(F.col(ts_col), *tb)
     ts_t = events.schema[ts_col].dataType.simpleString()
-    us = (
-        F.col(ts_col).cast("long")
-        if ts_t in ("bigint", "int", "smallint", "tinyint")
-        else F.unix_micros(F.col(ts_col))
-    )
     prev = F.lag(events[ts_col]).over(w)
-    prev_us = F.lag(us).over(w)
+    if ts_t in ("bigint", "int", "smallint", "tinyint"):
+        gap = F.col(ts_col).cast("long") - prev.cast("long")
+    else:
+        gap = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
     new_session = F.when(
-        prev.isNull() | (us - prev_us >= F.lit(int(gap_us))), 1
+        prev.isNull() | (gap >= F.lit(int(gap_us))), 1
     ).otherwise(0)
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (

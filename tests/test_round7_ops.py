@@ -1017,3 +1017,34 @@ def test_trending_topk_matches_plain_window_rank(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_timestamp_ntz_and_integer_paths(spark):
+    """operators/analytics.py::sessionize accepts TIMESTAMP_NTZ (raw
+    parquet reads without the catalog's schema land here — unix_micros
+    would reject it; gaps go through zone-free timestamp_diff) and
+    integral-µs columns, and both agree with each other on the same
+    instants."""
+    from imdb_top_250_etl_pipeline_spark.operators.analytics import sessionize
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    assert e.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    gap = 6 * 3600 * 1_000_000
+    ntz = sessionize(e, "user_id", "ts", gap, tiebreak_cols=["event_id"])
+    as_us = e.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("tus"),
+        "event_id",
+    )
+    us = sessionize(as_us, "user_id", "tus", gap, tiebreak_cols=["event_id"])
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"] for r in ntz.collect()
+    }
+    want = {
+        (r["user_id"], r["session_id"]): r["n_events"] for r in us.collect()
+    }
+    assert got == want and got

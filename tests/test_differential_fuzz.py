@@ -826,7 +826,10 @@ def test_fuzz_surrogate_key(spark, keys, start):
     )
     from imdb_top_250_etl_pipeline_spark.operators.pinning import pin_scope
 
-    rows = sorted(keys)
+    # None-safe deterministic order (plain sorted() dies comparing None
+    # to str once the deeper --slow example stream generates both under
+    # one int key — found by the round-10 full slow-tier run)
+    rows = sorted(keys, key=lambda t: (t[0], t[1] is not None, t[1] or ""))
     if not rows:
         return  # repartitionByRange needs >= 1 row; empty is a no-op
     df = spark.createDataFrame(rows, "k long, s string")

@@ -6,15 +6,18 @@ embeddings are array<float> handled by expression math, and image/audio/
 video payloads ride as opaque binary with typed metadata, decoded by
 Arrow-batched pandas functions (the only place Python belongs).
 
-The decode seam carries THREE real formats end-to-end, all pure
+The decode seam carries FOUR real formats end-to-end, all pure
 stdlib: PNG (chunk walk + zlib + spec-complete unfilter — round 9),
 BMP (24-bit BGR / 8-bit palette, padded rows, bottom-up or top-down —
-round 10), and RIFF/WAVE PCM audio (8/16-bit, any channel count —
-round 10).  Images share ONE exact integer luma (_luma_u8), so the
-same pixels hash identically across container formats — the property
-cross-format image near-dup needs; WAV yields true sample rate /
-frames / peak / full-scale clipping.  Compressed formats (JPEG, MP3,
-video) keep the deterministic synthetic-header fake behind the same
+round 10), RIFF/WAVE PCM audio (8/16-bit, any channel count — round
+10), and YUV4MPEG2 video (FRAME-marker demux + planar Y slices —
+round 10; per-frame luma stats and true spatial aHash, so image
+near-dup machinery extends to frames).  Images share ONE exact
+integer luma (_luma_u8), so the same pixels hash identically across
+container formats — the property cross-format image near-dup needs;
+WAV yields true sample rate / frames / peak / full-scale clipping.
+Compressed formats (JPEG, MP3, MP4) keep the deterministic
+synthetic-header fake behind the same
 NotImplementedError seam (no PIL/ffmpeg in this container); the
 Spark-side plumbing (schema, mapInPandas batch shape, partitioning)
 is identical on both paths, so swapping in PIL/ffmpeg stays a
@@ -121,6 +124,36 @@ def synthesize_bmp_blobs(df: DataFrame, id_col: str) -> DataFrame:
                 i = int(doc_id)
                 ids.append(i)
                 blobs.append(solid_bmp(i % 64 + 16, i % 48 + 16, i % 256))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
+
+
+def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL baseline-JPEG bytes as a deterministic fixture (the BMP
+    discipline extended to a COMPRESSED codec): a solid-gray (id % 256)
+    image with the SAME width/height formulas as synthesize_blobs,
+    entropy-coded at quality=100 by operators/jpeg.py::jpeg_encode.
+    At q=100 every quant divisor is 1 and a solid block's FDCT is
+    DC-only with an integer DC, so the decode is EXACT — a SQL oracle
+    recomputes width/height/min/max/sum from id arithmetic while the
+    bytes exercise real Huffman entropy decode + dequant + IDCT."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import jpeg_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                px = np.full(
+                    (i % 48 + 16, i % 64 + 16), i % 256, dtype=np.uint8
+                )
+                ids.append(i)
+                blobs.append(jpeg_encode(px, quality=100))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
@@ -364,6 +397,8 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .jpeg import JPEG_MAGIC, jpeg_dims
+
         for pdf in batches:
             out = {"doc_id": [], "media_type": [], "width": [], "height": [], "n_bytes": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -372,6 +407,8 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
                     w, h, _, _ = png_ihdr(raw)
                 elif raw.startswith(BMP_MAGIC):
                     w, h = bmp_dims(raw)
+                elif raw.startswith(JPEG_MAGIC):
+                    w, h = jpeg_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _payload = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -414,6 +451,8 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .jpeg import JPEG_MAGIC, jpeg_dims
+
         for pdf in batches:
             out = {"doc_id": [], "new_width": [], "new_height": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -422,6 +461,8 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
                     w, h, _, _ = png_ihdr(raw)
                 elif raw.startswith(BMP_MAGIC):
                     w, h = bmp_dims(raw)
+                elif raw.startswith(JPEG_MAGIC):
+                    w, h = jpeg_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _ = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -475,6 +516,18 @@ def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
             out = {"doc_id": [], "frame_idx": [], "ts_ms": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
+                if raw.startswith(Y4M_MAGIC):
+                    # the REAL path: demux a YUV4MPEG2 stream's FRAME
+                    # markers; timestamps from the true fps ratio
+                    # (floor-exact integer math, matching mjpegtools)
+                    _w, _h, num, den, _cs, _hl = y4m_header(raw)
+                    for idx, _plane in y4m_frames(raw):
+                        if idx % every_k:
+                            continue
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(idx * 1000 * den // num)
+                    continue
                 if not raw.startswith(b"VID:"):
                     raise NotImplementedError("real video demuxer plugs in here")
                 n_s, _, rest = raw[4:].partition(b":")
@@ -489,6 +542,313 @@ def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
     return videos.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+# --- real Y4M codec (YUV4MPEG2: pure stdlib marker walk + planar frames) ----
+#
+# YUV4MPEG2 is the uncompressed-video interchange format of the
+# mjpegtools/ffmpeg world (`ffmpeg -f yuv4mpeg`): one ASCII header line
+# ('YUV4MPEG2 W.. H.. F<num>:<den> .. C<colorspace>\n'), then per frame
+# an ASCII 'FRAME[ params]\n' marker followed by raw planar YUV bytes of
+# a size fixed entirely by the header.  No entropy coding means a
+# pure-stdlib demuxer carries it end-to-end REAL — marker walk +
+# zero-copy plane slices — closing the video third of the codec seam
+# the way PNG/BMP closed images and WAV closed audio.  Compressed
+# containers (MP4/H.264 et al.) stay behind the NotImplementedError
+# seam where ffmpeg/pyav plug in.
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+# colorspace tag -> frame payload bytes as a fraction (num, den) of w*h;
+# all 8-bit.  mono = Y only; 420* = Y + quarter-res U and V; etc.
+_Y4M_FRAME_BYTES = {
+    "mono": (1, 1),
+    "420": (3, 2),
+    "420jpeg": (3, 2),
+    "420mpeg2": (3, 2),
+    "420paldv": (3, 2),
+    "422": (2, 1),
+    "444": (3, 1),
+}
+
+
+def y4m_header(raw: bytes) -> tuple[int, int, int, int, str, int]:
+    """Parse the YUV4MPEG2 stream header → (width, height, fps_num,
+    fps_den, colorspace, header_len).
+
+    W/H/F are required; C defaults to 420jpeg per the mjpegtools spec.
+    I (interlace), A (aspect) and X (comment) parameters are legal and
+    geometry-free, so they parse and are ignored.  Colorspaces outside
+    _Y4M_FRAME_BYTES (10-bit variants, alpha) raise to the seam — a
+    guessed frame size would shift every later frame's bytes."""
+    if not raw.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = raw.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated YUV4MPEG2 header")
+    w = h = num = den = 0
+    cs = "420jpeg"
+    for tok in raw[len(Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num_s, _, den_s = val.partition(":")
+            num, den = int(num_s), int(den_s)
+        elif tag == b"C":
+            cs = val
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        raise ValueError("YUV4MPEG2 header missing W/H/F")
+    if cs not in _Y4M_FRAME_BYTES:
+        raise NotImplementedError(
+            f"Y4M colorspace {cs!r}: plug ffmpeg in here"
+        )
+    if cs.startswith("420") and (w % 2 or h % 2):
+        raise ValueError(f"C{cs} needs even dimensions, got {w}x{h}")
+    if cs == "422" and w % 2:
+        raise ValueError(f"C422 needs even width, got {w}")
+    return w, h, num, den, cs, nl + 1
+
+
+def y4m_frames(raw: bytes):
+    """Yield (frame_idx, y_plane_bytes) for every frame — the demux.
+
+    Each FRAME marker line may carry its own ' params' up to the
+    newline (per spec); the payload size is fixed by the header, so the
+    walk is O(frames) marker scans with zero-copy plane slices and no
+    per-pixel work.  A missing marker or truncated payload raises
+    ValueError — a corrupt stream must fail loudly, because a silent
+    resync would shift every later frame's bytes."""
+    w, h, _num, _den, cs, pos = y4m_header(raw)
+    fn, fd = _Y4M_FRAME_BYTES[cs]
+    fsize = w * h * fn // fd
+    ysize = w * h
+    n = len(raw)
+    idx = 0
+    while pos < n:
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"Y4M frame {idx}: missing FRAME marker")
+        nl = raw.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError(f"Y4M frame {idx}: unterminated FRAME line")
+        start = nl + 1
+        if start + fsize > n:
+            raise ValueError(f"Y4M frame {idx}: truncated payload")
+        yield idx, raw[start : start + ysize]
+        pos = start + fsize
+        idx += 1
+
+
+def synthesize_y4m_blobs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    frames_base: int = 10,
+    frames_mod: int = 40,
+    w_mod: int = 8,
+    h_mod: int = 6,
+) -> DataFrame:
+    """REAL YUV4MPEG2 bytes as a deterministic fixture (the BMP
+    discipline): Cmono streams at F10:1 whose geometry and content
+    derive from the id — w = (id % w_mod)·2 + 8, h = (id % h_mod)·2 + 8,
+    n_frames = id % frames_mod + frames_base, frame f a SOLID Y plane of
+    value (id + 7·f) % 256 — so a SQL oracle recomputes every downstream
+    stat from id arithmetic while the bytes exercise the real marker
+    walk (a frame-size or offset bug lands the slice in a neighboring
+    frame's plane, which carries a DIFFERENT value and hash-fails).
+    Within-frame pixel addressing is pinned by the gradient fixtures in
+    tests/test_multimodal_y4m.py."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = (i % w_mod) * 2 + 8
+                h = (i % h_mod) * 2 + 8
+                n = i % frames_mod + frames_base
+                parts = [b"YUV4MPEG2 W%d H%d F10:1 Ip A1:1 Cmono\n" % (w, h)]
+                for f in range(n):
+                    parts.append(b"FRAME\n")
+                    parts.append(bytes([(i + 7 * f) % 256]) * (w * h))
+                ids.append(i)
+                blobs.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
+
+
+Y4M_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_min", T.IntegerType()),
+        T.StructField("y_max", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+    ]
+)
+
+
+def y4m_frame_stats(videos: DataFrame, every_k: int = 5) -> DataFrame:
+    """Real per-frame luma statistics from Y4M streams: every k-th
+    frame's Y plane decodes to exact integer min / max / sum (numpy over
+    the zero-copy slice) plus the timestamp from the true fps ratio
+    (idx·1000·den DIV num).  One row per sampled frame — the per-frame
+    feature unit video quality filtering and near-dup consume; non-Y4M
+    blobs raise to the demuxer seam."""
+
+    cols = (
+        "doc_id frame_idx ts_ms width height y_min y_max y_sum".split()
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if not raw.startswith(Y4M_MAGIC):
+                    raise NotImplementedError(
+                        "real video demuxer plugs in here"
+                    )
+                w, h, num, den, _cs, _hl = y4m_header(raw)
+                for idx, plane in y4m_frames(raw):
+                    if idx % every_k:
+                        continue
+                    y = np.frombuffer(plane, dtype=np.uint8)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * 1000 * den // num)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_min"].append(int(y.min()))
+                    out["y_max"].append(int(y.max()))
+                    out["y_sum"].append(int(y.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(stats, schema=Y4M_STATS_SCHEMA)
+
+
+FRAME_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def y4m_frame_ahash(videos: DataFrame, every_k: int = 5) -> DataFrame:
+    """True spatial aHash per sampled video frame: each kept frame's
+    real Y plane feeds the SAME 8×8 block-grid / exact-integer
+    thresholding as image blobs (_spatial_cells/_ahash_bands), so the
+    banded pigeonhole join behind image near-dup (ahash_near_dup, keyed
+    on (doc_id, frame_idx) instead of doc_id) finds recurring and
+    near-duplicate frames across a video corpus with zero new join
+    machinery."""
+
+    def hash_frames(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if not raw.startswith(Y4M_MAGIC):
+                    raise NotImplementedError(
+                        "real video demuxer plugs in here"
+                    )
+                w, h, _num, _den, _cs, _hl = y4m_header(raw)
+                for idx, plane in y4m_frames(raw):
+                    if idx % every_k:
+                        continue
+                    px = (
+                        np.frombuffer(plane, dtype=np.uint8)
+                        .reshape(h, w)
+                        .astype(np.int64)
+                    )
+                    bands = _ahash_bands(_spatial_cells(px), px.ravel())
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    for b in range(4):
+                        out[f"b{b}"].append(bands[b])
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(hash_frames, schema=FRAME_AHASH_SCHEMA)
+
+
+GRAY_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_min", T.IntegerType()),
+        T.StructField("y_max", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+    ]
+)
+
+
+def decode_gray_stats(blobs: DataFrame) -> DataFrame:
+    """Exact integer grayscale statistics from REAL image bytes: PNG,
+    BMP and baseline JPEG decode to pixels (the shared _luma_u8 for
+    color), then min / max / sum per image — the per-image feature
+    unit quality filtering and brightness audits consume.  Synthetic
+    headers and unknown formats raise to the codec seam: a stats row
+    from fake pixels would poison the audit."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import JPEG_MAGIC, jpeg_decode
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: [] for c in
+                ("doc_id", "width", "height", "y_min", "y_max", "y_sum")
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if raw.startswith(PNG_MAGIC):
+                    px = png_gray_pixels(raw)
+                elif raw.startswith(BMP_MAGIC):
+                    px = bmp_gray_pixels(raw)
+                elif raw.startswith(JPEG_MAGIC):
+                    dec = jpeg_decode(raw)
+                    px = dec if dec.ndim == 2 else _luma_u8(dec)
+                else:
+                    raise NotImplementedError(
+                        "real image codec plugs in here"
+                    )
+                px = px.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(int(px.shape[0]))
+                out["width"].append(int(px.shape[1]))
+                out["y_min"].append(int(px.min()))
+                out["y_max"].append(int(px.max()))
+                out["y_sum"].append(int(px.sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(stats, schema=GRAY_STATS_SCHEMA)
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -498,6 +858,32 @@ AHASH_SCHEMA = T.StructType(
         T.StructField("b3", T.LongType()),
     ]
 )
+
+
+def _spatial_cells(px):
+    """8×8 block-grid cell index per pixel of an (h, w) array — the true
+    aHash downsample geometry, shared by image blobs and video frames."""
+    import numpy as np
+
+    ih, iw = px.shape
+    rr = (np.arange(ih, dtype=np.int64) * 8) // ih
+    cc_ = (np.arange(iw, dtype=np.int64) * 8) // iw
+    return (rr[:, None] * 8 + cc_[None, :]).ravel()
+
+
+def _ahash_bands(cells, cps) -> list[int]:
+    """EXACT-integer aHash cell thresholding (cell_sum·n ≥ total·count —
+    no float division) packed into four 16-bit band integers; the shared
+    tail of ahash_blobs and y4m_frame_ahash (see ahash_blobs for the
+    full contract)."""
+    import numpy as np
+
+    n = len(cps)
+    cs = np.bincount(cells, weights=cps, minlength=64).astype(np.int64)
+    cc = np.bincount(cells, minlength=64).astype(np.int64)
+    bits = (cc > 0) & (cs * n >= cps.sum() * cc)
+    vals = bits.astype(np.int64) << (np.arange(64) % 16)
+    return [int(vals[b * 16 : (b + 1) * 16].sum()) for b in range(4)]
 
 
 def ahash_blobs(blobs: DataFrame) -> DataFrame:
@@ -526,26 +912,34 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from .jpeg import JPEG_MAGIC, jpeg_decode
+
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
                 cells = None
-                if raw.startswith(PNG_MAGIC) or raw.startswith(BMP_MAGIC):
+                if (
+                    raw.startswith(PNG_MAGIC)
+                    or raw.startswith(BMP_MAGIC)
+                    or raw.startswith(JPEG_MAGIC)
+                ):
                     # the REAL path: decoded grayscale pixels feed the
                     # same exact-integer cell thresholding below, with
                     # SPATIAL 8x8 block cells (true aHash geometry);
-                    # PNG and BMP share the exact luma, so the same
-                    # pixels hash identically across formats
-                    px = (
-                        png_gray_pixels(raw)
-                        if raw.startswith(PNG_MAGIC)
-                        else bmp_gray_pixels(raw)
-                    ).astype(np.int64)
-                    ih, iw = px.shape
-                    rr = (np.arange(ih, dtype=np.int64) * 8) // ih
-                    cc_ = (np.arange(iw, dtype=np.int64) * 8) // iw
-                    cells = (rr[:, None] * 8 + cc_[None, :]).ravel()
+                    # PNG/BMP/JPEG share the exact luma, so the same
+                    # pixels hash identically across formats (JPEG up
+                    # to its quantization loss — which is exactly what
+                    # aHash near-dup is built to absorb)
+                    if raw.startswith(PNG_MAGIC):
+                        px = png_gray_pixels(raw)
+                    elif raw.startswith(BMP_MAGIC):
+                        px = bmp_gray_pixels(raw)
+                    else:
+                        dec = jpeg_decode(raw)
+                        px = dec if dec.ndim == 2 else _luma_u8(dec)
+                    px = px.astype(np.int64)
+                    cells = _spatial_cells(px)
                     cps = px.ravel()
                 elif raw.startswith(b"IMG:"):
                     _head, _, payload = raw[4:].partition(b":")
@@ -570,17 +964,10 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                     continue
                 if cells is None:  # synthetic path: linear cell split
                     cells = (np.arange(n, dtype=np.int64) * 64) // n
-                cs = np.bincount(cells, weights=cps, minlength=64).astype(
-                    np.int64
-                )
-                cc = np.bincount(cells, minlength=64).astype(np.int64)
-                bits = (cc > 0) & (cs * n >= cps.sum() * cc)
-                vals = bits.astype(np.int64) << (np.arange(64) % 16)
+                bands = _ahash_bands(cells, cps)
                 out["doc_id"].append(doc_id)
                 for b in range(4):
-                    out[f"b{b}"].append(
-                        int(vals[b * 16 : (b + 1) * 16].sum())
-                    )
+                    out[f"b{b}"].append(bands[b])
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(hash_batch, schema=AHASH_SCHEMA)

@@ -6791,9 +6791,25 @@ def join_preagg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and u feeding the same division), asserted pair-for-pair at
 # sf0.01/sf0.1 before the swap.  Reused CTEs are AS MATERIALIZED
 # (DuckDB inlines by default — the round-11 2^rounds lesson).
+def _ngram_oracle_modulus(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive subset modulus for the two all-pairs n-gram
+    oracles (dedup_ppjoin_exact / corpus_group_safe_split): the ENGINE
+    runs the same lossless prefix join at any scale, but the DuckDB
+    twin brute-forces O(n²) list_intersect pairs, so the CHECKED subset
+    is held at ~450 documents across scales — greatest(11, n_docs DIV
+    450), the same expression the oracle computes in SQL.  At
+    sf0.01/sf0.1 this evaluates to the historical % 11 (hashes
+    unchanged); at sf1 the 10× corpus checks a same-sized sample
+    instead of timing out the sweep (round-10 finding: the sf1 oracle
+    ran past a 900 s budget on ~10M list_intersect pairs)."""
+    n = load(spark, sf_dir, "documents").count()
+    return max(11, n // 450)
+
+
 _NGRAM_PAIR_CTES = """
 WITH RECURSIVE sub AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % (SELECT greatest(11, count(*) // 450) FROM documents) = 0
 ),
 g AS MATERIALIZED (
   SELECT doc_id,
@@ -6839,8 +6855,10 @@ FROM reach GROUP BY a
     "the banded LSH families, PPJoin-style prefix filtering is exact "
     "integer set-similarity — grams, overlap counts, a Jaccard "
     "threshold — so DuckDB can brute-force the identical answer.  "
-    "part=pairs: every char-3-gram Jaccard >= 0.6 pair over the "
-    "doc_id%11 subset (subset keeps the O(n^2) ORACLE tractable; the "
+    "part=pairs: every char-3-gram Jaccard >= 0.6 pair over a "
+    "scale-adaptive ~450-doc subset (doc_id % greatest(11, n DIV 450) "
+    "— identical to the historical %11 at sf<=0.1; holds the O(n^2) "
+    "ORACLE tractable at any scale).  The "
     "ENGINE side is the same lossless prefix join it runs at full "
     "scale, max_bucket lifted so the hot-gram star cap provably never "
     "fires on the checked corpus).  part=groups: dedup_groups "
@@ -6854,9 +6872,10 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_groups, ngram_jaccard_pairs_prefix
     from ..operators.pinning import eager_pin
 
+    m = _ngram_oracle_modulus(spark, sf_dir)
     docs = (
         load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 11 == 0)
+        .where(F.col("doc_id") % m == 0)
         .select("doc_id", "text")
     )
     # pin: the pair table feeds BOTH the output and the CC iteration
@@ -6927,9 +6946,10 @@ def corpus_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pinning import eager_pin
     from ..operators.sampling import group_safe_split
 
+    m = _ngram_oracle_modulus(spark, sf_dir)
     docs = (
         load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 11 == 0)
+        .where(F.col("doc_id") % m == 0)
         .select("doc_id", "text")
     )
     pairs = eager_pin(
@@ -7414,6 +7434,89 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("ok"),
     )
     return m.unionByName(g)
+
+
+_Y4M_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST((doc_id % 8) * 2 + 8 AS INT) AS w,
+         CAST((doc_id % 6) * 2 + 8 AS INT) AS h,
+         CAST(doc_id % 40 + 10 AS INT) AS nf
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT f.doc_id, CAST(gs.fi AS INT) AS frame_idx,
+       CAST(gs.fi * 100 AS INT) AS ts_ms, w AS width, h AS height,
+       CAST((f.doc_id + 7 * gs.fi) % 256 AS INT) AS y_min,
+       CAST((f.doc_id + 7 * gs.fi) % 256 AS INT) AS y_max,
+       CAST(((f.doc_id + 7 * gs.fi) % 256) * w * h AS BIGINT) AS y_sum
+-- static series bounds (DuckDB's generate_series takes no lateral
+-- column args): nf <= 49, so fi covers 0..45 and filters per doc
+FROM f, generate_series(0, 45, 5) AS gs(fi)
+WHERE gs.fi < nf
+"""
+
+
+@register(
+    "multimodal_y4m_stats",
+    oracle=_Y4M_ORACLE,
+    doc="Video modality FOR REAL (round 10 — operators/multimodal.py::"
+    "y4m_header / y4m_frames / y4m_frame_stats): every 10th document "
+    "synthesizes a genuine YUV4MPEG2 stream (Cmono, F10:1, solid "
+    "per-frame Y planes whose value derives from the id), the "
+    "pure-stdlib demuxer walks the ASCII FRAME markers, and every 5th "
+    "frame's Y plane decodes zero-copy into exact integer min / max / "
+    "sum plus the fps-ratio timestamp.  The oracle recomputes every "
+    "value from id arithmetic, so the real demux path — marker walk, "
+    "colorspace frame sizing, plane slicing — is hash-checked "
+    "end-to-end: a frame-size or offset bug lands the slice in a "
+    "neighboring frame's plane, which carries a DIFFERENT solid value "
+    "and fails the hash.  Within-frame pixel addressing is pinned by "
+    "the gradient fixtures in tests/test_multimodal_y4m.py.",
+)
+def multimodal_y4m_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthesize_y4m_blobs, y4m_frame_stats
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return y4m_frame_stats(
+        synthesize_y4m_blobs(docs, "doc_id"), every_k=5
+    ).orderBy("doc_id", "frame_idx")
+
+
+_JPEG_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 64 + 16 AS INT) AS width,
+       CAST(doc_id % 48 + 16 AS INT) AS height,
+       CAST(doc_id % 256 AS INT) AS y_min,
+       CAST(doc_id % 256 AS INT) AS y_max,
+       CAST((doc_id % 256) * (doc_id % 64 + 16) * (doc_id % 48 + 16)
+            AS BIGINT) AS y_sum
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+@register(
+    "multimodal_jpeg_stats",
+    oracle=_JPEG_ORACLE,
+    doc="COMPRESSED image codec FOR REAL (round 10 — operators/jpeg.py: "
+    "spec-faithful baseline JFIF, T.81 sequential DCT): every 9th "
+    "document synthesizes a solid-gray JPEG at quality=100 via the "
+    "deterministic baseline encoder, and decode_gray_stats runs the "
+    "full decode — marker walk, DQT/DHT parse, Huffman entropy decode, "
+    "dequant, IDCT, level shift — to exact integer min/max/sum.  At "
+    "q=100 every quant divisor is 1 and a solid block's FDCT is "
+    "DC-only with an integer DC, so decode is EXACT and the oracle "
+    "recomputes every value from id arithmetic: a real entropy-coded "
+    "bitstream inside the driver's hash check.  Gradients, 4:2:0 "
+    "chroma, restart markers and the progressive/arithmetic refusal "
+    "seam are pinned in tests/test_multimodal_jpeg.py.",
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_gray_stats, synthesize_jpeg_blobs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+    return decode_gray_stats(synthesize_jpeg_blobs(docs, "doc_id")).orderBy(
+        "doc_id"
+    )
 
 
 _KCORE_K = 5
@@ -8092,6 +8195,17 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"SELECT part, a, b, n, k, s, v, ok FROM ({_OLAP_ORACLE}) t",
         f"SELECT part, a, b, n, k, s, v, ok FROM ({_AHASH_ORACLE}) t",
         f"SELECT part, a, b, n, k, s, v, ok FROM ({_AUDIO_ORACLE}) t",
+        f"SELECT 'y4m' AS part, doc_id AS a, CAST(frame_idx AS BIGINT) "
+        f"AS b, y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
+        f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_Y4M_ORACLE}) t",
+        f"SELECT 'jpeg' AS part, doc_id AS a, CAST(y_min AS BIGINT) AS b, "
+        f"y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_JPEG_ORACLE}) t",
         f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_kcore_oracle()}) t",
@@ -8801,6 +8915,38 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    jpg = multimodal_jpeg_stats(spark, sf_dir).select(
+        F.lit("jpeg").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("y_min").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        _ns().alias("s"),
+        F.col("y_max").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    y4m = multimodal_y4m_stats(spark, sf_dir).select(
+        F.lit("y4m").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("frame_idx").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        F.concat(
+            F.col("y_min").cast("string"),
+            F.lit(":"),
+            F.col("y_max").cast("string"),
+        ).alias("s"),
+        F.col("ts_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     nov = text_ngram_novelty(spark, sf_dir).select(
         F.lit("novel").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -8972,6 +9118,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(olp)
         .unionByName(ahd)
         .unionByName(aud)
+        .unionByName(y4m)
+        .unionByName(jpg)
         .unionByName(kcr)
         .unionByName(lpa)
         .unionByName(cnt2)
@@ -9240,6 +9388,12 @@ subsume(
     # round-11: audio modality decode + resample geometry, riding
     # extension_battery (part=aud_meta / aud_sig)
     "multimodal_audio_stats",
+    # round-10: REAL YUV4MPEG2 video demux + per-frame luma stats,
+    # riding extension_battery (part=y4m)
+    "multimodal_y4m_stats",
+    # round-10: REAL baseline-JPEG entropy decode + exact gray stats,
+    # riding extension_battery (part=jpeg)
+    "multimodal_jpeg_stats",
     # round-11: k-core peeling vs the generated fixed-depth unroll,
     # riding extension_battery (part=kcore)
     "graph_kcore",

@@ -1421,12 +1421,15 @@ def multimodal_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="The opaque-binary modality surface end-to-end: synthesize "
     "deterministic blobs — every 7th doc a REAL 24-bit BMP (round 10, "
     "operators/multimodal.py::bmp_dims parses genuine binary headers), "
-    "the rest IMG/VID headers — then three Arrow-batched mapInPandas "
-    "stages: metadata decode, aspect-preserving resize (longer side -> "
-    "32), and every-7th frame sampling (one row per kept frame, "
-    "re-aggregated per doc).  The oracle recomputes every value from "
-    "the id arithmetic (incl. the BMP size formula 54 + padded-rows x "
-    "height), so the whole Python path INCLUDING a real codec is "
+    "every 5th doc's video a REAL YUV4MPEG2 stream (round 10, "
+    "y4m_frames walks genuine FRAME markers), the rest IMG/VID headers "
+    "— then three Arrow-batched mapInPandas stages: metadata decode, "
+    "aspect-preserving resize (longer side -> 32), and every-7th frame "
+    "sampling (one row per kept frame, re-aggregated per doc).  The "
+    "oracle recomputes every value from the id arithmetic (incl. the "
+    "BMP size formula 54 + padded-rows x height; the Y4M streams carry "
+    "the same n_frames/fps as the VID stub so the frame rows are "
+    "identical), so the whole Python path INCLUDING two real codecs is "
     "hash-checked by the driver.",
 )
 def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,6 +1438,7 @@ def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         synthesize_bmp_blobs,
         synthesize_videos,
+        synthesize_y4m_blobs,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -1447,8 +1451,24 @@ def multimodal_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(synthesize_bmp_blobs(d.where(F.col("doc_id") % 7 == 0), "doc_id"))
     decoded = decode_blobs(blobs)
     resized = resize_images(blobs, max_side=32)
+    # every 5th document's video rides as a REAL YUV4MPEG2 stream
+    # (round 10): same n_frames/fps as the VID stub, so the sampled
+    # frames — and therefore the oracle — are identical, but the rows
+    # now come out of the genuine FRAME-marker demux
+    vids = synthesize_videos(
+        d.where(F.col("doc_id") % 5 != 0), "doc_id"
+    ).unionByName(
+        synthesize_y4m_blobs(
+            d.where(F.col("doc_id") % 5 == 0),
+            "doc_id",
+            frames_base=10,
+            frames_mod=200,
+            w_mod=1,
+            h_mod=1,
+        )
+    )
     frames = (
-        sample_frames(synthesize_videos(d, "doc_id"), every_k=7)
+        sample_frames(vids, every_k=7)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sampled_frames"),

@@ -10,7 +10,7 @@ the engine operator and an independently-written DuckDB query agree
 exactly (order-insensitive multiset of normalized rows, same
 normalization as the driver-contract harness).
 
-Twenty-two operator families (verdict round-8 asked for >= 5; round-9
+Twenty-four operator families (verdict round-8 asked for >= 5; round-9
 asked for the sessionization and grouping-sets families specifically):
   upsert / apply_changes / scd2_history (operators/etl.py),
   set ops (union/intersect/except, bag + distinct forms),
@@ -35,8 +35,11 @@ asked for the sessionization and grouping-sets families specifically):
   zero-gap, empty input), CUBE + GROUPING SETS with GROUPING()
   markers (empty-input divergence pinned like ROLLUP's), the lossless
   prefix-filtered n-gram jaccard pair join vs brute-force all-pairs
-  (multibyte alphabets, sub-n strings, duplicate texts), and
-  flag_streaks (row-number-difference islands, NULL flags, min_len).
+  (multibyte alphabets, sub-n strings, duplicate texts),
+  flag_streaks (row-number-difference islands, NULL flags, min_len),
+  char_entropy (unicode multibyte, zero-entropy, NULL/empty drops),
+  and ngram_novelty (two-letter alphabet forcing ownership ties and
+  exact-clone gram sharing).
 
 A sibling model-based fuzz for the transaction log (random
 merge/append/optimize/restore programs vs a dict model) lives in
@@ -1082,5 +1085,90 @@ def test_fuzz_flag_streaks(spark, args):
                MIN(ts) AS start_ts, MAX(ts) AS end_ts
         FROM flagged GROUP BY k, grp
         HAVING count(*) >= {min_len}
+        """,
+    )
+
+
+# ------------------------------------------------- 23. char entropy
+
+
+_DOCS = st.dictionaries(
+    st.integers(0, 9),
+    st.one_of(st.none(), st.text(max_size=8)),
+    max_size=8,
+)
+
+
+@FUZZ
+@given(docs=_DOCS)
+def test_fuzz_char_entropy(spark, docs):
+    """Per-document character-distribution stats (text quality band):
+    exact counts and round-6 Shannon entropy must equal the DuckDB
+    char-split dual on arbitrary unicode — multibyte characters,
+    single-char docs, all-same-char (zero entropy), empty and NULL
+    texts (which drop, never emit a zero row)."""
+    from imdb_top_250_etl_pipeline_spark.operators.text import char_entropy
+
+    rows = sorted(docs.items())
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _check(
+        char_entropy(df, "text", "doc_id"),
+        {"docs": _arrow(rows, [("doc_id", I64), ("text", STR)])},
+        """
+        WITH ex AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM docs WHERE text IS NOT NULL AND length(text) >= 1
+        ),
+        cnt AS (SELECT doc_id, c, count(*) AS n FROM ex GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+        FROM cnt GROUP BY doc_id
+        """,
+    )
+
+
+# ------------------------------------------------- 24. n-gram novelty
+
+
+@FUZZ
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 9),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
+        max_size=8,
+    )
+)
+def test_fuzz_ngram_novelty(spark, docs):
+    """Corpus-order n-gram novelty (first-seen ownership by min doc_id
+    per gram): the two-letter alphabet forces heavy gram sharing, so
+    ownership ties, exact-clone docs, sub-n strings and empty corpora
+    all exercise the window-min + exact-division path against the
+    DuckDB dual."""
+    from imdb_top_250_etl_pipeline_spark.operators.text import ngram_novelty
+
+    rows = sorted(docs.items())
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _check(
+        ngram_novelty(df, "text", "doc_id", n=2),
+        {"docs": _arrow(rows, [("doc_id", I64), ("text", STR)])},
+        """
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [substring(text, i, 2)
+                    FOR i IN range(1, greatest(length(text), 1))])) AS gram
+          FROM docs WHERE text IS NOT NULL AND length(text) >= 2
+        ),
+        own AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_id
+          FROM g
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS novelty
+        FROM own GROUP BY doc_id
         """,
     )

@@ -6,22 +6,24 @@ embeddings are array<float> handled by expression math, and image/audio/
 video payloads ride as opaque binary with typed metadata, decoded by
 Arrow-batched pandas functions (the only place Python belongs).
 
-The decode seam carries FOUR real formats end-to-end, all pure
-stdlib: PNG (chunk walk + zlib + spec-complete unfilter — round 9),
-BMP (24-bit BGR / 8-bit palette, padded rows, bottom-up or top-down —
+The decode seam carries SIX real formats end-to-end, all pure stdlib:
+PNG (chunk walk + zlib + spec-complete unfilter — round 9), BMP
+(24-bit BGR / 8-bit palette, padded rows, bottom-up or top-down —
 round 10), RIFF/WAVE PCM audio (8/16-bit, any channel count — round
-10), and YUV4MPEG2 video (FRAME-marker demux + planar Y slices —
-round 10; per-frame luma stats and true spatial aHash, so image
-near-dup machinery extends to frames).  Images share ONE exact
-integer luma (_luma_u8), so the same pixels hash identically across
-container formats — the property cross-format image near-dup needs;
-WAV yields true sample rate / frames / peak / full-scale clipping.
-Compressed formats (JPEG, MP3, MP4) keep the deterministic
-synthetic-header fake behind the same
-NotImplementedError seam (no PIL/ffmpeg in this container); the
-Spark-side plumbing (schema, mapInPandas batch shape, partitioning)
-is identical on both paths, so swapping in PIL/ffmpeg stays a
-one-function change.
+10), YUV4MPEG2 video (FRAME-marker demux + planar Y slices — round
+10; per-frame luma stats and true spatial aHash, so image near-dup
+machinery extends to frames), baseline JPEG (full T.81 sequential-DCT
+entropy decode + deterministic encoder, operators/jpeg.py — round
+10), and GIF (variable-width LZW, interlace, palettes,
+operators/gif.py — round 10).  Images share ONE exact integer luma
+(_luma_u8), so the same pixels hash identically across container
+formats — the property cross-format image near-dup needs; WAV yields
+true sample rate / frames / peak / full-scale clipping.  Still
+synthetic: progressive JPEG, MP3, compressed video (MP4/H.264) —
+those raise at the same NotImplementedError seam (no PIL/ffmpeg in
+this container); the Spark-side plumbing (schema, mapInPandas batch
+shape, partitioning) is identical on both paths, so swapping in
+PIL/ffmpeg stays a one-function change.
 """
 
 from __future__ import annotations
@@ -154,6 +156,36 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
                 )
                 ids.append(i)
                 blobs.append(jpeg_encode(px, quality=100))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
+
+
+def synthesize_gif_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL GIF bytes as a deterministic fixture: a solid-gray
+    (id % 256) image with the SAME width/height formulas as
+    synthesize_blobs, LZW-compressed by operators/gif.py::gif_encode
+    over the gray ramp palette; every 3rd blob INTERLACED so the
+    4-pass row reorder rides inside the driver hash too.  A solid
+    image decodes exactly (palette lookup, no loss), so a SQL oracle
+    recomputes all downstream stats from id arithmetic while the bytes
+    exercise genuine variable-width LZW decode."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .gif import gif_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                px = np.full(
+                    (i % 48 + 16, i % 64 + 16), i % 256, dtype=np.uint8
+                )
+                ids.append(i)
+                blobs.append(gif_encode(px, interlace=(i % 3 == 0)))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
@@ -397,6 +429,7 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .gif import GIF_MAGIC, gif_dims
         from .jpeg import JPEG_MAGIC, jpeg_dims
 
         for pdf in batches:
@@ -409,6 +442,8 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
                     w, h = bmp_dims(raw)
                 elif raw.startswith(JPEG_MAGIC):
                     w, h = jpeg_dims(raw)
+                elif raw.startswith(GIF_MAGIC):
+                    w, h = gif_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _payload = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -451,6 +486,7 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .gif import GIF_MAGIC, gif_dims
         from .jpeg import JPEG_MAGIC, jpeg_dims
 
         for pdf in batches:
@@ -463,6 +499,8 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
                     w, h = bmp_dims(raw)
                 elif raw.startswith(JPEG_MAGIC):
                     w, h = jpeg_dims(raw)
+                elif raw.startswith(GIF_MAGIC):
+                    w, h = gif_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _ = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -817,6 +855,7 @@ def decode_gray_stats(blobs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from .gif import GIF_MAGIC, gif_gray_pixels
         from .jpeg import JPEG_MAGIC, jpeg_decode
 
         for pdf in batches:
@@ -833,6 +872,8 @@ def decode_gray_stats(blobs: DataFrame) -> DataFrame:
                 elif raw.startswith(JPEG_MAGIC):
                     dec = jpeg_decode(raw)
                     px = dec if dec.ndim == 2 else _luma_u8(dec)
+                elif raw.startswith(GIF_MAGIC):
+                    px = gif_gray_pixels(raw)
                 else:
                     raise NotImplementedError(
                         "real image codec plugs in here"
@@ -912,6 +953,7 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from .gif import GIF_MAGIC, gif_gray_pixels
         from .jpeg import JPEG_MAGIC, jpeg_decode
 
         for pdf in batches:
@@ -923,6 +965,7 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                     raw.startswith(PNG_MAGIC)
                     or raw.startswith(BMP_MAGIC)
                     or raw.startswith(JPEG_MAGIC)
+                    or raw.startswith(GIF_MAGIC)
                 ):
                     # the REAL path: decoded grayscale pixels feed the
                     # same exact-integer cell thresholding below, with
@@ -935,6 +978,8 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                         px = png_gray_pixels(raw)
                     elif raw.startswith(BMP_MAGIC):
                         px = bmp_gray_pixels(raw)
+                    elif raw.startswith(GIF_MAGIC):
+                        px = gif_gray_pixels(raw)
                     else:
                         dec = jpeg_decode(raw)
                         px = dec if dec.ndim == 2 else _luma_u8(dec)

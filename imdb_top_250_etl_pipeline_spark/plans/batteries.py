@@ -7519,6 +7519,40 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIF_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 64 + 16 AS INT) AS width,
+       CAST(doc_id % 48 + 16 AS INT) AS height,
+       CAST(doc_id % 256 AS INT) AS y_min,
+       CAST(doc_id % 256 AS INT) AS y_max,
+       CAST((doc_id % 256) * (doc_id % 64 + 16) * (doc_id % 48 + 16)
+            AS BIGINT) AS y_sum
+FROM documents WHERE doc_id % 8 = 0
+"""
+
+
+@register(
+    "multimodal_gif_stats",
+    oracle=_GIF_ORACLE,
+    doc="GIF codec FOR REAL (round 10 — operators/gif.py: variable-"
+    "width LZW with dictionary growth/reset, LSB-first bit packing, "
+    "interlace, palettes): every 8th document synthesizes a solid-gray "
+    "GIF (every 3rd of those INTERLACED — the 4-pass row reorder rides "
+    "inside the hash) and decode_gray_stats runs the genuine LZW "
+    "decode to exact integer min/max/sum; palette lookup is lossless "
+    "so the oracle recomputes every value from id arithmetic.  "
+    "Gradient/noise/dictionary-reset round-trips and the KwKwK case "
+    "are pinned in tests/test_multimodal_gif.py.",
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_gray_stats, synthesize_gif_blobs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0)
+    return decode_gray_stats(synthesize_gif_blobs(docs, "doc_id")).orderBy(
+        "doc_id"
+    )
+
+
 _KCORE_K = 5
 _KCORE_ROUNDS = 10  # must be >= the engine's max_rounds (it raises past)
 
@@ -8206,6 +8240,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
         f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
         f"FROM ({_JPEG_ORACLE}) t",
+        f"SELECT 'gif' AS part, doc_id AS a, CAST(y_min AS BIGINT) AS b, "
+        f"y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_GIF_ORACLE}) t",
         f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_kcore_oracle()}) t",
@@ -8915,6 +8954,20 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    gifs = multimodal_gif_stats(spark, sf_dir).select(
+        F.lit("gif").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("y_min").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        _ns().alias("s"),
+        F.col("y_max").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     jpg = multimodal_jpeg_stats(spark, sf_dir).select(
         F.lit("jpeg").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9120,6 +9173,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(aud)
         .unionByName(y4m)
         .unionByName(jpg)
+        .unionByName(gifs)
         .unionByName(kcr)
         .unionByName(lpa)
         .unionByName(cnt2)
@@ -9394,6 +9448,9 @@ subsume(
     # round-10: REAL baseline-JPEG entropy decode + exact gray stats,
     # riding extension_battery (part=jpeg)
     "multimodal_jpeg_stats",
+    # round-10: REAL GIF LZW decode (incl. interlace) + exact gray
+    # stats, riding extension_battery (part=gif)
+    "multimodal_gif_stats",
     # round-11: k-core peeling vs the generated fixed-depth unroll,
     # riding extension_battery (part=kcore)
     "graph_kcore",

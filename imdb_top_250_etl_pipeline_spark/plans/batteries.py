@@ -7553,6 +7553,51 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THUMB_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 64 + 16 AS INT) AS w0,
+         CAST(doc_id % 48 + 16 AS INT) AS h0,
+         CAST(doc_id % 256 AS INT) AS v
+  FROM documents WHERE doc_id % 12 = 0
+)
+SELECT doc_id,
+       CAST(greatest(1, w0 * 32 // greatest(w0, h0)) AS INT) AS width,
+       CAST(greatest(1, h0 * 32 // greatest(w0, h0)) AS INT) AS height,
+       v AS y_min, v AS y_max,
+       CAST(v * greatest(1, w0 * 32 // greatest(w0, h0))
+              * greatest(1, h0 * 32 // greatest(w0, h0)) AS BIGINT) AS y_sum
+FROM base
+"""
+
+
+@register(
+    "multimodal_thumbnail_pipeline",
+    oracle=_THUMB_ORACLE,
+    doc="The real thumbnail chain END TO END (round 10): every 12th "
+    "document synthesizes a solid-gray baseline JPEG, "
+    "operators/multimodal.py::thumbnail_blobs runs genuine Huffman/"
+    "IDCT decode -> exact nearest-neighbor resample to the "
+    "resize_images geometry -> lossless GIF re-encode, and "
+    "decode_gray_stats then LZW-decodes the thumbnails back to exact "
+    "integer stats.  Four real codec passes (JPEG decode, GIF encode, "
+    "GIF decode) inside one driver hash; the oracle recomputes the "
+    "resize geometry and the preserved solid value from id arithmetic.",
+)
+def multimodal_thumbnail_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        decode_gray_stats,
+        synthesize_jpeg_blobs,
+        thumbnail_blobs,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 0)
+    thumbs = thumbnail_blobs(synthesize_jpeg_blobs(docs, "doc_id"), max_side=32)
+    return decode_gray_stats(
+        thumbs.select("doc_id", F.col("thumb").alias("blob"))
+    ).orderBy("doc_id")
+
+
 _KCORE_K = 5
 _KCORE_ROUNDS = 10  # must be >= the engine's max_rounds (it raises past)
 
@@ -8245,6 +8290,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
         f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
         f"FROM ({_GIF_ORACLE}) t",
+        f"SELECT 'thumb' AS part, doc_id AS a, CAST(y_min AS BIGINT) AS b, "
+        f"y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_THUMB_ORACLE}) t",
         f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_kcore_oracle()}) t",
@@ -8954,6 +9004,20 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    thm = multimodal_thumbnail_pipeline(spark, sf_dir).select(
+        F.lit("thumb").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("y_min").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        _ns().alias("s"),
+        F.col("y_max").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     gifs = multimodal_gif_stats(spark, sf_dir).select(
         F.lit("gif").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9174,6 +9238,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(y4m)
         .unionByName(jpg)
         .unionByName(gifs)
+        .unionByName(thm)
         .unionByName(kcr)
         .unionByName(lpa)
         .unionByName(cnt2)
@@ -9451,6 +9516,9 @@ subsume(
     # round-10: REAL GIF LZW decode (incl. interlace) + exact gray
     # stats, riding extension_battery (part=gif)
     "multimodal_gif_stats",
+    # round-10: JPEG-decode -> resample -> GIF-re-encode -> decode
+    # thumbnail chain, riding extension_battery (part=thumb)
+    "multimodal_thumbnail_pipeline",
     # round-11: k-core peeling vs the generated fixed-depth unroll,
     # riding extension_battery (part=kcore)
     "graph_kcore",

@@ -208,3 +208,31 @@ def test_decode_gray_stats_and_synthesize(spark):
         assert (r.width, r.height) == (w, h)
         assert r.y_min == r.y_max == v
         assert r.y_sum == v * w * h
+
+
+def test_thumbnail_pipeline_exact(spark):
+    """decode (JPEG) -> nearest resample -> re-encode (GIF, lossless)
+    -> decode: the thumbnail bytes must reproduce the numpy dual of
+    the same chain exactly — four real codec passes, zero tolerance
+    (GIF is lossless; JPEG loss happens before the reference dual
+    reads the same decoded pixels)."""
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.gif import gif_gray_pixels
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        thumbnail_blobs,
+    )
+
+    px = _grad(48, 80, 7)
+    raw = jpeg_encode(px, quality=90)
+    dec = jpeg_decode(raw)  # the dual reads the SAME decoded pixels
+    blobs = spark.createDataFrame(
+        [(1, bytearray(raw))], "doc_id long, blob binary"
+    )
+    row = thumbnail_blobs(blobs, max_side=32).collect()[0]
+    assert (row.new_width, row.new_height) == (32, 19)
+    rs = (np.arange(19, dtype=np.int64) * 48) // 19
+    cs = (np.arange(32, dtype=np.int64) * 80) // 32
+    np.testing.assert_array_equal(
+        gif_gray_pixels(bytes(row.thumb)), dec[rs][:, cs]
+    )

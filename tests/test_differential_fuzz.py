@@ -10,7 +10,7 @@ the engine operator and an independently-written DuckDB query agree
 exactly (order-insensitive multiset of normalized rows, same
 normalization as the driver-contract harness).
 
-Twenty-five operator families (verdict round-8 asked for >= 5; round-9
+Twenty-six operator families (verdict round-8 asked for >= 5; round-9
 asked for the sessionization and grouping-sets families specifically):
   upsert / apply_changes / scd2_history (operators/etl.py),
   set ops (union/intersect/except, bag + distinct forms),
@@ -39,9 +39,10 @@ asked for the sessionization and grouping-sets families specifically):
   flag_streaks (row-number-difference islands, NULL flags, min_len),
   char_entropy (unicode multibyte, zero-entropy, NULL/empty drops),
   ngram_novelty (two-letter alphabet forcing ownership ties and
-  exact-clone gram sharing), and winnowing fingerprint selection
+  exact-clone gram sharing), winnowing fingerprint selection
   (tiny vocabulary forcing in-window hash ties against the
-  rightmost-min tie-break).
+  rightmost-min tie-break), and cross-group quantile normalization
+  (duplicate values, NULLS-FIRST ranks, single-row sources).
 
 A sibling model-based fuzz for the transaction log (random
 merge/append/optimize/restore programs vs a dict model) lives in
@@ -1233,5 +1234,56 @@ def test_fuzz_winnow_fingerprints(spark, docs):
                sk >> 20 AS fp_hash
         FROM sel
         WHERE pos <= greatest(n_grams - 3, 1)
+        """,
+    )
+
+
+# ------------------------------------------------- 26. quantile normalize
+
+
+@FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(KEYS, INTS),
+        max_size=14,
+    )
+)
+def test_fuzz_quantile_normalize(spark, rows):
+    """Cross-group quantile normalization (Bolstad microarray method):
+    within-group rank r of n_g maps to the pooled order statistic at
+    ceil(r·N/n_g), value COPIED from the pool.  Duplicate values force
+    the (value, id) tie-break, NULL values the NULLS FIRST ordering,
+    single-row groups the r=n_g=1 edge (always the pooled ceil(N/1)…
+    no — ceil(1·N/1) = N, the pooled max: top-of-every-source
+    calibration)."""
+    from imdb_top_250_etl_pipeline_spark.operators.profiling import (
+        quantile_normalize,
+    )
+
+    t = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(t, "g long, id long, v long")
+    _check(
+        quantile_normalize(df, "g", "v", "id"),
+        {"t": _arrow(t, [("g", I64), ("id", I64), ("v", I64)])},
+        """
+        WITH ranked AS (
+          SELECT g, id, v,
+                 row_number() OVER (
+                   PARTITION BY g ORDER BY v NULLS FIRST, id) AS src_rank,
+                 count(*) OVER (PARTITION BY g) AS ng,
+                 count(*) OVER () AS n
+          FROM t
+        ),
+        pooled AS (
+          SELECT row_number() OVER (ORDER BY v NULLS FIRST, id) AS idx,
+                 v AS norm_value
+          FROM t
+        )
+        SELECT r.g, r.id, r.v, CAST(r.src_rank AS BIGINT) AS src_rank,
+               CAST((r.src_rank * n + ng - 1) // ng AS BIGINT)
+                   AS pooled_target,
+               p.norm_value
+        FROM ranked r
+        JOIN pooled p ON (r.src_rank * n + ng - 1) // ng = p.idx
         """,
     )

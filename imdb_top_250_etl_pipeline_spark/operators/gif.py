@@ -127,6 +127,14 @@ def gif_gray_pixels(raw: bytes):
             _left, _top, iw, ih = struct.unpack("<HHHH", raw[pos : pos + 8])
             ipacked = raw[pos + 8]
             pos += 9
+            from .multimodal import MAX_PIXELS
+
+            if iw * ih > MAX_PIXELS:
+                raise ValueError(
+                    f"GIF {iw}x{ih} exceeds MAX_PIXELS ({MAX_PIXELS}): "
+                    "lying header or oversized media (the LZW output is "
+                    "capped at iw*ih, so this also bounds bombs)"
+                )
             ct = gct
             if ipacked & 0x80:  # local color table
                 n = 2 << (ipacked & 0x07)

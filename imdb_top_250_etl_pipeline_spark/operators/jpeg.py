@@ -329,6 +329,13 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("JPEG stream missing SOF or SOS")
     w, h, comps = frame
+    from .multimodal import MAX_PIXELS
+
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"JPEG {w}x{h} exceeds MAX_PIXELS ({MAX_PIXELS}): lying "
+            "header or oversized media — route to the libjpeg seam"
+        )
     by_id = {c["id"]: c for c in comps}
     order = [by_id[cs] for cs, _, _ in scan]
     tabs = {cs: (td, ta) for cs, td, ta in scan}

@@ -205,6 +205,15 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # 4=gray+alpha, 6=RGBA)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# lying-header / decompression-bomb guard for every pixel decoder
+# (PNG/JPEG/GIF): a corrupt or malicious header claiming 65535x65535
+# would otherwise allocate tens of GB — or, for the compressed
+# formats, inflate a few KB into it — and OOM the executor processing
+# that one file of a 100 TB corpus.  67M px (~8192x8192) covers any
+# plausible corpus image; genuinely larger media should route to the
+# PIL/ffmpeg seam with its own streaming limits.
+MAX_PIXELS = 1 << 26
+
 
 def _png_chunks(raw: bytes):
     pos = len(PNG_MAGIC)
@@ -299,10 +308,23 @@ def png_gray_pixels(raw: bytes):
             f"filter_method={filt}: plug PIL in here"
         )
     ch = _PNG_CHANNELS[ctype]
-    data = zlib.decompress(
-        b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
-    )
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"PNG {w}x{h} exceeds MAX_PIXELS ({MAX_PIXELS}): lying "
+            "header or oversized media — route to the PIL seam"
+        )
     stride = w * ch
+    # bounded inflate: cap the zlib output at exactly the filtered-byte
+    # size the header implies, so a decompression bomb stops at the cap
+    # instead of materializing; short output is a truncated stream
+    expected = h * (stride + 1)
+    data = zlib.decompressobj().decompress(
+        b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT"), expected
+    )
+    if len(data) < expected:
+        raise ValueError(
+            f"PNG IDAT truncated: {len(data)} < {expected} filtered bytes"
+        )
     if w * h > _PIL_GATE_PIXELS and any(
         data[r * (stride + 1)] in (3, 4) for r in range(h)
     ):

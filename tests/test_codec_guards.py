@@ -1,0 +1,91 @@
+"""Corrupt-media guards at the codec seam (round 10).
+
+At corpus scale ONE malicious or bit-rotted file must not take an
+executor down: a lying header claiming 60000x60000 would allocate tens
+of GB, and the compressed formats (PNG deflate, GIF LZW) can inflate a
+few KB into that much — the classic decompression bomb.  Every pixel
+decoder enforces multimodal.MAX_PIXELS before allocating, PNG inflates
+through a bounded decompressobj capped at the header-implied filtered
+size, and GIF's LZW output is capped at iw*ih (which the guard bounds).
+
+Each test asserts the guard fires FAST (no allocation) with a loud
+ValueError, and that a defused bomb still decodes the legitimate prefix
+correctly.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+import zlib
+
+import numpy as np
+import pytest
+
+from imdb_top_250_etl_pipeline_spark.operators.gif import gif_encode, gif_gray_pixels
+from imdb_top_250_etl_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+    MAX_PIXELS,
+    png_gray_pixels,
+)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload)) + ctype + payload + b"\x00" * 4
+
+
+def _png(w: int, h: int, idat: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_lying_header_rejected_fast():
+    raw = _png(60000, 60000, zlib.compress(b"\x00" * 100))
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        png_gray_pixels(raw)
+    assert time.perf_counter() - t0 < 1.0  # guard, not an OOM attempt
+
+
+def test_png_truncated_idat_loud():
+    # header says 8x8 gray (72 filtered bytes) but IDAT holds 10
+    raw = _png(8, 8, zlib.compress(b"\x00" * 10))
+    with pytest.raises(ValueError, match="truncated"):
+        png_gray_pixels(raw)
+
+
+def test_png_bomb_defused_and_prefix_decodes():
+    # 16x16 gray needs 16*17=272 filtered bytes; the IDAT inflates to
+    # 10 MB — the bounded inflate stops at 272 and decode succeeds
+    w = h = 16
+    payload = b"\x00" * (h * (w + 1)) + b"\x07" * 10_000_000
+    raw = _png(w, h, zlib.compress(payload))
+    out = png_gray_pixels(raw)
+    assert out.shape == (h, w) and (out == 0).all()
+
+
+def test_jpeg_lying_sof_rejected_fast():
+    raw = bytearray(jpeg_encode(np.full((8, 8), 5, np.uint8), quality=90))
+    sof = raw.index(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2)...
+    raw[sof + 5 : sof + 9] = struct.pack(">HH", 60000, 60000)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        jpeg_decode(bytes(raw))
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_gif_lying_descriptor_rejected_fast():
+    raw = bytearray(gif_encode(np.full((8, 8), 5, np.uint8)))
+    img = 13 + 768  # header + global color table
+    assert raw[img] == 0x2C
+    raw[img + 5 : img + 9] = struct.pack("<HH", 60000, 60000)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        gif_gray_pixels(bytes(raw))
+    assert time.perf_counter() - t0 < 1.0

@@ -9,6 +9,12 @@ Each query executes end-to-end through the built-in `noop` sink — unlike
 ``count()`` this materializes every output column, so projection/codegen
 cost is measured, while writing nothing.  Spark log noise goes to stderr;
 stdout carries only the JSON line so the driver's tail-parse always works.
+
+bench_detail.json is regenerated on EVERY run, including driver-side
+per-round runs, so it may show as modified in the working tree right
+after a round's automated bench — that drift is by design; the
+committed copy is the builder's most recent quiet-window run (the one
+bench_baseline.json entries were derived from).
 """
 
 from __future__ import annotations

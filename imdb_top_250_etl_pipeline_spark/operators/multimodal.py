@@ -191,6 +191,60 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
 
 
+CROSS_FORMAT_ID_OFFSET = 10_000_000
+
+
+def synthesize_cross_format_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Each input id becomes TWO real blobs of the SAME gradient pixels
+    in DIFFERENT containers: a 24-bit BMP under the id itself and a
+    GIF (real LZW) under id + CROSS_FORMAT_ID_OFFSET.  Both formats are
+    LOSSLESS and both decode through the shared exact luma, so the two
+    blobs' aHash signatures are PROVABLY identical — the planted
+    ground truth for cross-format image near-dup at any scale (no
+    quantization wobble: JPEG's lossy variant of this property lives
+    in the unit tests).  Gradient content (x + 3y + id mod 251) keeps
+    hashes distinct ACROSS ids, so the pair table stays near-linear."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from .gif import gif_encode
+
+        def gradient(w: int, h: int, seed: int):
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            return ((x + 3 * y + seed) % 251).astype(np.uint8)
+
+        def bmp_gray(px) -> bytes:
+            h, w = px.shape
+            pad = (w * 3 + 3) & ~3
+            body = np.zeros((h, pad), dtype=np.uint8)
+            # bottom-up rows, BGR = gray triples
+            rep = np.repeat(px[::-1][:, :, None], 3, axis=2).reshape(h, w * 3)
+            body[:, : w * 3] = rep
+            hdr = struct.pack("<2sIHHI", b"BM", 54 + body.size, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0
+            )
+            return hdr + dib + body.tobytes()
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                px = gradient(i % 24 + 16, i % 16 + 16, i)
+                ids.append(i)
+                blobs.append(bmp_gray(px))
+                ids.append(i + CROSS_FORMAT_ID_OFFSET)
+                blobs.append(gif_encode(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
+
+
 # --- real PNG codec (pure stdlib: chunk walk + zlib + unfilter) -------------
 #
 # The decode seam was stubbed through round 8 ("no image codecs ship in

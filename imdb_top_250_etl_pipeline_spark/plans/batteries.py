@@ -7601,6 +7601,102 @@ def multimodal_thumbnail_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+_XFMT_ORACLE = """
+WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 15 = 0)
+SELECT 'planted' AS part, doc_id AS a,
+       doc_id + 10000000 AS b, CAST(0 AS BIGINT) AS n, true AS ok
+FROM sub
+UNION ALL
+SELECT 'recall', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM sub), true
+UNION ALL
+SELECT 'precision', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(0 AS BIGINT), true
+"""
+
+
+@register(
+    "multimodal_cross_format_dedup",
+    oracle=_XFMT_ORACLE,
+    doc="Cross-FORMAT image near-dup, driver-checked (round 10): every "
+    "15th document plants the SAME gradient pixels as a real 24-bit "
+    "BMP and a real LZW-compressed GIF under offset ids; both formats "
+    "are lossless and decode through the shared exact luma, so their "
+    "aHash signatures are PROVABLY identical and the pigeonhole band "
+    "join must emit every planted pair at hamming 0 — the guarantee "
+    "that makes container format irrelevant to image dedup.  "
+    "part=planted pins each pair's found hamming at exactly 0 (a "
+    "missing pair surfaces as NULL and hash-fails); part=recall pins "
+    "the planted count; part=precision pins zero id-ordering "
+    "violations in the emitted pair table.  Chance same-radius "
+    "collisions between different gradients are correct behavior and "
+    "deliberately not pinned.  JPEG's lossy variant of the property "
+    "(quantization wobble absorbed by radius 3) is pinned in "
+    "tests/test_multimodal_jpeg.py.",
+)
+def multimodal_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        CROSS_FORMAT_ID_OFFSET,
+        ahash_blobs,
+        ahash_near_dup,
+        synthesize_cross_format_pairs,
+    )
+    from ..operators.pinning import eager_pin
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 15 == 0)
+        .select("doc_id")
+    )
+    pairs = eager_pin(
+        ahash_near_dup(
+            ahash_blobs(synthesize_cross_format_pairs(docs, "doc_id")),
+            radius=3,
+        )
+    )
+    planted = (
+        docs.join(
+            pairs,
+            (docs["doc_id"] == pairs["id_a"])
+            & (pairs["id_b"] == docs["doc_id"] + CROSS_FORMAT_ID_OFFSET),
+            "left",
+        )
+        .select(
+            F.lit("planted").alias("part"),
+            F.col("doc_id").cast("long").alias("a"),
+            (F.col("doc_id") + CROSS_FORMAT_ID_OFFSET)
+            .cast("long")
+            .alias("b"),
+            F.col("hamming").cast("long").alias("n"),
+            F.lit(True).alias("ok"),
+        )
+    )
+    nb = F.lit(None).cast("long")
+    recall = planted.agg(
+        F.count(F.col("n")).cast("long").alias("_found")
+    ).select(
+        F.lit("recall").alias("part"),
+        nb.alias("a"),
+        nb.alias("b"),
+        F.col("_found").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    precision = pairs.agg(
+        F.coalesce(
+            F.sum((F.col("id_a") >= F.col("id_b")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("_bad")
+    ).select(
+        F.lit("precision").alias("part"),
+        nb.alias("a"),
+        nb.alias("b"),
+        F.col("_bad").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    return planted.unionByName(recall).unionByName(precision)
+
+
 _KCORE_K = 5
 _KCORE_ROUNDS = 10  # must be >= the engine's max_rounds (it raises past)
 
@@ -8298,6 +8394,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
         f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
         f"FROM ({_THUMB_ORACLE}) t",
+        f"SELECT 'xfmt_'||part AS part, a, b, n, {_NS} AS k, {_NS} AS s, "
+        f"{_ND} AS v, ok FROM ({_XFMT_ORACLE}) t",
         f"SELECT 'kcore' AS part, node AS a, deg AS b, {_NB} AS n, "
         f"{_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
         f"FROM ({_kcore_oracle()}) t",
@@ -9007,6 +9105,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     olp = sql_olap_shapes(spark, sf_dir)
     ahd = multimodal_ahash_dedup(spark, sf_dir)
     aud = multimodal_audio_stats(spark, sf_dir)
+    xf = multimodal_cross_format_dedup(spark, sf_dir).select(
+        F.concat(F.lit("xfmt_"), F.col("part")).alias("part"),
+        F.col("a"),
+        F.col("b"),
+        F.col("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.col("ok"),
+    )
     thm = multimodal_thumbnail_pipeline(spark, sf_dir).select(
         F.lit("thumb").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9242,6 +9350,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpg)
         .unionByName(gifs)
         .unionByName(thm)
+        .unionByName(xf)
         .unionByName(kcr)
         .unionByName(lpa)
         .unionByName(cnt2)
@@ -9522,6 +9631,9 @@ subsume(
     # round-10: JPEG-decode -> resample -> GIF-re-encode -> decode
     # thumbnail chain, riding extension_battery (part=thumb)
     "multimodal_thumbnail_pipeline",
+    # round-10: cross-format (BMP vs GIF, lossless) planted near-dup
+    # pairs at hamming 0, riding extension_battery (part=xfmt_*)
+    "multimodal_cross_format_dedup",
     # round-11: k-core peeling vs the generated fixed-depth unroll,
     # riding extension_battery (part=kcore)
     "graph_kcore",

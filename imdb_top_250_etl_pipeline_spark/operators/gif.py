@@ -37,13 +37,23 @@ def gif_dims(raw: bytes) -> tuple[int, int]:
     only, like png_ihdr / bmp_dims / jpeg_dims."""
     if raw[:4] != GIF_MAGIC or raw[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a stream")
+    if len(raw) < 13:
+        raise ValueError("truncated GIF header")
     w, h = struct.unpack("<HH", raw[6:10])
     return w, h
 
 
+def _byte_at(raw: bytes, pos: int) -> int:
+    """raw[pos] with the truncation contract: corrupt streams raise a
+    loud ValueError (tests/test_codec_guards.py), never IndexError."""
+    if pos >= len(raw):
+        raise ValueError("truncated GIF stream")
+    return raw[pos]
+
+
 def _skip_subblocks(raw: bytes, pos: int) -> int:
     while True:
-        n = raw[pos]
+        n = _byte_at(raw, pos)
         pos += 1
         if n == 0:
             return pos
@@ -84,6 +94,11 @@ def _lzw_decode(mcs: int, data: bytes, n_expected: int) -> list[int]:
         if code == end:
             break
         if prev is None:
+            # first code after start/CLEAR must be a palette root —
+            # anything else (incl. the empty placeholder slots) is a
+            # corrupt stream, not an IndexError
+            if code >= clear:
+                raise ValueError(f"invalid initial LZW code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -114,6 +129,8 @@ def gif_gray_pixels(raw: bytes):
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(raw):
+            raise ValueError("truncated GIF global color table")
         gct = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(
             n, 3
         )
@@ -124,6 +141,8 @@ def gif_gray_pixels(raw: bytes):
         if block == 0x21:  # extension: label + sub-block chain
             pos = _skip_subblocks(raw, pos + 1)
         elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(raw):
+                raise ValueError("truncated GIF image descriptor")
             _left, _top, iw, ih = struct.unpack("<HHHH", raw[pos : pos + 8])
             ipacked = raw[pos + 8]
             pos += 9
@@ -138,17 +157,21 @@ def gif_gray_pixels(raw: bytes):
             ct = gct
             if ipacked & 0x80:  # local color table
                 n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(raw):
+                    raise ValueError("truncated GIF local color table")
                 ct = np.frombuffer(
                     raw[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
                 pos += 3 * n
             if ct is None:
                 raise ValueError("GIF image without a color table")
-            mcs = raw[pos]
+            mcs = _byte_at(raw, pos)
             pos += 1
+            if not 2 <= mcs <= 8:  # palette depth is 1..8 bits
+                raise ValueError(f"invalid GIF LZW min code size {mcs}")
             chunks = []
             while True:
-                n = raw[pos]
+                n = _byte_at(raw, pos)
                 pos += 1
                 if n == 0:
                     break

@@ -159,9 +159,13 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy data")
                 nxt = self.data[self.pos]
                 if nxt != 0x00:
                     raise ValueError(
@@ -196,6 +200,8 @@ class _BitReader:
     def sync_restart(self, n: int) -> None:
         """Byte-align and consume the expected RSTn marker."""
         self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated entropy data at restart marker")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
             0xD0 + n % 8
         ):
@@ -337,6 +343,22 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
             "header or oversized media — route to the libjpeg seam"
         )
     by_id = {c["id"]: c for c in comps}
+    # validate every id the scan references BEFORE entropy decode: a
+    # corrupt stream must raise ValueError, not KeyError (codec-guard
+    # exception contract)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references undefined component {cs}")
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError(
+                f"scan references undefined Huffman table dc={td} ac={ta}"
+            )
+    for c in comps:
+        if c["tq"] not in qtabs:
+            raise ValueError(
+                f"component {c['id']} references undefined quant "
+                f"table {c['tq']}"
+            )
     order = [by_id[cs] for cs, _, _ in scan]
     tabs = {cs: (td, ta) for cs, td, ta in scan}
     hmax = max(c["h"] for c in comps)

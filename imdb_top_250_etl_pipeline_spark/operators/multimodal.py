@@ -235,6 +235,16 @@ def synthesize_cross_format_pairs(df: DataFrame, id_col: str) -> DataFrame:
             ids, blobs = [], []
             for doc_id in pdf[id_col]:
                 i = int(doc_id)
+                if not 0 <= i < CROSS_FORMAT_ID_OFFSET:
+                    # the GIF twin lives at id + offset; an id at or
+                    # past the offset would silently collide with
+                    # another doc's twin and corrupt the planted
+                    # ground truth — fail loudly instead (the check is
+                    # per-row inside the Arrow batch: no extra pass)
+                    raise ValueError(
+                        f"doc_id {i} outside [0, {CROSS_FORMAT_ID_OFFSET}): "
+                        "raise CROSS_FORMAT_ID_OFFSET for this corpus"
+                    )
                 px = gradient(i % 24 + 16, i % 16 + 16, i)
                 ids.append(i)
                 blobs.append(bmp_gray(px))

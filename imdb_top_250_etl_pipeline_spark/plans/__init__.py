@@ -18,3 +18,4 @@ from . import streaming_queries  # noqa: F401,E402
 from . import timeseries_queries  # noqa: F401,E402
 from . import sql_surface  # noqa: F401,E402
 from . import batteries  # noqa: F401,E402
+from .batteries import SHARDED_BATTERIES, resolve_battery_part  # noqa: F401,E402

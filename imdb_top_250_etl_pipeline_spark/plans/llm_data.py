@@ -600,21 +600,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall.unionByName(contig)
 
 
-@register(
-    "sim_mmr_rerank",
-    oracle=None,
-    doc="Maximal-marginal-relevance diversification "
-    "(operators/similarity.py::mmr_rerank): each query's exact "
-    "cosine top-20 shortlist greedily re-ranked to 10 results "
-    "balancing relevance against redundancy (λ=0.7) — the standard "
-    "post-ANN diversity pass.  The greedy argmax is sequential per "
-    "query, so it runs in one applyInPandas group per query over the "
-    "bounded shortlist (never the corpus); ties break on the lower "
-    "neighbor id.  Rows-only for the driver (greedy selection is not "
-    "SQL-expressible); exactness pinned by a pure-numpy dual and "
-    "planted-redundancy tests.",
-)
-def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_mmr_rerank_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw MMR ranking (query_id, neighbor_id, rank) — consumed by
+    the registered invariant query below, sim_topk_battery's mmr row,
+    and the numpy-dual unit tests."""
     from ..operators.similarity import mmr_rerank
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -623,6 +612,100 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cands, e, queries, k=10, lam=0.7).orderBy(
         "query_id", "rank"
     )
+
+
+_SIM_MMR_ORACLE = """
+WITH q AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT 'first_pick_argmax' AS part, nq AS n_queries,
+       CAST(10 AS BIGINT) AS k, true AS ok FROM q
+UNION ALL SELECT 'k_rows_contiguous', nq, CAST(10 AS BIGINT), true FROM q
+UNION ALL SELECT 'shortlist_subset', nq, CAST(10 AS BIGINT), true FROM q
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_SIM_MMR_ORACLE,
+    doc="Maximal-marginal-relevance diversification "
+    "(operators/similarity.py::mmr_rerank): each query's exact "
+    "cosine top-20 shortlist greedily re-ranked to 10 results "
+    "balancing relevance against redundancy (λ=0.7) — the standard "
+    "post-ANN diversity pass.  The greedy argmax is sequential per "
+    "query, so it runs in one applyInPandas group per query over the "
+    "bounded shortlist (never the corpus); ties break on the lower "
+    "neighbor id.  PROMOTED to an invariant oracle (round 11, the "
+    "sim_ann_ivf pattern): one row per invariant (part, n_queries, k, "
+    "ok) with n_queries pinned exactly to the SQL query-set count — "
+    "(1) the rank-1 pick equals the exact cosine top-1 for EVERY "
+    "query (greedy argmax over an empty selected set IS max "
+    "relevance), (2) every query emits exactly k=10 rows with ranks "
+    "contiguous 1..10, (3) every emitted neighbor belongs to that "
+    "query's top-20 shortlist.  The raw ranking stays engine-side in "
+    "_sim_mmr_rerank_raw (greedy float selection is not "
+    "SQL-expressible), exercised by this query, sim_topk_battery, and "
+    "the pure-numpy dual tests.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    # shortlist feeds the raw MMR AND the subset/first-pick checks
+    cands = eager_pin(brute_force_topk(e, queries, k=20))
+    from ..operators.similarity import mmr_rerank
+
+    m = eager_pin(
+        mmr_rerank(cands, e, queries, k=10, lam=0.7)
+    )
+    nq = m.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+    k10 = F.lit(10).cast("bigint").alias("k")
+
+    first_match = (
+        m.where(F.col("rank") == 1)
+        .join(
+            cands.where(F.col("rank") == 1).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_match"))
+    )
+    first = nq.crossJoin(F.broadcast(first_match)).select(
+        F.lit("first_pick_argmax").alias("part"),
+        "n_queries",
+        k10,
+        (F.col("n_match") == F.col("n_queries")).alias("ok"),
+    )
+    per_q = m.groupBy("query_id").agg(
+        F.count("*").alias("c"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+    )
+    contig = per_q.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.min(
+            (F.col("c") == 10) & (F.col("rmin") == 1) & (F.col("rmax") == 10)
+        ).alias("ok"),
+    ).select(
+        F.lit("k_rows_contiguous").alias("part"), "n_queries", k10, "ok"
+    )
+    outside = (
+        m.select("query_id", "neighbor_id")
+        .join(
+            cands.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_out"))
+    )
+    subset = nq.crossJoin(F.broadcast(outside)).select(
+        F.lit("shortlist_subset").alias("part"),
+        "n_queries",
+        k10,
+        (F.col("n_out") == 0).alias("ok"),
+    )
+    return first.unionByName(contig).unionByName(subset)
 
 
 @register(
@@ -648,22 +731,10 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ann_pq",
-    oracle=None,
-    doc="Product quantization with exact refine (operators/similarity"
-    ".py::pq_train/pq_encode/pq_refine_topk — Jégou et al. 2011; the "
-    "FAISS IndexRefineFlat deployment): per-subspace k-means codebooks "
-    "(m=16, ksub=16, all subspaces trained simultaneously by keying "
-    "the Lloyd rounds on sub), vectors compressed to 16 code bytes, "
-    "ADC scan against per-query broadcast lookup tables (corpus floats "
-    "never touched), top-100 shortlist re-ranked by exact cosine over "
-    "only shortlist·queries fetched vectors.  Rows-only for the driver "
-    "(k-means float means are Spark-side); ADC arithmetic pinned by a "
-    "hand-codebook numpy dual and refined recall ≥0.9 vs brute force "
-    "in tests.",
-)
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw PQ+refine ranking (query_id, neighbor_id, rank, …) —
+    consumed by the registered invariant query below, sim_topk_battery's
+    pq recall row, and the hand-codebook ADC dual tests."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.where(F.col("vec_id") % 50 == 0)
     seeds = e.where(F.col("vec_id") % 29 == 0)
@@ -672,6 +743,83 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_refine_topk(
         index, queries, books, e, k=5, shortlist=100, m=16
     ).orderBy("query_id", "rank")
+
+
+_SIM_ANN_PQ_ORACLE = """
+WITH q AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT 'recall_floor' AS part, nq AS n_queries,
+       CAST(5 AS BIGINT) AS k, true AS ok FROM q
+UNION ALL SELECT 'ranks_contiguous', nq, CAST(5 AS BIGINT), true FROM q
+"""
+
+
+@register(
+    "sim_ann_pq",
+    oracle=_SIM_ANN_PQ_ORACLE,
+    doc="Product quantization with exact refine (operators/similarity"
+    ".py::pq_train/pq_encode/pq_refine_topk — Jégou et al. 2011; the "
+    "FAISS IndexRefineFlat deployment): per-subspace k-means codebooks "
+    "(m=16, ksub=16, all subspaces trained simultaneously by keying "
+    "the Lloyd rounds on sub), vectors compressed to 16 code bytes, "
+    "ADC scan against per-query broadcast lookup tables (corpus floats "
+    "never touched), top-100 shortlist re-ranked by exact cosine over "
+    "only shortlist·queries fetched vectors.  PROMOTED to an invariant "
+    "oracle (round 11, the sim_ann_ivf pattern): (part, n_queries, k, "
+    "ok) rows with n_queries pinned exactly to the SQL query-set count "
+    "— refined recall@5 vs the exact brute-force baseline >= 0.9 as "
+    "the integer compare 10*hits >= 9*total (measured 0.98 at "
+    "sf0.01), and per-query rank lists contiguous 1..c with c <= 5.  "
+    "The raw ranking stays engine-side in _sim_ann_pq_raw (k-means "
+    "float means are Spark-side), exercised by this query, "
+    "sim_topk_battery, and the hand-codebook numpy dual tests.",
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    ann = eager_pin(_sim_ann_pq_raw(spark, sf_dir))
+    exact = eager_pin(brute_force_topk(e, queries, k=5))
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("h"))
+    )
+    tot = exact.agg(F.count("*").alias("t"))
+    recall = (
+        ann.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("recall_floor").alias("part"),
+            "n_queries",
+            F.lit(5).cast("bigint").alias("k"),
+            (10 * F.col("h") >= 9 * F.col("t")).alias("ok"),
+        )
+    )
+    per_q = ann.groupBy("query_id").agg(
+        F.count("*").alias("c"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+    )
+    contig = per_q.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.min(
+            (F.col("rmin") == 1) & (F.col("rmax") == F.col("c")) & (F.col("c") <= 5)
+        ).alias("ok"),
+    ).select(
+        F.lit("ranks_contiguous").alias("part"),
+        "n_queries",
+        F.lit(5).cast("bigint").alias("k"),
+        "ok",
+    )
+    return recall.unionByName(contig)
 
 
 @register(

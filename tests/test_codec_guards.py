@@ -89,3 +89,55 @@ def test_gif_lying_descriptor_rejected_fast():
     with pytest.raises(ValueError, match="MAX_PIXELS"):
         gif_gray_pixels(bytes(raw))
     assert time.perf_counter() - t0 < 1.0
+
+
+# --- round-11 (driver ADVICE): corrupt streams raise ValueError, never
+# IndexError/KeyError — truncations and dangling table/code references
+# must hit the same loud exception contract as the bomb guards.
+
+
+def test_gif_truncated_streams_raise_valueerror():
+    good = gif_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    # cut the stream at many points: header, color table, descriptor,
+    # LZW sub-blocks — every prefix must raise ValueError, nothing else
+    for cut in range(4, len(good) - 1, 7):
+        with pytest.raises(ValueError):
+            gif_gray_pixels(good[:cut])
+
+
+def test_gif_invalid_initial_lzw_code_valueerror():
+    raw = bytearray(gif_encode(np.full((8, 8), 5, np.uint8)))
+    img = 13 + 768
+    assert raw[img] == 0x2C
+    # image data: min-code-size byte, then first sub-block; corrupt the
+    # first LZW byte so the initial code (post-CLEAR) is out of range
+    data0 = img + 10 + 1  # descriptor(10) + mcs(1) + blocklen -> first byte
+    raw[data0 + 1] = 0xFF
+    raw[data0 + 2] = 0xFF
+    with pytest.raises(ValueError):
+        gif_gray_pixels(bytes(raw))
+
+
+def test_gif_bad_min_code_size_valueerror():
+    raw = bytearray(gif_encode(np.full((8, 8), 5, np.uint8)))
+    img = 13 + 768
+    raw[img + 10] = 12  # LZW min code size must be 2..8
+    with pytest.raises(ValueError, match="min code size"):
+        gif_gray_pixels(bytes(raw))
+
+
+def test_jpeg_truncated_entropy_valueerror():
+    good = jpeg_encode(np.arange(64, dtype=np.uint8).reshape(8, 8), quality=90)
+    # drop the tail (EOI + entropy bytes): reader must refuse loudly
+    for cut in (len(good) - 4, len(good) - 8):
+        with pytest.raises(ValueError, match="truncated entropy"):
+            jpeg_decode(good[:cut])
+
+
+def test_jpeg_undefined_table_ids_valueerror():
+    raw = bytearray(jpeg_encode(np.full((8, 8), 5, np.uint8), quality=90))
+    sos = raw.index(b"\xff\xda")
+    # SOS component spec: id(1), Td<<4|Ta(1) — point at undefined 7/7
+    raw[sos + 6] = 0x77
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        jpeg_decode(bytes(raw))

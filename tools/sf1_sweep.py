@@ -44,7 +44,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main() -> None:
     import duckdb
 
-    from imdb_top_250_etl_pipeline_spark.plans import QUERIES, SUBSUMED
+    from imdb_top_250_etl_pipeline_spark.plans import (
+        QUERIES,
+        SHARDED_BATTERIES,
+        SUBSUMED,
+    )
     from imdb_top_250_etl_pipeline_spark.session import get_spark
     from tests.oracle_harness import compare
 
@@ -109,9 +113,54 @@ def main() -> None:
         finally:
             done.set()
 
+    # Battery oracles the sweep shards into constituent oracles
+    # (VERDICT r10 item 3): the monolithic extension_battery UNION
+    # oracle costs ~19 min of DuckDB wall at sf1 while every branch's
+    # values are already hash-checked through its constituent's own
+    # oracle entry in this same sweep.  For a sharded battery the
+    # Spark query still runs (rows-only — a plan blowup at 10x still
+    # surfaces) and the entry records which constituents carry the
+    # hash coverage.  Sharding only engages when EVERY constituent is
+    # present with a non-None oracle; otherwise the full oracle runs.
+    # SWEEP_NO_SHARD=1 forces the monolithic oracles regardless.
+    no_shard = bool(os.environ.get("SWEEP_NO_SHARD"))
+
+    def _shard_constituents(name: str) -> list[str] | None:
+        parts_map = SHARDED_BATTERIES.get(name)
+        if parts_map is None or no_shard:
+            return None
+        names = sorted(set(parts_map.values()))
+        if all(all_q.get(c) and all_q[c].oracle is not None for c in names):
+            return names
+        return None
+
     def run_query(name: str, budget: float) -> None:
         q = all_q[name]
         t0 = time.perf_counter()
+        shard = _shard_constituents(name)
+        if shard is not None and q.oracle is not None:
+            try:
+                n = q.fn(spark, SF_DIR).count()
+                rows_only[name] = {
+                    "rows": n,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "sharded_into": shard,
+                }
+                tag = f"rows={n} sharded->{len(shard)} constituents"
+            except Exception as e:
+                oracle_res[name] = {
+                    "hash_match": False,
+                    "err": f"{type(e).__name__}: {e}"[:300],
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "timeout": False,
+                }
+                tag = "ERROR"
+            sys.stderr.write(
+                f"[{tag}] {name} {round(time.perf_counter() - t0, 1)}s\n"
+            )
+            sys.stderr.flush()
+            _flush()
+            return
         try:
             df = q.fn(spark, SF_DIR)
             if q.oracle is not None:

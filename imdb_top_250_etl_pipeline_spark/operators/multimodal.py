@@ -12,14 +12,15 @@ PNG (chunk walk + zlib + spec-complete unfilter — round 9), BMP
 round 10), RIFF/WAVE PCM audio (8/16-bit, any channel count — round
 10), YUV4MPEG2 video (FRAME-marker demux + planar Y slices — round
 10; per-frame luma stats and true spatial aHash, so image near-dup
-machinery extends to frames), baseline JPEG (full T.81 sequential-DCT
-entropy decode + deterministic encoder, operators/jpeg.py — round
-10), and GIF (variable-width LZW, interlace, palettes,
-operators/gif.py — round 10).  Images share ONE exact integer luma
-(_luma_u8), so the same pixels hash identically across container
-formats — the property cross-format image near-dup needs; WAV yields
-true sample rate / frames / peak / full-scale clipping.  Still
-synthetic: progressive JPEG, MP3, compressed video (MP4/H.264) —
+machinery extends to frames), JPEG (full T.81 sequential-DCT entropy
+decode + deterministic encoder — round 10; PROGRESSIVE SOF2
+spectral-selection / successive-approximation decode + multi-scan
+encoder — round 11, operators/jpeg.py), and GIF (variable-width LZW,
+interlace, palettes, operators/gif.py — round 10).  Images share ONE
+exact integer luma (_luma_u8), so the same pixels hash identically
+across container formats — the property cross-format image near-dup
+needs; WAV yields true sample rate / frames / peak / full-scale
+clipping.  Still synthetic: MP3 and compressed video (MP4/H.264) —
 those raise at the same NotImplementedError seam (no PIL/ffmpeg in
 this container); the Spark-side plumbing (schema, mapInPandas batch
 shape, partitioning) is identical on both paths, so swapping in
@@ -131,7 +132,9 @@ def synthesize_bmp_blobs(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
 
 
-def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
+def synthesize_jpeg_blobs(
+    df: DataFrame, id_col: str, progressive: bool = False
+) -> DataFrame:
     """REAL baseline-JPEG bytes as a deterministic fixture (the BMP
     discipline extended to a COMPRESSED codec): a solid-gray (id % 256)
     image with the SAME width/height formulas as synthesize_blobs,
@@ -139,14 +142,21 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
     At q=100 every quant divisor is 1 and a solid block's FDCT is
     DC-only with an integer DC, so the decode is EXACT — a SQL oracle
     recomputes width/height/min/max/sum from id arithmetic while the
-    bytes exercise real Huffman entropy decode + dequant + IDCT."""
+    bytes exercise real Huffman entropy decode + dequant + IDCT.
+
+    ``progressive=True`` (round 11) emits the SAME pixels as a
+    multi-scan SOF2 stream via jpeg_encode_progressive — the
+    spectral-selection / successive-approximation decode path inside
+    the same exact-stats contract (progressive is a lossless
+    reordering of the quantized coefficients)."""
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        from .jpeg import jpeg_encode
+        from .jpeg import jpeg_encode, jpeg_encode_progressive
 
+        enc = jpeg_encode_progressive if progressive else jpeg_encode
         for pdf in batches:
             ids, blobs = [], []
             for doc_id in pdf[id_col]:
@@ -155,7 +165,7 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str) -> DataFrame:
                     (i % 48 + 16, i % 64 + 16), i % 256, dtype=np.uint8
                 )
                 ids.append(i)
-                blobs.append(jpeg_encode(px, quality=100))
+                blobs.append(enc(px, quality=100))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")

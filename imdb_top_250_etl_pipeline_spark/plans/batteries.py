@@ -7589,14 +7589,15 @@ def multimodal_y4m_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JPEG_ORACLE = """
-SELECT doc_id,
+SELECT doc_id, codec,
        CAST(doc_id % 64 + 16 AS INT) AS width,
        CAST(doc_id % 48 + 16 AS INT) AS height,
        CAST(doc_id % 256 AS INT) AS y_min,
        CAST(doc_id % 256 AS INT) AS y_max,
        CAST((doc_id % 256) * (doc_id % 64 + 16) * (doc_id % 48 + 16)
             AS BIGINT) AS y_sum
-FROM documents WHERE doc_id % 9 = 0
+FROM documents, (VALUES ('base'), ('prog')) c(codec)
+WHERE doc_id % 9 = 0
 """
 
 
@@ -7612,17 +7613,31 @@ FROM documents WHERE doc_id % 9 = 0
     "q=100 every quant divisor is 1 and a solid block's FDCT is "
     "DC-only with an integer DC, so decode is EXACT and the oracle "
     "recomputes every value from id arithmetic: a real entropy-coded "
-    "bitstream inside the driver's hash check.  Gradients, 4:2:0 "
-    "chroma, restart markers and the progressive/arithmetic refusal "
-    "seam are pinned in tests/test_multimodal_jpeg.py.",
+    "bitstream inside the driver's hash check.  Round 11 adds the "
+    "codec='prog' twin: the same documents re-encoded as MULTI-SCAN "
+    "PROGRESSIVE (SOF2) streams via jpeg_encode_progressive's "
+    "libjpeg-shaped scan script, decoded through the spectral-"
+    "selection / successive-approximation path — progressive coding "
+    "is a lossless reordering of the quantized coefficients, so both "
+    "codecs hash to identical stats.  Gradients, 4:2:0 chroma, "
+    "restart markers, refinement fuzz and the arithmetic refusal seam "
+    "are pinned in tests/test_multimodal_jpeg*.py.",
 )
 def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_gray_stats, synthesize_jpeg_blobs
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
-    return decode_gray_stats(synthesize_jpeg_blobs(docs, "doc_id")).orderBy(
-        "doc_id"
+    base = decode_gray_stats(synthesize_jpeg_blobs(docs, "doc_id")).select(
+        "doc_id", F.lit("base").alias("codec"), "width", "height",
+        "y_min", "y_max", "y_sum",
     )
+    prog = decode_gray_stats(
+        synthesize_jpeg_blobs(docs, "doc_id", progressive=True)
+    ).select(
+        "doc_id", F.lit("prog").alias("codec"), "width", "height",
+        "y_min", "y_max", "y_sum",
+    )
+    return base.unionByName(prog).orderBy("doc_id", "codec")
 
 
 _GIF_ORACLE = """
@@ -8482,7 +8497,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
         f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
         f"FROM ({_Y4M_ORACLE}) t",
-        f"SELECT 'jpeg' AS part, doc_id AS a, CAST(y_min AS BIGINT) AS b, "
+        f"SELECT 'jpeg_' || codec AS part, doc_id AS a, "
+        f"CAST(y_min AS BIGINT) AS b, "
         f"y_sum AS n, "
         f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
         f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
@@ -9247,7 +9263,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("ok"),
     )
     jpg = multimodal_jpeg_stats(spark, sf_dir).select(
-        F.lit("jpeg").alias("part"),
+        F.concat(F.lit("jpeg_"), F.col("codec")).alias("part"),
         F.col("doc_id").cast("long").alias("a"),
         F.col("y_min").cast("long").alias("b"),
         F.col("y_sum").cast("long").alias("n"),
@@ -9543,7 +9559,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "ahash_": "multimodal_ahash_dedup",
     "aud_": "multimodal_audio_stats",
     "y4m": "multimodal_y4m_stats",
-    "jpeg": "multimodal_jpeg_stats",
+    "jpeg_": "multimodal_jpeg_stats",
     "gif": "multimodal_gif_stats",
     "thumb": "multimodal_thumbnail_pipeline",
     "xfmt_": "multimodal_cross_format_dedup",

@@ -142,10 +142,14 @@ def test_non_multiple_of_8_dims():
 # --- refusal contract --------------------------------------------------------
 
 
-def test_progressive_and_friends_raise():
+def test_non_baseline_refusals():
+    """SOF2 is now DECODED (round 11, test_multimodal_jpeg_progressive);
+    the remaining non-baseline families still refuse at the seam.  A
+    baseline stream RELABELED as SOF2 is corrupt (its scan header has
+    Se=63 with Ss=0, illegal for progressive) and must fail loud."""
     raw = bytearray(jpeg_encode(_grad(8, 8), quality=90))
     sof = raw.index(b"\xff\xc0")
-    for marker, exc in ((0xC2, NotImplementedError), (0xC9, NotImplementedError)):
+    for marker, exc in ((0xC2, ValueError), (0xC9, NotImplementedError)):
         bad = bytearray(raw)
         bad[sof + 1] = marker
         with pytest.raises(exc):

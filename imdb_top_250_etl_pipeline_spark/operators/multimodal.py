@@ -204,6 +204,48 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str) -> DataFrame:
 CROSS_FORMAT_ID_OFFSET = 10_000_000
 
 
+def synthesize_tiff_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL TIFF bytes as a deterministic fixture (the BMP/GIF
+    discipline): a solid-gray (id % 256) image with the SAME
+    width/height formulas as synthesize_blobs, written by
+    operators/tiff.py::tiff_encode with the compression rotating by id
+    (id%3: none / PackBits / LZW), every 4th image multi-strip
+    (rows_per_strip=7 — strip-boundary decode inside the driver
+    hash), LZW images with id%2 adding the horizontal-differencing
+    predictor, and every 5th big-endian.  All paths lossless, so a
+    SQL oracle recomputes the stats from id arithmetic while the
+    bytes exercise the genuine IFD walk + strip decompression."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .tiff import tiff_encode
+
+        comps = ["none", "packbits", "lzw"]
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                px = np.full(
+                    (i % 48 + 16, i % 64 + 16), i % 256, dtype=np.uint8
+                )
+                comp = comps[i % 3]
+                ids.append(i)
+                blobs.append(
+                    tiff_encode(
+                        px,
+                        compression=comp,
+                        rows_per_strip=7 if i % 4 == 0 else None,
+                        predictor=(comp == "lzw" and i % 2 == 0),
+                        big_endian=(i % 5 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
+
+
 def synthesize_cross_format_pairs(df: DataFrame, id_col: str) -> DataFrame:
     """Each input id becomes TWO real blobs of the SAME gradient pixels
     in DIFFERENT containers: a 24-bit BMP under the id itself and a
@@ -527,6 +569,7 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
 
         from .gif import GIF_MAGIC, gif_dims
         from .jpeg import JPEG_MAGIC, jpeg_dims
+        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_dims
 
         for pdf in batches:
             out = {"doc_id": [], "media_type": [], "width": [], "height": [], "n_bytes": []}
@@ -540,6 +583,10 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
                     w, h = jpeg_dims(raw)
                 elif raw.startswith(GIF_MAGIC):
                     w, h = gif_dims(raw)
+                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                    TIFF_MAGIC_BE
+                ):
+                    w, h = tiff_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _payload = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -584,6 +631,7 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
 
         from .gif import GIF_MAGIC, gif_dims
         from .jpeg import JPEG_MAGIC, jpeg_dims
+        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_dims
 
         for pdf in batches:
             out = {"doc_id": [], "new_width": [], "new_height": []}
@@ -597,6 +645,10 @@ def resize_images(blobs: DataFrame, max_side: int = 32) -> DataFrame:
                     w, h = jpeg_dims(raw)
                 elif raw.startswith(GIF_MAGIC):
                     w, h = gif_dims(raw)
+                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                    TIFF_MAGIC_BE
+                ):
+                    w, h = tiff_dims(raw)
                 elif raw.startswith(b"IMG:"):
                     head, _, _ = raw[4:].partition(b":")
                     w_s, _, h_s = head.partition(b"x")
@@ -953,6 +1005,7 @@ def decode_gray_stats(blobs: DataFrame) -> DataFrame:
 
         from .gif import GIF_MAGIC, gif_gray_pixels
         from .jpeg import JPEG_MAGIC, jpeg_decode
+        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_gray_pixels
 
         for pdf in batches:
             out: dict[str, list] = {
@@ -970,6 +1023,10 @@ def decode_gray_stats(blobs: DataFrame) -> DataFrame:
                     px = dec if dec.ndim == 2 else _luma_u8(dec)
                 elif raw.startswith(GIF_MAGIC):
                     px = gif_gray_pixels(raw)
+                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                    TIFF_MAGIC_BE
+                ):
+                    px = tiff_gray_pixels(raw)
                 else:
                     raise NotImplementedError(
                         "real image codec plugs in here"
@@ -1013,6 +1070,7 @@ def thumbnail_blobs(blobs: DataFrame, max_side: int = 32) -> DataFrame:
 
         from .gif import GIF_MAGIC, gif_encode, gif_gray_pixels
         from .jpeg import JPEG_MAGIC, jpeg_decode
+        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_gray_pixels
 
         for pdf in batches:
             out: dict[str, list] = {
@@ -1029,6 +1087,10 @@ def thumbnail_blobs(blobs: DataFrame, max_side: int = 32) -> DataFrame:
                     px = dec if dec.ndim == 2 else _luma_u8(dec)
                 elif raw.startswith(GIF_MAGIC):
                     px = gif_gray_pixels(raw)
+                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                    TIFF_MAGIC_BE
+                ):
+                    px = tiff_gray_pixels(raw)
                 else:
                     raise NotImplementedError(
                         "real image codec plugs in here"
@@ -1114,6 +1176,7 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
 
         from .gif import GIF_MAGIC, gif_gray_pixels
         from .jpeg import JPEG_MAGIC, jpeg_decode
+        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_gray_pixels
 
         for pdf in batches:
             out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
@@ -1125,6 +1188,8 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                     or raw.startswith(BMP_MAGIC)
                     or raw.startswith(JPEG_MAGIC)
                     or raw.startswith(GIF_MAGIC)
+                    or raw.startswith(TIFF_MAGIC_LE)
+                    or raw.startswith(TIFF_MAGIC_BE)
                 ):
                     # the REAL path: decoded grayscale pixels feed the
                     # same exact-integer cell thresholding below, with
@@ -1139,6 +1204,10 @@ def ahash_blobs(blobs: DataFrame) -> DataFrame:
                         px = bmp_gray_pixels(raw)
                     elif raw.startswith(GIF_MAGIC):
                         px = gif_gray_pixels(raw)
+                    elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                        TIFF_MAGIC_BE
+                    ):
+                        px = tiff_gray_pixels(raw)
                     else:
                         dec = jpeg_decode(raw)
                         px = dec if dec.ndim == 2 else _luma_u8(dec)

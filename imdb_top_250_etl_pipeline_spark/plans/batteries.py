@@ -7651,6 +7651,45 @@ SELECT doc_id,
 FROM documents WHERE doc_id % 8 = 0
 """
 
+_TIFF_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 64 + 16 AS INT) AS width,
+       CAST(doc_id % 48 + 16 AS INT) AS height,
+       CAST(doc_id % 256 AS INT) AS y_min,
+       CAST(doc_id % 256 AS INT) AS y_max,
+       CAST((doc_id % 256) * (doc_id % 64 + 16) * (doc_id % 48 + 16)
+            AS BIGINT) AS y_sum
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "multimodal_tiff_stats",
+    oracle=_TIFF_ORACLE,
+    doc="TIFF codec FOR REAL (round 11 — operators/tiff.py: the "
+    "document-scan/archival strip format, seventh real format at the "
+    "codec seam): every 7th document synthesizes a solid-gray TIFF "
+    "with the compression rotating by id (none / PackBits / "
+    "TIFF-flavor LZW — MSB-first packing with the spec's EarlyChange "
+    "width bump, the OPPOSITE bit order of GIF's LZW), every 4th "
+    "multi-strip (independent per-strip compression state), LZW "
+    "fixtures alternating the horizontal-differencing predictor, and "
+    "every 5th big-endian — and decode_gray_stats runs the genuine "
+    "IFD walk + strip decode to exact integer min/max/sum.  Every "
+    "supported path is lossless, so the oracle recomputes all values "
+    "from id arithmetic.  Gradient/noise round-trips, the "
+    "hand-derived LZW code-sequence vector, EarlyChange boundary "
+    "sizes, KwKwK, and corrupt-stream guards are pinned in "
+    "tests/test_multimodal_tiff.py.",
+)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_gray_stats, synthesize_tiff_blobs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return decode_gray_stats(synthesize_tiff_blobs(docs, "doc_id")).orderBy(
+        "doc_id"
+    )
+
 
 @register(
     "multimodal_gif_stats",
@@ -8503,6 +8542,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
         f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
         f"FROM ({_JPEG_ORACLE}) t",
+        f"SELECT 'tiff' AS part, doc_id AS a, CAST(y_min AS BIGINT) AS b, "
+        f"y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"{_NS} AS s, CAST(y_max AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_TIFF_ORACLE}) t",
         f"SELECT 'gif' AS part, doc_id AS a, CAST(y_min AS BIGINT) AS b, "
         f"y_sum AS n, "
         f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
@@ -8548,6 +8592,9 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"FROM ({_EXPECT_ORACLE}) t",
         f"SELECT 'inc_'||part AS part, a, b, n, {_NS} AS k, "
         f"{_NS} AS s, v, true AS ok FROM ({_INC_ORACLE}) t",
+        f"SELECT 'semdedup_' || part AS part, {_NB} AS a, {_NB} AS b, "
+        f"n, {_NS} AS k, {_NS} AS s, {_ND} AS v, true AS ok "
+        f"FROM ({_SQL['dedup_semantic']}) t",
     ]
 )
 
@@ -9262,6 +9309,20 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_max").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    tif = multimodal_tiff_stats(spark, sf_dir).select(
+        F.lit("tiff").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("y_min").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        _ns().alias("s"),
+        F.col("y_max").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     jpg = multimodal_jpeg_stats(spark, sf_dir).select(
         F.concat(F.lit("jpeg_"), F.col("codec")).alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9384,6 +9445,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    sem = _FN["dedup_semantic"](spark, sf_dir).select(
+        F.concat(F.lit("semdedup_"), F.col("part")).alias("part"),
+        _nb().alias("a"),
+        _nb().alias("b"),
+        F.col("n").cast("long").alias("n"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        _nd().alias("v"),
+        F.col("ok"),
+    )
     exp = etl_expectations(spark, sf_dir).select(
         F.concat(F.lit("exp_"), F.col("part")).alias("part"),
         F.col("c_custkey").cast("long").alias("a"),
@@ -9468,6 +9539,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(y4m)
         .unionByName(jpg)
         .unionByName(gifs)
+        .unionByName(tif)
         .unionByName(thm)
         .unionByName(xf)
         .unionByName(kcr)
@@ -9481,6 +9553,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pre)
         .unionByName(exp)
         .unionByName(inc)
+        .unionByName(sem)
     )
 
 
@@ -9561,6 +9634,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "y4m": "multimodal_y4m_stats",
     "jpeg_": "multimodal_jpeg_stats",
     "gif": "multimodal_gif_stats",
+    "tiff": "multimodal_tiff_stats",
     "thumb": "multimodal_thumbnail_pipeline",
     "xfmt_": "multimodal_cross_format_dedup",
     "kcore": "graph_kcore",
@@ -9574,6 +9648,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "preagg": "join_preagg_pushdown",
     "exp_": "etl_expectations",
     "inc_": "incremental_battery",
+    "semdedup_": "dedup_semantic",
 }
 
 
@@ -9864,6 +9939,10 @@ subsume(
     # round-10: REAL GIF LZW decode (incl. interlace) + exact gray
     # stats, riding extension_battery (part=gif)
     "multimodal_gif_stats",
+    # round-11: REAL TIFF strip decode (none/PackBits/LZW+EarlyChange,
+    # predictor, both byte orders) + exact gray stats, riding
+    # extension_battery (part=tiff)
+    "multimodal_tiff_stats",
     # round-10: JPEG-decode -> resample -> GIF-re-encode -> decode
     # thumbnail chain, riding extension_battery (part=thumb)
     "multimodal_thumbnail_pipeline",
@@ -9900,6 +9979,9 @@ subsume(
     # round-8: incremental aggregate/join maintenance promoted to hash
     # oracles vs their full recomputes, riding extension_battery (inc_*)
     "incremental_battery",
+    # round-11: SemDeDup semantic deduplication, riding
+    # extension_battery (part=semdedup_*)
+    "dedup_semantic",
     # single-shuffle funnel variant: oracle-checked in test_oracle_parity,
     # driver-facing coverage rides stream_battery's funnel branch
     "events_funnel_fold",

@@ -42,6 +42,7 @@ from ..operators.similarity import (
     pq_encode,
     pq_refine_topk,
     pq_train,
+    semantic_dedup,
 )
 from ..operators.text import (
     LANG_MARKERS,
@@ -820,6 +821,144 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
     )
     return recall.unionByName(contig)
+
+
+def _dedup_semantic_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw per-vector (vec_id, group_id, keep) table from
+    operators/similarity.py::semantic_dedup over embeddings + planted
+    twins — consumed by the registered invariant query below and the
+    planted unit tests.  Corpus = embeddings + IDENTICAL twins of
+    every 17th vector under vec_id + 200000: identical vectors are a
+    GUARANTEED semantic duplicate (same floats -> same centroid
+    distances -> the deterministic argmin tie-break lands both in one
+    cluster; cosine of a vector with itself is the maximal value the
+    fold produces, so the >= threshold edge always fires — and the
+    hot-cluster star path preserves the guarantee, pairing every
+    member with the bucket min)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    centroids = e.where(F.col("vec_id") % 25 == 0)
+    return semantic_dedup(
+        e.unionByName(twins), centroids, threshold=0.95
+    )
+
+
+_SEMDEDUP_ORACLE = """
+SELECT 'planted_grouped' AS part,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % 17 = 0) AS n, true AS ok
+UNION ALL
+SELECT 'partition_exact',
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+       + (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+          WHERE vec_id % 17 = 0), true
+UNION ALL
+SELECT 'group_rep_closed', CAST(NULL AS BIGINT), true
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023 — "
+    "operators/similarity.py::semantic_dedup): k-means-cluster the "
+    "embeddings, within-cluster cosine pairs via the hot-bucket-capped "
+    "band join, transitive duplicate groups via pointer-jumped "
+    "connected components, keep = min-id representative — the "
+    "curation pass that removes paraphrases text dedup misses.  "
+    "DRIVER-CHECKED AS INVARIANTS with PLANTED ground truth (the "
+    "dedup_embedding_cosine pattern; cluster contents are "
+    "float-fold-dependent so the raw table stays engine-side): "
+    "part=planted_grouped pins n to the SQL twin count with ok = "
+    "every IDENTICAL twin lands in the same non-null group as its "
+    "original and is itself removed (identical vectors share a "
+    "cluster by the deterministic argmin, and self-cosine always "
+    "crosses the threshold — containment is a guarantee, not a "
+    "probability); part=partition_exact pins n to the SQL corpus "
+    "count with ok = keep iff (ungrouped or the group min); "
+    "part=group_rep_closed pins every group_id to be a member of the "
+    "result, minimal in its group, and kept.  Complements "
+    "dedup_pairs_battery's semantic_keep internal-consistency row, "
+    "which checks keep-vs-group-min but plants no ground truth.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    res = eager_pin(_dedup_semantic_raw(spark, sf_dir))
+
+    # planted twins: every (orig, orig+200000) must share a non-null
+    # group, with the twin (the larger id) removed
+    twins = e.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.col("vec_id").alias("orig_id"),
+    )
+    planted = (
+        twins.join(res, "vec_id")
+        .join(
+            res.select(
+                F.col("vec_id").alias("orig_id"),
+                F.col("group_id").alias("orig_group"),
+            ),
+            "orig_id",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(
+                F.col("group_id").isNotNull()
+                & (F.col("group_id") == F.col("orig_group"))
+                & (~F.col("keep"))
+            ).alias("ok"),
+        )
+        .select(F.lit("planted_grouped").alias("part"), "n", "ok")
+    )
+    grp_min = res.where(F.col("group_id").isNotNull()).groupBy(
+        "group_id"
+    ).agg(F.min("vec_id").alias("gmin"))
+    partition = (
+        res.join(grp_min, "group_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(
+                F.col("keep")
+                == (
+                    F.col("group_id").isNull()
+                    | (F.col("vec_id") == F.col("gmin"))
+                )
+            ).alias("ok"),
+        )
+        .select(F.lit("partition_exact").alias("part"), "n", "ok")
+    )
+    # every group id is itself a present, minimal, kept member
+    reps = (
+        grp_min.join(
+            res.select(
+                F.col("vec_id").alias("group_id"),
+                F.col("keep").alias("rep_keep"),
+                F.col("group_id").alias("rep_group"),
+            ),
+            "group_id",
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    (F.col("group_id") == F.col("gmin"))
+                    & F.col("rep_keep")
+                    & (F.col("rep_group") == F.col("group_id"))
+                ),
+                F.lit(True),
+            ).alias("ok")
+        )
+        .select(
+            F.lit("group_rep_closed").alias("part"),
+            F.lit(None).cast("bigint").alias("n"),
+            "ok",
+        )
+    )
+    return planted.unionByName(partition).unionByName(reps)
 
 
 @register(

@@ -1339,19 +1339,74 @@ def synthesize_audio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 WAV_MAGIC = b"RIFF"
 
 
+# IMA/DVI ADPCM tables (public spec data — IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", rev 3.00): the 89-entry
+# quantizer step table and the per-nibble index adjustment.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (new_pred, new_index)."""
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _adpcm_decode_block(block: bytes) -> list[int]:
+    """One mono IMA ADPCM block: 4-byte header (int16 predictor, uint8
+    step index, reserved) then packed nibbles, LOW nibble first."""
+    import struct
+
+    if len(block) < 4:
+        raise ValueError("truncated ADPCM block header")
+    pred, index, _rsv = struct.unpack_from("<hBB", block, 0)
+    if index > 88:
+        raise ValueError(f"invalid ADPCM step index {index}")
+    out = [pred]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            pred, index = _adpcm_step(nibble, pred, index)
+            out.append(pred)
+    return out
+
+
 def wav_pcm_samples(raw: bytes):
-    """Parse a RIFF/WAVE PCM blob → (sample_rate, channel-0 samples as
-    an int64 ndarray, bits_per_sample).  PCM (format tag 1), 8/16-bit,
+    """Parse a RIFF/WAVE blob → (sample_rate, channel-0 samples as an
+    int64 ndarray, bits_per_sample).  PCM (format tag 1), 8/16-bit,
     any channel count — stats run over channel 0, matching the
-    channel-0 luma convention of the gray+alpha PNG path.  Compressed
-    or float WAVE formats raise to the seam."""
+    channel-0 luma convention of the gray+alpha PNG path.  Format 17
+    (IMA ADPCM, round 11) decodes FOR REAL for mono streams — 4-bit
+    nibbles through the 89-step quantizer with per-block predictor
+    reset, truncated to the fact chunk's sample count; the returned
+    bits is 16 (ADPCM reconstructs 16-bit samples).  Float/ALAW/MP3
+    WAVE formats and stereo ADPCM raise to the seam."""
     import struct
 
     import numpy as np
 
     if raw[:4] != WAV_MAGIC or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
-    fmt = data = None
+    fmt = data = fact = None
     pos = 12
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
@@ -1361,11 +1416,33 @@ def wav_pcm_samples(raw: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("malformed WAVE: missing fmt/data chunk")
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
     bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt == 17:  # IMA ADPCM
+        if n_ch != 1 or bits != 4:
+            raise NotImplementedError(
+                f"ADPCM channels={n_ch} bits={bits}: plug "
+                "soundfile/ffmpeg in here (mono 4-bit decodes for real)"
+            )
+        if block_align < 5:
+            raise ValueError("invalid ADPCM block align")
+        samples: list[int] = []
+        for off in range(0, len(data), block_align):
+            samples.extend(_adpcm_decode_block(data[off : off + block_align]))
+        if fact is not None and len(fact) >= 4:
+            (n_total,) = struct.unpack_from("<I", fact, 0)
+            if n_total > len(samples):
+                raise ValueError(
+                    "ADPCM fact chunk claims more samples than decoded"
+                )
+            samples = samples[:n_total]
+        return rate, np.array(samples, dtype=np.int64), 16
     if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
         raise NotImplementedError(
             f"WAVE format {audio_fmt} bits {bits}: plug soundfile/ffmpeg "
@@ -1379,6 +1456,123 @@ def wav_pcm_samples(raw: bytes):
         # 8-bit WAV is unsigned, centered at 128 per the spec
         arr = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int64) - 128
     return rate, arr.reshape(-1, n_ch)[:, 0], bits
+
+
+def wav_encode_pcm16(samples, rate: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE fixture writer."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_encode_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM RIFF/WAVE encoder (format tag 17).
+
+    Real 4:1 compressed audio as the deterministic fixture: per block a
+    (predictor, step-index) header then 4-bit quantized diffs, the
+    encoder tracking the decoder's exact reconstruction; a fact chunk
+    carries the true sample count so partial final blocks truncate
+    exactly.  The step index starts at 0 each block, so a CONSTANT
+    signal round-trips EXACTLY (diff 0 quantizes to nibble 0, whose
+    dequant step>>3 is 0 at step 7) — the solid-fixture anchor the
+    JPEG-q100 oracle trick uses, now for audio."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    n = len(samples)
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    blocks = bytearray()
+    for b0 in range(0, max(n, 1), spb):
+        chunk = samples[b0 : b0 + spb]
+        pred = int(chunk[0]) if len(chunk) else 0
+        index = 0
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = _IMA_STEP[index]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _adpcm_step(nib, pred, index)
+            nibbles.append(nib)
+        # pad the block's nibble area with zero diffs (truncated away
+        # by the fact count on decode)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+    spb_fmt = struct.pack("<H", spb)
+    fmt = (
+        struct.pack(
+            "<HHIIHH", 17, 1, rate, rate * block_align // spb, block_align, 4
+        )
+        + struct.pack("<H", 2)
+        + spb_fmt
+    )
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(blocks)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+
+
+def synthesize_wav_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL RIFF/WAVE bytes as a deterministic fixture: a constant
+    signal of amplitude (id%61)−30 — every 9th document at FULL SCALE
+    32767, exercising the clipping count — for n = id%400+50 samples
+    at the 8/16/24 kHz rate formula; even ids as 16-bit PCM, odd ids
+    as IMA ADPCM (format 17 — REAL 4:1 compressed audio whose constant
+    signal reconstructs exactly, see wav_encode_adpcm).  Every stat is
+    id arithmetic for the SQL oracle while the bytes exercise genuine
+    RIFF walk + nibble decode."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                amp = 32767 if i % 9 == 0 else (i % 61) - 30
+                n = i % 400 + 50
+                rate = (i % 3 + 1) * 8000
+                sig = np.full(n, amp, dtype=np.int64)
+                ids.append(i)
+                blobs.append(
+                    wav_encode_pcm16(sig, rate)
+                    if i % 2 == 0
+                    else wav_encode_adpcm(sig, rate)
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
 
 
 AUDIO_META_SCHEMA = T.StructType(

@@ -7486,6 +7486,18 @@ SELECT 'aud_sig' AS part, doc_id AS a, CAST(peak AS BIGINT) AS b,
        CAST(NULL AS VARCHAR) AS s, CAST(resampled_n AS DOUBLE) AS v,
        true AS ok
 FROM stats
+UNION ALL
+SELECT 'aud_wav' AS part, doc_id AS a,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 32767
+                 ELSE abs((doc_id % 61) - 30) END AS BIGINT) AS b,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN doc_id % 400 + 50
+                 ELSE 0 END AS BIGINT) AS n,
+       CASE WHEN doc_id % 2 = 0 THEN 'pcm16' ELSE 'ima_adpcm' END AS k,
+       CAST(NULL AS VARCHAR) AS s,
+       CAST((doc_id % 400 + 50) * 1000
+            // ((doc_id % 3 + 1) * 8000) AS DOUBLE) AS v,
+       true AS ok
+FROM documents WHERE doc_id % 7 = 0
 """
 
 
@@ -7498,22 +7510,46 @@ FROM stats
     "signal stats — duration_ms = n·1000 DIV rate, peak |sample|, "
     "clipped-sample count past ±24 — and the resample geometry "
     "(new_n = n·target DIV rate, the sox/ffmpeg frame count) rides a "
-    "codegen expression.  The PCM stand-in (code point − 96) is the "
-    "marked codec seam; every stat hash-checks against the DuckDB "
-    "char-explode restatement, completing the image/audio/video "
-    "trio.",
+    "codegen expression.  Round 11 adds part=aud_wav: REAL RIFF/WAVE "
+    "fixtures — 16-bit PCM on even ids, IMA ADPCM (format 17, genuine "
+    "4-bit-nibble 4:1 compressed audio through the public 89-step "
+    "quantizer) on odd ids — whose constant signals reconstruct "
+    "EXACTLY (nibble 0 dequantizes to step>>3 = 0 at starting step 7, "
+    "the JPEG-q100 solid anchor for audio), every 9th at full scale "
+    "32767 to exercise the clipping count; peak/clips/duration all "
+    "hash from id arithmetic while the bytes run genuine RIFF + "
+    "nibble decode.  The remaining PCM stand-in (code point − 96) "
+    "marks the MP3/AAC seam; every stat hash-checks against the "
+    "DuckDB restatement, completing the image/audio/video trio.",
 )
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
         decode_audio,
         resample_audio_geometry,
         synthesize_audio,
+        synthesize_wav_blobs,
     )
 
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 7 == 0)
         .select("doc_id", "text")
+    )
+    # REAL RIFF/WAVE decode (round 11): 16-bit PCM and IMA ADPCM
+    # (format 17, genuine 4:1 compressed nibbles) fixtures whose
+    # constant signals reconstruct exactly — peak / clipped-count /
+    # duration all hash from id arithmetic
+    wav = decode_audio(synthesize_wav_blobs(docs, "doc_id")).select(
+        F.lit("aud_wav").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("peak").cast("long").alias("b"),
+        F.col("n_clipped").cast("long").alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("pcm16"))
+        .otherwise(F.lit("ima_adpcm"))
+        .alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("duration_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
     )
     meta = decode_audio(synthesize_audio(docs, "text", "doc_id"))
     res = resample_audio_geometry(meta, target_rate=16000)
@@ -7539,7 +7575,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resampled_n").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
-    return m.unionByName(g)
+    return m.unionByName(g).unionByName(wav)
 
 
 _Y4M_ORACLE = """

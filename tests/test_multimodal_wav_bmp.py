@@ -226,3 +226,114 @@ def test_decode_blobs_and_resize_real_bmp(spark):
     assert (meta.width, meta.height) == (96, 48)
     rs = resize_images(blobs, max_side=32).collect()[0]
     assert (rs.new_width, rs.new_height) == (32, 16)
+
+
+# --- round-11: IMA ADPCM (format 17) — real compressed audio ---------------
+
+
+def test_adpcm_hand_vector_step_table():
+    """Hand-computed decode of two nibbles from (pred=1000, index=0):
+    nibble 5 -> diff = (7>>3) + (7>>2) = 0+1, +step(7) for bit2 = 8,
+    pred 1008, index 0+4=4; nibble 15 -> step(4)=11, diff =
+    1+11+5+2 = 19 negated, pred 989, index 4+8=12.  Pins the public
+    IMA step/index tables and the clamp order independently of the
+    encoder."""
+    import struct
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        _adpcm_decode_block,
+    )
+
+    block = struct.pack("<hBB", 1000, 0, 0) + bytes([0x05 | (0x0F << 4)])
+    assert _adpcm_decode_block(block) == [1000, 1008, 989]
+
+
+def test_adpcm_constant_signal_exact_roundtrip():
+    """Constant signals reconstruct EXACTLY (nibble 0 dequantizes to
+    step>>3 = 0 at the starting step 7) — the solid-fixture oracle
+    anchor, across block boundaries and partial final blocks."""
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_encode_adpcm,
+        wav_pcm_samples,
+    )
+
+    for amp in (0, 100, -24, 32767, -32768):
+        for n in (1, 5, 505, 506, 1200):
+            rate, s, bits = wav_pcm_samples(
+                wav_encode_adpcm(np.full(n, amp), 8000)
+            )
+            assert (rate, bits, len(s)) == (8000, 16, n)
+            assert (s == amp).all()
+
+
+def test_adpcm_varying_signal_bounded_error():
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_encode_adpcm,
+        wav_pcm_samples,
+    )
+
+    t = np.arange(4000)
+    sig = (10000 * np.sin(t / 30) + 3000 * np.sin(t / 7)).astype(np.int64)
+    _, dec, _ = wav_pcm_samples(wav_encode_adpcm(sig, 16000))
+    err = np.abs(dec - sig)
+    assert len(dec) == len(sig)
+    # 4-bit ADPCM on a smooth signal: small mean error, step-bounded max
+    assert err.mean() < 200 and err.max() < 4000
+
+
+def test_adpcm_guards():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_encode_adpcm,
+        wav_pcm_samples,
+    )
+
+    raw = bytearray(wav_encode_adpcm(np.full(600, 7), 8000))
+    # stereo ADPCM refuses at the seam
+    fmt_off = raw.index(b"fmt ") + 8
+    two_ch = bytearray(raw)
+    two_ch[fmt_off + 2 : fmt_off + 4] = struct.pack("<H", 2)
+    with _pytest.raises(NotImplementedError, match="ADPCM"):
+        wav_pcm_samples(bytes(two_ch))
+    # fact chunk claiming more samples than the data holds fails loud
+    fact_off = raw.index(b"fact") + 8
+    lying = bytearray(raw)
+    lying[fact_off : fact_off + 4] = struct.pack("<I", 10**6)
+    with _pytest.raises(ValueError, match="fact"):
+        wav_pcm_samples(bytes(lying))
+    # corrupt step index in a block header fails loud
+    data_off = raw.index(b"data") + 8
+    bad = bytearray(raw)
+    bad[data_off + 2] = 200  # index > 88
+    with _pytest.raises(ValueError, match="step index"):
+        wav_pcm_samples(bytes(bad))
+
+
+def test_spark_wav_fixture_stats(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_blobs,
+    )
+
+    docs = spark.range(0, 60).selectExpr("id AS doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_audio(synthesize_wav_blobs(docs, "doc_id")).collect()
+    }
+    assert len(rows) == 60
+    for i, r in rows.items():
+        n = i % 400 + 50
+        rate = (i % 3 + 1) * 8000
+        peak = 32767 if i % 9 == 0 else abs((i % 61) - 30)
+        assert r["sample_rate"] == rate and r["n_samples"] == n
+        assert r["peak"] == peak, i
+        assert r["n_clipped"] == (n if i % 9 == 0 else 0)
+        assert r["duration_ms"] == n * 1000 // rate

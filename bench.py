@@ -91,11 +91,14 @@ def _raw_overrides():
     )
     from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
         _sim_ann_ivf_raw,
+        _sim_ann_pq_raw,
     )
 
     return {
         "sim_ann_ivf": _sim_ann_ivf_raw,
         "text_bpe_merges": _text_bpe_merges_raw,
+        # round-11 promotion: same reasoning
+        "sim_ann_pq": _sim_ann_pq_raw,
     }
 
 

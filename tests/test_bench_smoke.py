@@ -80,10 +80,17 @@ def test_no_large_regression(warmed, name):
     # warm-up simultaneously; observed 7.6 → 2.4 → 1.3 s for
     # graph_triangle_counts on a loaded container vs its 1.22 s
     # baseline).  Early-exit keeps the usual cost at one run.
+    # time the SAME callable the bench ledger timed: bench.py swaps
+    # oracle-promoted queries for their _raw operator form
+    # (bench._raw_overrides), so the smoke must too or it compares an
+    # invariant-check build against a raw-form baseline
+    import bench as _bench
+
+    fn = _bench._raw_overrides().get(name) or lookup(name).fn
     took = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        lookup(name).fn(warmed, SF_DIR).write.format("noop").mode("overwrite").save()
+        fn(warmed, SF_DIR).write.format("noop").mode("overwrite").save()
         took = min(took, time.perf_counter() - t0)
         if took <= limit:
             break

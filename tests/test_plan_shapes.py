@@ -691,3 +691,35 @@ def test_twap_aggregate_reuses_window_partitioning(spark):
     # the e>s guard must sit BELOW the explode (a descending sequence
     # would otherwise error under ANSI)
     assert plan.index("Generate explode") < plan.index("Filter ")
+
+
+def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
+    # SemDeDup's scale contract: the within-cluster pair stage is a
+    # cluster-keyed EQUI self-join — a CartesianProduct there means
+    # the cluster bucketing silently degraded to all-pairs.  (The
+    # final semantic_dedup plan starts at the eager-pinned pair table,
+    # so the pair stage is explained pre-pin; the broadcast centroid
+    # assignment is pinned by test_assign_clusters_uses_partial_min_by
+    # above.)
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        capped_band_pairs,
+    )
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        assign_clusters,
+        l2_norm,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    emb = load(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    base = assign_clusters(emb, emb.where(F.col("vec_id") % 25 == 0)).withColumn(
+        "norm", l2_norm(F.col("embedding"))
+    )
+    plan = plan_of(
+        capped_band_pairs(
+            base, "vec_id", ["cluster"], 1024,
+            payload_cols=["embedding", "norm"],
+        ),
+        mode="simple",
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "cluster" in plan, plan  # the equi-join key survives

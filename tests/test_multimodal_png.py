@@ -301,20 +301,23 @@ def test_ahash_real_png_brightness_invariance_and_near_dup(spark):
 
 
 def test_unknown_format_still_raises_at_the_seam(spark):
-    # JPEG graduated to a REAL codec in round 10, so the unknown-format
-    # probe is now TIFF (genuinely undecodable here); a malformed
-    # JPEG-magic blob must also fail loudly, not parse as garbage
+    # JPEG graduated to a REAL codec in round 10 and TIFF in round 11,
+    # so the unknown-format probe is now WebP (genuinely undecodable
+    # here); malformed JPEG-magic and TIFF-magic blobs must also fail
+    # loudly, not parse as garbage
     from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
         decode_blobs,
     )
 
     df = spark.createDataFrame(
-        [(1, bytearray(b"II*\x00not-a-tiff"))], "doc_id long, blob binary"
+        [(1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 "))],
+        "doc_id long, blob binary",
     )
     with pytest.raises(Exception, match="plug a real codec"):
         decode_blobs(df).collect()
-    bad_jpeg = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF-ish"))], "doc_id long, blob binary"
-    )
-    with pytest.raises(Exception):
-        decode_blobs(bad_jpeg).collect()
+    for bad in (b"\xff\xd8\xff\xe0JFIF-ish", b"II*\x00not-a-tiff"):
+        bad_df = spark.createDataFrame(
+            [(1, bytearray(bad))], "doc_id long, blob binary"
+        )
+        with pytest.raises(Exception):
+            decode_blobs(bad_df).collect()

@@ -256,7 +256,9 @@ def jpeg_dims(raw: bytes) -> tuple[int, int]:
 
 
 def _jpeg_segments(raw: bytes):
-    """Yield (marker, payload, next_pos) up to and including SOS."""
+    """Yield (marker, payload, next_pos) up to and including SOS.
+    Truncations at every position raise ValueError, never
+    IndexError/struct.error (the codec-guard exception contract)."""
     if raw[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -266,14 +268,20 @@ def _jpeg_segments(raw: bytes):
             raise ValueError(f"expected marker at offset {pos}")
         while pos < n and raw[pos] == 0xFF:  # fill bytes are legal
             pos += 1
+        if pos >= n:
+            raise ValueError("truncated JPEG stream at marker")
         marker = raw[pos]
         pos += 1
         if marker == 0xD9:  # EOI
             return
         if 0xD0 <= marker <= 0xD7:  # bare RSTn (shouldn't be here)
             continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment length")
         (length,) = struct.unpack(">H", raw[pos : pos + 2])
         payload = raw[pos + 2 : pos + length]
+        if len(payload) != max(length - 2, 0):
+            raise ValueError("truncated JPEG segment")
         pos += length
         yield marker, payload, pos
         if marker == 0xDA:  # SOS: entropy data follows, caller takes over
@@ -315,6 +323,8 @@ def _parse_dht(payload: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
 
 
 def _parse_sof(payload: bytes) -> tuple[int, int, list[dict]]:
+    if len(payload) < 6:
+        raise ValueError("truncated SOF segment")
     precision = payload[0]
     if precision != 8:
         raise NotImplementedError(
@@ -324,10 +334,15 @@ def _parse_sof(payload: bytes) -> tuple[int, int, list[dict]]:
     nc = payload[5]
     if len(payload) < 6 + 3 * nc:
         raise ValueError("truncated SOF segment")
+    if w < 1 or h < 1 or nc < 1:
+        raise ValueError(f"invalid JPEG frame {w}x{h} nc={nc}")
     comps = []
     for i in range(nc):
         cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
-        comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        sh, sv = hv >> 4, hv & 15
+        if not (1 <= sh <= 4 and 1 <= sv <= 4):  # T.81 B.2.2
+            raise ValueError(f"invalid sampling factors {sh}x{sv}")
+        comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
     from .multimodal import MAX_PIXELS
 
     if w * h > MAX_PIXELS:
@@ -398,8 +413,12 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
             frame = _parse_sof(payload)
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             (dri,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
+            if len(payload) < 1 or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated SOS segment")
             ns = payload[0]
             scan = []
             for i in range(ns):
@@ -637,6 +656,8 @@ def _jpeg_decode_progressive(raw: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1):
             raise ValueError("mixed SOF markers in one JPEG stream")
         elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             (dri,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             if frame is None:

@@ -345,7 +345,10 @@ def _png_chunks(raw: bytes):
 def _png_ihdr_full(raw: bytes) -> tuple[int, int, int, int, int, int, int]:
     """All seven IHDR fields: (width, height, bit_depth, color_type,
     compression_method, filter_method, interlace_method)."""
-    ctype, data = next(_png_chunks(raw))
+    # default sentinel, not bare next(): a magic-only/truncated blob
+    # yields no chunks at all, and a StopIteration here would escape
+    # the loud-ValueError codec contract (robustness-fuzz finding)
+    ctype, data = next(_png_chunks(raw), (b"", b""))
     if ctype != b"IHDR" or len(data) < 13:
         raise ValueError("malformed PNG: first chunk is not IHDR")
     return (

@@ -76,8 +76,12 @@ def _parse_first_ifd(raw: bytes):
     for i in range(n):
         e = off + 2 + 12 * i
         tag, typ, cnt = struct.unpack(en + "HHI", raw[e : e + 8])
-        if typ not in _TYPE_SIZE:
-            continue  # unknown field type: skip per spec
+        if typ not in _TYPE_SIZE or cnt == 0:
+            # unknown field type: skip per spec; a zero-count entry
+            # carries no values and must read as ABSENT, not as an
+            # empty list that IndexErrors the [0] accessors
+            # (robustness-fuzz finding)
+            continue
         size = _TYPE_SIZE[typ] * cnt
         if size <= 4:
             data = raw[e + 8 : e + 8 + size]

@@ -249,6 +249,48 @@ def main() -> None:
             }
         )
 
+    # ---- PQ + exact refine: recall@5 vs shortlist size (round 11) ----
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_refine_topk,
+        pq_train,
+    )
+
+    truth5: dict = {}
+    t0 = time.perf_counter()
+    for r in brute_force_topk(e, queries, k=5).collect():
+        truth5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    report["pq"] = {
+        "m": 16,
+        "ksub": 16,
+        "k": 5,
+        "brute_force_s": round(time.perf_counter() - t0, 1),
+    }
+    with pin_scope():
+        seeds = e.where(F.col("vec_id") % 29 == 0)
+        books = pq_train(e, seeds, m=16, ksub=16, iterations=3)
+        index = pq_encode(e, books, m=16)
+        report["pq_curve"] = []
+        for shortlist in (20, 50, 100, 200):
+            t0 = time.perf_counter()
+            got = {}
+            for r in pq_refine_topk(
+                index, queries, books, e, k=5, shortlist=shortlist, m=16
+            ).collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            wall = round(time.perf_counter() - t0, 1)
+            recalls = [
+                len(got.get(q, set()) & t) / len(t)
+                for q, t in truth5.items()
+            ]
+            report["pq_curve"].append(
+                {
+                    "shortlist": shortlist,
+                    "recall_at_5": round(sum(recalls) / len(recalls), 4),
+                    "wall_s": wall,
+                }
+            )
+
     with open(OUT, "w") as f:
         json.dump(report, f, indent=1)
         f.write("\n")

@@ -510,48 +510,127 @@ def bmp_dims(raw: bytes) -> tuple[int, int]:
     return w, abs(h)
 
 
+def _bmp_rle8_rows(data: bytes, w: int, hh: int):
+    """Decode BI_RLE8 pixel data to an (hh, w) uint8 index array in
+    BOTTOM-UP row order (the spec's RLE coordinate system).
+
+    Encoded runs are (count, index) pairs; escape 00 starts a control:
+    00 = end of line, 01 = end of bitmap, 02 = delta move (dx, dy —
+    skipped pixels keep index 0 per common decoder behavior), n >= 3 =
+    absolute mode (n literal indices, word-aligned).  Corrupt streams
+    — truncation, runs past the row end, moves off the bitmap — raise
+    loud ValueError (the codec-guard contract)."""
+    import numpy as np
+
+    out = np.zeros((hh, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated BMP RLE8 stream")
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run
+            if y >= hh or x + b0 > w:
+                raise ValueError("BMP RLE8 run past row end")
+            out[y, x : x + b0] = b1
+            x += b0
+            continue
+        if b1 == 0:  # end of line
+            x, y = 0, y + 1
+            if y > hh:
+                raise ValueError("BMP RLE8 ran past the last row")
+            continue
+        if b1 == 1:  # end of bitmap
+            return out
+        if b1 == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("truncated BMP RLE8 delta")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y > hh:
+                raise ValueError("BMP RLE8 delta off the bitmap")
+            continue
+        # absolute mode: b1 literal indices, padded to a word boundary
+        count = b1
+        end = pos + count
+        if y >= hh or x + count > w or end > n:
+            raise ValueError("BMP RLE8 absolute run past row end")
+        out[y, x : x + count] = np.frombuffer(
+            data[pos:end], dtype=np.uint8
+        )
+        x += count
+        pos = end + (count & 1)  # word alignment
+
+
 def bmp_gray_pixels(raw: bytes):
     """Decode a BMP to an (h, w) uint8 grayscale ndarray.
 
-    BITMAPINFOHEADER (or longer), BI_RGB (uncompressed) only, 24-bit
-    BGR or 8-bit palette, bottom-up or top-down — the overwhelmingly
-    common cases; anything else raises to the seam.  Rows are 4-byte
-    padded per the spec; luma is the same exact integer ITU-R 601
-    formula the PNG path uses (_luma_u8), so PNG and BMP encodings of
-    the same pixels produce the SAME aHash."""
+    BITMAPINFOHEADER (or longer); BI_RGB (uncompressed) 24-bit BGR or
+    8-bit palette, bottom-up or top-down, plus BI_RLE8 (round 11 —
+    the run-length compression of legacy screenshots and icons) for
+    bottom-up 8-bit palette images; anything else raises to the seam.
+    Rows are 4-byte padded per the spec; luma is the same exact
+    integer ITU-R 601 formula the PNG path uses (_luma_u8), so PNG
+    and BMP encodings of the same pixels produce the SAME aHash."""
     import numpy as np
 
     if raw[:2] != BMP_MAGIC:
         raise ValueError("not a BMP blob")
+    if len(raw) < 34:
+        raise ValueError("truncated BMP header")
     data_off = int.from_bytes(raw[10:14], "little")
     hdr_sz = int.from_bytes(raw[14:18], "little")
     w = int.from_bytes(raw[18:22], "little", signed=True)
     h = int.from_bytes(raw[22:26], "little", signed=True)
     bpp = int.from_bytes(raw[28:30], "little")
     comp = int.from_bytes(raw[30:34], "little")
-    if hdr_sz < 40 or comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+    rle8 = comp == 1
+    if (
+        hdr_sz < 40
+        or comp not in (0, 1)
+        or bpp not in (8, 24)
+        or (rle8 and (bpp != 8 or h < 0))  # spec: RLE8 is bottom-up 8-bit
+        or w <= 0
+        or h == 0
+    ):
         raise NotImplementedError(
             f"BMP header={hdr_sz} compression={comp} bpp={bpp}: plug PIL "
             "in here"
         )
     top_down, hh = h < 0, abs(h)
-    row_bytes = (w * bpp // 8 + 3) & ~3
-    body = np.frombuffer(
-        raw, dtype=np.uint8, count=row_bytes * hh, offset=data_off
-    ).reshape(hh, row_bytes)
-    if not top_down:
-        body = body[::-1]
+    if w * hh > MAX_PIXELS:
+        raise ValueError(
+            f"BMP {w}x{hh} exceeds MAX_PIXELS ({MAX_PIXELS}): lying "
+            "header or oversized media"
+        )
+    if rle8:
+        body = _bmp_rle8_rows(raw[data_off:], w, hh)[::-1]
+    else:
+        row_bytes = (w * bpp // 8 + 3) & ~3
+        if data_off + row_bytes * hh > len(raw):
+            raise ValueError("truncated BMP pixel data")
+        body = np.frombuffer(
+            raw, dtype=np.uint8, count=row_bytes * hh, offset=data_off
+        ).reshape(hh, row_bytes)
+        if not top_down:
+            body = body[::-1]
     if bpp == 24:
         bgr = body[:, : w * 3].reshape(hh, w, 3)
         rgb = bgr[:, :, ::-1]
     else:
         # palette: 4-byte BGRX entries between the DIB header and the
         # pixel data; indices map through it to RGB
+        pal_bytes = (data_off - 14 - hdr_sz) & ~3
+        if pal_bytes < 4:
+            raise ValueError("BMP palette image without a palette")
         pal = np.frombuffer(
-            raw, dtype=np.uint8, count=data_off - 14 - hdr_sz,
-            offset=14 + hdr_sz,
+            raw, dtype=np.uint8, count=pal_bytes, offset=14 + hdr_sz
         ).reshape(-1, 4)
         idx = body[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP pixel index outside palette")
         rgb = pal[idx][:, :, [2, 1, 0]]
     return _luma_u8(np.ascontiguousarray(rgb))
 

@@ -87,9 +87,18 @@ def test_magic_plus_noise_fails_loud(fmt, noise):
     _assert_loud(decode, magic + noise, f"{fmt}+noise")
 
 
+def _valid_rle8() -> bytes:
+    from .test_multimodal_wav_bmp import _make_bmp_rle8
+
+    return _make_bmp_rle8((_PX % 5 * 50).astype(np.uint8))
+
+
+DECODERS["bmp_rle8"] = (b"BM", bmp_gray_pixels, _valid_rle8)
+
+
 @FUZZ
 @given(
-    fmt=st.sampled_from(["gif", "jpeg", "jpeg_prog", "tiff"]),
+    fmt=st.sampled_from(["gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8"]),
     data=st.data(),
 )
 def test_mutated_valid_stream_fails_loud_or_decodes(fmt, data):

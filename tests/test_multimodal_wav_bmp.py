@@ -337,3 +337,99 @@ def test_spark_wav_fixture_stats(spark):
         assert r["peak"] == peak, i
         assert r["n_clipped"] == (n if i % 9 == 0 else 0)
         assert r["duration_ms"] == n * 1000 // rate
+
+
+# --- round-11: BI_RLE8 — the compressed BMP of legacy screenshots ----------
+
+
+def _make_bmp_rle8(px: np.ndarray, use_absolute: bool = False,
+                   delta_skip: tuple | None = None) -> bytes:
+    """Independent in-test RLE8 encoder: per bottom-up row emit runs
+    (or absolute literals when ``use_absolute``), EOL after each row,
+    EOB at the end.  ``delta_skip=(x, y)`` injects a delta move past a
+    zero region at the start (the skipped pixels are index 0)."""
+    h, w = px.shape
+    pal = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    out = bytearray()
+    if delta_skip:
+        dx, dy = delta_skip
+        out += bytes([0, 2, dx, dy])
+    for r in range(h - 1, -1, -1):
+        row = px[r]
+        if delta_skip and r == h - 1:
+            # the delta consumed the start of the FIRST encoded row
+            row = row[delta_skip[0]:]
+        if use_absolute and len(row) >= 3:
+            i = 0
+            while i < len(row):
+                n = min(len(row) - i, 127)
+                if n >= 3:
+                    out += bytes([0, n]) + row[i : i + n].tobytes()
+                    if n & 1:
+                        out += b"\x00"  # word alignment
+                else:
+                    for v in row[i : i + n]:
+                        out += bytes([1, int(v)])
+                i += n
+        else:
+            i = 0
+            while i < len(row):
+                v = int(row[i])
+                n = 1
+                while i + n < len(row) and row[i + n] == v and n < 255:
+                    n += 1
+                out += bytes([n, v])
+                i += n
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    data_off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(out), 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(out), 2835, 2835, 256, 0
+    )
+    return hdr + dib + pal + bytes(out)
+
+
+def test_bmp_rle8_runs_match_uncompressed():
+    rng = np.random.RandomState(21)
+    # runs-friendly content: few distinct values
+    px = (rng.randint(0, 4, size=(13, 9)) * 80).astype(np.uint8)
+    want = bmp_gray_pixels(make_bmp(px, palette8=True))
+    got = bmp_gray_pixels(_make_bmp_rle8(px))
+    assert np.array_equal(got, want)
+
+
+def test_bmp_rle8_absolute_mode_matches():
+    rng = np.random.RandomState(22)
+    px = rng.randint(0, 256, size=(7, 11), dtype=np.uint8)
+    want = bmp_gray_pixels(make_bmp(px, palette8=True))
+    got = bmp_gray_pixels(_make_bmp_rle8(px, use_absolute=True))
+    assert np.array_equal(got, want)
+
+
+def test_bmp_rle8_delta_skipped_pixels_are_zero():
+    px = np.full((5, 8), 7, dtype=np.uint8)
+    px[-1, :3] = 0  # the delta-skipped region of the BOTTOM row
+    got = bmp_gray_pixels(_make_bmp_rle8(px, delta_skip=(3, 0)))
+    want = bmp_gray_pixels(make_bmp(px, palette8=True))
+    assert np.array_equal(got, want)
+
+
+def test_bmp_rle8_guards():
+    px = (np.arange(40).reshape(5, 8) % 4 * 60).astype(np.uint8)
+    good = _make_bmp_rle8(px)
+    # truncations fail loud
+    for cut in range(60, len(good) - 1, 7):
+        with pytest.raises((ValueError, NotImplementedError)):
+            bmp_gray_pixels(good[:cut])
+    # a run past the row end fails loud
+    bad = bytearray(good)
+    data_off = int.from_bytes(bad[10:14], "little")
+    bad[data_off] = 255  # first run now longer than the 8-px row
+    with pytest.raises(ValueError, match="RLE8"):
+        bmp_gray_pixels(bytes(bad))
+    # RLE8 on 24-bit or top-down images still refuses at the seam
+    blob = bytearray(make_bmp(np.zeros((4, 4, 3), np.uint8)))
+    blob[30:34] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError):
+        bmp_gray_pixels(bytes(blob))

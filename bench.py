@@ -90,6 +90,9 @@ def _raw_overrides():
         _text_bpe_merges_raw,
     )
     from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _dedup_ngram_jaccard_raw,
+        _dedup_simhash_raw,
+        _sim_ann_ivf_kmeans_raw,
         _sim_ann_ivf_raw,
         _sim_ann_pq_raw,
     )
@@ -99,6 +102,10 @@ def _raw_overrides():
         "text_bpe_merges": _text_bpe_merges_raw,
         # round-11 promotion: same reasoning
         "sim_ann_pq": _sim_ann_pq_raw,
+        # round-12 promotions (the last rows-only constituents)
+        "dedup_simhash_pairs": _dedup_simhash_raw,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard_raw,
+        "sim_ann_ivf_kmeans": _sim_ann_ivf_kmeans_raw,
     }
 
 

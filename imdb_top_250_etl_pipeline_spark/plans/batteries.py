@@ -1354,12 +1354,16 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
     from ..operators.pinning import eager_pin
     from ..operators.similarity import semantic_dedup
-    from .llm_data import _corpus_near
+    from .llm_data import (
+        _corpus_near,
+        _dedup_ngram_jaccard_raw,
+        _dedup_simhash_raw,
+    )
 
-    s = _FN["dedup_simhash_pairs"](spark, sf_dir).select(
+    s = _dedup_simhash_raw(spark, sf_dir).select(
         "id_a", "id_b", F.col("hamming").cast("double").alias("score")
     )
-    g = _FN["dedup_ngram_jaccard"](spark, sf_dir).select(
+    g = _dedup_ngram_jaccard_raw(spark, sf_dir).select(
         "id_a", "id_b", F.col("jaccard").alias("score")
     )
     # pin each pair table ONCE: they feed the battery's invariant folds
@@ -1666,10 +1670,15 @@ def sim_topk_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    from .llm_data import _sim_ann_ivf_raw, _sim_ann_pq_raw, _sim_mmr_rerank_raw
+    from .llm_data import (
+        _sim_ann_ivf_kmeans_raw,
+        _sim_ann_ivf_raw,
+        _sim_ann_pq_raw,
+        _sim_mmr_rerank_raw,
+    )
 
     i = recall_row("ivf", _sim_ann_ivf_raw(spark, sf_dir), 1, 2)
-    k = recall_row("ivf_kmeans", _FN["sim_ann_ivf_kmeans"](spark, sf_dir), 1, 2)
+    k = recall_row("ivf_kmeans", _sim_ann_ivf_kmeans_raw(spark, sf_dir), 1, 2)
     p = recall_row("pq", _sim_ann_pq_raw(spark, sf_dir), 9, 10)
     # mmr: greedy selection with empty selected-set IS argmax relevance,
     # so rank 1 must equal the exact top-1 per query; and every query

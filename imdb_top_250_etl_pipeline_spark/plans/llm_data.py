@@ -310,38 +310,142 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted_rows.unionByName(recall_row).unionByName(precision_row)
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=None,  # xxhash64-based fingerprint
-    doc="SimHash near-dup: 64-bit sign-of-bit-count fingerprint per doc "
-    "(pure expression fold), 4-band bucketing for candidates, "
-    "bit_count(xor) hamming verify. With 4 bands, pigeonhole makes "
-    "recall EXACT for hamming ≤3 — the output is precisely the set of "
-    "pairs within distance 3, not an approximation. Runs in the "
-    "production exact-then-near order (collapse_exact=True): "
-    "byte-identical clones collapse to representatives first, so "
-    "clone-dense corpora — the sf1 stress shape — cannot flood the "
-    "band buckets (exact_dedup owns those groups).",
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_simhash_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SimHash near-dup pair set (id_a, id_b, hamming) over the
+    near-copy corpus — the banded pipeline itself; consumed by
+    dedup_pairs_battery, bench, and the lossless-hamming unit tests."""
     return simhash_pairs(
         _corpus_near(spark, sf_dir), "text", "doc_id", max_hamming=3,
         collapse_exact=True,
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=None,  # char-trigram set comparison: no cheap SQL twin
-    doc="Char-3-gram Jaccard near-dup pairs, bucketed by language — the "
-    "bounded-quadratic verify stage (only same-bucket pairs compare; at "
-    "scale the bucket must be an LSH band, see dedup_minhash_candidates). "
-    "Exact clones collapse to representatives first (collapse_exact) — "
-    "the within-bucket quadratic falls with the clone factor squared, "
-    "which the sf1 sweep measured as ~730 s -> seconds on the 10-clone "
-    "corpus.",
+_SIMHASH_ORACLE = """
+WITH base AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+planted AS (
+  SELECT doc_id FROM base
+  WHERE doc_id % 13 = 0
+    AND array_to_string(list_reverse(str_split(text, ' ')), ' ') <> text
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT 'planted' AS part, doc_id AS id_a, doc_id + 300000 AS id_b,
+       CAST(0 AS INT) AS hamming, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BOOLEAN) AS ok
+FROM planted
+UNION ALL
+SELECT 'recall', NULL, NULL, NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM planted), true
+UNION ALL
+SELECT 'precision', NULL, NULL, NULL, CAST(0 AS BIGINT), true
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash near-dup: 64-bit sign-of-bit-count fingerprint per doc "
+    "(pure expression fold), 4-band bucketing for candidates, "
+    "bit_count(xor) hamming verify. With 4 bands, pigeonhole makes "
+    "recall EXACT for hamming ≤3 — the output is precisely the set of "
+    "pairs within distance 3, not an approximation. Runs in the "
+    "production exact-then-near order (collapse_exact=True). "
+    "PROMOTED to an invariant oracle (round 12, the "
+    "dedup_minhash_candidates pattern): corpus = distinct-text docs ∪ "
+    "WORD-REVERSED twins of every 13th rep (id + 300000, reversed "
+    "word order ≠ original bytes).  SimHash is a bag-of-words "
+    "fingerprint (operators/dedup.py::simhash_table sums ±1 bit "
+    "vectors over an order-blind word multiset), so a permutation twin "
+    "has the IDENTICAL fingerprint: hamming 0, guaranteed candidate in "
+    "every band (pigeonhole is exact at 0 ≤ 3) — recall is 100% by "
+    "construction, not a corpus property.  part=planted re-derives "
+    "each expected (rep, rep+300000, hamming=0) pair in SQL; "
+    "part=recall pins found == planted; part=precision pins zero "
+    "emitted pairs violating 0 <= hamming <= 3 with id_a < id_b. "
+    "The raw banded pair set over the near-copy corpus stays "
+    "engine-side in _dedup_simhash_raw (xxhash64 fingerprints are a "
+    "Spark hash family), exercised by dedup_pairs_battery, bench, and "
+    "the lossless-<=3 unit tests.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # dedup-first base: one min-id representative per distinct text, so
+    # planted twin ids are exactly (rep, rep + 300000) — no clone-group
+    # remapping needed (the sf1 corpus plants ~10 exact clones/text)
+    base = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    rev = F.array_join(F.reverse(tokens("text")), " ")
+    planted = (
+        base.where(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text", rev.alias("rev"))
+        .where(F.col("rev") != F.col("text"))
+    )
+    twins = planted.select(
+        (F.col("doc_id") + 300000).alias("doc_id"), F.col("rev").alias("text")
+    )
+    pairs = eager_pin(
+        simhash_pairs(
+            base.unionByName(twins), "text", "doc_id", max_hamming=3,
+            collapse_exact=True,
+        )
+    )
+    nulls = [
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("int").alias("hamming"),
+    ]
+    planted_rows = planted.select(
+        F.lit("planted").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 300000).alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    found = (
+        planted.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 300000).alias("id_b"),
+        )
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_found"))
+    )
+    recall_row = (
+        planted.agg(F.count("*").cast("bigint").alias("n_planted"))
+        .crossJoin(F.broadcast(found))
+        .select(
+            F.lit("recall").alias("part"),
+            *nulls,
+            F.col("n_planted").alias("n"),
+            (F.col("n_found") == F.col("n_planted")).alias("ok"),
+        )
+    )
+    precision_row = pairs.select(
+        F.when(
+            (F.col("hamming") < 0)
+            | (F.col("hamming") > 3)
+            | (F.col("id_a") >= F.col("id_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad")
+    ).agg(
+        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n")
+    ).select(
+        F.lit("precision").alias("part"),
+        *nulls,
+        "n",
+        (F.col("n") == 0).alias("ok"),
+    )
+    return planted_rows.unionByName(recall_row).unionByName(precision_row)
+
+
+def _dedup_ngram_jaccard_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw char-trigram Jaccard pair set (id_a, id_b, jaccard) over
+    the near-copy corpus — the bounded-quadratic verify stage itself;
+    consumed by dedup_pairs_battery, bench, and the exact-jaccard unit
+    tests."""
     return (
         ngram_jaccard_pairs(
             _corpus_near(spark, sf_dir), "text", "doc_id", ["lang"], threshold=0.8,
@@ -350,6 +454,139 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("id_a", "id_b")
     )
+
+
+_NGRAM_ORACLE = """
+WITH base AS (
+  SELECT min(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         text
+  FROM documents GROUP BY text
+),
+planted AS (
+  SELECT doc_id FROM base
+  WHERE doc_id % 19 = 0 AND length(text) >= 20
+    AND length(list_distinct(
+          [substr(text, CAST(i AS INT), 3)
+           for i in generate_series(1, length(text) - 2)]
+        )) >= 5
+)
+SELECT 'planted' AS part, doc_id AS id_a, doc_id + 300000 AS id_b,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BOOLEAN) AS ok
+FROM planted
+UNION ALL
+SELECT 'recall', NULL, NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM planted), true
+UNION ALL
+SELECT 'precision', NULL, NULL, CAST(0 AS BIGINT), true
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_ORACLE,
+    doc="Char-3-gram Jaccard near-dup pairs, bucketed by language — the "
+    "bounded-quadratic verify stage (only same-bucket pairs compare; at "
+    "scale the bucket must be an LSH band, see dedup_minhash_candidates). "
+    "Exact clones collapse to representatives first (collapse_exact) — "
+    "the within-bucket quadratic falls with the clone factor squared "
+    "(~730 s -> seconds at sf1).  PROMOTED to an invariant oracle "
+    "(round 12): corpus = distinct-text reps ∪ APPEND-LAST-CHAR twins "
+    "of every 19th rep (id + 300000, same lang).  Appending one copy "
+    "of the final character adds exactly one trigram position, so the "
+    "distinct-gram Jaccard is g/(g+1) or 1 — planting only reps with "
+    "g >= 5 distinct trigrams (an integer predicate both engines "
+    "recompute identically) guarantees jaccard >= 5/6 > 0.8: recall is "
+    "100% by arithmetic, not a corpus property.  The twin stays in the "
+    "same lang bucket and within one length_band (length n+1), so the "
+    "bounded bucket join must meet the pair exactly once. "
+    "part=planted re-derives each expected (rep, rep+300000) pair in "
+    "SQL (trigram counting via a DuckDB list comprehension); "
+    "part=recall pins found == planted; part=precision pins zero "
+    "emitted pairs violating 0.8 <= jaccard <= 1 with id_a < id_b. "
+    "The raw pair set over the near-copy corpus stays engine-side in "
+    "_dedup_ngram_jaccard_raw (multi-term fp fold), exercised by "
+    "dedup_pairs_battery, bench, and the exact-jaccard unit tests.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    planted = (
+        base.where(
+            (F.col("doc_id") % 19 == 0) & (F.length("text") >= 20)
+        )
+        .where(F.size(grams) >= 5)
+        .select("doc_id", "text", "lang")
+    )
+    twins = planted.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.substring("text", -1, 1)).alias("text"),
+        "lang",
+    )
+    pairs = eager_pin(
+        ngram_jaccard_pairs(
+            base.unionByName(twins), "text", "doc_id", ["lang"],
+            threshold=0.8, collapse_exact=True,
+        )
+    )
+    nulls = [
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+    ]
+    planted_rows = planted.select(
+        F.lit("planted").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 300000).alias("id_b"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    found = (
+        planted.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 300000).alias("id_b"),
+        )
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("n_found"))
+    )
+    recall_row = (
+        planted.agg(F.count("*").cast("bigint").alias("n_planted"))
+        .crossJoin(F.broadcast(found))
+        .select(
+            F.lit("recall").alias("part"),
+            *nulls,
+            F.col("n_planted").alias("n"),
+            (F.col("n_found") == F.col("n_planted")).alias("ok"),
+        )
+    )
+    precision_row = pairs.select(
+        F.when(
+            (F.col("jaccard") < 0.8)
+            | (F.col("jaccard") > 1.0)
+            | (F.col("id_a") >= F.col("id_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bad")
+    ).agg(
+        F.coalesce(F.sum("bad"), F.lit(0)).cast("bigint").alias("n")
+    ).select(
+        F.lit("precision").alias("part"),
+        *nulls,
+        "n",
+        (F.col("n") == 0).alias("ok"),
+    )
+    return planted_rows.unionByName(recall_row).unionByName(precision_row)
 
 
 def _cosine_noise() -> F.Column:
@@ -709,18 +946,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.unionByName(contig).unionByName(subset)
 
 
-@register(
-    "sim_ann_ivf_kmeans",
-    oracle=None,
-    doc="IVF with Lloyd-refined centroids: 2 k-means iterations (the "
-    "iterative-algorithm pattern — assign/mean rounds with checkpointed "
-    "lineage) before probing. On this fixture (10 well-separated label "
-    "clusters, dense centroid sample) recall matches the raw sample "
-    "(0.92 vs 0.96 at sf0.01); the refinement pays off when seeds are "
-    "sparse or skewed — the test pins refined recall within noise of "
-    "raw and above an absolute floor.",
-)
-def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_ann_ivf_kmeans_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw Lloyd-refined IVF ranking (query_id, neighbor_id, rank, …)
+    — consumed by the registered invariant query below, sim_topk_battery's
+    ivf_kmeans recall row, bench, and the refined-vs-raw unit test."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.where(F.col("vec_id") % 50 == 0)
     seeds = e.where(F.col("vec_id") % 25 == 0)
@@ -730,6 +959,81 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, refined, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+_SIM_ANN_IVF_KMEANS_ORACLE = """
+WITH q AS (
+  SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT 'recall_floor' AS part, nq AS n_queries,
+       CAST(5 AS BIGINT) AS k, true AS ok FROM q
+UNION ALL SELECT 'ranks_contiguous', nq, CAST(5 AS BIGINT), true FROM q
+"""
+
+
+@register(
+    "sim_ann_ivf_kmeans",
+    oracle=_SIM_ANN_IVF_KMEANS_ORACLE,
+    doc="IVF with Lloyd-refined centroids: 2 k-means iterations (the "
+    "iterative-algorithm pattern — assign/mean rounds with checkpointed "
+    "lineage) before probing. On this fixture (10 well-separated label "
+    "clusters, dense centroid sample) recall matches the raw sample "
+    "(0.92 vs 0.96 at sf0.01).  PROMOTED to an invariant oracle "
+    "(round 12, the sim_ann_pq pattern): (part, n_queries, k, ok) rows "
+    "with n_queries pinned exactly to the SQL query-set count — "
+    "refined recall@5 vs the exact brute-force baseline >= 0.5 as the "
+    "integer compare 2*hits >= total (the sim_topk_battery floor; "
+    "measured 0.92 at sf0.01), and per-query rank lists contiguous "
+    "1..c with c <= 5.  The raw ranking stays engine-side in "
+    "_sim_ann_ivf_kmeans_raw (k-means float means are Spark-side), "
+    "exercised by this query, sim_topk_battery, bench, and the "
+    "refined-vs-raw unit test.",
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import eager_pin
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    ann = eager_pin(_sim_ann_ivf_kmeans_raw(spark, sf_dir))
+    exact = eager_pin(brute_force_topk(e, queries, k=5))
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("h"))
+    )
+    tot = exact.agg(F.count("*").alias("t"))
+    recall = (
+        ann.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("recall_floor").alias("part"),
+            "n_queries",
+            F.lit(5).cast("bigint").alias("k"),
+            (2 * F.col("h") >= F.col("t")).alias("ok"),
+        )
+    )
+    per_q = ann.groupBy("query_id").agg(
+        F.count("*").alias("c"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+    )
+    contig = per_q.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.min(
+            (F.col("rmin") == 1) & (F.col("rmax") == F.col("c")) & (F.col("c") <= 5)
+        ).alias("ok"),
+    ).select(
+        F.lit("ranks_contiguous").alias("part"),
+        "n_queries",
+        F.lit(5).cast("bigint").alias("k"),
+        "ok",
+    )
+    return recall.unionByName(contig)
 
 
 def _sim_ann_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:

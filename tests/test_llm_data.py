@@ -92,9 +92,13 @@ def test_minhash_jaccard_values_exact(spark):
 
 
 def test_simhash_exact_for_small_hamming(spark):
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _dedup_simhash_raw,
+    )
+
     # with 4 bands over 64 bits, every pair at hamming <= 3 shares a band
     # (pigeonhole) -> candidate generation is lossless for the verify cut
-    got = lookup("dedup_simhash_pairs").fn(spark, SF_SMOKE).collect()
+    got = _dedup_simhash_raw(spark, SF_SMOKE).collect()
     assert all(r.hamming <= 3 for r in got)
     planted = _planted_pairs(spark, 11)
     close = {(r.id_a, r.id_b) for r in got} & planted
@@ -102,13 +106,45 @@ def test_simhash_exact_for_small_hamming(spark):
     assert len(close) >= 0.8 * len(planted), (len(close), len(planted))
 
 
+def test_simhash_invariant_query_all_ok(spark):
+    # the round-12 promoted form: word-permutation twins have the
+    # IDENTICAL bag-of-words fingerprint, so recall must be exactly 100%
+    rows = lookup("dedup_simhash_pairs").fn(spark, SF_SMOKE).collect()
+    parts = {r.part for r in rows}
+    assert parts == {"planted", "recall", "precision"}
+    for r in rows:
+        if r.part != "planted":
+            assert r.ok is True, r
+    n_planted = next(r.n for r in rows if r.part == "recall")
+    assert n_planted > 0  # the fixture must actually plant twins
+    assert n_planted == sum(1 for r in rows if r.part == "planted")
+
+
 def test_ngram_jaccard_recovers_planted(spark):
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _dedup_ngram_jaccard_raw,
+    )
+
     got = {
         (r.id_a, r.id_b)
-        for r in lookup("dedup_ngram_jaccard").fn(spark, SF_SMOKE).collect()
+        for r in _dedup_ngram_jaccard_raw(spark, SF_SMOKE).collect()
     }
     planted = _planted_pairs(spark, 11)
     assert planted <= got, planted - got
+
+
+def test_ngram_invariant_query_all_ok(spark):
+    # append-last-char twins with >= 5 distinct trigrams have jaccard
+    # g/(g+1) >= 5/6 > 0.8 by arithmetic: recall pins found == planted
+    rows = lookup("dedup_ngram_jaccard").fn(spark, SF_SMOKE).collect()
+    parts = {r.part for r in rows}
+    assert parts == {"planted", "recall", "precision"}
+    for r in rows:
+        if r.part != "planted":
+            assert r.ok is True, r
+    n_planted = next(r.n for r in rows if r.part == "recall")
+    assert n_planted > 0
+    assert n_planted == sum(1 for r in rows if r.part == "planted")
 
 
 def test_embedding_cosine_near_dup_recovers_planted(spark):
@@ -227,6 +263,7 @@ def test_kmeans_refined_ivf_recall_not_worse(spark):
         for r in lookup("sim_cosine_topk").fn(spark, SF_SMOKE).collect()
     }
     from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _sim_ann_ivf_kmeans_raw,
         _sim_ann_ivf_raw,
     )
 
@@ -236,7 +273,7 @@ def test_kmeans_refined_ivf_recall_not_worse(spark):
     }
     refined = {
         (r.query_id, r.neighbor_id)
-        for r in lookup("sim_ann_ivf_kmeans").fn(spark, SF_SMOKE).collect()
+        for r in _sim_ann_ivf_kmeans_raw(spark, SF_SMOKE).collect()
     }
     recall_raw = len(raw & brute) / len(brute)
     recall_ref = len(refined & brute) / len(brute)

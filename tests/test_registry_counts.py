@@ -21,8 +21,6 @@ def test_total_and_rows_only_counts():
     all_q = {**QUERIES, **SUBSUMED}
     rows_only = sorted(n for n, q in all_q.items() if q.oracle is None)
     assert len(all_q) == 214, f"update COVERAGE.md: total now {len(all_q)}"
-    assert rows_only == [
-        "dedup_ngram_jaccard",
-        "dedup_simhash_pairs",
-        "sim_ann_ivf_kmeans",
-    ], f"update COVERAGE.md: rows-only now {rows_only}"
+    # round 12: the last three rows-only constituents were promoted to
+    # invariant oracles — the registry is now 100% oracle-backed
+    assert rows_only == [], f"update COVERAGE.md: rows-only now {rows_only}"

@@ -1,0 +1,317 @@
+"""RIFF/AVI MJPEG container, pure stdlib — compressed video for real.
+
+Eighth real format at the multimodal codec seam (PNG/BMP/WAV+ADPCM/
+Y4M/JPEG+progressive/GIF/TIFF came first), and the first COMPRESSED
+video path: Y4M covers uncompressed interchange; a crawl-scale
+multimodal corpus is mostly compressed video, and Motion-JPEG-in-AVI
+is the compressed container whose frame payloads an existing baseline
+JPEG codec can decode with ZERO new entropy-decode code — every frame
+is its own standalone JFIF stream (operators/jpeg.py::jpeg_decode).
+
+Demuxer scope (the 'vids'/'MJPG' single-video-stream baseline):
+  * RIFF('AVI ') → LIST('hdrl'){avih, LIST('strl'){strh,strf}} →
+    LIST('movi'){'00dc' frame chunks} → idx1.
+  * The idx1 index is the REAL seek path: frame k resolves through its
+    index entry (offsets validated against the movi chunk headers), so
+    every-k-th sampling touches only the sampled frames' bytes — the
+    access pattern frame sampling needs at scale.  Streams without
+    idx1 (legacy writers) fall back to the linear movi chunk walk; the
+    two paths are pinned equal in tests/test_multimodal_avi.py.
+  * Both idx1 offset conventions are accepted (relative to the 'movi'
+    fourcc — the common one — or absolute from file start), resolved
+    by validating the chunk header at the candidate position.
+  * Non-MJPG video streams (DIB/H264/...) and audio-only files raise
+    NotImplementedError at the marked seam (plug ffmpeg in here);
+    structurally corrupt streams raise ValueError (the codec-guard
+    contract); per-frame pixel bounds enforce multimodal.MAX_PIXELS
+    inside jpeg_decode before allocation.
+
+Muxer: single 'vids'/'MJPG' stream from (h, w[, 3]) uint8 frames,
+each encoded by operators/jpeg.py::jpeg_encode — deterministic, the
+fixture writer that makes demux exercise genuinely compressed frame
+payloads.  quality=100 solid frames decode EXACTLY (all quant
+divisors 1, DC-only blocks), so a SQL oracle recomputes per-frame
+stats from id arithmetic — the Y4M/WAV anchor applied to compressed
+video.
+
+100 TB note: demux+decode runs inside Arrow-batched mapInPandas at
+the codec seam, per-video work independent — scales with partition
+parallelism like every other blob decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+AVI_RIFF_MAGIC = b"RIFF"
+AVI_FORM = b"AVI "
+
+# sanity bound on declared stream counts / frame counts per blob: a
+# lying header cannot force a huge allocation or iteration (chunk walks
+# are additionally bounded by actual byte positions)
+_MAX_FRAMES = 1_000_000
+
+
+def _u32(raw: bytes, pos: int, what: str) -> int:
+    if pos + 4 > len(raw):
+        raise ValueError(f"AVI: truncated {what} at {pos}")
+    return struct.unpack_from("<I", raw, pos)[0]
+
+
+def _chunk_header(raw: bytes, pos: int) -> tuple[bytes, int, int]:
+    """(fourcc, payload size, payload start) of the chunk at pos."""
+    if pos + 8 > len(raw):
+        raise ValueError(f"AVI: truncated chunk header at {pos}")
+    fcc = raw[pos : pos + 4]
+    size = struct.unpack_from("<I", raw, pos + 4)[0]
+    if pos + 8 + size > len(raw):
+        raise ValueError(
+            f"AVI: chunk {fcc!r} at {pos} overruns file "
+            f"({size} bytes declared, {len(raw) - pos - 8} available)"
+        )
+    return fcc, size, pos + 8
+
+
+def avi_header(raw: bytes) -> tuple[int, int, int, int, int]:
+    """Parse the hdrl list: (width, height, rate, scale, n_frames).
+
+    Validates the single-video-stream MJPG baseline: fccType 'vids'
+    with handler or biCompression 'MJPG'.  rate/scale is the frame
+    clock (fps = rate/scale); timestamps are idx*1000*scale DIV rate —
+    floor-exact integer math, the Y4M fps-ratio discipline.
+    """
+    if not raw.startswith(AVI_RIFF_MAGIC):
+        raise ValueError("AVI: missing RIFF magic")
+    riff_size = _u32(raw, 4, "RIFF size")
+    if 8 + riff_size > len(raw):
+        raise ValueError("AVI: RIFF size overruns file")
+    if raw[8:12] != AVI_FORM:
+        raise ValueError(f"AVI: RIFF form {raw[8:12]!r} is not 'AVI '")
+
+    width = height = rate = scale = n_frames = None
+    pos = 12
+    end = 8 + riff_size
+    while pos + 8 <= end:
+        fcc, size, data = _chunk_header(raw, pos)
+        if fcc == b"LIST" and raw[data : data + 4] == b"hdrl":
+            hpos, hend = data + 4, data + size
+            while hpos + 8 <= hend:
+                hfcc, hsize, hdata = _chunk_header(raw, hpos)
+                if hfcc == b"avih":
+                    if hsize < 40:
+                        raise ValueError("AVI: avih too short")
+                    n_frames = _u32(raw, hdata + 16, "avih frames")
+                    width = _u32(raw, hdata + 32, "avih width")
+                    height = _u32(raw, hdata + 36, "avih height")
+                elif hfcc == b"LIST" and raw[hdata : hdata + 4] == b"strl":
+                    spos, send = hdata + 4, hdata + hsize
+                    handler = compression = None
+                    is_video = False
+                    while spos + 8 <= send:
+                        sfcc, ssize, sdata = _chunk_header(raw, spos)
+                        if sfcc == b"strh":
+                            if ssize < 32:
+                                raise ValueError("AVI: strh too short")
+                            if raw[sdata : sdata + 4] == b"vids":
+                                is_video = True
+                                handler = raw[sdata + 4 : sdata + 8]
+                                scale = _u32(raw, sdata + 20, "strh scale")
+                                rate = _u32(raw, sdata + 24, "strh rate")
+                        elif sfcc == b"strf" and is_video:
+                            if ssize < 20:
+                                raise ValueError("AVI: strf too short")
+                            compression = raw[sdata + 16 : sdata + 20]
+                        spos = sdata + ssize + (ssize & 1)
+                    if is_video:
+                        tags = (handler, compression)
+                        if b"MJPG" not in tags:
+                            raise NotImplementedError(
+                                f"AVI video codec {handler!r}/"
+                                f"{compression!r}: plug ffmpeg in here"
+                            )
+                hpos = hdata + hsize + (hsize & 1)
+        pos = data + size + (size & 1)
+
+    if width is None or n_frames is None:
+        raise ValueError("AVI: missing avih header")
+    if rate is None or scale is None:
+        raise NotImplementedError(
+            "AVI without a 'vids' stream: plug ffmpeg in here"
+        )
+    if rate == 0 or scale == 0:
+        raise ValueError("AVI: zero rate/scale frame clock")
+    if n_frames > _MAX_FRAMES:
+        raise ValueError(f"AVI: lying frame count {n_frames}")
+    return width, height, rate, scale, n_frames
+
+
+def _movi_bounds(raw: bytes) -> tuple[int, int]:
+    """(position of the 'movi' fourcc, end of the movi list data)."""
+    riff_size = _u32(raw, 4, "RIFF size")
+    pos, end = 12, 8 + riff_size
+    while pos + 8 <= end:
+        fcc, size, data = _chunk_header(raw, pos)
+        if fcc == b"LIST" and raw[data : data + 4] == b"movi":
+            return data, data + size
+        pos = data + size + (size & 1)
+    raise ValueError("AVI: missing movi list")
+
+
+def _idx1(raw: bytes) -> list[tuple[bytes, int, int]] | None:
+    """idx1 entries as (ckid, offset, length), or None when absent."""
+    riff_size = _u32(raw, 4, "RIFF size")
+    pos, end = 12, 8 + riff_size
+    while pos + 8 <= end:
+        fcc, size, data = _chunk_header(raw, pos)
+        if fcc == b"idx1":
+            if size % 16:
+                raise ValueError(f"AVI: idx1 size {size} not 16-aligned")
+            return [
+                (
+                    raw[data + i : data + i + 4],
+                    struct.unpack_from("<I", raw, data + i + 8)[0],
+                    struct.unpack_from("<I", raw, data + i + 12)[0],
+                )
+                for i in range(0, size, 16)
+            ]
+        pos = data + size + (size & 1)
+    return None
+
+
+def _is_frame_chunk(fcc: bytes) -> bool:
+    # stream 0 compressed/uncompressed video data ('00dc'/'00db')
+    return fcc in (b"00dc", b"00db")
+
+
+def _resolve_index_entry(
+    raw: bytes, ckid: bytes, off: int, length: int, movi_pos: int
+) -> bytes:
+    """Validate one idx1 entry against the actual chunk bytes.
+
+    Tries the 'relative to the movi fourcc' convention first (the
+    common writer behavior), then absolute-from-file-start; the entry
+    is trusted only where a matching chunk header actually sits.
+    """
+    for base in (movi_pos, 0):
+        p = base + off
+        if p + 8 > len(raw) or raw[p : p + 4] != ckid:
+            continue
+        size = struct.unpack_from("<I", raw, p + 4)[0]
+        if size != length or p + 8 + size > len(raw):
+            raise ValueError(
+                f"AVI: idx1 length {length} disagrees with chunk "
+                f"header {size} at {p}"
+            )
+        return raw[p + 8 : p + 8 + size]
+    raise ValueError(f"AVI: idx1 entry {ckid!r}@{off} resolves to no chunk")
+
+
+def avi_frames(raw: bytes, every_k: int = 1):
+    """Yield (frame_idx, jpeg_bytes) for every k-th video frame.
+
+    Seeks through idx1 when present — only the sampled frames' bytes
+    are touched — else walks the movi chunks linearly.  Frame payloads
+    are returned as-is (each a standalone JFIF stream for MJPG).
+    """
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    avi_header(raw)  # validates container + MJPG before any payload work
+    movi_pos, movi_end = _movi_bounds(raw)
+    index = _idx1(raw)
+    if index is not None:
+        frames = [e for e in index if _is_frame_chunk(e[0])]
+        if len(frames) > _MAX_FRAMES:
+            raise ValueError(f"AVI: lying idx1 frame count {len(frames)}")
+        for idx in range(0, len(frames), every_k):
+            ckid, off, length = frames[idx]
+            yield idx, _resolve_index_entry(raw, ckid, off, length, movi_pos)
+        return
+    pos, idx = movi_pos + 4, 0
+    while pos + 8 <= movi_end:
+        fcc, size, data = _chunk_header(raw, pos)
+        if _is_frame_chunk(fcc):
+            if idx % every_k == 0:
+                yield idx, raw[data : data + size]
+            idx += 1
+            if idx > _MAX_FRAMES:
+                raise ValueError("AVI: runaway movi frame walk")
+        pos = data + size + (size & 1)
+
+
+def avi_encode(
+    frames: list,
+    rate: int = 10,
+    scale: int = 1,
+    quality: int = 100,
+    subsample: bool = False,
+    write_idx1: bool = True,
+) -> bytes:
+    """Mux (h, w) gray or (h, w, 3) RGB uint8 frames into MJPG-in-AVI.
+
+    Every frame is its own baseline JFIF stream via jpeg_encode;
+    quality=100 keeps solid frames byte-exact through decode.  All
+    frames must share the first frame's geometry (the single-strf
+    contract).  ``write_idx1=False`` produces a legacy no-index file
+    for exercising the linear-walk fallback.
+    """
+    from .jpeg import jpeg_encode
+
+    if not frames:
+        raise ValueError("AVI: cannot mux zero frames")
+    if rate <= 0 or scale <= 0:
+        raise ValueError(f"AVI: bad frame clock {rate}/{scale}")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError(
+                f"AVI: frame geometry {f.shape[:2]} != first frame {(h, w)}"
+            )
+        payloads.append(jpeg_encode(f, quality=quality, subsample=subsample))
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    max_bytes = max(len(p) for p in payloads)
+    usec_per_frame = 1_000_000 * scale // rate
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * rate // scale, 0, 0x10,  # HASINDEX
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, scale, rate, 0,
+            len(payloads), max_bytes, 0xFFFFFFFF, 0,
+        )
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    offsets = []  # offset of each frame's ckid relative to the movi fourcc
+    for p in payloads:
+        offsets.append(4 + len(movi_body))
+        movi_body += chunk(b"00dc", p)
+    movi = lst(b"movi", bytes(movi_body))
+    idx = b""
+    if write_idx1:
+        entries = bytearray()
+        for off, p in zip(offsets, payloads):
+            # AVIIF_KEYFRAME: every MJPG frame is independently decodable
+            entries += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        idx = chunk(b"idx1", bytes(entries))
+    body = b"AVI " + hdrl + movi + idx
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -15,12 +15,16 @@ round 10), RIFF/WAVE PCM audio (8/16-bit, any channel count — round
 machinery extends to frames), JPEG (full T.81 sequential-DCT entropy
 decode + deterministic encoder — round 10; PROGRESSIVE SOF2
 spectral-selection / successive-approximation decode + multi-scan
-encoder — round 11, operators/jpeg.py), and GIF (variable-width LZW,
-interlace, palettes, operators/gif.py — round 10).  Images share ONE
-exact integer luma (_luma_u8), so the same pixels hash identically
-across container formats — the property cross-format image near-dup
-needs; WAV yields true sample rate / frames / peak / full-scale
-clipping.  Still synthetic: MP3 and compressed video (MP4/H.264) —
+encoder — round 11, operators/jpeg.py), GIF (variable-width LZW,
+interlace, palettes, operators/gif.py — round 10), TIFF
+(strips/PackBits/LZW+EarlyChange, operators/tiff.py — round 11), and
+COMPRESSED video via MJPEG-in-AVI (RIFF chunk walk + idx1 index seek,
+every frame a standalone JFIF payload decoded by the existing JPEG
+codec — round 12, operators/avi.py).  Images share ONE exact integer
+luma (_luma_u8), so the same pixels hash identically across container
+formats — the property cross-format image near-dup needs; WAV yields
+true sample rate / frames / peak / full-scale clipping.  Still
+synthetic: MP3/AAC and interframe-compressed video (MP4/H.264) —
 those raise at the same NotImplementedError seam (no PIL/ffmpeg in
 this container); the Spark-side plumbing (schema, mapInPandas batch
 shape, partitioning) is identical on both paths, so swapping in
@@ -796,6 +800,17 @@ def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
                         out["frame_idx"].append(idx)
                         out["ts_ms"].append(idx * 1000 * den // num)
                     continue
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    # the COMPRESSED path: MJPEG-in-AVI — idx1 index
+                    # seek touches only the sampled frames' bytes
+                    from .avi import avi_frames, avi_header
+
+                    _w, _h, rate, scale, _nf = avi_header(raw)
+                    for idx, _jpeg in avi_frames(raw, every_k=every_k):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(idx * 1000 * scale // rate)
+                    continue
                 if not raw.startswith(b"VID:"):
                     raise NotImplementedError("real video demuxer plugs in here")
                 n_s, _, rest = raw[4:].partition(b":")
@@ -1006,6 +1021,103 @@ def y4m_frame_stats(videos: DataFrame, every_k: int = 5) -> DataFrame:
     return videos.mapInPandas(stats, schema=Y4M_STATS_SCHEMA)
 
 
+def synthesize_avi_blobs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    frames_base: int = 4,
+    frames_mod: int = 12,
+    quality: int = 100,
+) -> DataFrame:
+    """REAL MJPEG-in-AVI bytes as a deterministic fixture (the Y4M
+    discipline applied to compressed video): single 'vids'/'MJPG'
+    stream whose geometry, frame clock and content derive from the id
+    — w = id % 24 + 16, h = id % 20 + 12, fps = id % 10 + 5,
+    n_frames = id % frames_mod + frames_base, frame f a SOLID gray
+    plane of value (id + 11·f) % 256, each frame its own quality-100
+    baseline JFIF payload (all quant divisors 1: DC-only solid blocks
+    decode EXACTLY) — so a SQL oracle recomputes every downstream stat
+    from id arithmetic while the bytes exercise the real RIFF walk,
+    idx1 index seek AND per-frame JPEG entropy decode (an index-offset
+    or chunk-size bug lands the decode in a neighboring frame, which
+    carries a DIFFERENT solid value and hash-fails)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .avi import avi_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = i % 24 + 16
+                h = i % 20 + 12
+                n = i % frames_mod + frames_base
+                frames = [
+                    np.full((h, w), (i + 11 * f) % 256, dtype=np.uint8)
+                    for f in range(n)
+                ]
+                ids.append(i)
+                blobs.append(
+                    avi_encode(frames, rate=i % 10 + 5, quality=quality)
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, blob binary")
+
+
+def avi_frame_stats(videos: DataFrame, every_k: int = 3) -> DataFrame:
+    """Real per-frame luma statistics from MJPEG-in-AVI streams: every
+    k-th frame seeks through the idx1 index, its JFIF payload entropy-
+    decodes via operators/jpeg.py, and the pixels fold to exact integer
+    min / max / sum plus the rate/scale timestamp — the same per-frame
+    feature unit as y4m_frame_stats, now over a COMPRESSED container.
+    Non-AVI blobs raise to the demuxer seam."""
+
+    cols = (
+        "doc_id frame_idx ts_ms width height y_min y_max y_sum".split()
+    )
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .avi import avi_frames, avi_header
+        from .jpeg import jpeg_decode
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                    raise NotImplementedError(
+                        "real video demuxer plugs in here"
+                    )
+                w, h, rate, scale, _nf = avi_header(raw)
+                for idx, payload in avi_frames(raw, every_k=every_k):
+                    dec = jpeg_decode(payload)
+                    y = dec if dec.ndim == 2 else _luma_u8(dec)
+                    if y.shape != (h, w):
+                        raise ValueError(
+                            f"AVI frame {idx}: JPEG geometry "
+                            f"{y.shape} != container {(h, w)}"
+                        )
+                    y = y.astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * 1000 * scale // rate)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_min"].append(int(y.min()))
+                    out["y_max"].append(int(y.max()))
+                    out["y_sum"].append(int(y.sum()))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(stats, schema=Y4M_STATS_SCHEMA)
+
+
 FRAME_AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1020,12 +1132,15 @@ FRAME_AHASH_SCHEMA = T.StructType(
 
 def y4m_frame_ahash(videos: DataFrame, every_k: int = 5) -> DataFrame:
     """True spatial aHash per sampled video frame: each kept frame's
-    real Y plane feeds the SAME 8×8 block-grid / exact-integer
-    thresholding as image blobs (_spatial_cells/_ahash_bands), so the
-    banded pigeonhole join behind image near-dup (ahash_near_dup, keyed
-    on (doc_id, frame_idx) instead of doc_id) finds recurring and
-    near-duplicate frames across a video corpus with zero new join
-    machinery."""
+    real Y plane (Y4M) or JPEG-decoded luma (MJPEG-in-AVI — round 12)
+    feeds the SAME 8×8 block-grid / exact-integer thresholding as image
+    blobs (_spatial_cells/_ahash_bands), so the banded pigeonhole join
+    behind image near-dup (ahash_near_dup, keyed on (doc_id, frame_idx)
+    instead of doc_id) finds recurring and near-duplicate frames across
+    a video corpus — and ACROSS containers: the same pixels hash
+    identically from Y4M and lossless-path frames, and within a small
+    hamming radius through quality<100 JPEG frames (pinned in
+    tests/test_multimodal_avi.py)."""
 
     def hash_frames(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1038,19 +1153,33 @@ def y4m_frame_ahash(videos: DataFrame, every_k: int = 5) -> DataFrame:
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 raw = bytes(blob)
-                if not raw.startswith(Y4M_MAGIC):
+                if raw.startswith(Y4M_MAGIC):
+                    w, h, _num, _den, _cs, _hl = y4m_header(raw)
+                    planes = (
+                        (idx, np.frombuffer(p, dtype=np.uint8).reshape(h, w))
+                        for idx, p in y4m_frames(raw)
+                        if idx % every_k == 0
+                    )
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    # compressed container: MJPEG frames decode through
+                    # the JPEG codec, then share the SAME spatial hash —
+                    # so near-dup finds recurring frames ACROSS both
+                    # containers (the cross-format image discipline)
+                    from .avi import avi_frames
+                    from .jpeg import jpeg_decode
+
+                    def _avi_planes(raw=raw):
+                        for idx, payload in avi_frames(raw, every_k=every_k):
+                            dec = jpeg_decode(payload)
+                            yield idx, dec if dec.ndim == 2 else _luma_u8(dec)
+
+                    planes = _avi_planes()
+                else:
                     raise NotImplementedError(
                         "real video demuxer plugs in here"
                     )
-                w, h, _num, _den, _cs, _hl = y4m_header(raw)
-                for idx, plane in y4m_frames(raw):
-                    if idx % every_k:
-                        continue
-                    px = (
-                        np.frombuffer(plane, dtype=np.uint8)
-                        .reshape(h, w)
-                        .astype(np.int64)
-                    )
+                for idx, plane in planes:
+                    px = plane.astype(np.int64)
                     bands = _ahash_bands(_spatial_cells(px), px.ravel())
                     out["doc_id"].append(int(doc_id))
                     out["frame_idx"].append(idx)

@@ -96,9 +96,30 @@ def _valid_rle8() -> bytes:
 DECODERS["bmp_rle8"] = (b"BM", bmp_gray_pixels, _valid_rle8)
 
 
+def _avi_decode_all(raw: bytes):
+    """Full AVI consumption: header + idx1/linear demux + per-frame
+    JPEG decode — the whole surface a corrupt stream can reach."""
+    from imdb_top_250_etl_pipeline_spark.operators.avi import (
+        avi_frames,
+        avi_header,
+    )
+
+    avi_header(raw)
+    return [jpeg_decode(p) for _, p in avi_frames(raw)]
+
+
+def _valid_avi() -> bytes:
+    from imdb_top_250_etl_pipeline_spark.operators.avi import avi_encode
+
+    return avi_encode([_PX, (_PX[::-1]).copy(), _PX // 2], rate=9, quality=90)
+
+
+DECODERS["avi"] = (b"RIFF", _avi_decode_all, _valid_avi)
+
+
 @FUZZ
 @given(
-    fmt=st.sampled_from(["gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8"]),
+    fmt=st.sampled_from(["gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi"]),
     data=st.data(),
 )
 def test_mutated_valid_stream_fails_loud_or_decodes(fmt, data):

@@ -1146,3 +1146,301 @@ def test_fuzz_txn_log_vs_model(spark, tmp_path, ops):
             ["k"],
         )
     assert as_set(state) == want
+
+
+@st.composite
+def _txn_matrix_ops(draw):
+    """Round 12: the FULL action matrix — merge / append / optimize /
+    restore / replaceWhere (rewrite + pure delete) / schema evolution /
+    CHECK constraints (set + drop, both the ALTER-time validation and
+    the per-write gate) / SHALLOW CLONE — in random interleavings."""
+    n = draw(st.integers(3, 9))
+    ops = []
+    for _ in range(n):
+        kind = draw(
+            st.sampled_from(
+                [
+                    "merge", "merge", "append", "optimize", "restore",
+                    "replace", "replace_del", "evolve",
+                    "set_cap", "drop_cap", "clone",
+                ]
+            )
+        )
+        if kind == "merge":
+            ops.append(
+                (
+                    "merge",
+                    draw(st.integers(2, 5)),
+                    draw(st.integers(0, 4)),
+                    draw(st.integers(-999, 999)),
+                )
+            )
+        elif kind == "restore":
+            ops.append(("restore", draw(st.integers(0, 10))))
+        elif kind in ("replace", "replace_del"):
+            ops.append(
+                (
+                    kind,
+                    draw(st.integers(0, 35)),
+                    draw(st.integers(0, 15)),
+                    draw(st.integers(-999, 999)),
+                )
+            )
+        elif kind == "evolve":
+            ops.append(("evolve", draw(st.integers(2, 4))))
+        elif kind == "set_cap":
+            ops.append(("set_cap", draw(st.sampled_from([200, 500, 10000]))))
+        else:
+            ops.append((kind,))
+    return ops
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_txn_matrix_ops())
+@pytest.mark.slow  # stress tier (see conftest)
+def test_fuzz_txn_full_matrix_vs_model(spark, tmp_path, ops):
+    """Model-based fuzz over the FULL txn-action matrix (round 12,
+    extending test_fuzz_txn_log_vs_model): random interleavings of
+    MERGE / append / OPTIMIZE / RESTORE / replaceWhere (rewrite and
+    pure range delete) / schema evolution / CHECK constraint set+drop /
+    SHALLOW CLONE run against both the real log and a pure-Python
+    model.  Afterwards: final state == model, every version time
+    travels to its model snapshot WITH the right schema (restore rolls
+    the schema back with the data), the change feed replays v0 → final
+    ON THE ACTIVE TABLE (i.e. across any clone boundary, since a clone
+    starts its own log at v0), and every clone SOURCE still reads its
+    at-clone snapshot after clone-side writes (zero-copy independence).
+    Constraint semantics modeled: ALTER validates the CURRENT snapshot
+    (set fails loudly when existing rows violate), and every later
+    merge / append / replaceWhere gates its incoming rows."""
+    _run_txn_matrix_program(spark, tmp_path, ops)
+
+
+@pytest.mark.slow
+def test_txn_matrix_all_ops_deterministic(spark, tmp_path):
+    """The guaranteed-composition program: every op kind fires, in an
+    order that stacks evolution, constraints, a clone boundary, and a
+    post-clone restore — so the cross-boundary CDF reconstruction and
+    the schema-rollback-with-restore paths are exercised on every run,
+    independent of what the derandomized fuzz examples draw."""
+    ops = [
+        ("merge", 3, 1, 50),
+        ("set_cap", 200),          # snapshot max val is 50: commits
+        ("merge", 2, 0, 500),      # 500 > cap: refused at the gate
+        ("evolve", 2),             # adds the extra column
+        ("append",),
+        ("replace", 4, 9, 120),    # rewrite range [4, 13]
+        ("optimize",),
+        ("clone",),                # switch to the clone (cap resets)
+        ("merge", 2, 1, 777),      # would violate old cap; clone has none
+        ("replace_del", 0, 6, 0),  # pure range delete on the clone
+        ("restore", 1),            # roll the clone back mid-history
+        ("drop_cap",),
+        ("merge", 5, 2, -40),
+        ("append",),
+    ]
+    _run_txn_matrix_program(spark, tmp_path, ops)
+
+
+def _run_txn_matrix_program(spark, tmp_path, ops):
+    import uuid as _uuid
+
+    from imdb_top_250_etl_pipeline_spark.operators.etl import (
+        apply_snapshot_cdc,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources.txn import (
+        txn_append,
+        txn_changes,
+        txn_clone,
+        txn_drop_constraint,
+        txn_optimize,
+        txn_replace_where,
+        txn_restore,
+        txn_set_constraint,
+    )
+
+    active = str(tmp_path / f"mx-{_uuid.uuid4().hex[:8]}")
+
+    def mk_df(rows, evolved):
+        if evolved:
+            return spark.createDataFrame(
+                [(k, v, w, e) for k, (v, w, e) in sorted(rows.items())],
+                "k long, val long, writer string, extra long",
+            )
+        return spark.createDataFrame(
+            [(k, v, w) for k, (v, w, _e) in sorted(rows.items())],
+            "k long, val long, writer string",
+        )
+
+    # model row: k -> (val, writer, extra); extra None pre-evolution
+    model: dict[int, tuple] = {k: (0, "init", None) for k in range(30)}
+    evolved = False
+    cap: int | None = None
+    txn_create(mk_df(model, evolved), active, key="k", range_partitions=3)
+    # history entry per committed version: (evolved_flag, model snapshot)
+    history: list[tuple[bool, dict]] = [(False, dict(model))]
+    next_key = 1000
+    clone_sources: list[tuple[str, dict, bool]] = []
+    n_clones = 0
+
+    def gated(val) -> bool:
+        return cap is not None and val > cap
+
+    for op in ops:
+        if op[0] == "merge":
+            _, m, r, val = op
+            upd = {
+                k: (val, f"m{m}r{r}", model[k][2])
+                for k in list(model)
+                if k % m == r
+            }
+            if not upd:
+                continue
+            stable = ["extra"] if evolved else []
+            if gated(val):
+                with pytest.raises(ValueError, match="CHECK"):
+                    txn_merge(
+                        spark, active, mk_df(upd, evolved),
+                        ["val", "writer"], stable,
+                    )
+                continue
+            txn_merge(
+                spark, active, mk_df(upd, evolved), ["val", "writer"], stable,
+            )
+            model.update(upd)
+            history.append((evolved, dict(model)))
+        elif op[0] == "append":
+            rows = {
+                next_key + i: (-1, "app", (next_key + i) % 7 if evolved else None)
+                for i in range(5)
+            }
+            next_key += 5
+            txn_append(mk_df(rows, evolved), active, key="k")
+            model.update(rows)
+            history.append((evolved, dict(model)))
+        elif op[0] == "optimize":
+            if txn_optimize(spark, active, target_files=2) >= 0:
+                history.append((evolved, dict(model)))
+        elif op[0] == "restore":
+            idx = op[1] % len(history)
+            if history[idx] == (evolved, model):
+                continue
+            txn_restore(active, idx)
+            evolved, model = history[idx][0], dict(history[idx][1])
+            history.append((evolved, dict(model)))
+        elif op[0] in ("replace", "replace_del"):
+            _, lo, width, val = op
+            hi = lo + width
+            if op[0] == "replace":
+                rows = {
+                    k: (val, "rw", k % 7 if evolved else None)
+                    for k in range(lo, hi + 1)
+                    if k % 2 == 0
+                }
+            else:
+                rows = {}
+            if rows and gated(val):
+                with pytest.raises(ValueError, match="CHECK"):
+                    txn_replace_where(
+                        spark, active, mk_df(rows, evolved), lo, hi
+                    )
+                continue
+            v = txn_replace_where(
+                spark, active, mk_df(rows, evolved) if rows else None, lo, hi
+            )
+            if v < 0:
+                continue  # nothing in range, nothing staged: no commit
+            model = {k: t for k, t in model.items() if not lo <= k <= hi}
+            model.update(rows)
+            history.append((evolved, dict(model)))
+        elif op[0] == "evolve":
+            if evolved:
+                continue
+            _, m = op
+            upd = {
+                k: (model[k][0], model[k][1], k % 7)
+                for k in list(model)
+                if k % m == 1
+            }
+            if not upd:
+                continue
+            txn_merge(
+                spark, active, mk_df(upd, True), ["extra"],
+                ["val", "writer"],
+                allow_schema_evolution=True,
+            )
+            evolved = True
+            model.update(upd)
+            model = {
+                k: (v, w, e) for k, (v, w, e) in model.items()
+            }  # unmatched rows lazily backfill NULL extra
+            history.append((True, dict(model)))
+        elif op[0] == "set_cap":
+            _, c = op
+            if any(v > c for v, _w, _e in model.values()):
+                with pytest.raises(ValueError, match="CHECK"):
+                    txn_set_constraint(spark, active, "val_cap", f"val <= {c}")
+                continue
+            txn_set_constraint(spark, active, "val_cap", f"val <= {c}")
+            cap = c
+            history.append((evolved, dict(model)))
+        elif op[0] == "drop_cap":
+            txn_drop_constraint(active, "val_cap")
+            cap = None
+            history.append((evolved, dict(model)))
+        elif op[0] == "clone":
+            if n_clones >= 2:
+                continue
+            n_clones += 1
+            clone_sources.append((active, dict(model), evolved))
+            dst = str(tmp_path / f"mx-clone{n_clones}-{_uuid.uuid4().hex[:6]}")
+            txn_clone(active, dst)
+            active = dst
+            cap = None  # clone's fresh log carries no constraint actions
+            history = [(evolved, dict(model))]
+
+    def as_set(df):
+        has_extra = "extra" in df.columns
+        return {
+            (r.k, r.val, r.writer, r.extra if has_extra else None)
+            for r in df.collect()
+        }
+
+    want = {(k, v, w, e) for k, (v, w, e) in model.items()}
+    assert as_set(txn_read(spark, active)) == want
+
+    # time travel: every version reproduces its snapshot AND its schema
+    assert latest_version(active) == len(history) - 1
+    for v, (snap_evolved, snap) in enumerate(history):
+        df = txn_read(spark, active, version=v)
+        assert ("extra" in df.columns) == snap_evolved, f"v{v} schema"
+        assert as_set(df) == {
+            (k, val, w, e) for k, (val, w, e) in snap.items()
+        }, f"time travel to v{v} diverged"
+
+    # change feed replays the whole program on the active table —
+    # across the clone boundary, since the clone's log starts at v0
+    state = txn_read(spark, active, version=0)
+    if "extra" not in state.columns:
+        state = state.withColumn("extra", F.lit(None).cast("long"))
+    feed = txn_changes(spark, active, 0)
+    for v in range(1, len(history)):
+        delta = feed.where(F.col("_commit_version") == v).drop(
+            "_commit_version"
+        )
+        if "extra" not in delta.columns:
+            delta = delta.withColumn("extra", F.lit(None).cast("long"))
+        state = apply_snapshot_cdc(state, delta, ["k"])
+    assert as_set(state) == want
+
+    # clone independence: every source still reads its at-clone snapshot
+    for src, src_model, _src_evolved in clone_sources:
+        got = as_set(txn_read(spark, src))
+        assert got == {
+            (k, v, w, e) for k, (v, w, e) in src_model.items()
+        }, f"clone source {src} drifted after clone-side writes"

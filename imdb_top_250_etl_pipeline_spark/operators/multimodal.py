@@ -1214,35 +1214,13 @@ def decode_gray_stats(blobs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from .gif import GIF_MAGIC, gif_gray_pixels
-        from .jpeg import JPEG_MAGIC, jpeg_decode
-        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_gray_pixels
-
         for pdf in batches:
             out: dict[str, list] = {
                 c: [] for c in
                 ("doc_id", "width", "height", "y_min", "y_max", "y_sum")
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                raw = bytes(blob)
-                if raw.startswith(PNG_MAGIC):
-                    px = png_gray_pixels(raw)
-                elif raw.startswith(BMP_MAGIC):
-                    px = bmp_gray_pixels(raw)
-                elif raw.startswith(JPEG_MAGIC):
-                    dec = jpeg_decode(raw)
-                    px = dec if dec.ndim == 2 else _luma_u8(dec)
-                elif raw.startswith(GIF_MAGIC):
-                    px = gif_gray_pixels(raw)
-                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
-                    TIFF_MAGIC_BE
-                ):
-                    px = tiff_gray_pixels(raw)
-                else:
-                    raise NotImplementedError(
-                        "real image codec plugs in here"
-                    )
-                px = px.astype(np.int64)
+                px = gray_pixels_any(bytes(blob)).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["height"].append(int(px.shape[0]))
                 out["width"].append(int(px.shape[1]))
@@ -1264,57 +1242,74 @@ THUMB_SCHEMA = T.StructType(
 )
 
 
+def gray_pixels_any(raw: bytes):
+    """Decode ANY of the seam's real image formats (PNG/BMP/JPEG/GIF/
+    TIFF) to (h, w) gray uint8 via the shared exact luma — the single
+    magic-dispatch used by decode_gray_stats and thumbnail_blobs, so
+    chain-level fuzzing exercises exactly the production dispatch.
+    Unknown formats raise to the codec seam; corrupt streams raise
+    ValueError inside their decoder (the codec-guard contract)."""
+    from .gif import GIF_MAGIC, gif_gray_pixels
+    from .jpeg import JPEG_MAGIC, jpeg_decode
+    from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_gray_pixels
+
+    if raw.startswith(PNG_MAGIC):
+        return png_gray_pixels(raw)
+    if raw.startswith(BMP_MAGIC):
+        return bmp_gray_pixels(raw)
+    if raw.startswith(JPEG_MAGIC):
+        dec = jpeg_decode(raw)
+        return dec if dec.ndim == 2 else _luma_u8(dec)
+    if raw.startswith(GIF_MAGIC):
+        return gif_gray_pixels(raw)
+    if raw.startswith(TIFF_MAGIC_LE) or raw.startswith(TIFF_MAGIC_BE):
+        return tiff_gray_pixels(raw)
+    raise NotImplementedError("real image codec plugs in here")
+
+
+def thumbnail_one(raw: bytes, max_side: int = 32) -> tuple[bytes, int, int]:
+    """One blob through the WHOLE thumbnail chain: decode (any seam
+    format) → aspect-preserving exact nearest-neighbor resample
+    (src = dst·old DIV new — pure integer, no filter-kernel float
+    ambiguity) → lossless gray-ramp GIF re-encode.  Returns
+    (gif_bytes, new_width, new_height).  The per-blob unit of
+    thumbnail_blobs, exposed so the chain-level robustness fuzz hits
+    the exact production path."""
+    import numpy as np
+
+    from .gif import gif_encode
+
+    px = gray_pixels_any(raw)
+    h, w = px.shape
+    longer = max(w, h)
+    nw = max(1, w * max_side // longer)
+    nh = max(1, h * max_side // longer)
+    rs = (np.arange(nh, dtype=np.int64) * h) // nh
+    cs = (np.arange(nw, dtype=np.int64) * w) // nw
+    return gif_encode(px[rs][:, cs]), nw, nh
+
+
 def thumbnail_blobs(blobs: DataFrame, max_side: int = 32) -> DataFrame:
     """REAL thumbnail sink: decode any of the seam's real image formats
-    (PNG/BMP/JPEG/GIF) to gray pixels, resample to the aspect-preserving
-    resize_images geometry (longer side → ``max_side``) by exact
-    nearest-neighbor index mapping (src = dst·old DIV new — pure integer,
-    deterministic, no filter-kernel float ambiguity), and re-encode as a
-    lossless gray-ramp GIF.  Output thumbnails are themselves decodable
-    by the same seam, so a driver oracle can hash-check the WHOLE
-    decode→resize→re-encode→decode chain end to end.  Non-image or
-    synthetic blobs raise to the codec seam."""
+    (PNG/BMP/JPEG/GIF/TIFF) to gray pixels, resample to the
+    aspect-preserving resize_images geometry (longer side →
+    ``max_side``), and re-encode as a lossless gray-ramp GIF — see
+    thumbnail_one for the per-blob chain.  Output thumbnails are
+    themselves decodable by the same seam, so a driver oracle can
+    hash-check the WHOLE decode→resize→re-encode→decode chain end to
+    end.  Non-image or synthetic blobs raise to the codec seam."""
 
     def thumb(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
-
-        from .gif import GIF_MAGIC, gif_encode, gif_gray_pixels
-        from .jpeg import JPEG_MAGIC, jpeg_decode
-        from .tiff import TIFF_MAGIC_BE, TIFF_MAGIC_LE, tiff_gray_pixels
 
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "thumb": [], "new_width": [], "new_height": []
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                raw = bytes(blob)
-                if raw.startswith(PNG_MAGIC):
-                    px = png_gray_pixels(raw)
-                elif raw.startswith(BMP_MAGIC):
-                    px = bmp_gray_pixels(raw)
-                elif raw.startswith(JPEG_MAGIC):
-                    dec = jpeg_decode(raw)
-                    px = dec if dec.ndim == 2 else _luma_u8(dec)
-                elif raw.startswith(GIF_MAGIC):
-                    px = gif_gray_pixels(raw)
-                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
-                    TIFF_MAGIC_BE
-                ):
-                    px = tiff_gray_pixels(raw)
-                else:
-                    raise NotImplementedError(
-                        "real image codec plugs in here"
-                    )
-                h, w = px.shape
-                longer = max(w, h)
-                nw = max(1, w * max_side // longer)
-                nh = max(1, h * max_side // longer)
-                rs = (np.arange(nh, dtype=np.int64) * h) // nh
-                cs = (np.arange(nw, dtype=np.int64) * w) // nw
-                small = px[rs][:, cs]
+                t, nw, nh = thumbnail_one(bytes(blob), max_side)
                 out["doc_id"].append(int(doc_id))
-                out["thumb"].append(gif_encode(small))
+                out["thumb"].append(t)
                 out["new_width"].append(nw)
                 out["new_height"].append(nh)
             yield pd.DataFrame(out)

@@ -96,6 +96,42 @@ def _valid_rle8() -> bytes:
 DECODERS["bmp_rle8"] = (b"BM", bmp_gray_pixels, _valid_rle8)
 
 
+def _thumb_chain(raw: bytes):
+    """The WHOLE thumbnail chain as one callable: decode-any → exact
+    nearest-neighbor resample → GIF re-encode → decode the thumbnail
+    back.  A mutation that survives the input decoder but corrupts the
+    resample geometry or the re-encode must still end in loud failure
+    or a decodable thumbnail — never a crash mid-chain."""
+    from imdb_top_250_etl_pipeline_spark.operators.gif import (
+        gif_gray_pixels,
+    )
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        thumbnail_one,
+    )
+
+    thumb, nw, nh = thumbnail_one(raw)
+    back = gif_gray_pixels(thumb)
+    assert back.shape == (nh, nw), "thumbnail did not round-trip"
+    return back
+
+
+DECODERS["thumb_chain_jpeg"] = (
+    b"\xff\xd8",
+    _thumb_chain,
+    lambda: jpeg_encode(_PX, quality=90),
+)
+DECODERS["thumb_chain_tiff"] = (
+    b"II*\x00",
+    _thumb_chain,
+    lambda: tiff_encode(_PX, compression="packbits"),
+)
+DECODERS["thumb_chain_gif"] = (
+    b"GIF89a",
+    _thumb_chain,
+    lambda: gif_encode(_PX),
+)
+
+
 def _avi_decode_all(raw: bytes):
     """Full AVI consumption: header + idx1/linear demux + per-frame
     JPEG decode — the whole surface a corrupt stream can reach."""
@@ -119,7 +155,12 @@ DECODERS["avi"] = (b"RIFF", _avi_decode_all, _valid_avi)
 
 @FUZZ
 @given(
-    fmt=st.sampled_from(["gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi"]),
+    fmt=st.sampled_from(
+        [
+            "gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi",
+            "thumb_chain_jpeg", "thumb_chain_tiff", "thumb_chain_gif",
+        ]
+    ),
     data=st.data(),
 )
 def test_mutated_valid_stream_fails_loud_or_decodes(fmt, data):
@@ -143,3 +184,55 @@ def test_mutated_valid_stream_fails_loud_or_decodes(fmt, data):
             + raw[i:]
         )
     _assert_loud(decode, bytes(raw), f"{fmt}:{op}")
+
+
+def test_thumbnail_chain_extreme_geometries():
+    """Degenerate aspect ratios through the whole chain: 1-pixel-wide,
+    1-pixel-tall, smaller-than-max_side, and 1x1 inputs must produce
+    valid decodable thumbnails with the exact integer geometry."""
+    from imdb_top_250_etl_pipeline_spark.operators.gif import (
+        gif_gray_pixels,
+    )
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        thumbnail_one,
+    )
+
+    for h, w in [(1, 200), (200, 1), (5, 7), (1, 1), (64, 3)]:
+        px = ((np.indices((h, w)).sum(0) * 11) % 256).astype(np.uint8)
+        raw = jpeg_encode(px, quality=100)
+        thumb, nw, nh = thumbnail_one(raw, max_side=32)
+        longer = max(w, h)
+        assert nw == max(1, w * 32 // longer)
+        assert nh == max(1, h * 32 // longer)
+        assert gif_gray_pixels(thumb).shape == (nh, nw)
+
+
+def test_thumbnail_chain_mutation_hammer():
+    """Seeded non-hypothesis hammer over the chain (the AVI-family
+    discipline): 3 seeds x 1500 mutations x 3 input formats, loud
+    errors or decodable thumbnails only."""
+    import random
+
+    families = {
+        "jpeg": jpeg_encode(_PX, quality=90),
+        "tiff": tiff_encode(_PX, compression="lzw"),
+        "gif": gif_encode(_PX),
+    }
+    rng = random.Random()
+    for seed in range(3):
+        rng.seed(seed)
+        for fam, valid in families.items():
+            for _ in range(500):
+                raw = bytearray(valid)
+                op = rng.choice(["flip", "trunc", "splice"])
+                if op == "flip":
+                    for _f in range(rng.randint(1, 6)):
+                        i = rng.randrange(len(raw))
+                        raw[i] ^= 1 << rng.randrange(8)
+                elif op == "trunc":
+                    raw = raw[: rng.randrange(2, len(raw))]
+                else:
+                    i = rng.randrange(2, len(raw))
+                    ins = bytes(rng.randrange(256) for _ in range(rng.randint(1, 30)))
+                    raw = raw[:i] + ins + raw[i:]
+                _assert_loud(_thumb_chain, bytes(raw), f"chain:{fam}:{op}")

@@ -8637,6 +8637,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
         f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
         f"FROM ({_AVI_ORACLE}) t",
+        f"SELECT 'tune_' || family AS part, target_scaled AS a, "
+        f"param_id AS b, cost AS n, "
+        f"CAST(p1 AS VARCHAR) || 'x' || CAST(p2 AS VARCHAR) AS k, "
+        f"{_NS} AS s, CAST(recall_scaled AS DOUBLE) AS v, meets AS ok "
+        f"FROM ({_SQL['tune_recall_params']}) t",
         f"SELECT 'jpeg_' || codec AS part, doc_id AS a, "
         f"CAST(y_min AS BIGINT) AS b, "
         f"y_sum AS n, "
@@ -9456,6 +9461,18 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    tune = _FN["tune_recall_params"](spark, sf_dir).select(
+        F.concat(F.lit("tune_"), F.col("family")).alias("part"),
+        F.col("target_scaled").cast("long").alias("a"),
+        F.col("param_id").cast("long").alias("b"),
+        F.col("cost").cast("long").alias("n"),
+        F.concat(
+            F.col("p1").cast("string"), F.lit("x"), F.col("p2").cast("string")
+        ).alias("k"),
+        _ns().alias("s"),
+        F.col("recall_scaled").cast("double").alias("v"),
+        F.col("meets").alias("ok"),
+    )
     avi = multimodal_avi_stats(spark, sf_dir).select(
         F.lit("avi").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9657,6 +9674,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(aud)
         .unionByName(y4m)
         .unionByName(avi)
+        .unionByName(tune)
         .unionByName(jpg)
         .unionByName(gifs)
         .unionByName(tif)
@@ -9753,6 +9771,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "aud_": "multimodal_audio_stats",
     "y4m": "multimodal_y4m_stats",
     "avi": "multimodal_avi_stats",
+    "tune_": "tune_recall_params",
     "jpeg_": "multimodal_jpeg_stats",
     "gif": "multimodal_gif_stats",
     "tiff": "multimodal_tiff_stats",
@@ -10068,6 +10087,9 @@ subsume(
     # seek) + per-frame JPEG entropy decode to exact gray stats, riding
     # extension_battery (part=avi)
     "multimodal_avi_stats",
+    # round-12: recall-driven parameter recommendation over the measured
+    # sf1 curve grids, riding extension_battery (part=tune_*)
+    "tune_recall_params",
     # round-10: JPEG-decode -> resample -> GIF-re-encode -> decode
     # thumbnail chain, riding extension_battery (part=thumb)
     "multimodal_thumbnail_pipeline",

@@ -2358,3 +2358,109 @@ def linkage_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("d"),
     )
     return p.unionByName(c)
+
+
+# ---------------------------------------------------------------------------
+# Recall-driven parameter recommendation (round 12): the measured sf1
+# recall curves (tools/recall_curves.py -> RECALL_CURVES_r11.json,
+# recall x10000 as exact integers, cost = measured wall x10) embedded as
+# the bounded curve table, so the argmin machinery itself is
+# oracle-checked.  The simhash grid is excluded on purpose: its
+# max_hamming axis changes the TASK (the ground-truth pair set), not
+# just the operating point.
+# ---------------------------------------------------------------------------
+
+_RECALL_CURVE_ROWS = [
+    # (family, param_id, p1, p2, recall_scaled, cost)
+    ("minhash", 1, 2, 8, 9490, 34),    # bands=2 rows=8
+    ("minhash", 2, 4, 4, 10000, 22),   # bands=4 rows=4
+    ("minhash", 3, 8, 2, 10000, 22),   # bands=8 rows=2
+    ("minhash", 4, 16, 1, 10000, 50),  # bands=16 rows=1
+    ("ivf", 1, 1, 0, 9100, 34),        # nprobe=1
+    ("ivf", 2, 2, 0, 9100, 29),
+    ("ivf", 3, 4, 0, 9100, 28),
+    ("ivf", 4, 8, 0, 9100, 29),
+    ("ivf", 5, 16, 0, 9250, 29),
+    ("pq", 1, 20, 0, 10000, 124),      # shortlist=20
+    ("pq", 2, 50, 0, 10000, 130),
+    ("pq", 3, 100, 0, 10000, 132),
+    ("pq", 4, 200, 0, 10000, 140),
+]
+
+_RECALL_TARGET_ROWS = [
+    ("minhash", 9500),
+    ("minhash", 10000),
+    ("ivf", 9000),
+    ("ivf", 9900),  # unreachable on the measured grid: fallback path
+    ("pq", 10000),
+]
+
+
+def _sql_values(rows) -> str:
+    return ", ".join(
+        "(" + ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in r)
+        + ")"
+        for r in rows
+    )
+
+
+_TUNE_ORACLE = f"""
+WITH curves(family, param_id, p1, p2, recall_scaled, cost) AS (
+  VALUES {_sql_values(_RECALL_CURVE_ROWS)}
+),
+targets(family, target_scaled) AS (
+  VALUES {_sql_values(_RECALL_TARGET_ROWS)}
+),
+j AS (
+  SELECT c.*, t.target_scaled,
+         c.recall_scaled >= t.target_scaled AS meets,
+         CASE WHEN c.recall_scaled >= t.target_scaled THEN c.cost
+              ELSE 100000000 - c.recall_scaled END AS pick
+  FROM curves c JOIN targets t USING (family)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY family, target_scaled
+    ORDER BY meets DESC, pick, cost, param_id
+  ) AS rn FROM j
+)
+SELECT family, CAST(target_scaled AS BIGINT) AS target_scaled,
+       CAST(param_id AS BIGINT) AS param_id, CAST(p1 AS BIGINT) AS p1,
+       CAST(p2 AS BIGINT) AS p2,
+       CAST(recall_scaled AS BIGINT) AS recall_scaled,
+       CAST(cost AS BIGINT) AS cost, meets
+FROM r WHERE rn = 1
+ORDER BY family, target_scaled
+"""
+
+
+@register(
+    "tune_recall_params",
+    oracle=_TUNE_ORACLE,
+    doc="Recall-driven parameter recommendation (round 12 — "
+    "operators/tuning.py::recommend_parameters): given the measured "
+    "sf1 recall-vs-cost grids for MinHash banding / IVF nprobe / PQ "
+    "shortlist (RECALL_CURVES_r11.json, recall x10000 exact integers) "
+    "and a target recall, pick the CHEAPEST measured configuration "
+    "meeting the target — or, when no configuration meets it, the "
+    "maximum-recall fallback flagged meets=false.  Deterministic "
+    "row_number argmin over bounded broadcast metadata tables; the "
+    "oracle re-derives every pick from the same literal grid, so the "
+    "recommendation MACHINERY (meets predicate, cost/recall ordering, "
+    "fallback) is what the hash checks.  Turns the recall-curve "
+    "artifacts from documentation into a queryable operator.",
+)
+def tune_recall_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tuning import recommend_parameters
+
+    curves = spark.createDataFrame(
+        _RECALL_CURVE_ROWS,
+        "family string, param_id long, p1 long, p2 long, "
+        "recall_scaled long, cost long",
+    )
+    targets = spark.createDataFrame(
+        _RECALL_TARGET_ROWS, "family string, target_scaled long"
+    )
+    return recommend_parameters(curves, targets).orderBy(
+        "family", "target_scaled"
+    )

@@ -41,6 +41,13 @@ def get_spark(app_name: str = "imdb-top-250-etl-pipeline-spark") -> SparkSession
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # byte-level Arrow batch cap (round 12): the codec seam streams
+        # media blobs into Python, and the default ROW-counted batching
+        # (maxRecordsPerBatch=10000) would materialize multi-GB batches
+        # on a multi-MB-blob corpus regardless of partitioning.  64 MiB
+        # bounds per-batch worker memory; tests/test_arrow_batch_bound.py
+        # pins the behavior with oversized synthetic blobs.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")

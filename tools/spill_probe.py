@@ -81,6 +81,8 @@ def _run_mode(mode: str) -> dict:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", event_dir)
+        # plain-text JSONL: the probe parses TaskEnd metrics itself
+        .config("spark.eventLog.compress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,8 +116,11 @@ def _run_mode(mode: str) -> dict:
 
     mem = disk = tasks_spilled = n_tasks = 0
     peak_exec = 0
-    for fn in os.listdir(event_dir):
-        with open(os.path.join(event_dir, fn)) as fh:
+    paths = []
+    for root, _dirs, files in os.walk(event_dir):
+        paths += [os.path.join(root, f) for f in files]
+    for path in paths:
+        with open(path, errors="ignore") as fh:
             for line in fh:
                 if '"SparkListenerTaskEnd"' not in line:
                     continue

@@ -245,6 +245,8 @@ def avi_encode(
     quality: int = 100,
     subsample: bool = False,
     write_idx1: bool = True,
+    pcm: bytes | None = None,
+    audio_rate: int = 8000,
 ) -> bytes:
     """Mux (h, w) gray or (h, w, 3) RGB uint8 frames into MJPG-in-AVI.
 
@@ -252,7 +254,11 @@ def avi_encode(
     quality=100 keeps solid frames byte-exact through decode.  All
     frames must share the first frame's geometry (the single-strf
     contract).  ``write_idx1=False`` produces a legacy no-index file
-    for exercising the linear-walk fallback.
+    for exercising the linear-walk fallback.  ``pcm`` (8-bit unsigned
+    mono samples) adds a second 'auds' stream interleaved as '01wb'
+    chunks between frames — the shape real crawl-scale A/V files have,
+    which the VIDEO demux must skip both in the linear walk and
+    through idx1 (frame entries filtered by ckid).
     """
     from .jpeg import jpeg_encode
 
@@ -268,6 +274,12 @@ def avi_encode(
                 f"AVI: frame geometry {f.shape[:2]} != first frame {(h, w)}"
             )
         payloads.append(jpeg_encode(f, quality=quality, subsample=subsample))
+    # split the PCM track into one interleaved chunk per video frame
+    audio_chunks: list[bytes] = []
+    if pcm is not None:
+        n = len(payloads)
+        step = max(1, (len(pcm) + n - 1) // n)
+        audio_chunks = [pcm[i : i + step] for i in range(0, len(pcm), step)]
 
     def chunk(fcc: bytes, body: bytes) -> bytes:
         return fcc + struct.pack("<I", len(body)) + body + (
@@ -279,10 +291,11 @@ def avi_encode(
 
     max_bytes = max(len(p) for p in payloads)
     usec_per_frame = 1_000_000 * scale // rate
+    n_streams = 2 if audio_chunks else 1
     avih = struct.pack(
         "<14I",
         usec_per_frame, max_bytes * rate // scale, 0, 0x10,  # HASINDEX
-        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+        len(payloads), 0, n_streams, max_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (
         b"vidsMJPG"
@@ -295,23 +308,46 @@ def avi_encode(
     strf = struct.pack(
         "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if audio_chunks:
+        astrh = (
+            b"auds\x00\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIII", 0, 0, 0, 0, 1, audio_rate, 0,
+                sum(len(c) for c in audio_chunks), max(
+                    len(c) for c in audio_chunks
+                ), 0xFFFFFFFF, 1,
+            )
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        # WAVEFORMATEX: PCM (1), mono, 8-bit unsigned
+        astrf = struct.pack(
+            "<HHIIHH", 1, 1, audio_rate, audio_rate, 1, 8
+        )
+        strl += lst(
+            b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf)
+        )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
     movi_body = bytearray()
-    offsets = []  # offset of each frame's ckid relative to the movi fourcc
-    for p in payloads:
-        offsets.append(4 + len(movi_body))
+    index_entries = []  # (ckid, offset rel. to the movi fourcc, length)
+    for i, p in enumerate(payloads):
+        index_entries.append((b"00dc", 4 + len(movi_body), len(p)))
         movi_body += chunk(b"00dc", p)
+        if i < len(audio_chunks):
+            a = audio_chunks[i]
+            index_entries.append((b"01wb", 4 + len(movi_body), len(a)))
+            movi_body += chunk(b"01wb", a)
+    # any trailing audio lands after the last frame
+    for a in audio_chunks[len(payloads):]:
+        index_entries.append((b"01wb", 4 + len(movi_body), len(a)))
+        movi_body += chunk(b"01wb", a)
     movi = lst(b"movi", bytes(movi_body))
     idx = b""
     if write_idx1:
         entries = bytearray()
-        for off, p in zip(offsets, payloads):
+        for ckid, off, length in index_entries:
             # AVIIF_KEYFRAME: every MJPG frame is independently decodable
-            entries += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+            entries += ckid + struct.pack("<III", 0x10, off, length)
         idx = chunk(b"idx1", bytes(entries))
     body = b"AVI " + hdrl + movi + idx
     return b"RIFF" + struct.pack("<I", len(body)) + body

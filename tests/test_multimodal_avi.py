@@ -262,3 +262,27 @@ def test_spark_frame_ahash_avi_branch(spark):
     # exact-integer threshold is >=, so all 64 bits set
     for r in rows:
         assert (r.b0, r.b1, r.b2, r.b3) == (65535,) * 4, r
+
+
+def test_interleaved_audio_stream_skipped_by_video_demux():
+    """Real crawl-scale AVIs interleave '01wb' audio chunks between
+    frames and index BOTH streams in idx1 — the video demux must pick
+    exactly the '00dc' entries (idx1 path) and skip audio chunks in
+    the linear walk, producing identical frames either way."""
+    frames = [_solid(14, 18, 30 + 11 * f) for f in range(5)]
+    pcm = bytes((i * 7 + 3) % 256 for i in range(997))  # odd chunk sizes
+    av = avi_encode(frames, rate=10, quality=100, pcm=pcm)
+    silent = avi_encode(frames, rate=10, quality=100)
+    assert avi_header(av) == avi_header(silent) == (18, 14, 10, 1, 5)
+    a = list(avi_frames(av))
+    b = list(avi_frames(silent))
+    assert [i for i, _ in a] == list(range(5))
+    assert all(pa == pb for (_, pa), (_, pb) in zip(a, b))
+    # the audio entries really are in the index (the demux filtered
+    # them, not the muxer)
+    assert sum(1 for e in _idx1(av) if e[0] == b"01wb") > 0
+    # no-index variant: the linear walk must skip the audio chunks too
+    av_noidx = avi_encode(frames, rate=10, quality=100, pcm=pcm,
+                          write_idx1=False)
+    c = list(avi_frames(av_noidx))
+    assert all(pa == pc for (_, pa), (_, pc) in zip(a, c))

@@ -394,8 +394,23 @@ def collapse_exact_first(
     from ``exact_dedup`` together cover exactly the pairs the
     un-collapsed run emits (clone-clique pairs are the exact-dup
     signal, not a near-dup discovery).
+
+    Digest discipline (round 12): the representative set is derived by
+    grouping 128-bit md5 digests — one shuffle of 16-byte keys with
+    map-side combine — and the surviving rows come back via a
+    left-semi join on the id, so the exchange never carries raw text
+    as a GROUP BY key and only REPRESENTATIVE texts move at all (on
+    the 10-clone sf1 shape, 10× less text through the wire than the
+    earlier groupBy(text)).  Returns the representatives' ORIGINAL
+    rows, all columns preserved.
     """
-    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    reps = (
+        df.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
 
 
 def simhash_pairs(
@@ -480,13 +495,11 @@ def ngram_jaccard_pairs(
     bucketing exists.
     """
     if collapse_exact:
-        bucket_keep = df.select(*{text_col, id_col, *bucket_cols}).groupBy(
-            text_col
-        ).agg(
-            F.min(id_col).alias(id_col),
-            *[F.min_by(c, id_col).alias(c) for c in bucket_cols],
+        # digest-first collapse preserves the min-id row's own bucket
+        # columns (exactly what the old min_by(c, id) picked)
+        df = collapse_exact_first(
+            df.select(*{text_col, id_col, *bucket_cols}), text_col, id_col
         )
-        df = bucket_keep
     grams = F.array_distinct(
         F.when(
             F.length(text_col) >= n,

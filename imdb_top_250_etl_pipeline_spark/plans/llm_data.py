@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    collapse_exact_first,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -373,8 +374,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     # dedup-first base: one min-id representative per distinct text, so
     # planted twin ids are exactly (rep, rep + 300000) — no clone-group
-    # remapping needed (the sf1 corpus plants ~10 exact clones/text)
-    base = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # remapping needed (the sf1 corpus plants ~10 exact clones/text);
+    # digest-first, so the exchange carries md5 keys, never raw text
+    base = collapse_exact_first(d, "text", "doc_id")
     rev = F.array_join(F.reverse(tokens("text")), " ")
     planted = (
         base.where(F.col("doc_id") % 13 == 0)
@@ -512,10 +514,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pinning import eager_pin
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    base = d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
-    )
+    # digest-first dedup base (the min-id row keeps its own lang —
+    # exactly the oracle's arg_min(lang, doc_id))
+    base = collapse_exact_first(d, "text", "doc_id")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - 2),

@@ -227,8 +227,20 @@ def avi_frames(raw: bytes, every_k: int = 1):
             yield idx, _resolve_index_entry(raw, ckid, off, length, movi_pos)
         return
     pos, idx = movi_pos + 4, 0
-    while pos + 8 <= movi_end:
+    # interleaving muxers may group chunks into LIST('rec ') wrappers;
+    # the walk descends into them (their children are ordinary chunks)
+    frames = [(movi_end, movi_end)]  # (end of current list, parent resume)
+    while frames:
+        end, resume = frames[-1]
+        if pos + 8 > end:
+            frames.pop()
+            pos = resume  # rec list exhausted: resume in the parent
+            continue
         fcc, size, data = _chunk_header(raw, pos)
+        if fcc == b"LIST" and raw[data : data + 4] == b"rec ":
+            frames.append((data + size, data + size + (size & 1)))
+            pos = data + 4
+            continue
         if _is_frame_chunk(fcc):
             if idx % every_k == 0:
                 yield idx, raw[data : data + size]

@@ -286,3 +286,40 @@ def test_interleaved_audio_stream_skipped_by_video_demux():
                           write_idx1=False)
     c = list(avi_frames(av_noidx))
     assert all(pa == pc for (_, pa), (_, pc) in zip(a, c))
+
+
+def test_rec_grouped_movi_linear_walk():
+    """Interleaving muxers wrap chunk runs in LIST('rec ') groups; the
+    linear walk must descend into them and keep global frame order.
+    Built by hand-rewrapping a normal mux's movi chunks two-per-rec."""
+    frames = [_solid(11, 13, 20 + 9 * f) for f in range(5)]
+    raw = avi_encode(frames, rate=8, quality=100, write_idx1=False)
+    movi_pos, movi_end = _movi_bounds(raw)
+
+    def chunk(fcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    # collect the original 00dc chunks
+    chunks, pos = [], movi_pos + 4
+    while pos + 8 <= movi_end:
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        chunks.append(raw[pos : pos + 8 + size + (size & 1)])
+        pos += 8 + size + (size & 1)
+    # regroup: two chunks per LIST('rec ') wrapper
+    body = b"".join(
+        chunk(b"LIST", b"rec " + b"".join(chunks[i : i + 2]))
+        for i in range(0, len(chunks), 2)
+    )
+    rewrapped = (
+        raw[: movi_pos - 8]
+        + chunk(b"LIST", b"movi" + body)
+        + raw[movi_end + (movi_end & 1) :]
+    )
+    # patch the RIFF size for the rewrapped movi
+    rewrapped = bytearray(rewrapped)
+    struct.pack_into("<I", rewrapped, 4, len(rewrapped) - 8)
+    got = list(avi_frames(bytes(rewrapped)))
+    want = list(avi_frames(raw))
+    assert [i for i, _ in got] == [i for i, _ in want] == list(range(5))
+    assert all(pg == pw for (_, pg), (_, pw) in zip(got, want))

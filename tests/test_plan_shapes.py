@@ -723,3 +723,21 @@ def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "cluster" in plan, plan  # the equi-join key survives
+
+
+def test_collapse_exact_first_never_shuffles_text_as_key(spark):
+    """Digest discipline (round 12): the exact-collapse exchange hashes
+    16-byte md5 keys, never the raw text column — at 100 TB a
+    groupBy(text) would move the whole corpus as grouping keys."""
+    from imdb_top_250_etl_pipeline_spark.operators.dedup import (
+        collapse_exact_first,
+    )
+    from imdb_top_250_etl_pipeline_spark.sources import load
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    plan = plan_of(collapse_exact_first(docs, "text", "doc_id"))
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
+    # the aggregation itself must key on the digest
+    assert "md5" in plan

@@ -741,3 +741,27 @@ def test_collapse_exact_first_never_shuffles_text_as_key(spark):
             assert "text" not in line, line
     # the aggregation itself must key on the digest
     assert "md5" in plan
+
+
+def test_tune_recall_params_broadcasts_bounded_tables(spark):
+    """The recommendation argmin joins two bounded metadata tables:
+    the targets side must broadcast and the window must partition by
+    (family, target) — no single-partition data path, no cartesian."""
+    plan = plan_of(lookup("tune_recall_params").fn(spark, SF_CORRECT))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partitionBy=[family" in plan.replace(" ", "") or (
+        "hashpartitioning(family" in plan
+    )
+
+
+def test_avi_stats_is_shuffle_free_until_ordering(spark):
+    """The AVI decode pipeline is synthesize -> demux+decode, two
+    chained mapInPandas stages over the document scan: the only
+    exchange in the plan is the final presentation orderBy's range
+    partitioning — per-video work stays partition-parallel."""
+    plan = plan_of(lookup("multimodal_avi_stats").fn(spark, SF_CORRECT))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "rangepartitioning" in plan and "hashpartitioning" not in plan
+    # only doc_id reaches the scan: blob synthesis derives from the id
+    assert "ReadSchema: struct<doc_id:bigint>" in plan

@@ -190,7 +190,11 @@ def _resolve_index_entry(
 
     Tries the 'relative to the movi fourcc' convention first (the
     common writer behavior), then absolute-from-file-start; the entry
-    is trusted only where a matching chunk header actually sits.
+    is trusted only where a matching chunk header actually sits.  A
+    candidate whose size disagrees falls through to the next base —
+    the ckid bytes can occur by chance inside a frame payload at the
+    wrong-convention position — and the entry only fails once NEITHER
+    convention resolves.
     """
     for base in (movi_pos, 0):
         p = base + off
@@ -198,24 +202,26 @@ def _resolve_index_entry(
             continue
         size = struct.unpack_from("<I", raw, p + 4)[0]
         if size != length or p + 8 + size > len(raw):
-            raise ValueError(
-                f"AVI: idx1 length {length} disagrees with chunk "
-                f"header {size} at {p}"
-            )
+            continue
         return raw[p + 8 : p + 8 + size]
     raise ValueError(f"AVI: idx1 entry {ckid!r}@{off} resolves to no chunk")
 
 
-def avi_frames(raw: bytes, every_k: int = 1):
+def avi_frames(raw: bytes, every_k: int = 1, header: tuple | None = None):
     """Yield (frame_idx, jpeg_bytes) for every k-th video frame.
 
     Seeks through idx1 when present — only the sampled frames' bytes
     are touched — else walks the movi chunks linearly.  Frame payloads
     are returned as-is (each a standalone JFIF stream for MJPG).
+    Callers that already ran avi_header pass its tuple as ``header``
+    to skip the second container walk (the stats/sampling operators
+    parse the header for rate/scale anyway).
     """
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
-    avi_header(raw)  # validates container + MJPG before any payload work
+    if header is None:
+        # validates container + MJPG before any payload work
+        avi_header(raw)
     movi_pos, movi_end = _movi_bounds(raw)
     index = _idx1(raw)
     if index is not None:
@@ -349,10 +355,8 @@ def avi_encode(
             a = audio_chunks[i]
             index_entries.append((b"01wb", 4 + len(movi_body), len(a)))
             movi_body += chunk(b"01wb", a)
-    # any trailing audio lands after the last frame
-    for a in audio_chunks[len(payloads):]:
-        index_entries.append((b"01wb", 4 + len(movi_body), len(a)))
-        movi_body += chunk(b"01wb", a)
+    # ceil-split guarantees len(audio_chunks) <= len(payloads): every
+    # audio chunk interleaves, none can trail the last frame
     movi = lst(b"movi", bytes(movi_body))
     idx = b""
     if write_idx1:

@@ -396,16 +396,19 @@ def collapse_exact_first(
     signal, not a near-dup discovery).
 
     Digest discipline (round 12): the representative set is derived by
-    grouping 128-bit md5 digests — one shuffle of 16-byte keys with
-    map-side combine — and the surviving rows come back via a
-    left-semi join on the id, so the exchange never carries raw text
-    as a GROUP BY key and only REPRESENTATIVE texts move at all (on
-    the 10-clone sf1 shape, 10× less text through the wire than the
-    earlier groupBy(text)).  Returns the representatives' ORIGINAL
-    rows, all columns preserved.
+    grouping 256-bit sha2 digests (the same collision-resistant hash
+    exact_dedup groups on — md5 collisions are practically
+    constructible, and an engineered pair would silently merge two
+    DISTINCT texts) — one shuffle of 32-byte keys with map-side
+    combine — and the surviving rows come back via a left-semi join on
+    the id, so the exchange never carries raw text as a GROUP BY key
+    and only REPRESENTATIVE texts move at all (on the 10-clone sf1
+    shape, 10× less text through the wire than the earlier
+    groupBy(text)).  Returns the representatives' ORIGINAL rows, all
+    columns preserved.
     """
     reps = (
-        df.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+        df.select(F.sha2(F.col(text_col), 256).alias("__h"), F.col(id_col))
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
@@ -468,6 +471,24 @@ def simhash_pairs(
     )
 
 
+def char_ngrams_distinct(text: Column | str, n: int = 3) -> Column:
+    """DISTINCT character n-grams of a text column (empty array below
+    length n) — the single gram definition ngram_jaccard_pairs scores
+    with and the planted-invariant oracles recompute in SQL; keeping
+    it in one place is what stops the oracle predicate and the
+    operator's similarity from drifting apart."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.when(
+            F.length(c) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (n - 1)),
+                lambda i: c.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -500,15 +521,7 @@ def ngram_jaccard_pairs(
         df = collapse_exact_first(
             df.select(*{text_col, id_col, *bucket_cols}), text_col, id_col
         )
-    grams = F.array_distinct(
-        F.when(
-            F.length(text_col) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
-                lambda i: F.col(text_col).substr(i, F.lit(n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    grams = char_ngrams_distinct(text_col, n)
     band = F.floor(F.length(text_col) / length_band)
     # repartition FIRST: the probe side of the (broadcast) bucket join
     # keeps this partitioning, so pair generation and scoring parallelize

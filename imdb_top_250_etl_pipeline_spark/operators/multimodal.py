@@ -805,8 +805,11 @@ def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
                     # seek touches only the sampled frames' bytes
                     from .avi import avi_frames, avi_header
 
-                    _w, _h, rate, scale, _nf = avi_header(raw)
-                    for idx, _jpeg in avi_frames(raw, every_k=every_k):
+                    hdr = avi_header(raw)
+                    _w, _h, rate, scale, _nf = hdr
+                    for idx, _jpeg in avi_frames(
+                        raw, every_k=every_k, header=hdr
+                    ):
                         out["doc_id"].append(doc_id)
                         out["frame_idx"].append(idx)
                         out["ts_ms"].append(idx * 1000 * scale // rate)
@@ -1095,8 +1098,11 @@ def avi_frame_stats(videos: DataFrame, every_k: int = 3) -> DataFrame:
                     raise NotImplementedError(
                         "real video demuxer plugs in here"
                     )
-                w, h, rate, scale, _nf = avi_header(raw)
-                for idx, payload in avi_frames(raw, every_k=every_k):
+                hdr = avi_header(raw)
+                w, h, rate, scale, _nf = hdr
+                for idx, payload in avi_frames(
+                    raw, every_k=every_k, header=hdr
+                ):
                     dec = jpeg_decode(payload)
                     y = dec if dec.ndim == 2 else _luma_u8(dec)
                     if y.shape != (h, w):

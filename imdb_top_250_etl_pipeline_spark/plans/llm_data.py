@@ -250,18 +250,18 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surfaces under its text groups' MIN-ID REPRESENTATIVES, not its
     # own ids.  Map each planted doc through the same text->min(id)
     # collapse over the full corpus before probing the pair set.
-    # digest discipline: group/join on md5(text), never shuffle raw text
+    # digest discipline: group/join on sha2(text), never shuffle raw text
     reps = (
         _corpus_near(spark, sf_dir)
-        .select("doc_id", F.md5("text").alias("h"))
+        .select("doc_id", F.sha2("text", 256).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("rep"))
     )
     rep_pairs = (
         planted.select(
             "doc_id",
-            F.md5("text").alias("ha"),
-            F.md5("trimmed").alias("hb"),
+            F.sha2("text", 256).alias("ha"),
+            F.sha2("trimmed", 256).alias("hb"),
         )
         .join(
             reps.select(F.col("h").alias("ha"), F.col("rep").alias("rep_a")),
@@ -375,10 +375,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup-first base: one min-id representative per distinct text, so
     # planted twin ids are exactly (rep, rep + 300000) — no clone-group
     # remapping needed (the sf1 corpus plants ~10 exact clones/text);
-    # digest-first, so the exchange carries md5 keys, never raw text
-    base = collapse_exact_first(d, "text", "doc_id")
+    # digest-first, so the exchange carries sha2 keys, never raw text.
+    # pin both subtrees: base feeds corpus + planted, planted feeds
+    # twins + planted_rows + found + recall (materialize-once
+    # discipline; persist() on a cluster)
+    base = eager_pin(collapse_exact_first(d, "text", "doc_id"))
     rev = F.array_join(F.reverse(tokens("text")), " ")
-    planted = (
+    planted = eager_pin(
         base.where(F.col("doc_id") % 13 == 0)
         .select("doc_id", "text", rev.alias("rev"))
         .where(F.col("rev") != F.col("text"))
@@ -386,10 +389,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = planted.select(
         (F.col("doc_id") + 300000).alias("doc_id"), F.col("rev").alias("text")
     )
+    # max_bucket uncapped FOR THIS FIXTURE: the 100%-recall invariant
+    # rides the pigeonhole guarantee, which the hot-bucket star cap
+    # legitimately trades away in production (a capped bucket keeps
+    # connectivity, not every pair).  Pair volume here is bounded by
+    # the distinct-text fixture; the raw/production entry
+    # (_dedup_simhash_raw) keeps the default cap.
     pairs = eager_pin(
         simhash_pairs(
             base.unionByName(twins), "text", "doc_id", max_hamming=3,
-            collapse_exact=True,
+            collapse_exact=True, max_bucket=1_000_000,
         )
     )
     nulls = [
@@ -511,23 +520,21 @@ SELECT 'precision', NULL, NULL, CAST(0 AS BIGINT), true
     "dedup_pairs_battery, bench, and the exact-jaccard unit tests.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import char_ngrams_distinct
     from ..operators.pinning import eager_pin
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # digest-first dedup base (the min-id row keeps its own lang —
-    # exactly the oracle's arg_min(lang, doc_id))
-    base = collapse_exact_first(d, "text", "doc_id")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length("text") - 2),
-            lambda i: F.col("text").substr(i, F.lit(3)),
-        )
-    )
-    planted = (
+    # exactly the oracle's arg_min(lang, doc_id)); pinned: base feeds
+    # corpus + planted, planted feeds twins + three fold branches
+    base = eager_pin(collapse_exact_first(d, "text", "doc_id"))
+    planted = eager_pin(
         base.where(
             (F.col("doc_id") % 19 == 0) & (F.length("text") >= 20)
         )
-        .where(F.size(grams) >= 5)
+        # the SAME gram definition the operator scores with — the
+        # oracle's DuckDB list comprehension mirrors it
+        .where(F.size(char_ngrams_distinct("text")) >= 5)
         .select("doc_id", "text", "lang")
     )
     twins = planted.select(

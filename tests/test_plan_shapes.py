@@ -740,7 +740,7 @@ def test_collapse_exact_first_never_shuffles_text_as_key(spark):
         if "hashpartitioning" in line:
             assert "text" not in line, line
     # the aggregation itself must key on the digest
-    assert "md5" in plan
+    assert "sha2" in plan
 
 
 def test_tune_recall_params_broadcasts_bounded_tables(spark):

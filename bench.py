@@ -202,4 +202,10 @@ def main() -> None:
 if __name__ == "__main__":
     # Everything except the final JSON line belongs on stderr.
     sys.stderr.write(f"bench: sf_dir={SF_DIR}\n")
+    sys.stderr.write(
+        "bench: any 'WindowExec: No Partition Defined' warnings below come "
+        "from intentionally-bounded inputs (broadcast metadata tables, "
+        "fixture-scale oracle twins) — not unpartitioned windows over "
+        "large data; the scale-bearing windows are all PARTITION BY.\n"
+    )
     main()

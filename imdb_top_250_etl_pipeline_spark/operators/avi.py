@@ -58,16 +58,27 @@ def _u32(raw: bytes, pos: int, what: str) -> int:
     return struct.unpack_from("<I", raw, pos)[0]
 
 
-def _chunk_header(raw: bytes, pos: int) -> tuple[bytes, int, int]:
-    """(fourcc, payload size, payload start) of the chunk at pos."""
-    if pos + 8 > len(raw):
+def _chunk_header(
+    raw: bytes, pos: int, end: int | None = None
+) -> tuple[bytes, int, int]:
+    """(fourcc, payload size, payload start) of the chunk at pos.
+
+    ``end`` is the enclosing container's data end (the RIFF end for
+    top-level chunks, the parent LIST's end for nested walks): a child
+    whose declared size escapes its OWN list fails loud here even when
+    it would still fit in the file — otherwise a malformed hdrl/strl/
+    rec child silently mis-parses sibling bytes.
+    """
+    if end is None:
+        end = len(raw)
+    if pos + 8 > end:
         raise ValueError(f"AVI: truncated chunk header at {pos}")
     fcc = raw[pos : pos + 4]
     size = struct.unpack_from("<I", raw, pos + 4)[0]
-    if pos + 8 + size > len(raw):
+    if pos + 8 + size > end:
         raise ValueError(
-            f"AVI: chunk {fcc!r} at {pos} overruns file "
-            f"({size} bytes declared, {len(raw) - pos - 8} available)"
+            f"AVI: chunk {fcc!r} at {pos} overruns its container "
+            f"({size} bytes declared, {end - pos - 8} available)"
         )
     return fcc, size, pos + 8
 
@@ -92,11 +103,11 @@ def avi_header(raw: bytes) -> tuple[int, int, int, int, int]:
     pos = 12
     end = 8 + riff_size
     while pos + 8 <= end:
-        fcc, size, data = _chunk_header(raw, pos)
+        fcc, size, data = _chunk_header(raw, pos, end)
         if fcc == b"LIST" and raw[data : data + 4] == b"hdrl":
             hpos, hend = data + 4, data + size
             while hpos + 8 <= hend:
-                hfcc, hsize, hdata = _chunk_header(raw, hpos)
+                hfcc, hsize, hdata = _chunk_header(raw, hpos, hend)
                 if hfcc == b"avih":
                     if hsize < 40:
                         raise ValueError("AVI: avih too short")
@@ -108,7 +119,7 @@ def avi_header(raw: bytes) -> tuple[int, int, int, int, int]:
                     handler = compression = None
                     is_video = False
                     while spos + 8 <= send:
-                        sfcc, ssize, sdata = _chunk_header(raw, spos)
+                        sfcc, ssize, sdata = _chunk_header(raw, spos, send)
                         if sfcc == b"strh":
                             if ssize < 32:
                                 raise ValueError("AVI: strh too short")
@@ -145,12 +156,51 @@ def avi_header(raw: bytes) -> tuple[int, int, int, int, int]:
     return width, height, rate, scale, n_frames
 
 
+def _vids_stream_index(raw: bytes) -> int:
+    """Zero-based strl position of the 'vids' stream.
+
+    The strl order in hdrl assigns movi chunk ids: stream k's video
+    data rides '{k:02d}dc'/'{k:02d}db'.  Writers that put the 'auds'
+    strl FIRST store video as '01dc' — matching only '00dc' would
+    silently yield zero frames for a header that validated fine.
+    """
+    riff_size = _u32(raw, 4, "RIFF size")
+    pos, end = 12, 8 + riff_size
+    while pos + 8 <= end:
+        fcc, size, data = _chunk_header(raw, pos, end)
+        if fcc == b"LIST" and raw[data : data + 4] == b"hdrl":
+            hpos, hend = data + 4, data + size
+            sidx = 0
+            while hpos + 8 <= hend:
+                hfcc, hsize, hdata = _chunk_header(raw, hpos, hend)
+                if hfcc == b"LIST" and raw[hdata : hdata + 4] == b"strl":
+                    spos, send = hdata + 4, hdata + hsize
+                    while spos + 8 <= send:
+                        sfcc, ssize, sdata = _chunk_header(raw, spos, send)
+                        if sfcc == b"strh":
+                            if raw[sdata : sdata + 4] == b"vids":
+                                if sidx > 99:
+                                    raise ValueError(
+                                        f"AVI: vids stream index {sidx} "
+                                        "exceeds the 2-digit ckid space"
+                                    )
+                                return sidx
+                            break
+                        spos = sdata + ssize + (ssize & 1)
+                    sidx += 1
+                hpos = hdata + hsize + (hsize & 1)
+        pos = data + size + (size & 1)
+    raise NotImplementedError(
+        "AVI without a 'vids' stream: plug ffmpeg in here"
+    )
+
+
 def _movi_bounds(raw: bytes) -> tuple[int, int]:
     """(position of the 'movi' fourcc, end of the movi list data)."""
     riff_size = _u32(raw, 4, "RIFF size")
     pos, end = 12, 8 + riff_size
     while pos + 8 <= end:
-        fcc, size, data = _chunk_header(raw, pos)
+        fcc, size, data = _chunk_header(raw, pos, end)
         if fcc == b"LIST" and raw[data : data + 4] == b"movi":
             return data, data + size
         pos = data + size + (size & 1)
@@ -162,7 +212,7 @@ def _idx1(raw: bytes) -> list[tuple[bytes, int, int]] | None:
     riff_size = _u32(raw, 4, "RIFF size")
     pos, end = 12, 8 + riff_size
     while pos + 8 <= end:
-        fcc, size, data = _chunk_header(raw, pos)
+        fcc, size, data = _chunk_header(raw, pos, end)
         if fcc == b"idx1":
             if size % 16:
                 raise ValueError(f"AVI: idx1 size {size} not 16-aligned")
@@ -178,9 +228,11 @@ def _idx1(raw: bytes) -> list[tuple[bytes, int, int]] | None:
     return None
 
 
-def _is_frame_chunk(fcc: bytes) -> bool:
-    # stream 0 compressed/uncompressed video data ('00dc'/'00db')
-    return fcc in (b"00dc", b"00db")
+def _is_frame_chunk(fcc: bytes, vids_idx: int) -> bool:
+    # the vids stream's compressed/uncompressed data ('NNdc'/'NNdb',
+    # NN = the stream's strl position — NOT always 00)
+    prefix = b"%02d" % vids_idx
+    return fcc in (prefix + b"dc", prefix + b"db")
 
 
 def _resolve_index_entry(
@@ -222,10 +274,11 @@ def avi_frames(raw: bytes, every_k: int = 1, header: tuple | None = None):
     if header is None:
         # validates container + MJPG before any payload work
         avi_header(raw)
+    vids_idx = _vids_stream_index(raw)
     movi_pos, movi_end = _movi_bounds(raw)
     index = _idx1(raw)
     if index is not None:
-        frames = [e for e in index if _is_frame_chunk(e[0])]
+        frames = [e for e in index if _is_frame_chunk(e[0], vids_idx)]
         if len(frames) > _MAX_FRAMES:
             raise ValueError(f"AVI: lying idx1 frame count {len(frames)}")
         for idx in range(0, len(frames), every_k):
@@ -242,12 +295,12 @@ def avi_frames(raw: bytes, every_k: int = 1, header: tuple | None = None):
             frames.pop()
             pos = resume  # rec list exhausted: resume in the parent
             continue
-        fcc, size, data = _chunk_header(raw, pos)
+        fcc, size, data = _chunk_header(raw, pos, end)
         if fcc == b"LIST" and raw[data : data + 4] == b"rec ":
             frames.append((data + size, data + size + (size & 1)))
             pos = data + 4
             continue
-        if _is_frame_chunk(fcc):
+        if _is_frame_chunk(fcc, vids_idx):
             if idx % every_k == 0:
                 yield idx, raw[data : data + size]
             idx += 1
@@ -265,6 +318,7 @@ def avi_encode(
     write_idx1: bool = True,
     pcm: bytes | None = None,
     audio_rate: int = 8000,
+    audio_first: bool = False,
 ) -> bytes:
     """Mux (h, w) gray or (h, w, 3) RGB uint8 frames into MJPG-in-AVI.
 
@@ -276,7 +330,10 @@ def avi_encode(
     mono samples) adds a second 'auds' stream interleaved as '01wb'
     chunks between frames — the shape real crawl-scale A/V files have,
     which the VIDEO demux must skip both in the linear walk and
-    through idx1 (frame entries filtered by ckid).
+    through idx1 (frame entries filtered by ckid).  ``audio_first``
+    writes the 'auds' strl BEFORE the 'vids' strl, so video data rides
+    '01dc' (and audio '00wb') — the stream-order variant some muxers
+    emit, which the demux must resolve via _vids_stream_index.
     """
     from .jpeg import jpeg_encode
 
@@ -326,6 +383,10 @@ def avi_encode(
     strf = struct.pack(
         "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
     )
+    if audio_first and not audio_chunks:
+        raise ValueError("AVI: audio_first requires a pcm track")
+    vid_ck = b"01dc" if audio_first else b"00dc"
+    aud_ck = b"00wb" if audio_first else b"01wb"
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     if audio_chunks:
         astrh = (
@@ -342,19 +403,18 @@ def avi_encode(
         astrf = struct.pack(
             "<HHIIHH", 1, 1, audio_rate, audio_rate, 1, 8
         )
-        strl += lst(
-            b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf)
-        )
+        astrl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+        strl = astrl + strl if audio_first else strl + astrl
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
     movi_body = bytearray()
     index_entries = []  # (ckid, offset rel. to the movi fourcc, length)
     for i, p in enumerate(payloads):
-        index_entries.append((b"00dc", 4 + len(movi_body), len(p)))
-        movi_body += chunk(b"00dc", p)
+        index_entries.append((vid_ck, 4 + len(movi_body), len(p)))
+        movi_body += chunk(vid_ck, p)
         if i < len(audio_chunks):
             a = audio_chunks[i]
-            index_entries.append((b"01wb", 4 + len(movi_body), len(a)))
-            movi_body += chunk(b"01wb", a)
+            index_entries.append((aud_ck, 4 + len(movi_body), len(a)))
+            movi_body += chunk(aud_ck, a)
     # ceil-split guarantees len(audio_chunks) <= len(payloads): every
     # audio chunk interleaves, none can trail the last frame
     movi = lst(b"movi", bytes(movi_body))

@@ -62,6 +62,31 @@ from .registry import register
 # Corpus builders: fixtures + planted duplicates (Spark + SQL twins).
 # ---------------------------------------------------------------------------
 
+# planted-twin id offset: twins live at doc_id + _TWIN_OFFSET, and the
+# recall invariants assume no real row occupies that range
+_TWIN_OFFSET = 300_000
+
+
+def _twin_id(doc_id: F.Column) -> F.Column:
+    """doc_id + _TWIN_OFFSET with a loud range guard.
+
+    The planted-twin invariant oracles assume twin ids never collide
+    with real corpus ids.  At a scale factor where doc_id reaches the
+    offset, the planted set would silently alias onto real rows —
+    assert_true makes the fixture ABORT at materialization instead
+    (when(isNull) forces the guard's evaluation per twin row; the
+    guard column is never null on the pass path, so the arithmetic is
+    unchanged wherever the fixture is valid).
+    """
+    guard = F.assert_true(
+        doc_id < _TWIN_OFFSET,
+        F.lit(
+            f"planted-twin offset {_TWIN_OFFSET} overlaps the corpus "
+            "doc_id range; raise _TWIN_OFFSET (plans/llm_data.py)"
+        ),
+    )
+    return F.when(guard.isNull(), doc_id + _TWIN_OFFSET).cast("bigint")
+
 
 def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies of every 7th doc (id + 100000)."""
@@ -387,7 +412,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rev") != F.col("text"))
     )
     twins = planted.select(
-        (F.col("doc_id") + 300000).alias("doc_id"), F.col("rev").alias("text")
+        _twin_id(F.col("doc_id")).alias("doc_id"), F.col("rev").alias("text")
     )
     # max_bucket uncapped FOR THIS FIXTURE: the 100%-recall invariant
     # rides the pigeonhole guarantee, which the hot-bucket star cap
@@ -538,7 +563,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang")
     )
     twins = planted.select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        _twin_id(F.col("doc_id")).alias("doc_id"),
         F.concat("text", F.substring("text", -1, 1)).alias("text"),
         "lang",
     )

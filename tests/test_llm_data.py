@@ -2054,3 +2054,29 @@ def test_dup_rate_by_group_exact(spark):
     assert (x.n_clones, x.max_clone_count, x.dup_ppm) == (0, 1, 0)
     y = out["y"]
     assert (y.n_docs, y.n_distinct, y.dup_ppm) == (2, 1, 500000)
+
+
+def test_twin_id_guard_fires_on_offset_overlap(spark):
+    """ADVICE r12: planted-twin fixtures assume doc_id < _TWIN_OFFSET;
+    at a scale where ids reach the offset the invariant must ABORT
+    loudly (assert_true in the twin-id expression), not silently alias
+    twins onto real rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.plans.llm_data import (
+        _TWIN_OFFSET,
+        _twin_id,
+    )
+
+    ok = (
+        spark.range(5)
+        .select(_twin_id(F.col("id")).alias("t"))
+        .collect()
+    )
+    assert [r.t for r in ok] == [_TWIN_OFFSET + i for i in range(5)]
+    bad = spark.range(_TWIN_OFFSET - 1, _TWIN_OFFSET + 1).select(
+        _twin_id(F.col("id")).alias("t")
+    )
+    with pytest.raises(Exception, match="planted-twin offset"):
+        bad.collect()

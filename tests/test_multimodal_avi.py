@@ -323,3 +323,47 @@ def test_rec_grouped_movi_linear_walk():
     want = list(avi_frames(raw))
     assert [i for i, _ in got] == [i for i, _ in want] == list(range(5))
     assert all(pg == pw for (_, pg), (_, pw) in zip(got, want))
+
+
+def test_audio_first_stream_order_video_rides_01dc():
+    """ADVICE r12: a muxer that writes the 'auds' strl BEFORE the
+    'vids' strl stores video data as '01dc' — the demux must resolve
+    the vids stream index from strl order, not assume stream 0, on
+    BOTH the idx1 and linear-walk paths (a '00dc'-only match silently
+    yields zero frames for a header that validates fine)."""
+    frames = [_solid(12, 16, 25 + 13 * f) for f in range(4)]
+    pcm = bytes((i * 5 + 1) % 256 for i in range(503))
+    for write_idx1 in (True, False):
+        raw = avi_encode(
+            frames, rate=10, quality=100, pcm=pcm,
+            audio_first=True, write_idx1=write_idx1,
+        )
+        assert avi_header(raw) == (16, 12, 10, 1, 4)
+        got = list(avi_frames(raw))
+        assert [i for i, _ in got] == list(range(4))
+        for f, (_, payload) in zip(frames, got):
+            assert np.array_equal(jpeg_decode(payload), f)
+    # the idx1 variant really indexes video under '01dc' / audio '00wb'
+    raw = avi_encode(frames, rate=10, quality=100, pcm=pcm, audio_first=True)
+    ckids = {e[0] for e in _idx1(raw)}
+    assert b"01dc" in ckids and b"00wb" in ckids and b"00dc" not in ckids
+    # sampling still walks the video stream only
+    assert [i for i, _ in avi_frames(raw, every_k=2)] == [0, 2]
+    # audio_first without audio is a muxer-contract error
+    with pytest.raises(ValueError, match="audio_first"):
+        avi_encode(frames, audio_first=True)
+
+
+def test_child_chunk_escaping_its_list_raises():
+    """ADVICE r12: a nested child whose declared size escapes its
+    enclosing LIST but stays in-file must fail loud (codec-guard
+    contract), not mis-parse sibling bytes."""
+    frames = [_solid(10, 10, 40)]
+    raw = bytearray(avi_encode(frames, rate=10, quality=100))
+    # find the strh chunk inside hdrl/strl and inflate its size so it
+    # overruns the strl list but stays within the file
+    pos = raw.find(b"strh")
+    assert pos > 0
+    struct.pack_into("<I", raw, pos + 4, len(raw) - pos - 100)
+    with pytest.raises(ValueError, match="overruns its container"):
+        avi_header(bytes(raw))

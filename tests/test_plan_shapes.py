@@ -727,7 +727,7 @@ def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
 
 def test_collapse_exact_first_never_shuffles_text_as_key(spark):
     """Digest discipline (round 12): the exact-collapse exchange hashes
-    16-byte md5 keys, never the raw text column — at 100 TB a
+    32-byte sha2-256 keys, never the raw text column — at 100 TB a
     groupBy(text) would move the whole corpus as grouping keys."""
     from imdb_top_250_etl_pipeline_spark.operators.dedup import (
         collapse_exact_first,

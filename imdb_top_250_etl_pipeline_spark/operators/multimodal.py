@@ -838,6 +838,20 @@ def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
                         out["frame_idx"].append(idx)
                         out["ts_ms"].append(idx * 1000 * scale // rate)
                     continue
+                if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    # the MP4 path (round 13): H.264 keyframe sampling
+                    # through the stss sync table — only the sampled
+                    # samples' mdat byte ranges are touched
+                    from .mp4 import mp4_keyframes, mp4_probe
+
+                    info = mp4_probe(raw)
+                    for si, ts_ms, _sample in mp4_keyframes(
+                        raw, every_k, info
+                    ):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(si)
+                        out["ts_ms"].append(int(ts_ms))
+                    continue
                 if not raw.startswith(b"VID:"):
                     raise NotImplementedError("real video demuxer plugs in here")
                 n_s, _, rest = raw[4:].partition(b":")
@@ -1148,6 +1162,103 @@ def avi_frame_stats(videos: DataFrame, every_k: int = 3) -> DataFrame:
     return _codec_map_in_pandas(videos, stats, Y4M_STATS_SCHEMA)
 
 
+def synthesize_mp4_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL H.264-in-MP4 bytes as a deterministic fixture (round 13 —
+    the AVI discipline applied to the web's dominant video container):
+    one avc1 track whose geometry, frame clock, keyframe cadence and
+    content derive from the id — w = even(id % 24 + 16),
+    h = even(id % 20 + 12), fps = id % 10 + 5, n_frames = id % 12 + 4,
+    key_every = id % 3 + 1 (a GENUINE stss subset: only every
+    key_every-th frame is an IDR sync sample), frame f a SOLID luma
+    plane of value (id + 13·f) % 256.  Flat frames ride the
+    Intra_16x16 DC path whose reconstruction is integer-exact through
+    real CAVLC (operators/h264.py::encode_flat_i16_slice), so a SQL
+    oracle recomputes every downstream stat from id arithmetic while
+    the bytes exercise the real box walk, stss seek, NAL parse and
+    entropy decode — a sample-table or seek bug lands in a frame with
+    a DIFFERENT solid value and hash-fails."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .mp4 import mp4_encode_gray
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = ((i % 24 + 16) // 2) * 2
+                h = ((i % 20 + 12) // 2) * 2
+                n = i % 12 + 4
+                frames = [
+                    np.full((h, w), (i + 13 * f) % 256, dtype=np.uint8)
+                    for f in range(n)
+                ]
+                ids.append(i)
+                blobs.append(
+                    mp4_encode_gray(
+                        frames, fps=i % 10 + 5, key_every=i % 3 + 1
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return _codec_map_in_pandas(df.select(id_col), gen, "doc_id long, blob binary")
+
+
+def mp4_frame_stats(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Per-KEYFRAME luma statistics from H.264-in-MP4 streams: every
+    k-th stss sync sample resolves its mdat byte range through the
+    sample tables (only sampled bytes are touched), its IDR slice
+    decodes through operators/h264.py, and the pixels fold to exact
+    integer min / max / sum plus the stts timestamp — the same
+    per-frame feature unit as y4m/avi_frame_stats, over the container
+    a crawl corpus actually has.  Non-MP4 blobs raise to the demuxer
+    seam."""
+
+    cols = "doc_id frame_idx ts_ms width height y_min y_max y_sum".split()
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .mp4 import mp4_keyframes, mp4_probe
+        from .h264 import h264_decode_sample
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    raise NotImplementedError(
+                        "real video demuxer plugs in here"
+                    )
+                info = mp4_probe(raw)
+                w, h = info["width"], info["height"]
+                for si, ts_ms, sample in mp4_keyframes(raw, every_k, info):
+                    dec = h264_decode_sample(
+                        info["sps"], info["pps"], sample,
+                        info["length_size"],
+                    )
+                    y = _luma_u8(dec).astype(np.int64)
+                    if y.shape != (h, w):
+                        raise ValueError(
+                            f"MP4 sample {si}: decoded geometry "
+                            f"{y.shape} != container {(h, w)}"
+                        )
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(si)
+                    out["ts_ms"].append(int(ts_ms))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_min"].append(int(y.min()))
+                    out["y_max"].append(int(y.max()))
+                    out["y_sum"].append(int(y.sum()))
+            yield pd.DataFrame(out)
+
+    return _codec_map_in_pandas(videos, stats, Y4M_STATS_SCHEMA)
+
+
 FRAME_AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1204,6 +1315,20 @@ def y4m_frame_ahash(videos: DataFrame, every_k: int = 5) -> DataFrame:
                             yield idx, dec if dec.ndim == 2 else _luma_u8(dec)
 
                     planes = _avi_planes()
+                elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    # H.264-in-MP4 (round 13): keyframes seek through
+                    # stss, decode through operators/h264.py, and share
+                    # the SAME spatial hash — frame near-dup now spans
+                    # uncompressed (Y4M), MJPEG-AVI and H.264-MP4
+                    from .mp4 import mp4_decode_keyframes
+
+                    def _mp4_planes(raw=raw):
+                        for si, _ts, dec in mp4_decode_keyframes(
+                            raw, every_k=every_k
+                        ):
+                            yield si, _luma_u8(dec)
+
+                    planes = _mp4_planes()
                 else:
                     raise NotImplementedError(
                         "real video demuxer plugs in here"

@@ -7780,6 +7780,61 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+_MP4_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(((doc_id % 24 + 16) // 2) * 2 AS INT) AS w,
+         CAST(((doc_id % 20 + 12) // 2) * 2 AS INT) AS h,
+         CAST(doc_id % 12 + 4 AS INT) AS nf,
+         CAST(doc_id % 10 + 5 AS INT) AS rate,
+         CAST(doc_id % 3 + 1 AS INT) AS ke
+  FROM documents WHERE doc_id % 10 = 0
+)
+-- keyframes are the stss sync samples (every ke-th frame); the stats
+-- operator samples every 2nd SYNC sample, i.e. frame indices p*ke for
+-- even sync positions p — nf <= 15 bounds the static series
+SELECT f.doc_id, CAST(gs.p * ke AS INT) AS frame_idx,
+       CAST(gs.p * ke * (1000 // rate) AS INT) AS ts_ms,
+       w AS width, h AS height,
+       CAST((f.doc_id + 13 * gs.p * ke) % 256 AS INT) AS y_min,
+       CAST((f.doc_id + 13 * gs.p * ke) % 256 AS INT) AS y_max,
+       CAST(((f.doc_id + 13 * gs.p * ke) % 256) * w * h AS BIGINT) AS y_sum
+FROM f, generate_series(0, 15, 2) AS gs(p)
+WHERE gs.p * ke < nf
+"""
+
+
+@register(
+    "multimodal_mp4_stats",
+    oracle=_MP4_ORACLE,
+    doc="H.264-in-MP4 FOR REAL (round 13 — operators/h264.py intra-only "
+    "baseline decoder + operators/mp4.py ISO-BMFF demux: the container "
+    "and codec a crawl-scale video corpus actually has): every 10th "
+    "document muxes solid Intra_16x16 DC frames into a genuine avc1 "
+    "track (moov/trak/stbl sample tables, avcC parameter sets, "
+    "key_every = id%3+1 so stss is a TRUE sync-sample subset), and "
+    "mp4_frame_stats samples every 2nd KEYFRAME through the stss seek "
+    "path (only sampled samples' mdat bytes are touched — the idx1 "
+    "discipline), parses the NAL units, CAVLC-decodes the slice and "
+    "folds exact integer min / max / sum plus the stts timestamp.  "
+    "Flat frames reconstruct integer-exactly through the real "
+    "entropy-coding/dequant/inverse-transform path "
+    "(h264.encode_flat_i16_slice derivation), so the oracle recomputes "
+    "every value from id arithmetic — a sample-table, stss, NAL-length "
+    "or CAVLC bug lands in a frame with a DIFFERENT solid value and "
+    "fails the hash.  I_PCM gradients, 9-mode Intra_4x4 hand vectors, "
+    "CAVLC differential fuzz, codec guards and the cross-container "
+    "pixel pin are in tests/test_multimodal_h264.py.",
+)
+def multimodal_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import mp4_frame_stats, synthesize_mp4_blobs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return mp4_frame_stats(
+        synthesize_mp4_blobs(docs, "doc_id"), every_k=2
+    ).orderBy("doc_id", "frame_idx")
+
+
 @register(
     "multimodal_gif_stats",
     oracle=_GIF_ORACLE,
@@ -8631,6 +8686,12 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
         f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
         f"FROM ({_AVI_ORACLE}) t",
+        f"SELECT 'h264' AS part, doc_id AS a, CAST(frame_idx AS BIGINT) "
+        f"AS b, y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
+        f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_MP4_ORACLE}) t",
         f"SELECT 'tune_' || family AS part, target_scaled AS a, "
         f"param_id AS b, cost AS n, "
         f"CAST(p1 AS VARCHAR) || 'x' || CAST(p2 AS VARCHAR) AS k, "
@@ -9485,6 +9546,24 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    mp4s = multimodal_mp4_stats(spark, sf_dir).select(
+        F.lit("h264").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("frame_idx").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        F.concat(
+            F.col("y_min").cast("string"),
+            F.lit(":"),
+            F.col("y_max").cast("string"),
+        ).alias("s"),
+        F.col("ts_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     nov = text_ngram_novelty(spark, sf_dir).select(
         F.lit("novel").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9668,6 +9747,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(aud)
         .unionByName(y4m)
         .unionByName(avi)
+        .unionByName(mp4s)
         .unionByName(tune)
         .unionByName(jpg)
         .unionByName(gifs)
@@ -9765,6 +9845,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "aud_": "multimodal_audio_stats",
     "y4m": "multimodal_y4m_stats",
     "avi": "multimodal_avi_stats",
+    "h264": "multimodal_mp4_stats",
     "tune_": "tune_recall_params",
     "jpeg_": "multimodal_jpeg_stats",
     "gif": "multimodal_gif_stats",
@@ -10081,6 +10162,10 @@ subsume(
     # seek) + per-frame JPEG entropy decode to exact gray stats, riding
     # extension_battery (part=avi)
     "multimodal_avi_stats",
+    # round-13: H.264-in-MP4 — ISO-BMFF sample tables + stss keyframe
+    # seek + intra-only CAVLC decode to exact gray stats, riding
+    # extension_battery (part=h264)
+    "multimodal_mp4_stats",
     # round-12: recall-driven parameter recommendation over the measured
     # sf1 curve grids, riding extension_battery (part=tune_*)
     "tune_recall_params",

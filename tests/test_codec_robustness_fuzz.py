@@ -153,11 +153,49 @@ def _valid_avi() -> bytes:
 DECODERS["avi"] = (b"RIFF", _avi_decode_all, _valid_avi)
 
 
+def _mp4_decode_all(raw: bytes):
+    """Full MP4 consumption: box walk + sample tables + every keyframe
+    through the H.264 decoder — the whole surface a corrupt stream can
+    reach (round 13)."""
+    from imdb_top_250_etl_pipeline_spark.operators.mp4 import (
+        mp4_decode_keyframes,
+    )
+
+    return [f for _, _, f in mp4_decode_keyframes(raw)]
+
+
+def _valid_mp4() -> bytes:
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.mp4 import mp4_encode_gray
+
+    solid = [np.full((16, 32), v, dtype=np.uint8) for v in (20, 150, 255)]
+    return mp4_encode_gray(solid, fps=9, key_every=2)
+
+
+def _valid_mp4_pcm() -> bytes:
+    from imdb_top_250_etl_pipeline_spark.operators.mp4 import mp4_encode_gray
+
+    import numpy as np
+
+    # gradient via I_PCM (16-aligned dims): exercises the PCM byte
+    # path under mutation
+    px = ((np.indices((16, 16)).sum(0) * 5) % 256).astype(np.uint8)
+    return mp4_encode_gray([px, px[::-1].copy()], fps=7, mode="pcm")
+
+
+DECODERS["mp4"] = (b"\x00\x00\x00\x18ftyp", _mp4_decode_all, _valid_mp4)
+DECODERS["mp4_pcm"] = (
+    b"\x00\x00\x00\x18ftyp", _mp4_decode_all, _valid_mp4_pcm
+)
+
+
 @FUZZ
 @given(
     fmt=st.sampled_from(
         [
             "gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi",
+            "mp4", "mp4_pcm",
             "thumb_chain_jpeg", "thumb_chain_tiff", "thumb_chain_gif",
         ]
     ),
@@ -236,3 +274,38 @@ def test_thumbnail_chain_mutation_hammer():
                     ins = bytes(rng.randrange(256) for _ in range(rng.randint(1, 30)))
                     raw = raw[:i] + ins + raw[i:]
                 _assert_loud(_thumb_chain, bytes(raw), f"chain:{fam}:{op}")
+
+
+def test_mp4_h264_mutation_hammer():
+    """Seeded non-hypothesis hammer over the new MP4/H.264 path
+    (round 13, the AVI-family discipline): 4 seeds x 1500 mutations x
+    2 fixture families (flat-DC CAVLC + I_PCM), loud errors or decoded
+    frames only — a crash class (IndexError/struct.error/Overflow/
+    infinite loop) escaping the ValueError/NotImplementedError
+    contract fails here."""
+    import random
+
+    families = {
+        "dc16": _valid_mp4(),
+        "pcm": _valid_mp4_pcm(),
+    }
+    rng = random.Random()
+    for seed in range(4):
+        rng.seed(1000 + seed)
+        for fam, valid in families.items():
+            for _ in range(750):
+                raw = bytearray(valid)
+                op = rng.choice(["flip", "trunc", "splice"])
+                if op == "flip":
+                    for _f in range(rng.randint(1, 6)):
+                        i = rng.randrange(len(raw))
+                        raw[i] ^= 1 << rng.randrange(8)
+                elif op == "trunc":
+                    raw = raw[: rng.randrange(2, len(raw))]
+                else:
+                    i = rng.randrange(2, len(raw))
+                    ins = bytes(
+                        rng.randrange(256) for _ in range(rng.randint(1, 30))
+                    )
+                    raw = raw[:i] + ins + raw[i:]
+                _assert_loud(_mp4_decode_all, bytes(raw), f"mp4:{fam}:{op}")

@@ -401,3 +401,93 @@ def test_solid_frame_matches_bmp_pixels():
     # identical pixels through the lossless path: a solid 173 BMP/PCM
     # plane — the H.264 flat-DC reconstruction must agree exactly
     assert (f == np.full((32, 32, 3), 173, dtype=np.uint8)).all()
+
+
+# --- leg 7: Spark-side seam integration ------------------------------------------
+
+
+def test_spark_mp4_stats_id_arithmetic(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        mp4_frame_stats,
+        synthesize_mp4_blobs,
+    )
+
+    docs = spark.range(0, 60).selectExpr("id * 10 as doc_id")
+    got = mp4_frame_stats(
+        synthesize_mp4_blobs(docs, "doc_id"), every_k=2
+    ).collect()
+    assert got, "no keyframes sampled"
+    for r in got:
+        i = r.doc_id
+        ke = i % 3 + 1
+        assert r.width == ((i % 24 + 16) // 2) * 2
+        assert r.height == ((i % 20 + 12) // 2) * 2
+        v = (i + 13 * r.frame_idx) % 256
+        assert r.y_min == v == r.y_max
+        assert r.y_sum == v * r.width * r.height
+        # sampled frames are every 2nd SYNC sample: fi = p*ke, p even
+        assert r.frame_idx % ke == 0 and (r.frame_idx // ke) % 2 == 0
+        assert r.frame_idx < i % 12 + 4
+        assert r.ts_ms == r.frame_idx * (1000 // (i % 10 + 5))
+
+
+def test_spark_sample_frames_mp4_branch(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_mp4_blobs,
+    )
+
+    docs = spark.range(0, 30).selectExpr("id * 10 as doc_id")
+    rows = sample_frames(
+        synthesize_mp4_blobs(docs, "doc_id"), every_k=2
+    ).collect()
+    assert rows
+    for r in rows:
+        ke = r.doc_id % 3 + 1
+        assert r.frame_idx % ke == 0 and (r.frame_idx // ke) % 2 == 0
+        assert r.ts_ms == r.frame_idx * (1000 // (r.doc_id % 10 + 5))
+
+
+def test_spark_frame_ahash_mp4_branch(spark):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        synthesize_mp4_blobs,
+        y4m_frame_ahash,
+    )
+
+    docs = spark.range(1, 8).selectExpr("id * 10 as doc_id")
+    rows = y4m_frame_ahash(
+        synthesize_mp4_blobs(docs, "doc_id"), every_k=2
+    ).collect()
+    assert rows
+    # solid frames: every cell mean EQUALS the global mean -> all bits
+    for r in rows:
+        assert (r.b0, r.b1, r.b2, r.b3) == (65535,) * 4, r
+
+
+def test_spark_frame_ahash_cross_container_pin(spark):
+    """The SAME solid pixels hash identically from MJPEG-AVI and
+    H.264-MP4 — frame near-dup spans containers (round-13 'done'
+    criterion: keyframe aHash pairs with the same-pixel path)."""
+    import pandas as pd
+
+    from imdb_top_250_etl_pipeline_spark.operators.avi import avi_encode
+    from imdb_top_250_etl_pipeline_spark.operators.mp4 import mp4_encode_gray
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        y4m_frame_ahash,
+    )
+
+    frames = [_solid(32, 32, 173), _solid(32, 32, 40)]
+    blobs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "blob": [
+                avi_encode(frames, rate=10, quality=100),
+                mp4_encode_gray(frames, fps=10),
+            ],
+        }
+    )
+    df = spark.createDataFrame(blobs)
+    rows = y4m_frame_ahash(df, every_k=1).collect()
+    by = {(r.doc_id, r.frame_idx): (r.b0, r.b1, r.b2, r.b3) for r in rows}
+    assert by[(1, 0)] == by[(2, 0)]
+    assert by[(1, 1)] == by[(2, 1)]

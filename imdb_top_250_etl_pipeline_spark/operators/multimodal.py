@@ -1936,6 +1936,47 @@ def synthesize_wav_blobs(df: DataFrame, id_col: str) -> DataFrame:
     return _codec_map_in_pandas(df.select(id_col), gen, "doc_id long, blob binary")
 
 
+def synthesize_flac_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL FLAC bytes as a deterministic fixture (round 13 — the 10th
+    format, operators/flac.py): a sawtooth signal
+    sig[j] = ((id + 17·j) % 2001) − 1000 for n = id%400+50 samples at
+    the 8/16/24 kHz rate formula — NON-constant, so the fixed-order
+    predictor + Rice residual entropy path is genuinely exercised;
+    every 9th document rides at FULL SCALE (sig[j] alternates ±32767),
+    exercising the clipping count.  Even ids mono, odd ids stereo
+    (channel 1 = channel 0 halved; stats read channel 0 — the gray+
+    alpha PNG convention).  FLAC is LOSSLESS, so every stat is id
+    arithmetic for the SQL oracle while the bytes run genuine frame
+    sync, CRC-8/16, fixed-predictor and Rice decode."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import flac_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = i % 400 + 50
+                rate = (i % 3 + 1) * 8000
+                j = np.arange(n, dtype=np.int64)
+                if i % 9 == 0:
+                    sig = np.where(j % 2 == 0, 32767, -32767).astype(
+                        np.int64
+                    )
+                else:
+                    sig = ((i + 17 * j) % 2001) - 1000
+                if i % 2 == 1:
+                    sig = np.stack([sig, sig // 2], axis=1)
+                ids.append(i)
+                blobs.append(flac_encode(sig, rate, block_size=256))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return _codec_map_in_pandas(df.select(id_col), gen, "doc_id long, blob binary")
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1983,6 +2024,17 @@ def decode_audio(blobs: DataFrame) -> DataFrame:
                     rate, samples, bits = wav_pcm_samples(raw)
                     # real audio clips AT full scale (inclusive)
                     clipped = np.abs(samples) >= (32767 if bits == 16 else 127)
+                elif raw[:4] == b"fLaC":
+                    # LOSSLESS compressed audio (round 13): genuine
+                    # frame/CRC/Rice/fixed-predictor decode — stats over
+                    # channel 0 (the gray+alpha PNG convention)
+                    from .flac import flac_decode
+
+                    rate, samples, bits = flac_decode(raw)
+                    if samples.ndim == 2:
+                        samples = samples[:, 0]
+                    full = (1 << (bits - 1)) - 1
+                    clipped = np.abs(samples) >= full
                 elif raw.startswith(b"AUD:"):
                     rate_s, _, payload = raw[4:].partition(b":")
                     rate = int(rate_s)

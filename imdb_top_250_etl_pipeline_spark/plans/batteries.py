@@ -7501,6 +7501,20 @@ SELECT 'aud_wav' AS part, doc_id AS a,
             // ((doc_id % 3 + 1) * 8000) AS DOUBLE) AS v,
        true AS ok
 FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT 'aud_flac' AS part, doc_id AS a,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 32767
+                 ELSE list_max([abs(((doc_id + 17 * j) % 2001) - 1000)
+                                FOR j IN range(doc_id % 400 + 50)])
+            END AS BIGINT) AS b,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN doc_id % 400 + 50
+                 ELSE 0 END AS BIGINT) AS n,
+       CASE WHEN doc_id % 2 = 0 THEN 'mono' ELSE 'stereo' END AS k,
+       CAST(NULL AS VARCHAR) AS s,
+       CAST((doc_id % 400 + 50) * 1000
+            // ((doc_id % 3 + 1) * 8000) AS DOUBLE) AS v,
+       true AS ok
+FROM documents WHERE doc_id % 7 = 0
 """
 
 
@@ -7530,6 +7544,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_audio,
         resample_audio_geometry,
         synthesize_audio,
+        synthesize_flac_blobs,
         synthesize_wav_blobs,
     )
 
@@ -7549,6 +7564,21 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_clipped").cast("long").alias("n"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("pcm16"))
         .otherwise(F.lit("ima_adpcm"))
+        .alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("duration_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    # REAL FLAC decode (round 13): lossless sawtooth fixtures through
+    # genuine frame-sync/CRC/fixed-predictor/Rice decode — peak /
+    # clipped-count / duration all hash from id arithmetic
+    flac = decode_audio(synthesize_flac_blobs(docs, "doc_id")).select(
+        F.lit("aud_flac").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("peak").cast("long").alias("b"),
+        F.col("n_clipped").cast("long").alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("mono"))
+        .otherwise(F.lit("stereo"))
         .alias("k"),
         F.lit(None).cast("string").alias("s"),
         F.col("duration_ms").cast("double").alias("v"),
@@ -7578,7 +7608,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resampled_n").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
-    return m.unionByName(g).unionByName(wav)
+    return m.unionByName(g).unionByName(wav).unionByName(flac)
 
 
 _Y4M_ORACLE = """

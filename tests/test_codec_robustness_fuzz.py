@@ -184,6 +184,25 @@ def _valid_mp4_pcm() -> bytes:
     return mp4_encode_gray([px, px[::-1].copy()], fps=7, mode="pcm")
 
 
+
+
+def _flac_decode_all(raw: bytes):
+    from imdb_top_250_etl_pipeline_spark.operators.flac import flac_decode
+
+    return flac_decode(raw)
+
+
+def _valid_flac() -> bytes:
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.flac import flac_encode
+
+    x = (np.cumsum(np.arange(700) % 13 - 6) % 2000 - 1000).astype(np.int64)
+    return flac_encode(x, 16000, block_size=256)
+
+
+DECODERS["flac"] = (b"fLaC", _flac_decode_all, _valid_flac)
+
 DECODERS["mp4"] = (b"\x00\x00\x00\x18ftyp", _mp4_decode_all, _valid_mp4)
 DECODERS["mp4_pcm"] = (
     b"\x00\x00\x00\x18ftyp", _mp4_decode_all, _valid_mp4_pcm
@@ -195,7 +214,7 @@ DECODERS["mp4_pcm"] = (
     fmt=st.sampled_from(
         [
             "gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi",
-            "mp4", "mp4_pcm",
+            "mp4", "mp4_pcm", "flac",
             "thumb_chain_jpeg", "thumb_chain_tiff", "thumb_chain_gif",
         ]
     ),
@@ -309,3 +328,32 @@ def test_mp4_h264_mutation_hammer():
                     )
                     raw = raw[:i] + ins + raw[i:]
                 _assert_loud(_mp4_decode_all, bytes(raw), f"mp4:{fam}:{op}")
+
+
+def test_flac_mutation_hammer():
+    """Seeded hammer over the FLAC path (round 13): 4 seeds x 1500
+    mutations, loud errors or decoded samples only — CRC-8/16 + MD5
+    make silent corruption structurally hard, and crash classes
+    escaping the ValueError contract fail here."""
+    import random
+
+    valid = _valid_flac()
+    rng = random.Random()
+    for seed in range(4):
+        rng.seed(2000 + seed)
+        for _ in range(1500):
+            raw = bytearray(valid)
+            op = rng.choice(["flip", "trunc", "splice"])
+            if op == "flip":
+                for _f in range(rng.randint(1, 6)):
+                    i = rng.randrange(len(raw))
+                    raw[i] ^= 1 << rng.randrange(8)
+            elif op == "trunc":
+                raw = raw[: rng.randrange(2, len(raw))]
+            else:
+                i = rng.randrange(2, len(raw))
+                ins = bytes(
+                    rng.randrange(256) for _ in range(rng.randint(1, 30))
+                )
+                raw = raw[:i] + ins + raw[i:]
+            _assert_loud(_flac_decode_all, bytes(raw), f"flac:{op}")

@@ -46,11 +46,23 @@ def salted_join(
     of the fact spreads over ``n_salts`` tasks instead of melting one.
 
     Semantics: identical to ``big.join(small, big_key == small_key,
-    how)`` for ``how`` in {'inner', 'left'} — each big row carries
-    exactly one salt, so multiplicity is preserved; each small row
-    appears once per salt but only ever matches big rows of its own
-    salt.  Right/full outer are refused: unmatched small-side replicas
-    would need a post-join dedup that re-concentrates the key.
+    how)`` — each big row carries exactly one salt, so multiplicity is
+    preserved; each small row appears once per salt but only ever
+    matches big rows of its own salt.
+
+    Right/full outer (round 13 — the skewed snapshot-diff / CDC
+    reconciliation shape): the naive construction is WRONG under
+    salting (an unmatched small row would emit one null-extended row
+    PER REPLICA, and a matched row's other-salt replicas would emit
+    spurious ones), and deduping replicas post-join would re-
+    concentrate the hot key.  Instead the small side's outer-ness is
+    decided at KEY granularity: result = salted inner (for 'right') /
+    salted left (for 'full') ∪ null-extended small rows anti-joined
+    against the big side's DISTINCT keys.  The anti join's shuffle
+    carries only distinct keys — the distinct collapses a hot key to
+    ONE row with map-side partial aggregation, so no skew ever
+    re-concentrates.  Requires disjoint column names across the two
+    sides (the union is by name).
 
     The salt must be DETERMINISTIC (oracle-checkable, retry-stable,
     lineage-recomputable — the same discipline as every sampler in this
@@ -61,12 +73,24 @@ def salted_join(
 
     Cost: small side ×n_salts (choose n_salts ≈ hot-key share ×
     parallelism, not hundreds), big side one shuffle on (key, salt) —
-    same shuffle count as the plain join, but skew-free.
+    same shuffle count as the plain join, but skew-free; outer modes
+    add one distinct-key anti join whose shuffle is key-cardinality
+    sized.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    how = {"outer": "full", "full_outer": "full"}.get(how, how)
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"salted_join supports inner/left/right/full, got {how!r}"
+        )
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    if how in ("right", "full"):
+        overlap = set(big.columns) & set(small.columns)
+        if overlap:
+            raise ValueError(
+                f"salted_join {how!r} needs disjoint column names; "
+                f"both sides carry {sorted(overlap)}"
+            )
     salt_cols: list[Column] = [
         F.col(c) for c in (salt_on if salt_on is not None else big.columns)
     ]
@@ -75,12 +99,27 @@ def salted_join(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),
     )
+    matched_how = {"right": "inner", "full": "left"}.get(how, how)
     joined = b.join(
         s,
         (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
-        how,
+        matched_how,
+    ).drop("_salt")
+    if how in ("inner", "left"):
+        return joined
+    # outer small side, key-granular: small rows whose key never occurs
+    # in big (NULL small keys match nothing, so they belong here too)
+    big_keys = big.select(F.col(big_key).alias("__bk")).distinct()
+    unmatched = small.join(
+        big_keys, F.col(small_key) == F.col("__bk"), "left_anti"
     )
-    return joined.drop("_salt")
+    null_big = [
+        F.lit(None).cast(f.dataType).alias(f.name) for f in big.schema.fields
+    ]
+    unmatched = unmatched.select(
+        *null_big, *[F.col(c) for c in small.columns]
+    )
+    return joined.unionByName(unmatched)
 
 
 def preagg_join(

@@ -988,6 +988,19 @@ def _physical_plan(df: DataFrame) -> str:
         "true AS ok FROM orders o LEFT JOIN "
         "(SELECT * FROM customer WHERE c_custkey % 3 = 0) c "
         "ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+        "\nUNION ALL\n"
+        "SELECT 'salted_right' AS part, c.c_mktsegment AS k, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE) AS v, "
+        "true AS ok FROM orders o RIGHT JOIN customer c "
+        "ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+        "\nUNION ALL\n"
+        "SELECT 'salted_full' AS part, c.c_mktsegment AS k, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE) AS v, "
+        "true AS ok FROM orders o FULL JOIN "
+        "(SELECT * FROM customer WHERE c_custkey % 3 = 0) c "
+        "ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
     ),
     doc="The two join constructions Catalyst cannot pick on its own, "
     "result-hash-checked against the PLAIN-join oracle (strategy must "
@@ -1006,7 +1019,14 @@ def _physical_plan(df: DataFrame) -> str:
     "actually entered the join keys.  The left branch keys the dim down "
     "to a third of customers so unmatched orders must survive with NULL "
     "segment — the multiplicity-preservation half of the salting "
-    "contract.",
+    "contract.  part=salted_right/salted_full (round 13): the OUTER "
+    "small side — result = salted inner/left ∪ null-extended small "
+    "rows anti-joined against the big side's DISTINCT keys, so "
+    "unmatched customers appear exactly once (never once per salt "
+    "replica) and the hot key never re-concentrates (the anti join "
+    "shuffles distinct keys only).  TPC-H's ~1/3 orderless customers "
+    "are the naturally-unmatched small rows; the full branch keeps the "
+    "thirded dim so BOTH null sides ride the hash.",
 )
 def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1103,8 +1123,63 @@ def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+        sjr = salted_join(
+            orders, cust, "o_custkey", "c_custkey", n_salts=8, how="right"
+        )
+        ok_right = "_salt" in _physical_plan(sjr)
+        salted_right = (
+            sjr.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                round_money(
+                    F.coalesce(
+                        F.sum(money("o_totalprice")),
+                        F.lit(0).cast("decimal(12,2)"),
+                    )
+                ).alias("v"),
+            )
+            .select(
+                F.lit("salted_right").alias("part"),
+                F.col("c_mktsegment").alias("k"),
+                "n",
+                "v",
+                F.lit(bool(ok_right)).alias("ok"),
+            )
+        )
+
+        sjf = salted_join(
+            orders,
+            cust.where(F.col("c_custkey") % 3 == 0),
+            "o_custkey",
+            "c_custkey",
+            n_salts=8,
+            how="full",
+        )
+        salted_full = (
+            sjf.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                round_money(
+                    F.coalesce(
+                        F.sum(money("o_totalprice")),
+                        F.lit(0).cast("decimal(12,2)"),
+                    )
+                ).alias("v"),
+            )
+            .select(
+                F.lit("salted_full").alias("part"),
+                F.col("c_mktsegment").alias("k"),
+                "n",
+                "v",
+                F.lit(True).alias("ok"),
+            )
+        )
+
         return eager_pin(
-            bucketed.unionByName(salted).unionByName(salted_left)
+            bucketed.unionByName(salted)
+            .unionByName(salted_left)
+            .unionByName(salted_right)
+            .unionByName(salted_full)
         )
     finally:
         drop_table(spark, "jsb_bk_customer")

@@ -154,3 +154,60 @@ def test_preagg_join_equals_plain_join_aggregate(spark):
         .collect()
     }
     assert got == exp == {"a": (35, 3), "b": (7, 1)}
+
+
+def test_salted_outer_joins_match_plain(spark):
+    """Round 13: right/full salted joins must be row-for-row identical
+    to the plain join — unmatched small rows exactly once (never once
+    per salt replica), NULL keys unmatched on both sides, matched
+    multiplicity preserved."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (3, "e"), (1, "f")],
+        "bk int, bval string",
+    )
+    small = spark.createDataFrame(
+        [(1, "X"), (4, "Y"), (None, "Z"), (1, "W")], "sk int, sval string"
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    for how, n_salts in (("right", 4), ("full", 4), ("right", 1), ("full", 7)):
+        got = salted_join(big, small, "bk", "sk", n_salts=n_salts, how=how)
+        ref = big.join(small, F.col("bk") == F.col("sk"), how)
+        g = sorted((tuple(r) for r in got.collect()), key=key)
+        r = sorted(
+            (tuple(x) for x in ref.select(*got.columns).collect()), key=key
+        )
+        assert g == r, (how, n_salts, g, r)
+
+
+def test_salted_outer_rejects_overlapping_columns(spark):
+    import pytest
+
+    from imdb_top_250_etl_pipeline_spark.operators.joins import salted_join
+
+    a = spark.createDataFrame([(1, 2)], "k int, v int")
+    b = spark.createDataFrame([(1, 3)], "k2 int, v int")
+    with pytest.raises(ValueError, match="disjoint"):
+        salted_join(a, b, "k", "k2", how="full")
+    # inner stays permissive (pre-round-13 behavior unchanged)
+    assert salted_join(a, b, "k", "k2", how="inner").count() == 1
+
+
+def test_salted_outer_unmatched_small_exactly_once(spark):
+    """The anti-join construction's core claim: an unmatched small row
+    appears exactly once regardless of n_salts."""
+    from imdb_top_250_etl_pipeline_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "bk int, bval string")
+    small = spark.createDataFrame(
+        [(99, "lonely")], "sk int, sval string"
+    )
+    for n_salts in (1, 2, 16):
+        rows = salted_join(
+            big, small, "bk", "sk", n_salts=n_salts, how="full"
+        ).collect()
+        lonely = [r for r in rows if r.sval == "lonely"]
+        assert len(lonely) == 1 and lonely[0].bk is None, (n_salts, rows)

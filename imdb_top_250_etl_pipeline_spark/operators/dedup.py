@@ -697,6 +697,7 @@ def minhash_probe_incremental(
     k: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    new_index: "MinhashIndex | None" = None,
 ) -> DataFrame:
     """Incremental near-dup check: (new_id, existing_id, jaccard) pairs
     of an incoming batch against the indexed corpus — WITHOUT touching
@@ -711,9 +712,10 @@ def minhash_probe_incremental(
     would re-shingle and re-hash everything already indexed.
     """
     rows = k // bands
-    new_index = build_minhash_index(
-        new_df, text_col, id_col, n_shingle, k, bands
-    )
+    if new_index is None:
+        new_index = build_minhash_index(
+            new_df, text_col, id_col, n_shingle, k, bands
+        )
     cand = (
         new_index.buckets.alias("n")
         .join(

@@ -8507,6 +8507,28 @@ _NB = "CAST(NULL AS BIGINT)"
 _NS = "CAST(NULL AS VARCHAR)"
 _ND = "CAST(NULL AS DOUBLE)"
 
+_SDD_ORACLE = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+planted AS (
+  SELECT doc_id FROM reps
+  WHERE doc_id % 13 = 0 AND {_PROBE_SHINGLEABLE_SQL}
+)
+SELECT 'sdd_planted' AS part, doc_id AS a, doc_id + 300000 AS b,
+       CAST(NULL AS BIGINT) AS n, true AS ok
+FROM planted
+UNION ALL
+SELECT 'sdd_containment', NULL, NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM planted), true
+UNION ALL
+SELECT 'sdd_restart', NULL, NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM planted), true
+UNION ALL
+SELECT 'sdd_bounds', NULL, NULL, CAST(NULL AS BIGINT), true
+"""
+
+
 _EXT_ORACLE = "\nUNION ALL\n".join(
     [
         f"SELECT 'jdbc_'||part AS part, c_custkey AS a, {_NB} AS b, "
@@ -8722,6 +8744,8 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
         f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
         f"FROM ({_MP4_ORACLE}) t",
+        f"SELECT part, a, b, n, {_NS} AS k, {_NS} AS s, {_ND} AS v, ok "
+        f"FROM ({_SDD_ORACLE}) t",
         f"SELECT 'tune_' || family AS part, target_scaled AS a, "
         f"param_id AS b, cost AS n, "
         f"CAST(p1 AS VARCHAR) || 'x' || CAST(p2 AS VARCHAR) AS k, "
@@ -9594,6 +9618,16 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    sdd = stream_incremental_dedup(spark, sf_dir).select(
+        F.col("part"),
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("n").cast("long"),
+        _ns().alias("k"),
+        _ns().alias("s"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("ok"),
+    )
     nov = text_ngram_novelty(spark, sf_dir).select(
         F.lit("novel").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
@@ -9778,6 +9812,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(y4m)
         .unionByName(avi)
         .unionByName(mp4s)
+        .unionByName(sdd)
         .unionByName(tune)
         .unionByName(jpg)
         .unionByName(gifs)
@@ -9876,6 +9911,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "y4m": "multimodal_y4m_stats",
     "avi": "multimodal_avi_stats",
     "h264": "multimodal_mp4_stats",
+    "sdd_": "stream_incremental_dedup",
     "tune_": "tune_recall_params",
     "jpeg_": "multimodal_jpeg_stats",
     "gif": "multimodal_gif_stats",
@@ -10244,3 +10280,171 @@ subsume(
     # iterative BPE trainer: rows-only by design (python-dual tested)
     "text_bpe_merges",
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental near-dup dedup (round 13): the continuously-
+# ingesting-corpus composition of the txn sink and the MinHash probe.
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=_SDD_ORACLE,
+    doc="Streaming incremental near-dup dedup (round 13 — streaming/"
+    "jobs.py::stream_near_dup_ingest): the continuously-ingesting-"
+    "corpus composition of two verified pieces — per microbatch, the "
+    "incoming docs are shingled/signed/banded ONCE, probed against the "
+    "ACCUMULATED index txn tables for cross-batch duplicates (work ∝ "
+    "batch + matched buckets, never corpus) and against themselves for "
+    "within-batch pairs, then dup pairs and index rows append under "
+    "app_txn idempotence (sources/txn.py) so every pair is recorded "
+    "EXACTLY ONCE across restarts/replays.  Fixture: distinct-text "
+    "shingleable reps stream in 3 microbatches (sequential availableNow "
+    "deliveries — the stream_fbmerge_check pattern), then a 4th batch "
+    "plants EXACT twins (id + 300000, the guarded _twin_id offset) of "
+    "every 13th rep.  Identical text => identical signature => same "
+    "bucket in every band, so each twin MUST surface with jaccard "
+    "exactly 1.0 (the dedup_incremental_probe containment guarantee, "
+    "now across the streaming boundary): part=sdd_planted pins each "
+    "expected (rep, twin) pair's presence per-row; sdd_containment "
+    "pins found == planted; sdd_restart REPLAYS every batch against a "
+    "fresh checkpoint and pins the dups table unchanged (the exactly-"
+    "once half); sdd_bounds pins every emitted pair inside "
+    "[threshold, 1].  Hash-seed-dependent natural near-dup pairs stay "
+    "engine-side (they ride the table but not the oracle), and the "
+    "runtime path (restarts, drop-mode chains) is pinned in "
+    "tests/test_streaming.py.",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import collapse_exact_first
+    from ..operators.pinning import eager_pin
+    from ..sources.txn import txn_read
+    from ..streaming.jobs import stream_near_dup_ingest
+    from .llm_data import _twin_id
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingleable = F.col("text").rlike(r"(^| )\S+ \S+ \S+")
+    base = eager_pin(
+        collapse_exact_first(docs, "text", "doc_id").where(shingleable)
+    )
+    planted = eager_pin(base.where(F.col("doc_id") % 13 == 0))
+    twins = planted.select(
+        _twin_id(F.col("doc_id")).alias("doc_id"), "text"
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="sdd_", dir=scratch)
+    try:
+        src = os.path.join(work, "src")
+        index_dir = os.path.join(work, "idx")
+
+        def run(ckpt: str) -> None:
+            stream = spark.readStream.schema(base.schema).parquet(src)
+            q = (
+                stream_near_dup_ingest(
+                    stream, index_dir, ckpt, app_id="sdd",
+                    index_duplicates=True,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        ckpt = os.path.join(work, "ckpt")
+        # three deliveries + one twin delivery, each its own microbatch
+        for kk in range(3):
+            base.where(F.col("doc_id") % 3 == kk).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            run(ckpt)
+        twins.coalesce(1).write.mode("append").parquet(src)
+        run(ckpt)
+        dups1 = eager_pin(txn_read(spark, os.path.join(index_dir, "dups")))
+        # FULL replay against a fresh checkpoint: every append must be
+        # an app_txn no-op — the dups table byte-identical
+        run(os.path.join(work, "ckpt2"))
+        dups2 = eager_pin(txn_read(spark, os.path.join(index_dir, "dups")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    exact1 = dups1.where(F.col("jaccard") == 1.0).select(
+        "new_id", "existing_id"
+    )
+    planted_rows = planted.select(
+        F.lit("sdd_planted").alias("part"),
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 300000).alias("b"),
+        F.lit(None).cast("bigint").alias("n"),
+    ).join(
+        exact1.select(
+            F.col("existing_id").alias("a"), F.col("new_id").alias("b")
+        ).withColumn("ok", F.lit(True)),
+        ["a", "b"],
+        "left",
+    ).select("part", "a", "b", "n", F.coalesce("ok", F.lit(False)).alias("ok"))
+    nulls = [
+        F.lit(None).cast("bigint").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+    ]
+    n_found = planted.select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 300000).alias("b"),
+    ).join(
+        exact1.select(
+            F.col("existing_id").alias("a"), F.col("new_id").alias("b")
+        ),
+        ["a", "b"],
+        "left_semi",
+    ).agg(F.count("*").alias("h"))
+    containment = (
+        planted.agg(F.count("*").cast("bigint").alias("t"))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            F.lit("sdd_containment").alias("part"),
+            *nulls,
+            F.col("t").alias("n"),
+            (F.col("h") == F.col("t")).alias("ok"),
+        )
+    )
+    unchanged = (
+        dups1.exceptAll(dups2).isEmpty()
+        and dups2.exceptAll(dups1).isEmpty()
+    )
+    restart = planted.agg(F.count("*").cast("bigint").alias("n")).select(
+        F.lit("sdd_restart").alias("part"),
+        *nulls,
+        "n",
+        F.lit(bool(unchanged)).alias("ok"),
+    )
+    bounds = dups1.agg(
+        F.coalesce(
+            F.min(
+                (F.col("jaccard") >= 0.5) & (F.col("jaccard") <= 1.0)
+            ),
+            F.lit(True),
+        ).alias("ok")
+    ).select(
+        F.lit("sdd_bounds").alias("part"),
+        *nulls,
+        F.lit(None).cast("bigint").alias("n"),
+        "ok",
+    )
+    return (
+        planted_rows.unionByName(containment)
+        .unionByName(restart)
+        .unionByName(bounds)
+    )
+
+
+# round-13: streaming incremental near-dup, riding extension_battery
+# (part=sdd_*)
+subsume("stream_incremental_dedup")

@@ -523,3 +523,117 @@ def cusum_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_near_dup_ingest(
+    docs: DataFrame,
+    index_dir: str,
+    checkpoint_path: str,
+    app_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    index_duplicates: bool = False,
+):
+    """Streaming incremental near-dup dedup (round 13): the LLM-pipeline
+    shape for a continuously-ingesting corpus, composed from the two
+    verified pieces — the exactly-once txn-table sink (sources/txn.py's
+    app_txn idempotent append) and the batch-proportional MinHash probe
+    (operators/dedup.py::minhash_probe_incremental).
+
+    Per microbatch (foreachBatch):
+      1. shingle + sign + band the NEW docs once (build_minhash_index);
+      2. probe them against the ACCUMULATED index tables
+         ({index_dir}/shingles, /buckets — empty before batch 0) for
+         cross-batch duplicates, and against themselves for
+         within-batch pairs (new_id > existing_id, each pair once);
+      3. append found (new_id, existing_id, jaccard, batch_id) rows to
+         {index_dir}/dups;
+      4. append the batch's shingle and bucket rows to the index —
+         every doc when ``index_duplicates`` (report-only mode: exact
+         duplicates remain GUARANTEED findable forever, the invariant
+         the registered oracle checks), else only docs not flagged as
+         the new side of a duplicate (drop mode — the corpus-pruning
+         policy; near-dup chains then resolve to the earliest copy).
+
+    Exactly-once across restarts: all three appends ride distinct
+    app_txn streams keyed (app_id + suffix, batch_id), so a replayed
+    microbatch (restart mid-batch, checkpoint rollback, or a full
+    re-run against a fresh checkpoint) re-computes deterministically
+    and every already-committed append is a no-op — the dups table
+    records each pair exactly once.  Partial-failure replays converge:
+    if a crash lands between the dups append and the index appends,
+    the replay skips the former and performs the latter.
+
+    Per-batch work is O(batch + matched buckets), never O(corpus): the
+    probe equi-joins the batch's bucket table against the persisted
+    one, and shuffles carry signatures/ids, not text.  Returns the
+    DataStreamWriter (caller picks the trigger; availableNow for
+    catch-up ingest, processingTime for continuous).
+    """
+    import os
+
+    from ..operators.dedup import (
+        MinhashIndex,
+        build_minhash_index,
+        minhash_probe_incremental,
+    )
+    from ..sources.txn import txn_append, txn_read
+
+    sh_table = os.path.join(index_dir, "shingles")
+    bk_table = os.path.join(index_dir, "buckets")
+    dup_table = os.path.join(index_dir, "dups")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.select(id_col, text_col)
+        new_index = build_minhash_index(
+            b, text_col, id_col, n_shingle, k, bands
+        )
+        try:
+            existing = MinhashIndex(
+                txn_read(spark, sh_table), txn_read(spark, bk_table)
+            )
+            cross = minhash_probe_incremental(
+                existing, b, text_col, id_col, n_shingle, k, bands,
+                jaccard_threshold, new_index=new_index,
+            )
+        except FileNotFoundError:
+            cross = None  # first batch: nothing indexed yet
+        within = minhash_probe_incremental(
+            new_index, b, text_col, id_col, n_shingle, k, bands,
+            jaccard_threshold, new_index=new_index,
+        ).where(F.col("new_id") > F.col("existing_id"))
+        dups = within if cross is None else cross.unionByName(within)
+        dups = dups.select(
+            "new_id", "existing_id", "jaccard",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        txn_append(
+            dups, dup_table, key="new_id",
+            app_txn=(f"{app_id}-dups", batch_id),
+        )
+        if index_duplicates:
+            accepted_sh = new_index.shingles
+            accepted_bk = new_index.buckets
+        else:
+            flagged = dups.select(F.col("new_id").alias(id_col)).distinct()
+            accepted_sh = new_index.shingles.join(
+                flagged, id_col, "left_anti"
+            )
+            accepted_bk = new_index.buckets.join(flagged, id_col, "left_anti")
+        txn_append(
+            accepted_sh, sh_table, key=id_col,
+            app_txn=(f"{app_id}-sh", batch_id),
+        )
+        txn_append(
+            accepted_bk, bk_table, key=id_col,
+            app_txn=(f"{app_id}-bk", batch_id),
+        )
+
+    return docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )

@@ -606,3 +606,117 @@ def test_cusum_stream_state_carries_across_batches(spark, tmp_path):
     assert sink_rows == expected
     # the persistent drift accumulates across the batch boundary
     assert sink_rows[1005][0] > sink_rows[1002][0] > 0
+
+
+def test_stream_near_dup_ingest_exactly_once_across_restarts(
+    spark, tmp_path
+):
+    """Round 13: streaming incremental near-dup — planted cross-batch
+    exact duplicates are found with jaccard 1.0 exactly once, and a
+    FULL replay against a fresh checkpoint (every microbatch
+    re-delivered) leaves the dups table byte-for-byte unchanged (the
+    app_txn idempotent-append contract composed with the probe)."""
+    from imdb_top_250_etl_pipeline_spark.sources.txn import txn_read
+    from imdb_top_250_etl_pipeline_spark.streaming.jobs import (
+        stream_near_dup_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    texts = [
+        (i, f"alpha beta gamma delta {i} epsilon zeta eta")
+        for i in range(30)
+    ]
+    b0 = spark.createDataFrame(texts[:10], "doc_id long, text string")
+    b1 = spark.createDataFrame(texts[10:20], "doc_id long, text string")
+    # batch 2 plants exact twins of docs 3 and 7 (batch 0) and 15
+    # (batch 1) at ids 103/107/115
+    twins = [(100 + i, texts[i][1]) for i in (3, 7, 15)]
+    b2 = spark.createDataFrame(
+        texts[20:] + twins, "doc_id long, text string"
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(src)
+        # one file per delivery: maxFilesPerTrigger=1 below replays
+        # them as three distinct microbatches in order
+
+    def run(ckpt: str, index_dir: str):
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_near_dup_ingest(
+                stream, index_dir, ckpt, app_id="tnd",
+                index_duplicates=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    index_dir = str(tmp_path / "index")
+    run(str(tmp_path / "ckpt1"), index_dir)
+    dups = txn_read(spark, index_dir + "/dups")
+    found = {
+        (r.new_id, r.existing_id, r.jaccard, r.batch_id)
+        for r in dups.collect()
+    }
+    # exactly the planted pairs, jaccard 1.0, in batch 2
+    assert found == {
+        (103, 3, 1.0, 2), (107, 7, 1.0, 2), (115, 15, 1.0, 2)
+    }, found
+    # full replay with a FRESH checkpoint: every batch re-delivered,
+    # every append must be an app_txn no-op
+    run(str(tmp_path / "ckpt2"), index_dir)
+    dups2 = txn_read(spark, index_dir + "/dups")
+    assert dups2.count() == 3
+    assert {
+        (r.new_id, r.existing_id, r.jaccard, r.batch_id)
+        for r in dups2.collect()
+    } == found
+    # the index accumulated every doc exactly once (report-only mode)
+    sh = txn_read(spark, index_dir + "/shingles")
+    assert sh.count() == 33 and sh.select("doc_id").distinct().count() == 33
+
+
+def test_stream_near_dup_ingest_drop_mode_excludes_duplicates(
+    spark, tmp_path
+):
+    """Drop mode: flagged duplicates stay OUT of the accumulated index,
+    so a third copy matches only the earliest surviving copy."""
+    from imdb_top_250_etl_pipeline_spark.sources.txn import txn_read
+    from imdb_top_250_etl_pipeline_spark.streaming.jobs import (
+        stream_near_dup_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    base = "one two three four five six seven"
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, base)], "doc_id long, text string")
+    for b in (b0, b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_dir = str(tmp_path / "index")
+    q = (
+        stream_near_dup_ingest(
+            stream, index_dir, str(tmp_path / "ckpt"), app_id="tdm"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r.new_id, r.existing_id)
+        for r in txn_read(spark, index_dir + "/dups").collect()
+    }
+    # doc 2 matched 1; doc 2 never entered the index, so doc 3 matches
+    # ONLY doc 1 — drop mode resolves chains to the earliest copy
+    assert pairs == {(2, 1), (3, 1)}, pairs
+    sh = txn_read(spark, index_dir + "/shingles")
+    assert {r.doc_id for r in sh.collect()} == {1}

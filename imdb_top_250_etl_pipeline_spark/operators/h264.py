@@ -1601,6 +1601,50 @@ def _write_empty_dc_block_nc0(w: BitWriter) -> None:
     w.bitstr("1")  # coeff_token TotalCoeff 0 (nC < 2)
 
 
+def _write_single_chroma_dc_block(w: BitWriter, level: int) -> None:
+    """One coefficient at scan position 0 of a 4-coeff chroma DC block
+    (nC == -1 table) — the flat-COLOR fixture's chroma path."""
+    if level == 0:
+        w.bitstr("01")  # coeff_token TotalCoeff 0 (chroma DC)
+        return
+    if abs(level) == 1:
+        w.bitstr("1")  # (T1=1, TC=1)
+        w.u(0 if level > 0 else 1, 1)
+    else:
+        w.bitstr("000111")  # (T1=0, TC=1)
+        lc = 2 * level - 2 if level > 0 else -2 * level - 1
+        lc -= 2  # first coeff after <3 trailing ones
+        _write_level_code(w, lc, 0)
+    w.bitstr("1")  # total_zeros == 0 (chroma DC, TotalCoeff 1)
+
+
+def _flat_chroma_dc_coeff(delta: int, qpc: int) -> int:
+    """Chroma DC coefficient whose 2x2-Hadamard + dequant + DC-only
+    inverse transform reconstructs EXACTLY ``delta`` on all four 4x4
+    chroma blocks: only c[0,0] nonzero -> Hadamard gives f==c00
+    everywhere; dcC = ((c00*v0) << (qpc//6)) >> 5; pixel delta =
+    (dcC + 32) >> 6."""
+    if delta == 0:
+        return 0
+    v0 = _DEQUANT_V[qpc % 6][0]
+
+    # python's >> floors signed values exactly like the decoder's
+    # numpy int64 arithmetic shift
+    def deq_exact(c):
+        return ((c * v0) << (qpc // 6)) >> 5
+
+    guess = (64 * delta * 32) // (v0 << (qpc // 6))
+    for c in range(guess - 8, guess + 9):
+        if c == 0:
+            continue
+        if ((deq_exact(c) + 32) >> 6) == delta:
+            return c
+    raise ValueError(
+        f"H264 encoder: no exact chroma DC coefficient for delta "
+        f"{delta} at qpc {qpc}"
+    )
+
+
 def _write_level_code(w: BitWriter, lc: int, suffix_len: int) -> None:
     """Emit one CAVLC level code at the given suffixLength — the exact
     inverse of the decoder's level-prefix/suffix logic, including the
@@ -1699,25 +1743,40 @@ def _flat_dc_coeff(delta: int, qp: int) -> int:
 
 
 def encode_flat_i16_slice(value: int, mb_w: int, mb_h: int, qp: int,
-                          idr: bool = True) -> bytes:
-    """A whole picture of solid luma ``value`` (chroma 128) as
-    Intra_16x16 DC-prediction macroblocks: MB(0,0) predicts 128 and
-    carries one luma-DC-Hadamard coefficient; every other MB predicts
-    ``value`` from its decoded neighbors and codes nothing.  Integer-
-    exact reconstruction (see _flat_dc_coeff) — the id-arithmetic
-    oracle path for compressed H.264."""
-    if not 0 <= value <= 255:
-        raise ValueError(f"H264 encoder: luma value {value} out of range")
+                          idr: bool = True,
+                          chroma: tuple = (128, 128)) -> bytes:
+    """A whole picture of solid luma ``value`` and solid ``chroma``
+    (Cb, Cr) as Intra_16x16 DC-prediction macroblocks: MB(0,0)
+    predicts 128 on every plane and carries one luma-DC-Hadamard
+    coefficient (plus one chroma DC coefficient per non-128 chroma
+    plane — cbp_chroma=1, the nC==-1 CAVLC table); every other MB
+    predicts the target from its decoded neighbors and codes nothing.
+    Integer-exact reconstruction on all three planes (see
+    _flat_dc_coeff / _flat_chroma_dc_coeff) — the id-arithmetic oracle
+    path for compressed H.264, now in color."""
+    cb, cr = chroma
+    for v, what in ((value, "luma"), (cb, "Cb"), (cr, "Cr")):
+        if not 0 <= v <= 255:
+            raise ValueError(f"H264 encoder: {what} value {v} out of range")
     w = BitWriter()
     _write_slice_header(w, idr)
     c0 = _flat_dc_coeff(value - 128, qp)
+    qpc = _chroma_qp(qp, 0)
+    chroma_coded = (cb, cr) != (128, 128)
+    ccb = _flat_chroma_dc_coeff(cb - 128, qpc) if chroma_coded else 0
+    ccr = _flat_chroma_dc_coeff(cr - 128, qpc) if chroma_coded else 0
     for my in range(mb_h):
         for mx in range(mb_w):
-            w.ue(3)  # mb_type: I_16x16, pred DC, cbp luma 0 chroma 0
+            first = mx == 0 and my == 0
+            # mb_type 1 + predmode(DC=2) + 4*cbp_chroma + 12*cbp_luma
+            w.ue(7 if (first and chroma_coded) else 3)
             w.ue(0)  # intra_chroma_pred_mode: DC
             w.se(0)  # mb_qp_delta
-            if mx == 0 and my == 0:
+            if first:
                 _write_single_dc_block_nc0(w, c0)
+                if chroma_coded:  # Cb then Cr chroma DC blocks
+                    _write_single_chroma_dc_block(w, ccb)
+                    _write_single_chroma_dc_block(w, ccr)
             else:
                 _write_empty_dc_block_nc0(w)
     w.rbsp_trailing()
@@ -1748,6 +1807,36 @@ def encode_pcm_slice(frame: np.ndarray, idr: bool = True) -> bytes:
                     w.u(128, 8)
     w.rbsp_trailing()
     return _nal(0x65 if idr else 0x01, w.to_bytes())
+
+
+def h264_encode_solid_ycbcr_frames(
+    ycbcr: list, width: int, height: int, qp: int = 12, key_every: int = 1
+) -> tuple[bytes, bytes, list[bytes], list[bool]]:
+    """Encode solid COLOR frames given per-frame (y, cb, cr) triples —
+    the flat-DC path on all three planes (chroma DC coefficients ride
+    the nC==-1 CAVLC table).  Reconstruction is integer-exact in YCbCr
+    space; the RGB output is the decoder's deterministic BT.601
+    conversion of those exact planes."""
+    if not ycbcr:
+        raise ValueError("H264 encoder: no frames")
+    if key_every < 1:
+        raise ValueError(f"key_every must be >= 1, got {key_every}")
+    if width % 2 or height % 2:
+        raise ValueError("H264 encoder: dimensions must be even")
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    sps = encode_sps(
+        mb_w, mb_h, (mb_w * 16 - width) // 2, (mb_h * 16 - height) // 2
+    )
+    pps = encode_pps(qp)
+    samples, sync = [], []
+    for i, (y, cb, cr) in enumerate(ycbcr):
+        idr = (i % key_every) == 0
+        nalu = encode_flat_i16_slice(
+            int(y), mb_w, mb_h, qp, idr, chroma=(int(cb), int(cr))
+        )
+        samples.append(struct.pack(">I", len(nalu)) + nalu)
+        sync.append(idr)
+    return sps, pps, samples, sync
 
 
 def h264_encode_gray_frames(

@@ -491,3 +491,46 @@ def test_spark_frame_ahash_cross_container_pin(spark):
     by = {(r.doc_id, r.frame_idx): (r.b0, r.b1, r.b2, r.b3) for r in rows}
     assert by[(1, 0)] == by[(2, 0)]
     assert by[(1, 1)] == by[(2, 1)]
+
+
+# --- leg 8: solid-color (chroma DC) path -------------------------------------------
+
+
+def _expected_rgb(y, cb, cr):
+    r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(
+        np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+        0, 255,
+    )
+    b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
+    return np.array([r, g, b], dtype=np.uint8)
+
+
+def test_solid_color_frames_exact_through_chroma_dc():
+    """Solid YCbCr frames carry one luma-DC AND one chroma-DC CAVLC
+    coefficient per plane (the nC==-1 table) in MB(0,0); every plane
+    reconstructs integer-exactly and the RGB output equals the
+    decoder's deterministic BT.601 conversion — the chroma half of the
+    flat-DC oracle discipline."""
+    triples = [(128, 128, 128), (50, 200, 30), (255, 0, 255),
+               (7, 77, 177), (128, 90, 128), (200, 128, 60)]
+    sps_b, pps_b, samples, _ = h264.h264_encode_solid_ycbcr_frames(
+        triples, 48, 32
+    )
+    sps, pps = h264.parse_sps(sps_b), h264.parse_pps(pps_b)
+    for (y, cb, cr), s in zip(triples, samples):
+        dec = h264.h264_decode_sample(sps, pps, s)
+        assert dec.shape == (32, 48, 3)
+        assert (dec == _expected_rgb(y, cb, cr).reshape(1, 1, 3)).all(), (
+            (y, cb, cr), dec[0, 0]
+        )
+
+
+@pytest.mark.parametrize("qp", [0, 6, 12, 20, 24])
+def test_solid_color_exact_across_qps(qp):
+    sps_b, pps_b, samples, _ = h264.h264_encode_solid_ycbcr_frames(
+        [(90, 60, 190)], 16, 16, qp=qp
+    )
+    sps, pps = h264.parse_sps(sps_b), h264.parse_pps(pps_b)
+    dec = h264.h264_decode_sample(sps, pps, samples[0])
+    assert (dec == _expected_rgb(90, 60, 190).reshape(1, 1, 3)).all(), qp

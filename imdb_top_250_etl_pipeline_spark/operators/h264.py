@@ -16,10 +16,14 @@ Scope (the baseline-profile intra subset, ITU-T H.264 spec):
     Intra_16x16 (modes 0-3 + luma-DC Hadamard + CAVLC residuals),
     Intra_4x4 (all 9 prediction modes + CAVLC residuals), chroma
     prediction modes 0-3, flat (baseline) dequant scaling.
-  * Deblocking: decoded frames are NOT deblocked.  Fixtures disable it
-    (disable_deblocking_filter_idc=1); streams that enable it decode
-    with a loud NotImplementedError at the marked seam, because
-    silently skipping the filter would return wrong pixels.
+  * In-loop deblocking filter (spec 8.7): IMPLEMENTED as the picture
+    post-pass (intra prediction reads unfiltered samples) — bS 3/4
+    intra edges, alpha/beta/tC0 tables, strong and normal filters,
+    luma + chroma, per-MB QP averaging, slice alpha/beta offsets.
+    Fixtures default to disable_deblocking_filter_idc=1 (byte-exact
+    oracles need unfiltered pixels; solid pictures are invariant
+    either way), and the filter-on path is pinned by hand-derived
+    edge vectors in tests/test_multimodal_h264.py.
   * Everything else (CABAC, P/B slices, MBAFF/fields, FMO/ASO,
     8x8 transform, scaling matrices) refuses loudly at marked seams.
 
@@ -1079,6 +1083,8 @@ class _Frame:
         # per-4x4 Intra4x4 prediction mode (-1 = not an I4x4 block)
         self.i4_mode = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
         self.mb_done = np.zeros((self.mb_h, self.mb_w), dtype=bool)
+        # per-MB luma QP for the deblocking filter (I_PCM records 0)
+        self.mb_qp = np.zeros((self.mb_h, self.mb_w), dtype=np.int32)
 
 
 def _nc(nz: np.ndarray, bx: int, by: int) -> int:
@@ -1413,19 +1419,19 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict,
     qp = pps["pic_init_qp"] + r.se()
     if not 0 <= qp <= 51:
         raise ValueError(f"H264: slice QP {qp} out of range")
+    # deblocking (round 13: implemented — spec 8.7 post-pass): idc 0 =
+    # filter on, 1 = off, 2 = on but not across slice boundaries
+    # (single-slice pictures: same as 0)
+    deblock, off_a, off_b = True, 0, 0
     if pps["deblocking_control"]:
         idc = r.ue()
+        if idc > 2:
+            raise ValueError(f"H264: invalid deblocking idc {idc}")
+        deblock = idc != 1
         if idc != 1:
-            raise NotImplementedError(
-                "H264: in-loop deblocking filter: decoding without it "
-                "would return wrong pixels — plug ffmpeg in here"
-            )
-    else:
-        raise NotImplementedError(
-            "H264: in-loop deblocking filter (PPS default-on): plug "
-            "ffmpeg in here"
-        )
-    return qp
+            off_a = 2 * r.se()
+            off_b = 2 * r.se()
+    return qp, deblock, off_a, off_b
 
 
 def decode_i_slice(sps: dict, pps: dict, nalu: bytes) -> np.ndarray:
@@ -1437,7 +1443,9 @@ def decode_i_slice(sps: dict, pps: dict, nalu: bytes) -> np.ndarray:
     if nal_type not in (1, 5):
         raise ValueError(f"H264: NAL type {nal_type} is not a coded slice")
     r = BitReader(ebsp_to_rbsp(nalu[1:]))
-    qp = _parse_slice_header(r, sps, pps, nal_ref_idc, nal_type == 5)
+    qp, deblock, off_a, off_b = _parse_slice_header(
+        r, sps, pps, nal_ref_idc, nal_type == 5
+    )
     fr = _Frame(sps)
     off = pps["chroma_qp_offset"]
     for my in range(fr.mb_h):
@@ -1445,13 +1453,18 @@ def decode_i_slice(sps: dict, pps: dict, nalu: bytes) -> np.ndarray:
             mb_type = r.ue()
             if mb_type == 25:
                 _decode_mb_pcm(fr, r, mx, my)
+                fr.mb_qp[my, mx] = 0  # spec: I_PCM edges carry QP 0
             elif mb_type == 0:
                 qp = _decode_mb_i4(fr, r, mx, my, qp, off)
+                fr.mb_qp[my, mx] = qp
             elif 1 <= mb_type <= 24:
                 qp = _decode_mb_i16(fr, r, mx, my, mb_type, qp, off)
+                fr.mb_qp[my, mx] = qp
             else:
                 raise ValueError(f"H264: invalid I-slice mb_type {mb_type}")
             fr.mb_done[my, mx] = True
+    if deblock:
+        _deblock_picture(fr, off_a, off_b, off)
     # crop (4:2:0 frame: units of 2 luma samples)
     cl, crp, ct, cb = sps["crop"]
     y = fr.Y[2 * ct : fr.mb_h * 16 - 2 * cb, 2 * cl : fr.mb_w * 16 - 2 * crp]
@@ -1582,7 +1595,8 @@ def encode_pps(qp: int) -> bytes:
     return _nal(0x68, w.to_bytes())
 
 
-def _write_slice_header(w: BitWriter, idr: bool) -> None:
+def _write_slice_header(w: BitWriter, idr: bool,
+                        deblocking: bool = False) -> None:
     w.ue(0)  # first_mb_in_slice
     w.ue(7)  # slice_type: I (all slices in picture)
     w.ue(0)  # pps_id
@@ -1594,7 +1608,12 @@ def _write_slice_header(w: BitWriter, idr: bool) -> None:
     # poc_type 2: no POC syntax; non-IDR slices are written with
     # nal_ref_idc 0, so dec_ref_pic_marking is absent
     w.se(0)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc: OFF (decoder requirement)
+    if deblocking:
+        w.ue(0)  # disable_deblocking_filter_idc: filter ON
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
+    else:
+        w.ue(1)  # disable_deblocking_filter_idc: OFF
 
 
 def _write_empty_dc_block_nc0(w: BitWriter) -> None:
@@ -1744,7 +1763,8 @@ def _flat_dc_coeff(delta: int, qp: int) -> int:
 
 def encode_flat_i16_slice(value: int, mb_w: int, mb_h: int, qp: int,
                           idr: bool = True,
-                          chroma: tuple = (128, 128)) -> bytes:
+                          chroma: tuple = (128, 128),
+                          deblocking: bool = False) -> bytes:
     """A whole picture of solid luma ``value`` and solid ``chroma``
     (Cb, Cr) as Intra_16x16 DC-prediction macroblocks: MB(0,0)
     predicts 128 on every plane and carries one luma-DC-Hadamard
@@ -1759,7 +1779,7 @@ def encode_flat_i16_slice(value: int, mb_w: int, mb_h: int, qp: int,
         if not 0 <= v <= 255:
             raise ValueError(f"H264 encoder: {what} value {v} out of range")
     w = BitWriter()
-    _write_slice_header(w, idr)
+    _write_slice_header(w, idr, deblocking)
     c0 = _flat_dc_coeff(value - 128, qp)
     qpc = _chroma_qp(qp, 0)
     chroma_coded = (cb, cr) != (128, 128)
@@ -1783,7 +1803,8 @@ def encode_flat_i16_slice(value: int, mb_w: int, mb_h: int, qp: int,
     return _nal(0x65 if idr else 0x01, w.to_bytes())
 
 
-def encode_pcm_slice(frame: np.ndarray, idr: bool = True) -> bytes:
+def encode_pcm_slice(frame: np.ndarray, idr: bool = True,
+                     deblocking: bool = False) -> bytes:
     """Whole picture as I_PCM macroblocks — byte-exact for ANY gray
     frame (dimensions must be multiples of 16; chroma written 128)."""
     h, wd = frame.shape[:2]
@@ -1793,7 +1814,7 @@ def encode_pcm_slice(frame: np.ndarray, idr: bool = True) -> bytes:
         raise ValueError("H264 encoder: PCM fixture takes gray frames")
     mb_w, mb_h = wd // 16, h // 16
     w = BitWriter()
-    _write_slice_header(w, idr)
+    _write_slice_header(w, idr, deblocking)
     for my in range(mb_h):
         for mx in range(mb_w):
             w.ue(25)  # I_PCM
@@ -1971,3 +1992,160 @@ def encode_residual_block_cavlc(
             raise ValueError("H264 encoder: run without zeros left")
         zeros_left -= run
     return total
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (spec 8.7) — intra-only picture post-pass
+# ---------------------------------------------------------------------------
+
+_DB_ALPHA = [0] * 16 + [
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+    226, 255, 255,
+]
+_DB_BETA = [0] * 16 + [
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+    11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+]
+# Table 8-17 t'C0 for bS 1..3 (intra pictures use 3 and 4 only, but the
+# full table keeps the filter general)
+_DB_TC0 = {
+    1: [0] * 16 + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10,
+                   11, 13],
+    2: [0] * 16 + [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2,
+                   2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12,
+                   13, 15, 17],
+    3: [0] * 16 + [0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
+                   3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16,
+                   18, 20, 23, 25],
+}
+for _bs, _row in _DB_TC0.items():
+    if len(_row) != 52:
+        raise AssertionError(f"H264 tc0 table bS={_bs}: {len(_row)} entries")
+if len(_DB_ALPHA) != 52 or len(_DB_BETA) != 52:
+    raise AssertionError("H264 alpha/beta tables: wrong size")
+
+
+def _clip3(lo, hi, v):
+    return lo if v < lo else hi if v > hi else v
+
+
+def _filter_line(s, bS, alpha, beta, tc0, chroma):
+    """Filter one 8-sample line [p3 p2 p1 p0 q0 q1 q2 q3] in place
+    (list of ints); returns True if it filtered."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = s
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return False
+    ap, aq = abs(p2 - p0), abs(q2 - q0)
+    if bS < 4:
+        tc = tc0
+        if not chroma:
+            tc += (1 if ap < beta else 0) + (1 if aq < beta else 0)
+        else:
+            tc += 1
+        delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+        s[3] = _clip3(0, 255, p0 + delta)
+        s[4] = _clip3(0, 255, q0 - delta)
+        if not chroma and ap < beta:
+            s[2] = p1 + _clip3(
+                -tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1
+            )
+        if not chroma and aq < beta:
+            s[5] = q1 + _clip3(
+                -tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1
+            )
+    else:  # bS == 4
+        small = abs(p0 - q0) < (alpha >> 2) + 2
+        if not chroma and ap < beta and small:
+            s[3] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+            s[2] = (p2 + p1 + p0 + q0 + 2) >> 2
+            s[1] = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        else:
+            s[3] = (2 * p1 + p0 + q1 + 2) >> 2
+        if not chroma and aq < beta and small:
+            s[4] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+            s[5] = (q2 + q1 + q0 + p0 + 2) >> 2
+            s[6] = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        else:
+            s[4] = (2 * q1 + q0 + p1 + 2) >> 2
+    return True
+
+
+def _deblock_edge(plane, x0, y0, n, vertical, bS, qpav, off_a, off_b,
+                  chroma):
+    """Filter one edge of ``n`` sample lines.  For a vertical edge the
+    boundary is between columns x0-1|x0; lines run down rows y0..y0+n-1
+    (mirrored for horizontal)."""
+    idx_a = _clip3(0, 51, qpav + off_a)
+    idx_b = _clip3(0, 51, qpav + off_b)
+    alpha, beta = _DB_ALPHA[idx_a], _DB_BETA[idx_b]
+    if alpha == 0 or beta == 0:
+        return
+    tc0 = _DB_TC0[bS][idx_a] if bS < 4 else 0
+    for i in range(n):
+        if vertical:
+            y, x = y0 + i, x0
+            line = [int(plane[y, x - 4 + j]) for j in range(8)]
+            if _filter_line(line, bS, alpha, beta, tc0, chroma):
+                for j in range(8):
+                    plane[y, x - 4 + j] = line[j]
+        else:
+            y, x = y0, x0 + i
+            line = [int(plane[y - 4 + j, x]) for j in range(8)]
+            if _filter_line(line, bS, alpha, beta, tc0, chroma):
+                for j in range(8):
+                    plane[y - 4 + j, x] = line[j]
+
+
+def _deblock_picture(fr: "_Frame", off_a: int, off_b: int,
+                     chroma_qp_offset: int) -> None:
+    """Spec 8.7 post-pass for an all-intra picture: per MB in raster
+    order, ALL vertical edges (left boundary bS=4, internal x=4/8/12
+    bS=3) then all horizontal (top boundary bS=4, internal bS=3),
+    later filters reading earlier filters' output.  Intra prediction
+    already consumed the UNfiltered samples (the filter runs after the
+    whole picture reconstructs), matching the decode order the spec
+    mandates for intra pictures.  I_PCM macroblocks carry QP 0, so
+    alpha/beta index 0 disables filtering at their edges (the spec's
+    lossless-passthrough property)."""
+    for my in range(fr.mb_h):
+        for mx in range(fr.mb_w):
+            qp = int(fr.mb_qp[my, mx])
+            y0, x0 = my * 16, mx * 16
+            cy0, cx0 = my * 8, mx * 8
+            # vertical edges (left to right)
+            if mx > 0:
+                qpl = int(fr.mb_qp[my, mx - 1])
+                qpav = (qpl + qp + 1) >> 1
+                _deblock_edge(fr.Y, x0, y0, 16, True, 4, qpav,
+                              off_a, off_b, False)
+                cqav = (_chroma_qp(qpl, chroma_qp_offset)
+                        + _chroma_qp(qp, chroma_qp_offset) + 1) >> 1
+                for plane in (fr.Cb, fr.Cr):
+                    _deblock_edge(plane, cx0, cy0, 8, True, 4, cqav,
+                                  off_a, off_b, True)
+            cq = _chroma_qp(qp, chroma_qp_offset)
+            for e in (4, 8, 12):
+                _deblock_edge(fr.Y, x0 + e, y0, 16, True, 3, qp,
+                              off_a, off_b, False)
+            for plane in (fr.Cb, fr.Cr):
+                _deblock_edge(plane, cx0 + 4, cy0, 8, True, 3, cq,
+                              off_a, off_b, True)
+            # horizontal edges (top to bottom)
+            if my > 0:
+                qpt = int(fr.mb_qp[my - 1, mx])
+                qpav = (qpt + qp + 1) >> 1
+                _deblock_edge(fr.Y, x0, y0, 16, False, 4, qpav,
+                              off_a, off_b, False)
+                cqav = (_chroma_qp(qpt, chroma_qp_offset)
+                        + _chroma_qp(qp, chroma_qp_offset) + 1) >> 1
+                for plane in (fr.Cb, fr.Cr):
+                    _deblock_edge(plane, cx0, cy0, 8, False, 4, cqav,
+                                  off_a, off_b, True)
+            for e in (4, 8, 12):
+                _deblock_edge(fr.Y, x0, y0 + e, 16, False, 3, qp,
+                              off_a, off_b, False)
+            for plane in (fr.Cb, fr.Cr):
+                _deblock_edge(plane, cx0, cy0 + 4, 8, False, 3, cq,
+                              off_a, off_b, True)

@@ -309,6 +309,35 @@ def ivf_topk(
     return _two_phase_topk(scored, k)
 
 
+def collapse_exact_vectors_first(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Pre-collapse byte-identical vectors to their min-id representative
+    — the operators/dedup.py::collapse_exact_first digest discipline
+    applied to embeddings (round 13, found BY the 3-point scale probe:
+    without it, a clone-dense corpus grows near-dup pair volume with
+    the SQUARE of the clone factor — measured exponent 2.8 on the
+    10-clone sf1 shape — because every clone clique floods its LSH
+    bucket with pairs the cheap exact collapse already accounts for).
+
+    The digest is sha2-256 of the vector's JSON rendering (Spark's
+    float->JSON formatting is deterministic), so the exchange carries
+    32-byte keys with map-side combine — never the O(dims) vector as a
+    groupBy key — and survivors return via a left-semi join on the id.
+    Returns the representatives' ORIGINAL rows, all columns preserved.
+    """
+    digest = F.sha2(
+        F.to_json(F.struct(F.col(vec_col).alias("v"))), 256
+    )
+    reps = (
+        df.select(digest.alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -317,6 +346,7 @@ def cosine_near_dup_pairs(
     n_planes: int = 32,
     bands: int = 4,
     max_bucket: int = 256,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH + cosine verify.
 
@@ -337,7 +367,15 @@ def cosine_near_dup_pairs(
     each paying a 64-dim verify — for no recall gain at cosine ≥ 0.95
     (a 0.95-pair flips any given plane with p ≈ 0.1; an 8-bit band still
     matches with p ≈ 0.43, and 4 bands give ≥ 90% recall).
+
+    ``collapse_exact`` (round 13): run the production exact-then-near
+    order — byte-identical vectors collapse to min-id representatives
+    BEFORE signing, so pairs are emitted among representatives only and
+    pair volume stays ~linear in docs on clone-dense corpora (clone-
+    clique pairs are the exact-dup signal, not a near-dup discovery).
     """
+    if collapse_exact:
+        df = collapse_exact_vectors_first(df, vec_col, id_col)
     rows = n_planes // bands
     # Hyperplane weights are DATA-INDEPENDENT pseudo-random ints in
     # [-1000, 1000), derived per (plane, dim) from xxhash64 — but

@@ -633,10 +633,23 @@ def _cosine_noise() -> F.Column:
     )
 
 
+def _cosine_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-id representative per distinct embedding vector — the base
+    both the fixture and the planted set derive from, so the pipeline
+    runs in the production exact-then-near order (round 13: the scale
+    probe measured pair volume growing with the SQUARE of the clone
+    factor without this — clone-clique pairs belong to exact dedup)."""
+    from ..operators.similarity import collapse_exact_vectors_first
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return collapse_exact_vectors_first(e, "embedding", "vec_id")
+
+
 def _cosine_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw (id_a, id_b, cos_sim) near-dup pair set — the hyperplane-LSH
-    pipeline itself; unit tests pin planted recall on it."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pipeline itself (collapse-exact-first production order); unit tests
+    pin planted recall on it."""
+    e = _cosine_reps(spark, sf_dir)
     perturbed = e.where(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         _cosine_noise().alias("embedding"),
@@ -650,12 +663,15 @@ def _cosine_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_INVARIANT_ORACLE = """
+WITH reps AS (
+  SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+)
 SELECT 'planted' AS part, vec_id AS id_a, vec_id + 100000 AS id_b,
        CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS n, true AS ok
-FROM embeddings WHERE vec_id % 13 = 0
+FROM reps WHERE vec_id % 13 = 0
 UNION ALL
 SELECT 'recall', NULL, NULL, NULL,
-       (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 13 = 0),
+       (SELECT CAST(count(*) AS BIGINT) FROM reps WHERE vec_id % 13 = 0),
        true
 UNION ALL
 SELECT 'precision', NULL, NULL, NULL, CAST(0 AS BIGINT), true
@@ -682,7 +698,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pinning import eager_pin
     from ..operators.similarity import cosine
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _cosine_reps(spark, sf_dir)
     lsh = eager_pin(_cosine_pairs_raw(spark, sf_dir))
     nulls = [
         F.lit(None).cast("bigint").alias("id_a"),

@@ -2080,3 +2080,44 @@ def test_twin_id_guard_fires_on_offset_overlap(spark):
     )
     with pytest.raises(Exception, match="planted-twin offset"):
         bad.collect()
+
+
+def test_cosine_collapse_exact_bounds_clone_pairs(spark):
+    """Round 13 (found by the 3-point scale probe): on a clone-dense
+    corpus the cosine pair stage must NOT emit the clone-clique
+    quadratic — collapse_exact pre-collapses byte-identical vectors to
+    min-id reps, so pairs are emitted among reps only while planted
+    near-dup recall is preserved."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        collapse_exact_vectors_first,
+        cosine_near_dup_pairs,
+    )
+
+    # 20 distinct base vectors, each cloned 10x (exact), plus one
+    # near-dup partner of base 0 (slightly perturbed)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    bases = rng.normal(size=(20, 16)).astype(float)
+    rows = []
+    for b in range(20):
+        for c in range(10):
+            rows.append((b * 10 + c, [float(x) for x in bases[b]]))
+    near = bases[0] + 0.001
+    rows.append((9999, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    reps = collapse_exact_vectors_first(df, "embedding", "vec_id")
+    rep_ids = {r.vec_id for r in reps.select("vec_id").collect()}
+    assert rep_ids == {b * 10 for b in range(20)} | {9999}
+
+    pairs = cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.98, collapse_exact=True
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # ONLY the planted near-dup pair among representatives — zero
+    # clone-clique pairs (without collapse, each 10-clone clique emits
+    # up to 45 pairs x 20 cliques)
+    assert got == {(0, 9999)}, got

@@ -164,7 +164,7 @@ def test_p_slice_refuses():
         h264.decode_i_slice(sps, pps, nalu)
 
 
-def test_deblocking_enabled_refuses():
+def test_invalid_deblocking_idc_raises():
     sps = h264.parse_sps(h264.encode_sps(1, 1, 0, 0))
     pps = h264.parse_pps(h264.encode_pps(26))
     w = BitWriter()
@@ -175,12 +175,10 @@ def test_deblocking_enabled_refuses():
     w.ue(0)   # idr_pic_id
     w.u(0, 2)  # idr marking flags
     w.se(0)   # slice_qp_delta
-    w.ue(0)   # disable_deblocking_filter_idc = 0 (filter ON)
-    w.se(0)
-    w.se(0)
+    w.ue(5)   # disable_deblocking_filter_idc out of range
     w.rbsp_trailing()
     nalu = bytes([0x65]) + h264.rbsp_to_ebsp(w.to_bytes())
-    with pytest.raises(NotImplementedError, match="deblocking"):
+    with pytest.raises(ValueError, match="deblocking idc"):
         h264.decode_i_slice(sps, pps, nalu)
 
 
@@ -534,3 +532,90 @@ def test_solid_color_exact_across_qps(qp):
     sps, pps = h264.parse_sps(sps_b), h264.parse_pps(pps_b)
     dec = h264.h264_decode_sample(sps, pps, samples[0])
     assert (dec == _expected_rgb(90, 60, 190).reshape(1, 1, 3)).all(), qp
+
+
+# --- leg 9: in-loop deblocking filter (round 13) ------------------------------------
+
+
+def _two_value_slice(a, b, qp, deblocking):
+    """Hand-built 2x1-MB picture: MB0 solid ``a`` (DC coeff), MB1 solid
+    ``b`` (DC coeff over the left-neighbor prediction ``a``)."""
+    w = BitWriter()
+    h264._write_slice_header(w, True, deblocking=deblocking)
+    w.ue(3)
+    w.ue(0)
+    w.se(0)
+    h264._write_single_dc_block_nc0(w, h264._flat_dc_coeff(a - 128, qp))
+    w.ue(3)
+    w.ue(0)
+    w.se(0)
+    h264._write_single_dc_block_nc0(w, h264._flat_dc_coeff(b - a, qp))
+    w.rbsp_trailing()
+    return bytes([0x65]) + h264.rbsp_to_ebsp(w.to_bytes())
+
+
+def _decode_two_value(a, b, qp, deblocking):
+    sps = h264.parse_sps(h264.encode_sps(2, 1, 0, 0))
+    pps = h264.parse_pps(h264.encode_pps(qp))
+    return h264.decode_i_slice(
+        sps, pps, _two_value_slice(a, b, qp, deblocking)
+    )[:, :, 0].astype(int)
+
+
+def test_deblocking_solid_pictures_invariant():
+    """A flat picture is a fixed point of the filter (all formulas
+    average equal samples) — deblocking on and off agree exactly."""
+    for v in (0, 77, 128, 255):
+        raw_off = mp4.mp4_encode_gray([_solid(32, 48, v)])
+        f_off, = [f for _, _, f in mp4.mp4_decode_keyframes(raw_off)]
+        sps = h264.parse_sps(h264.encode_sps(3, 2, 0, 0))
+        pps = h264.parse_pps(h264.encode_pps(12))
+        nalu = h264.encode_flat_i16_slice(v, 3, 2, 12, deblocking=True)
+        f_on = h264.decode_i_slice(sps, pps, nalu)
+        assert (f_on == v).all() and (f_off == v).all()
+
+
+def test_deblocking_weak_filter_hand_vector():
+    """A=100 | B=110 at qp 24: alpha=12, beta=4, |p0-q0|=10 < 12 but
+    >= (alpha>>2)+2=5, so the bS=4 WEAK path fires: only p0/q0 move —
+    p0' = (2*100+100+110+2)>>2 = 103, q0' = (2*110+110+100+2)>>2 = 108
+    (hand arithmetic, spec 8.7.2.4)."""
+    f = _decode_two_value(100, 110, 24, deblocking=True)
+    assert (f[:, :15] == 100).all()
+    assert (f[:, 15] == 103).all()
+    assert (f[:, 16] == 108).all()
+    assert (f[:, 17:] == 110).all()
+    # and without the filter, the step is untouched
+    f0 = _decode_two_value(100, 110, 24, deblocking=False)
+    assert (f0[:, :16] == 100).all() and (f0[:, 16:] == 110).all()
+
+
+def test_deblocking_strong_filter_hand_vector():
+    """A=100 | B=103 at qp 24: |p0-q0|=3 < 5 and ap=aq=0 < beta, so the
+    bS=4 STRONG 3-tap path fires on both sides — expected columns
+    13..18 = 100,101,101 | 102,102,103 (hand arithmetic)."""
+    f = _decode_two_value(100, 103, 24, deblocking=True)
+    assert (f[:, :13] == 100).all()
+    assert (f[:, 13] == 100).all()  # p2' = 807>>3
+    assert (f[:, 14] == 101).all()  # p1' = 405>>2
+    assert (f[:, 15] == 101).all()  # p0' = 813>>3
+    assert (f[:, 16] == 102).all()  # q0' = 819>>3
+    assert (f[:, 17] == 102).all()  # q1' = 411>>2
+    # q2' = 825>>3 = 103 at the MB edge — but the spec's edge ORDER
+    # then runs MB1's internal x=20 edge over the partially-filtered
+    # samples: there p2=102, p1=103 give the bS=3 p1 update
+    # 103 + clip(+-1, (102 + 103 - 206)>>1) = 102.  Both stages are
+    # hand arithmetic; the cascade pins the vertical edge ordering.
+    assert (f[:, 18] == 102).all()
+    assert (f[:, 19:] == 103).all()
+
+
+def test_deblocking_pcm_edges_untouched():
+    """I_PCM macroblocks carry QP 0 -> alpha index 0 -> no filtering at
+    their edges: a PCM gradient survives deblocking byte-exactly."""
+    g = ((np.indices((16, 32)).sum(0) * 9 + 1) % 256).astype(np.uint8)
+    sps = h264.parse_sps(h264.encode_sps(2, 1, 0, 0))
+    pps = h264.parse_pps(h264.encode_pps(12))
+    nalu = h264.encode_pcm_slice(g, deblocking=True)
+    f = h264.decode_i_slice(sps, pps, nalu)
+    assert (f[:, :, 0] == g).all()

@@ -83,13 +83,17 @@ def _chunk_header(
     return fcc, size, pos + 8
 
 
-def avi_header(raw: bytes) -> tuple[int, int, int, int, int]:
-    """Parse the hdrl list: (width, height, rate, scale, n_frames).
+def avi_header(raw: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse the hdrl list: (width, height, rate, scale, n_frames,
+    vids_idx).
 
     Validates the single-video-stream MJPG baseline: fccType 'vids'
     with handler or biCompression 'MJPG'.  rate/scale is the frame
     clock (fps = rate/scale); timestamps are idx*1000*scale DIV rate —
     floor-exact integer math, the Y4M fps-ratio discipline.
+    ``vids_idx`` is the video stream's strl position (its movi chunk id
+    prefix — round-13 review fix: callers pass the whole tuple to
+    avi_frames, which then does NOT re-walk the container).
     """
     if not raw.startswith(AVI_RIFF_MAGIC):
         raise ValueError("AVI: missing RIFF magic")
@@ -153,7 +157,7 @@ def avi_header(raw: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError("AVI: zero rate/scale frame clock")
     if n_frames > _MAX_FRAMES:
         raise ValueError(f"AVI: lying frame count {n_frames}")
-    return width, height, rate, scale, n_frames
+    return width, height, rate, scale, n_frames, _vids_stream_index(raw)
 
 
 def _vids_stream_index(raw: bytes) -> int:
@@ -273,8 +277,8 @@ def avi_frames(raw: bytes, every_k: int = 1, header: tuple | None = None):
         raise ValueError(f"every_k must be >= 1, got {every_k}")
     if header is None:
         # validates container + MJPG before any payload work
-        avi_header(raw)
-    vids_idx = _vids_stream_index(raw)
+        header = avi_header(raw)
+    vids_idx = header[5]
     movi_pos, movi_end = _movi_bounds(raw)
     index = _idx1(raw)
     if index is not None:

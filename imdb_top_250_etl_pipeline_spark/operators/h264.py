@@ -1125,6 +1125,46 @@ def _border_chroma(plane: np.ndarray, fr: _Frame, mx: int, my: int):
     return top, left, corner
 
 
+def _parse_chroma_residuals(fr, r, mx, my, cbp_c, qpc):
+    """Chroma residuals in SPEC order (7.3.5.3.3): BOTH chroma DC
+    blocks (Cb then Cr) first, THEN all eight AC blocks (Cb's four,
+    then Cr's four) — round-13 review fix: the earlier per-component
+    interleave (Cb DC, Cb AC x4, Cr DC, ...) desynced any stream with
+    CodedBlockPatternChroma == 2, which real encoders emit constantly.
+    Returns {0: (cb_dc_2x2, {sub: ac4x4}), 1: (...)}."""
+    cdcs = {}
+    for ci in (0, 1):
+        if cbp_c > 0:
+            c, _ = residual_block_cavlc(r, 4, -1)
+            f = np.array(
+                [
+                    [c[0] + c[1] + c[2] + c[3], c[0] - c[1] + c[2] - c[3]],
+                    [c[0] + c[1] - c[2] - c[3], c[0] - c[1] - c[2] + c[3]],
+                ],
+                dtype=np.int64,
+            )
+            cdcs[ci] = _dequant_chroma_dc(f, qpc)
+        else:
+            cdcs[ci] = np.zeros((2, 2), dtype=np.int64)
+    ch = {}
+    cgx, cgy = mx * 2, my * 2
+    for ci, nz in ((0, fr.nz_cb), (1, fr.nz_cr)):
+        cacs = {}
+        for sub in range(4):
+            sx, sy = sub & 1, sub >> 1
+            if cbp_c == 2:
+                coeffs, total = residual_block_cavlc(
+                    r, 15, _nc(nz, cgx + sx, cgy + sy)
+                )
+                nz[cgy + sy, cgx + sx] = total
+                cacs[sub] = _scan_to_block_ac(coeffs)
+            else:
+                nz[cgy + sy, cgx + sx] = 0
+                cacs[sub] = np.zeros((4, 4), dtype=np.int64)
+        ch[ci] = (cdcs[ci], cacs)
+    return ch
+
+
 def _decode_mb_i16(fr, r, mx, my, mb_type, qp, chroma_qp_offset):
     pm = (mb_type - 1) % 4
     cbp_c = ((mb_type - 1) // 4) % 3
@@ -1153,40 +1193,7 @@ def _decode_mb_i16(fr, r, mx, my, mb_type, qp, chroma_qp_offset):
             acs[idx] = np.zeros((4, 4), dtype=np.int64)
     # chroma residuals
     qpc = _chroma_qp(qp, chroma_qp_offset)
-    ch = {}
-    for ci, nz in ((0, fr.nz_cb), (1, fr.nz_cr)):
-        if cbp_c > 0:
-            cdc_coeffs, _ = residual_block_cavlc(r, 4, -1)
-            f = np.array(
-                [[cdc_coeffs[0], cdc_coeffs[1]], [cdc_coeffs[2], cdc_coeffs[3]]],
-                dtype=np.int64,
-            )
-            f = np.array(
-                [
-                    [f[0, 0] + f[0, 1] + f[1, 0] + f[1, 1],
-                     f[0, 0] - f[0, 1] + f[1, 0] - f[1, 1]],
-                    [f[0, 0] + f[0, 1] - f[1, 0] - f[1, 1],
-                     f[0, 0] - f[0, 1] - f[1, 0] + f[1, 1]],
-                ],
-                dtype=np.int64,
-            )
-            cdc = _dequant_chroma_dc(f, qpc)
-        else:
-            cdc = np.zeros((2, 2), dtype=np.int64)
-        cacs = {}
-        cgx, cgy = mx * 2, my * 2
-        for sub in range(4):
-            sx, sy = sub & 1, sub >> 1
-            if cbp_c == 2:
-                coeffs, total = residual_block_cavlc(
-                    r, 15, _nc(nz, cgx + sx, cgy + sy)
-                )
-                nz[cgy + sy, cgx + sx] = total
-                cacs[sub] = _scan_to_block_ac(coeffs)
-            else:
-                nz[cgy + sy, cgx + sx] = 0
-                cacs[sub] = np.zeros((4, 4), dtype=np.int64)
-        ch[ci] = (cdc, cacs)
+    ch = _parse_chroma_residuals(fr, r, mx, my, cbp_c, qpc)
     # ---- reconstruct ----
     y0, x0 = my * 16, mx * 16
     top, left, corner = _border_luma(fr, mx, my)
@@ -1275,35 +1282,7 @@ def _decode_mb_i4(fr, r, mx, my, qp, chroma_qp_offset):
             acs[idx] = np.zeros((4, 4), dtype=np.int64)
     # 3. chroma residuals (same layout as I16x16)
     qpc = _chroma_qp(qp, chroma_qp_offset)
-    ch = {}
-    for ci, nz in ((0, fr.nz_cb), (1, fr.nz_cr)):
-        if cbp_c > 0:
-            cdc_coeffs, _ = residual_block_cavlc(r, 4, -1)
-            c = cdc_coeffs
-            f = np.array(
-                [
-                    [c[0] + c[1] + c[2] + c[3], c[0] - c[1] + c[2] - c[3]],
-                    [c[0] + c[1] - c[2] - c[3], c[0] - c[1] - c[2] + c[3]],
-                ],
-                dtype=np.int64,
-            )
-            cdc = _dequant_chroma_dc(f, qpc)
-        else:
-            cdc = np.zeros((2, 2), dtype=np.int64)
-        cacs = {}
-        cgx, cgy = mx * 2, my * 2
-        for sub in range(4):
-            sx, sy = sub & 1, sub >> 1
-            if cbp_c == 2:
-                coeffs, total = residual_block_cavlc(
-                    r, 15, _nc(nz, cgx + sx, cgy + sy)
-                )
-                nz[cgy + sy, cgx + sx] = total
-                cacs[sub] = _scan_to_block_ac(coeffs)
-            else:
-                nz[cgy + sy, cgx + sx] = 0
-                cacs[sub] = np.zeros((4, 4), dtype=np.int64)
-        ch[ci] = (cdc, cacs)
+    ch = _parse_chroma_residuals(fr, r, mx, my, cbp_c, qpc)
     # 4. reconstruct luma block-by-block in z-order (prediction uses
     #    already-reconstructed in-MB neighbors)
     y0, x0 = my * 16, mx * 16

@@ -135,6 +135,8 @@ def mp4_probe(raw: bytes) -> dict:
     mdhd = _find_box(raw, mdia[0], mdia[1], b"mdhd")
     if mdhd is None:
         raise ValueError("MP4: mdia without mdhd")
+    if mdhd[1] - mdhd[0] < 24:
+        raise ValueError("MP4: mdhd too short")
     ver = raw[mdhd[0]]
     timescale = _u32(raw, mdhd[0] + (20 if ver == 1 else 12), "timescale")
     if timescale == 0:
@@ -157,12 +159,16 @@ def mp4_probe(raw: bytes) -> dict:
             "MP4: multiple sample descriptions: plug ffmpeg in here"
         )
     boxes = list(_walk_boxes(raw, stsd[0] + 8, stsd[1]))
+    if not boxes:
+        raise ValueError("MP4: stsd declares an entry but contains none")
     etype, eb, ee = boxes[0]
     if etype != b"avc1":
         raise NotImplementedError(
             f"MP4: video codec {etype!r} (only avc1/H.264): plug "
             "ffmpeg in here"
         )
+    if ee - eb < 78:
+        raise ValueError("MP4: avc1 sample entry too short")
     # VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 predefined
     # + width/height u16 + ... (70 fixed bytes before child boxes)
     width = struct.unpack_from(">H", raw, eb + 24)[0]
@@ -171,29 +177,33 @@ def mp4_probe(raw: bytes) -> dict:
     if avcc is None:
         raise ValueError("MP4: avc1 without avcC")
     ab, ae = avcc
+    if ae - ab < 7:
+        raise ValueError("MP4: avcC too short")
     if raw[ab] != 1:
         raise ValueError(f"MP4: avcC configurationVersion {raw[ab]}")
     length_size = (raw[ab + 4] & 3) + 1
     n_sps = raw[ab + 5] & 0x1F
     p = ab + 6
+
+    def _take(n: int, what: str) -> int:
+        # every avcC read bounded by the box end: a lying count or
+        # length fails loud (ValueError), never IndexError/struct.error
+        nonlocal p
+        if p + n > ae:
+            raise ValueError(f"MP4: avcC {what} overruns box")
+        v = p
+        p += n
+        return v
+
     sps_list = []
     for _ in range(n_sps):
-        ln = struct.unpack_from(">H", raw, p)[0]
-        p += 2
-        if p + ln > ae:
-            raise ValueError("MP4: avcC SPS overruns box")
-        sps_list.append(raw[p : p + ln])
-        p += ln
-    n_pps = raw[p]
-    p += 1
+        ln = struct.unpack_from(">H", raw, _take(2, "SPS length"))[0]
+        sps_list.append(raw[_take(ln, "SPS") : p])
+    n_pps = raw[_take(1, "PPS count")]
     pps_list = []
     for _ in range(n_pps):
-        ln = struct.unpack_from(">H", raw, p)[0]
-        p += 2
-        if p + ln > ae:
-            raise ValueError("MP4: avcC PPS overruns box")
-        pps_list.append(raw[p : p + ln])
-        p += ln
+        ln = struct.unpack_from(">H", raw, _take(2, "PPS length"))[0]
+        pps_list.append(raw[_take(ln, "PPS") : p])
     if not sps_list or not pps_list:
         raise ValueError("MP4: avcC without SPS/PPS")
     sps = parse_sps(sps_list[0])

@@ -23,12 +23,15 @@ every frame a standalone JFIF payload decoded by the existing JPEG
 codec — round 12, operators/avi.py).  Images share ONE exact integer
 luma (_luma_u8), so the same pixels hash identically across container
 formats — the property cross-format image near-dup needs; WAV yields
-true sample rate / frames / peak / full-scale clipping.  Still
-synthetic: MP3/AAC and interframe-compressed video (MP4/H.264) —
-those raise at the same NotImplementedError seam (no PIL/ffmpeg in
-this container); the Spark-side plumbing (schema, mapInPandas batch
-shape, partitioning) is identical on both paths, so swapping in
-PIL/ffmpeg stays a one-function change.
+true sample rate / frames / peak / full-scale clipping.  Round 13
+adds H.264-in-MP4 intra-only decode (operators/h264.py + mp4.py:
+ISO-BMFF sample tables with the stss keyframe seek, CAVLC, intra
+prediction, in-loop deblocking) and FLAC lossless audio
+(operators/flac.py).  Still synthetic: MP3/AAC audio and inter-coded
+(P/B-frame) video — those raise at the same NotImplementedError seam
+(no PIL/ffmpeg in this container); the Spark-side plumbing (schema,
+mapInPandas batch shape, partitioning) is identical on both paths, so
+swapping in PIL/ffmpeg stays a one-function change.
 """
 
 from __future__ import annotations
@@ -830,7 +833,7 @@ def sample_frames(videos: DataFrame, every_k: int = 7) -> DataFrame:
                     from .avi import avi_frames, avi_header
 
                     hdr = avi_header(raw)
-                    _w, _h, rate, scale, _nf = hdr
+                    _w, _h, rate, scale, _nf, _vi = hdr
                     for idx, _jpeg in avi_frames(
                         raw, every_k=every_k, header=hdr
                     ):
@@ -1137,7 +1140,7 @@ def avi_frame_stats(videos: DataFrame, every_k: int = 3) -> DataFrame:
                         "real video demuxer plugs in here"
                     )
                 hdr = avi_header(raw)
-                w, h, rate, scale, _nf = hdr
+                w, h, rate, scale, _nf, _vi = hdr
                 for idx, payload in avi_frames(
                     raw, every_k=every_k, header=hdr
                 ):

@@ -10348,7 +10348,16 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_dir = os.path.join(work, "idx")
 
         def run(ckpt: str) -> None:
-            stream = spark.readStream.schema(base.schema).parquet(src)
+            # maxFilesPerTrigger=1: a FRESH-checkpoint replay must
+            # re-deliver the same four per-file microbatches (ids 0-3),
+            # exercising every app_txn no-op — without it the replay
+            # collapses into one batch and only id 0's idempotence is
+            # checked (round-13 review finding)
+            stream = (
+                spark.readStream.schema(base.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
             q = (
                 stream_near_dup_ingest(
                     stream, index_dir, ckpt, app_id="sdd",

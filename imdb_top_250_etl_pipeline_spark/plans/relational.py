@@ -1155,6 +1155,7 @@ def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_salts=8,
             how="full",
         )
+        ok_full = "_salt" in _physical_plan(sjf)
         salted_full = (
             sjf.groupBy("c_mktsegment")
             .agg(
@@ -1171,7 +1172,7 @@ def join_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_mktsegment").alias("k"),
                 "n",
                 "v",
-                F.lit(True).alias("ok"),
+                F.lit(bool(ok_full)).alias("ok"),
             )
         )
 

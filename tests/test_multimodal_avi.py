@@ -47,7 +47,7 @@ def _solid(h, w, v):
 def test_header_fields_round_trip():
     frames = [_solid(13, 21, 50 + f) for f in range(5)]
     raw = avi_encode(frames, rate=12, scale=1)
-    assert avi_header(raw) == (21, 13, 12, 1, 5)
+    assert avi_header(raw) == (21, 13, 12, 1, 5, 0)
 
 
 def test_idx1_seek_equals_linear_walk():
@@ -273,7 +273,7 @@ def test_interleaved_audio_stream_skipped_by_video_demux():
     pcm = bytes((i * 7 + 3) % 256 for i in range(997))  # odd chunk sizes
     av = avi_encode(frames, rate=10, quality=100, pcm=pcm)
     silent = avi_encode(frames, rate=10, quality=100)
-    assert avi_header(av) == avi_header(silent) == (18, 14, 10, 1, 5)
+    assert avi_header(av) == avi_header(silent) == (18, 14, 10, 1, 5, 0)
     a = list(avi_frames(av))
     b = list(avi_frames(silent))
     assert [i for i, _ in a] == list(range(5))
@@ -338,7 +338,7 @@ def test_audio_first_stream_order_video_rides_01dc():
             frames, rate=10, quality=100, pcm=pcm,
             audio_first=True, write_idx1=write_idx1,
         )
-        assert avi_header(raw) == (16, 12, 10, 1, 4)
+        assert avi_header(raw) == (16, 12, 10, 1, 4, 1)
         got = list(avi_frames(raw))
         assert [i for i, _ in got] == list(range(4))
         for f, (_, payload) in zip(frames, got):

@@ -619,3 +619,64 @@ def test_deblocking_pcm_edges_untouched():
     nalu = h264.encode_pcm_slice(g, deblocking=True)
     f = h264.decode_i_slice(sps, pps, nalu)
     assert (f[:, :, 0] == g).all()
+
+
+def test_chroma_ac_parse_order_cbp2():
+    """CodedBlockPatternChroma == 2 (round-13 review fix): the spec
+    orders BOTH chroma DC blocks before ANY chroma AC block.  This MB
+    carries an empty Cb DC, a nonzero Cr DC, and a nonzero Cb AC block
+    — under the old per-component interleave the Cr DC bits would be
+    parsed as Cb AC and the stream desyncs."""
+    import numpy as np
+
+    qp = 12
+    qpc = h264._chroma_qp(qp, 0)
+    cr_dc = h264._flat_chroma_dc_coeff(3, qpc)  # Cr = 131 everywhere
+
+    def body(w):
+        w.ue(11)  # I_16x16: pred DC(2), cbp_chroma 2, cbp_luma 0
+        w.ue(0)   # chroma pred DC
+        w.se(0)   # mb_qp_delta
+        h264._write_empty_dc_block_nc0(w)          # luma DC (16 coeffs)
+        h264._write_single_chroma_dc_block(w, 0)   # Cb DC (empty)
+        h264._write_single_chroma_dc_block(w, cr_dc)  # Cr DC
+        # EIGHT chroma AC blocks: Cb's four then Cr's four
+        cb_ac0 = [0] * 15
+        cb_ac0[0] = 6  # zigzag position 1 -> block (0, 1)
+        h264.encode_residual_block_cavlc(w, cb_ac0, 0)
+        h264.encode_residual_block_cavlc(w, [0] * 15, 1)  # nC from blk0
+        h264.encode_residual_block_cavlc(w, [0] * 15, 0)
+        h264.encode_residual_block_cavlc(w, [0] * 15, 0)
+        for _ in range(4):  # Cr AC
+            h264.encode_residual_block_cavlc(w, [0] * 15, 0)
+
+    sps = h264.parse_sps(h264.encode_sps(1, 1, 0, 0))
+    pps = h264.parse_pps(h264.encode_pps(qp))
+    w = BitWriter()
+    h264._write_slice_header(w, True)
+    body(w)
+    w.rbsp_trailing()
+    nalu = bytes([0x65]) + h264.rbsp_to_ebsp(w.to_bytes())
+    f = h264.decode_i_slice(sps, pps, nalu)
+
+    # expected planes re-derived through the module's transform prims
+    # (the thing under test is the PARSE ORDER; transform math is
+    # pinned by the other hand vectors)
+    ac = np.zeros((4, 4), dtype=np.int64)
+    ac[0, 1] = 6
+    cb_blk0 = np.clip(
+        128 + h264._itransform4(h264._dequant4(ac, qpc)), 0, 255
+    )
+    cb_plane = np.full((8, 8), 128, dtype=np.int64)
+    cb_plane[:4, :4] = cb_blk0
+    cr_plane = np.full((8, 8), 131, dtype=np.int64)
+    y_plane = np.full((16, 16), 128, dtype=np.int64)
+    cbu = np.repeat(np.repeat(cb_plane, 2, 0), 2, 1).astype(np.float64)
+    cru = np.repeat(np.repeat(cr_plane, 2, 0), 2, 1).astype(np.float64)
+    r = np.clip(np.round(y_plane + 1.402 * (cru - 128.0)), 0, 255)
+    g = np.clip(np.round(
+        y_plane - 0.344136 * (cbu - 128.0) - 0.714136 * (cru - 128.0)
+    ), 0, 255)
+    b = np.clip(np.round(y_plane + 1.772 * (cbu - 128.0)), 0, 255)
+    exp = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    assert (f == exp).all(), (f[0, :4], exp[0, :4])

@@ -300,9 +300,9 @@ def parse_pps(nalu: bytes) -> dict:
     pic_order_present = r.flag()
     if r.ue() != 0:  # num_slice_groups_minus1
         raise NotImplementedError("H264: FMO slice groups: plug ffmpeg in here")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0 = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.flag()  # weighted_pred
+    weighted_pred = r.flag()
     r.u(2)  # weighted_bipred_idc
     pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs_minus26
@@ -313,6 +313,8 @@ def parse_pps(nalu: bytes) -> dict:
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
+        "num_ref_l0": num_ref_l0,
+        "weighted_pred": weighted_pred,
         "pic_order_present": pic_order_present,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_offset": chroma_qp_offset,
@@ -490,6 +492,16 @@ _CBP_INTRA = [
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
 ]
 
+# Table 9-4 Inter column (coded_block_pattern me(v) mapping for P
+# macroblocks); like the Intra column it must be a permutation of
+# 0..47 — validated at import alongside the VLC tables
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
+
 # dequant scale (v0: DC-class, v1: diag-class, v2: rest) per qp%6
 _DEQUANT_V = [
     (10, 16, 13), (11, 18, 14), (13, 20, 16),
@@ -553,6 +565,9 @@ def _validate_tables() -> None:
         _check_prefix_free(f"run_before zl={zl}", codes)
         if zl < 7:
             _check_complete(f"run_before zl={zl}", codes)
+    for name, col in (("cbp intra", _CBP_INTRA), ("cbp inter", _CBP_INTER)):
+        if sorted(col) != list(range(48)):
+            raise AssertionError(f"H264 table {name}: not a permutation")
 
 
 _validate_tables()
@@ -1085,6 +1100,16 @@ class _Frame:
         self.mb_done = np.zeros((self.mb_h, self.mb_w), dtype=bool)
         # per-MB luma QP for the deblocking filter (I_PCM records 0)
         self.mb_qp = np.zeros((self.mb_h, self.mb_w), dtype=np.int32)
+        # inter-prediction state (round 13b, P slices): per-MB intra
+        # flag (drives deblock bS 3/4 vs MV/coeff-derived), per-4x4
+        # quarter-pel MVs, per-4x4 ref idx (-1 = intra / not decoded),
+        # and the per-4x4 decoded mask the MV predictor's neighbor
+        # availability test reads (spec 6.4: a neighbor exists iff it
+        # is inside the picture AND earlier in decode order)
+        self.mb_intra = np.zeros((self.mb_h, self.mb_w), dtype=bool)
+        self.mv = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
+        self.ref4 = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
+        self.dec4 = np.zeros((self.mb_h * 4, self.mb_w * 4), dtype=bool)
 
 
 def _nc(nz: np.ndarray, bx: int, by: int) -> int:
@@ -1356,19 +1381,315 @@ def _decode_mb_pcm(fr, r, mx, my):
     fr.nz_cb[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
     fr.nz_cr[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
 
+
+# ---------------------------------------------------------------------------
+# inter prediction (round 13b: P slices — spec 8.4)
+# ---------------------------------------------------------------------------
+
+
+def _mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+             mvx: int, mvy: int) -> np.ndarray:
+    """Quarter-pel luma motion compensation (spec 8.4.2.2.1): 6-tap
+    (1,-5,20,20,-5,1) half-pel filter, (x+16)>>5 / centre (j) at
+    (x+512)>>10 from UNROUNDED intermediates, quarter-pel samples as
+    +1>>1 averages of the two nearest integer/half samples.  All
+    integer arithmetic — P-frame reconstruction is exactly testable.
+    Out-of-picture reads clamp to the edge (spec sample clipping)."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    H, W = ref.shape
+    rows = np.clip(np.arange(yi - 2, yi + h + 4), 0, H - 1)
+    cols = np.clip(np.arange(xi - 2, xi + w + 4), 0, W - 1)
+    G = ref[np.ix_(rows, cols)].astype(np.int64)  # (h+6, w+6), base -2
+    if fx == 0 and fy == 0:
+        return G[2 : 2 + h, 2 : 2 + w]
+
+    def hfilt(a):
+        return (a[:, :-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+    def vfilt(a):
+        return (a[:-5] - 5 * a[1:-4] + 20 * a[2:-3]
+                + 20 * a[3:-2] - 5 * a[4:-1] + a[5:])
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    full = G[2 : 3 + h, 2 : 3 + w]  # fullpel rows/cols 0..h / 0..w
+    b1 = hfilt(G)  # unrounded horizontal half-pel, (h+6, w+1)
+    b = np.clip((b1[2 : 3 + h] + 16) >> 5, 0, 255)  # (h+1, w+1)
+    hh = np.clip((vfilt(G)[:, 2 : 3 + w] + 16) >> 5, 0, 255)  # (h+1, w+1)
+    if (fx, fy) == (2, 0):
+        return b[:h, :w]
+    if (fx, fy) == (0, 2):
+        return hh[:h, :w]
+    j = None
+    if fx == 2 or fy == 2:
+        j = np.clip((vfilt(b1) + 512) >> 10, 0, 255)  # (h+1, w+1)
+    F00, F10, F01 = full[:h, :w], full[:h, 1 : w + 1], full[1 : h + 1, :w]
+    bb, bb_d = b[:h, :w], b[1 : h + 1, :w]  # b / s (= b one row down)
+    hc, h_r = hh[:h, :w], hh[:h, 1 : w + 1]  # h / m (= h one col right)
+    if (fx, fy) == (1, 0):
+        return avg(F00, bb)  # a
+    if (fx, fy) == (3, 0):
+        return avg(bb, F10)  # c
+    if (fx, fy) == (0, 1):
+        return avg(F00, hc)  # d
+    if (fx, fy) == (0, 3):
+        return avg(hc, F01)  # n
+    if (fx, fy) == (1, 1):
+        return avg(bb, hc)  # e
+    if (fx, fy) == (3, 1):
+        return avg(bb, h_r)  # g
+    if (fx, fy) == (1, 3):
+        return avg(hc, bb_d)  # p
+    if (fx, fy) == (3, 3):
+        return avg(h_r, bb_d)  # r
+    jj = j[:h, :w]
+    if (fx, fy) == (2, 1):
+        return avg(bb, jj)  # f
+    if (fx, fy) == (1, 2):
+        return avg(hc, jj)  # i
+    if (fx, fy) == (2, 2):
+        return jj  # j
+    if (fx, fy) == (3, 2):
+        return avg(jj, h_r)  # k
+    return avg(jj, bb_d)  # q (2, 3)
+
+
+def _mc_chroma(refc: np.ndarray, cx0: int, cy0: int, w: int, h: int,
+               mvx: int, mvy: int) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC (spec 8.4.2.2.2): the luma
+    quarter-pel MV addresses chroma (half resolution) in eighth
+    samples; weights (8-dx)(8-dy)/dx(8-dy)/(8-dx)dy/dxdy, +32 >> 6."""
+    xi, yi = cx0 + (mvx >> 3), cy0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    H, W = refc.shape
+    rows = np.clip(np.arange(yi, yi + h + 1), 0, H - 1)
+    cols = np.clip(np.arange(xi, xi + w + 1), 0, W - 1)
+    A = refc[np.ix_(rows, cols)].astype(np.int64)
+    a, b = A[:h, :w], A[:h, 1:]
+    c, d = A[1:, :w], A[1:, 1:]
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+
+def _mvp(fr: "_Frame", gx4: int, gy4: int, w4: int, h4: int,
+         kind: str) -> tuple[int, int]:
+    """Motion-vector predictor (spec 8.4.1.3) for the partition whose
+    top-left 4x4 block is (gx4, gy4) with size (w4, h4) in 4x4 units.
+
+    Neighbors A (left) / B (top) / C (top-right, D top-left fallback)
+    at 4x4 granularity; unavailable = outside the picture or not yet
+    decoded (fr.dec4).  Intra neighbors are AVAILABLE with ref -1 and
+    mv 0 (8.4.1.3.2).  kind encodes the 16x8/8x16 directional rules;
+    everything else uses one-matching-ref-else-median."""
+    W4, H4 = fr.mb_w * 4, fr.mb_h * 4
+
+    def nb(bx, by):
+        if bx < 0 or by < 0 or bx >= W4 or by >= H4 or not fr.dec4[by, bx]:
+            return None
+        return (int(fr.ref4[by, bx]), int(fr.mv[by, bx, 0]),
+                int(fr.mv[by, bx, 1]))
+
+    A = nb(gx4 - 1, gy4)
+    B = nb(gx4, gy4 - 1)
+    C = nb(gx4 + w4, gy4 - 1)
+    D = nb(gx4 - 1, gy4 - 1)
+    # directional rules (current ref is always 0 in this decoder)
+    if kind == "16x8_0" and B is not None and B[0] == 0:
+        return B[1], B[2]
+    if kind == "16x8_1" and A is not None and A[0] == 0:
+        return A[1], A[2]
+    if kind == "8x16_0" and A is not None and A[0] == 0:
+        return A[1], A[2]
+    if kind == "8x16_1":
+        CC = C if C is not None else D
+        if CC is not None and CC[0] == 0:
+            return CC[1], CC[2]
+    if C is None:
+        C = D  # 6.4.11.7: D substitutes an unavailable C
+    if B is None and C is None:
+        # nothing above at all: mvp = mvA (or 0 at the first MB)
+        return (A[1], A[2]) if A is not None else (0, 0)
+    cands = [A, B, C]
+    match = [c for c in cands if c is not None and c[0] == 0]
+    if len(match) == 1:
+        return match[0][1], match[0][2]
+    xs = sorted(0 if c is None else c[1] for c in cands)
+    ys = sorted(0 if c is None else c[2] for c in cands)
+    return xs[1], ys[1]
+
+
+def _skip_mv(fr: "_Frame", gx4: int, gy4: int) -> tuple[int, int]:
+    """P_Skip MV (spec 8.4.1.1): zero when the left or top MB is
+    outside the picture or either 16x16 neighbor block has ref 0 with
+    a zero MV; otherwise the 16x16 MV predictor."""
+    if gx4 == 0 or gy4 == 0:
+        return 0, 0
+    ar = int(fr.ref4[gy4, gx4 - 1])
+    amx, amy = int(fr.mv[gy4, gx4 - 1, 0]), int(fr.mv[gy4, gx4 - 1, 1])
+    br = int(fr.ref4[gy4 - 1, gx4])
+    bmx, bmy = int(fr.mv[gy4 - 1, gx4, 0]), int(fr.mv[gy4 - 1, gx4, 1])
+    if (ar == 0 and amx == 0 and amy == 0) or (
+            br == 0 and bmx == 0 and bmy == 0):
+        return 0, 0
+    return _mvp(fr, gx4, gy4, 4, 4, "16x16")
+
+
+def _p_partitions(mb_type: int, sub_types):
+    """Yield (kind, bx4, by4, w4, h4) in decode order, offsets in 4x4
+    units relative to the MB (7.4.5: P_L0_16x16 / 16x8 / 8x16 / P_8x8
+    with per-8x8 sub_mb_type 8x8 / 8x4 / 4x8 / 4x4)."""
+    if mb_type == 0:
+        yield "16x16", 0, 0, 4, 4
+    elif mb_type == 1:
+        yield "16x8_0", 0, 0, 4, 2
+        yield "16x8_1", 0, 2, 4, 2
+    elif mb_type == 2:
+        yield "8x16_0", 0, 0, 2, 4
+        yield "8x16_1", 2, 0, 2, 4
+    else:
+        for i in range(4):
+            ox, oy = (i & 1) * 2, (i >> 1) * 2
+            st = sub_types[i]
+            if st == 0:
+                yield "sub", ox, oy, 2, 2
+            elif st == 1:
+                yield "sub", ox, oy, 2, 1
+                yield "sub", ox, oy + 1, 2, 1
+            elif st == 2:
+                yield "sub", ox, oy, 1, 2
+                yield "sub", ox + 1, oy, 1, 2
+            else:
+                for j in range(4):
+                    yield "sub", ox + (j & 1), oy + (j >> 1), 1, 1
+
+
+def _mc_partition(fr, refs, mx, my, bx4, by4, w4, h4, mvx, mvy,
+                  pred_y, pred_cb, pred_cr):
+    """Run MC for one partition into the MB-local prediction buffers
+    and record its MV/ref in the frame's 4x4 grids."""
+    ref_y, ref_cb, ref_cr = refs
+    gx4, gy4 = mx * 4 + bx4, my * 4 + by4
+    fr.mv[gy4 : gy4 + h4, gx4 : gx4 + w4] = (mvx, mvy)
+    fr.ref4[gy4 : gy4 + h4, gx4 : gx4 + w4] = 0
+    fr.dec4[gy4 : gy4 + h4, gx4 : gx4 + w4] = True
+    pred_y[by4 * 4 : (by4 + h4) * 4, bx4 * 4 : (bx4 + w4) * 4] = _mc_luma(
+        ref_y, mx * 16 + bx4 * 4, my * 16 + by4 * 4,
+        w4 * 4, h4 * 4, mvx, mvy)
+    for plane, buf in ((ref_cb, pred_cb), (ref_cr, pred_cr)):
+        buf[by4 * 2 : (by4 + h4) * 2, bx4 * 2 : (bx4 + w4) * 2] = _mc_chroma(
+            plane, mx * 8 + bx4 * 2, my * 8 + by4 * 2,
+            w4 * 2, h4 * 2, mvx, mvy)
+
+
+def _decode_mb_p_skip(fr, refs, mx, my, qp):
+    """P_Skip: 16x16 MC at the skip MV, no residual (8.4.1.1)."""
+    gx4, gy4 = mx * 4, my * 4
+    mvx, mvy = _skip_mv(fr, gx4, gy4)
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    _mc_partition(fr, refs, mx, my, 0, 0, 4, 4, mvx, mvy,
+                  pred_y, pred_cb, pred_cr)
+    fr.Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = pred_y
+    fr.Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = pred_cb
+    fr.Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = pred_cr
+    fr.nz_y[gy4 : gy4 + 4, gx4 : gx4 + 4] = 0
+    fr.nz_cb[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    fr.nz_cr[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    fr.mb_qp[my, mx] = qp
+    fr.mb_done[my, mx] = True
+
+
+def _decode_mb_inter(fr, r, refs, mx, my, mb_type, qp, chroma_qp_offset):
+    """P macroblock (7.3.5.1/7.3.5.2): partition MVs (mvd against the
+    spec predictor, derived in partition decode order), quarter-pel MC,
+    then the inter residual — CBP via the Table 9-4 Inter column, luma
+    as full 16-coefficient 4x4 blocks (no DC Hadamard), chroma exactly
+    as intra."""
+    if mb_type in (3, 4):
+        sub_types = [r.ue() for _ in range(4)]
+        if any(st > 3 for st in sub_types):
+            raise ValueError(f"H264: invalid P sub_mb_type {sub_types}")
+    else:
+        sub_types = None
+    # num_ref_idx_l0_active == 1 is enforced at the slice header, so
+    # ref_idx_l0 is absent from the bitstream and every ref is 0
+    gx4, gy4 = mx * 4, my * 4
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for kind, bx4, by4, w4, h4 in _p_partitions(mb_type, sub_types):
+        mvdx, mvdy = r.se(), r.se()
+        px, py = _mvp(fr, gx4 + bx4, gy4 + by4, w4, h4, kind)
+        _mc_partition(fr, refs, mx, my, bx4, by4, w4, h4,
+                      px + mvdx, py + mvdy, pred_y, pred_cb, pred_cr)
+    cbp_code = r.ue()
+    if cbp_code >= 48:
+        raise ValueError(f"H264: bad coded_block_pattern code {cbp_code}")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    y0, x0 = my * 16, mx * 16
+    for idx in range(16):
+        bx, by = _BLK4_POS[idx]
+        if cbp_l & (1 << (idx >> 2)):
+            coeffs, total = residual_block_cavlc(
+                r, 16, _nc(fr.nz_y, gx4 + bx, gy4 + by)
+            )
+            fr.nz_y[gy4 + by, gx4 + bx] = total
+            res = _itransform4(_dequant4(_scan_to_block(coeffs), qp))
+        else:
+            fr.nz_y[gy4 + by, gx4 + bx] = 0
+            res = 0
+        ys, xs = y0 + by * 4, x0 + bx * 4
+        fr.Y[ys : ys + 4, xs : xs + 4] = _clip255(
+            pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res
+        )
+    qpc = _chroma_qp(qp, chroma_qp_offset)
+    ch = _parse_chroma_residuals(fr, r, mx, my, cbp_c, qpc)
+    cy0, cx0 = my * 8, mx * 8
+    for ci, (plane, cpred) in enumerate(
+            ((fr.Cb, pred_cb), (fr.Cr, pred_cr))):
+        cdc, cacs = ch[ci]
+        for sub in range(4):
+            sx, sy = sub & 1, sub >> 1
+            d = _dequant4(cacs[sub], qpc)
+            d[0, 0] = cdc[sy, sx]
+            res = _itransform4(d)
+            plane[cy0 + sy * 4 : cy0 + sy * 4 + 4,
+                  cx0 + sx * 4 : cx0 + sx * 4 + 4] = _clip255(
+                cpred[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] + res
+            )
+    fr.mb_qp[my, mx] = qp
+    fr.mb_done[my, mx] = True
+    return qp
+
+
 def _parse_slice_header(r: BitReader, sps: dict, pps: dict,
-                        nal_ref_idc: int, idr: bool) -> int:
-    """Parse an I-slice header; returns the slice QP."""
+                        nal_ref_idc: int, idr: bool) -> dict:
+    """Parse an I- or P-slice header (7.3.3); returns {ptype, qp,
+    deblock, off_a, off_b}.  B/SP/SI, multi-slice pictures, reference
+    list modification, weighted prediction, MMCO and multi-reference
+    lists refuse at marked seams."""
     first_mb = r.ue()
     if first_mb != 0:
         raise NotImplementedError(
             "H264: multi-slice pictures: plug ffmpeg in here"
         )
     slice_type = r.ue()
-    if slice_type % 5 != 2:
+    if slice_type % 5 == 2:
+        ptype = "I"
+    elif slice_type % 5 == 0:
+        ptype = "P"
+        if idr:
+            raise ValueError("H264: P slice inside an IDR picture")
+    else:
         raise NotImplementedError(
-            f"H264: slice_type {slice_type} (P/B/SP/SI — inter "
-            "prediction): plug ffmpeg in here"
+            f"H264: slice_type {slice_type} (B/SP/SI): plug ffmpeg in here"
         )
     r.ue()  # pic_parameter_set_id
     r.u(sps["log2_max_frame_num"])  # frame_num
@@ -1386,6 +1707,23 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict,
         if r.ue() != 0:  # redundant_pic_cnt
             raise NotImplementedError(
                 "H264: redundant coded pictures: plug ffmpeg in here"
+            )
+    if ptype == "P":
+        num_ref = pps["num_ref_l0"]
+        if r.flag():  # num_ref_idx_active_override_flag
+            num_ref = r.ue() + 1
+        if num_ref != 1:
+            raise NotImplementedError(
+                f"H264: {num_ref} L0 reference pictures (only 1): "
+                "plug ffmpeg in here"
+            )
+        if r.flag():  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError(
+                "H264: reference list modification: plug ffmpeg in here"
+            )
+        if pps["weighted_pred"]:
+            raise NotImplementedError(
+                "H264: weighted prediction: plug ffmpeg in here"
             )
     if idr:
         r.flag()  # no_output_of_prior_pics_flag
@@ -1410,11 +1748,44 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict,
         if idc != 1:
             off_a = 2 * r.se()
             off_b = 2 * r.se()
-    return qp, deblock, off_a, off_b
+    return {"ptype": ptype, "qp": qp, "deblock": deblock,
+            "off_a": off_a, "off_b": off_b}
 
 
-def decode_i_slice(sps: dict, pps: dict, nalu: bytes) -> np.ndarray:
-    """Decode one IDR / I-slice NAL unit to an RGB uint8 frame."""
+def _decode_i_mb(fr, r, mx, my, qp, off):
+    """One I macroblock by (I-slice-numbered) mb_type; returns qp."""
+    mb_type = r.ue()
+    return _decode_i_mb_typed(fr, r, mx, my, mb_type, qp, off)
+
+
+def _decode_i_mb_typed(fr, r, mx, my, mb_type, qp, off):
+    if mb_type == 25:
+        _decode_mb_pcm(fr, r, mx, my)
+        fr.mb_qp[my, mx] = 0  # spec: I_PCM edges carry QP 0
+    elif mb_type == 0:
+        qp = _decode_mb_i4(fr, r, mx, my, qp, off)
+        fr.mb_qp[my, mx] = qp
+    elif 1 <= mb_type <= 24:
+        qp = _decode_mb_i16(fr, r, mx, my, mb_type, qp, off)
+        fr.mb_qp[my, mx] = qp
+    else:
+        raise ValueError(f"H264: invalid I mb_type {mb_type}")
+    fr.mb_intra[my, mx] = True
+    gx4, gy4 = mx * 4, my * 4
+    fr.dec4[gy4 : gy4 + 4, gx4 : gx4 + 4] = True  # ref stays -1, mv 0
+    fr.mb_done[my, mx] = True
+    return qp
+
+
+def decode_slice(sps: dict, pps: dict, nalu: bytes,
+                 ref: tuple | None = None):
+    """Decode one coded-slice NAL unit.
+
+    Returns (rgb_frame, (Y, Cb, Cr) padded int64 planes) — the planes
+    are the deblocked, uncropped reconstruction, i.e. exactly what a
+    following P slice must receive as ``ref``.  I slices ignore
+    ``ref``; P slices require the previous reference picture's planes.
+    """
     if not nalu:
         raise ValueError("H264: empty NAL unit")
     nal_ref_idc = (nalu[0] >> 5) & 3
@@ -1422,34 +1793,63 @@ def decode_i_slice(sps: dict, pps: dict, nalu: bytes) -> np.ndarray:
     if nal_type not in (1, 5):
         raise ValueError(f"H264: NAL type {nal_type} is not a coded slice")
     r = BitReader(ebsp_to_rbsp(nalu[1:]))
-    qp, deblock, off_a, off_b = _parse_slice_header(
-        r, sps, pps, nal_ref_idc, nal_type == 5
-    )
+    hdr = _parse_slice_header(r, sps, pps, nal_ref_idc, nal_type == 5)
+    qp = hdr["qp"]
     fr = _Frame(sps)
     off = pps["chroma_qp_offset"]
-    for my in range(fr.mb_h):
-        for mx in range(fr.mb_w):
+    if hdr["ptype"] == "I":
+        for my in range(fr.mb_h):
+            for mx in range(fr.mb_w):
+                qp = _decode_i_mb(fr, r, mx, my, qp, off)
+    else:
+        if ref is None:
+            raise ValueError("H264: P slice without a reference frame")
+        ref_y, ref_cb, ref_cr = ref
+        if ref_y.shape != fr.Y.shape:
+            raise ValueError(
+                f"H264: reference geometry {ref_y.shape} does not match "
+                f"picture {fr.Y.shape}"
+            )
+        total = fr.mb_w * fr.mb_h
+        mb_idx = 0
+        while mb_idx < total:
+            run = r.ue()
+            if run > total - mb_idx:
+                raise ValueError(
+                    f"H264: mb_skip_run {run} overruns picture "
+                    f"({total - mb_idx} MBs left)"
+                )
+            for _ in range(run):
+                my, mx = divmod(mb_idx, fr.mb_w)
+                _decode_mb_p_skip(fr, ref, mx, my, qp)
+                mb_idx += 1
+            if mb_idx == total:
+                break
+            if not r.more_rbsp_data():
+                raise ValueError(
+                    f"H264: P slice data ends after {mb_idx}/{total} MBs"
+                )
+            my, mx = divmod(mb_idx, fr.mb_w)
             mb_type = r.ue()
-            if mb_type == 25:
-                _decode_mb_pcm(fr, r, mx, my)
-                fr.mb_qp[my, mx] = 0  # spec: I_PCM edges carry QP 0
-            elif mb_type == 0:
-                qp = _decode_mb_i4(fr, r, mx, my, qp, off)
-                fr.mb_qp[my, mx] = qp
-            elif 1 <= mb_type <= 24:
-                qp = _decode_mb_i16(fr, r, mx, my, mb_type, qp, off)
-                fr.mb_qp[my, mx] = qp
+            if mb_type < 5:
+                qp = _decode_mb_inter(fr, r, ref, mx, my, mb_type, qp, off)
+                fr.mb_done[my, mx] = True
             else:
-                raise ValueError(f"H264: invalid I-slice mb_type {mb_type}")
-            fr.mb_done[my, mx] = True
-    if deblock:
-        _deblock_picture(fr, off_a, off_b, off)
+                qp = _decode_i_mb_typed(fr, r, mx, my, mb_type - 5, qp, off)
+            mb_idx += 1
+    if hdr["deblock"]:
+        _deblock_picture(fr, hdr["off_a"], hdr["off_b"], off)
     # crop (4:2:0 frame: units of 2 luma samples)
     cl, crp, ct, cb = sps["crop"]
     y = fr.Y[2 * ct : fr.mb_h * 16 - 2 * cb, 2 * cl : fr.mb_w * 16 - 2 * crp]
     cbp = fr.Cb[ct : fr.mb_h * 8 - cb, cl : fr.mb_w * 8 - crp]
     crp_ = fr.Cr[ct : fr.mb_h * 8 - cb, cl : fr.mb_w * 8 - crp]
-    return _yuv420_to_rgb(y, cbp, crp_)
+    return _yuv420_to_rgb(y, cbp, crp_), (fr.Y, fr.Cb, fr.Cr)
+
+
+def decode_i_slice(sps: dict, pps: dict, nalu: bytes) -> np.ndarray:
+    """Decode one IDR / I-slice NAL unit to an RGB uint8 frame."""
+    return decode_slice(sps, pps, nalu)[0]
 
 
 def _yuv420_to_rgb(y, cb, cr) -> np.ndarray:
@@ -1487,12 +1887,15 @@ def split_mp4_sample(sample: bytes, length_size: int = 4) -> list[bytes]:
 
 
 def h264_decode_sample(
-    sps: dict, pps: dict, sample: bytes, length_size: int = 4
+    sps: dict, pps: dict, sample: bytes, length_size: int = 4,
+    ref: tuple | None = None,
 ) -> np.ndarray:
     """Decode one MP4 sample (access unit) to an RGB uint8 frame.
 
-    Skips SEI/AUD/filler NAL units; requires exactly one coded I slice
-    (keyframe-sampling pipelines only ever hand intra samples here)."""
+    Skips SEI/AUD/filler NAL units; requires exactly one coded slice.
+    Keyframe-sampling pipelines hand intra samples here (no ``ref``
+    needed); P samples need the previous reference picture's planes —
+    use H264SampleDecoder for sequential decode."""
     slice_nalu = None
     for nalu in split_mp4_sample(sample, length_size):
         t = nalu[0] & 0x1F
@@ -1515,7 +1918,50 @@ def h264_decode_sample(
             )
     if slice_nalu is None:
         raise ValueError("H264: sample contains no coded slice")
-    return decode_i_slice(sps, pps, slice_nalu)
+    return decode_slice(sps, pps, slice_nalu, ref)[0]
+
+
+class H264SampleDecoder:
+    """Sequential access-unit decoder with reference tracking: feed
+    MP4 samples in decode order; P samples predict from the most
+    recent REFERENCE picture (nal_ref_idc > 0 — non-reference frames
+    never become prediction sources, spec 8.2.5 sliding window with
+    max_num_ref_frames 1)."""
+
+    def __init__(self, sps: dict, pps: dict, length_size: int = 4):
+        self.sps, self.pps = sps, pps
+        self.length_size = length_size
+        self._ref: tuple | None = None
+
+    def decode(self, sample: bytes) -> np.ndarray:
+        slice_nalu = None
+        ref_idc = 0
+        for nalu in split_mp4_sample(sample, self.length_size):
+            t = nalu[0] & 0x1F
+            if t in (1, 5):
+                if slice_nalu is not None:
+                    raise NotImplementedError(
+                        "H264: multiple slices per access unit: plug "
+                        "ffmpeg in here"
+                    )
+                slice_nalu = nalu
+                ref_idc = (nalu[0] >> 5) & 3
+            elif t in (6, 9, 12):
+                continue
+            elif t == 7:
+                self.sps = parse_sps(nalu)
+            elif t == 8:
+                self.pps = parse_pps(nalu)
+            else:
+                raise NotImplementedError(
+                    f"H264: NAL unit type {t}: plug ffmpeg in here"
+                )
+        if slice_nalu is None:
+            raise ValueError("H264: sample contains no coded slice")
+        rgb, planes = decode_slice(self.sps, self.pps, slice_nalu, self._ref)
+        if ref_idc > 0:
+            self._ref = planes
+        return rgb
 
 # ---------------------------------------------------------------------------
 # fixture encoder (I_PCM / flat-DC Intra_16x16), deterministic
@@ -1809,6 +2255,203 @@ def encode_pcm_slice(frame: np.ndarray, idr: bool = True,
     return _nal(0x65 if idr else 0x01, w.to_bytes())
 
 
+def _write_p_slice_header(w: BitWriter, frame_num: int,
+                          deblocking: bool = False) -> None:
+    """P-slice header matching the fixture SPS/PPS (poc_type 2,
+    num_ref_idx_l0_active 1, weighted_pred off) — written with
+    nal_ref_idc > 0, so dec_ref_pic_marking (the zero adaptive flag)
+    is present."""
+    w.ue(0)  # first_mb_in_slice
+    w.ue(5)  # slice_type: P (all slices in picture)
+    w.ue(0)  # pps_id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num == 4)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+    w.se(0)  # slice_qp_delta
+    if deblocking:
+        w.ue(0)  # disable_deblocking_filter_idc: filter ON
+        w.se(0)
+        w.se(0)
+    else:
+        w.ue(1)  # OFF
+
+
+def _flat_inter_dc_coeff(delta: int, qp: int) -> int:
+    """Coefficient at scan position 0 of an inter luma 4x4 block whose
+    dequant + DC-only inverse transform reconstructs EXACTLY ``delta``
+    on all 16 pixels: d00 = (c*v0) << (qp//6); pixel = (d00+32) >> 6.
+    Solvable whenever the dequant step is < 64 (qp <= 24 callers)."""
+    if delta == 0:
+        return 0
+    v0 = _DEQUANT_V[qp % 6][0]
+
+    def deq(c):
+        return (c * v0) << (qp // 6)
+
+    guess = (64 * delta) // (v0 << (qp // 6))
+    for c in range(guess - 8, guess + 9):
+        if c == 0:
+            continue
+        if ((deq(c) + 32) >> 6) == delta:
+            return c
+    raise ValueError(
+        f"H264 encoder: no exact inter DC coefficient for delta "
+        f"{delta} at qp {qp}"
+    )
+
+
+_P_MB_TYPE = {"16x16": 0, "16x8": 1, "8x16": 2, "8x8": 3}
+
+
+def encode_p_slice(mbs: list, mb_w: int, mb_h: int, qp: int,
+                   frame_num: int, deblocking: bool = False) -> bytes:
+    """Encode one P slice from per-MB specs (fixture writer).
+
+    Each entry of ``mbs`` (raster order, len mb_w*mb_h) is either the
+    string "skip" (P_Skip) or a dict:
+      {"mv": (x, y)}                      P_L0_16x16 at that MV
+      {"parts": "16x8"|"8x16", "mvs": [mv0, mv1]}
+      {"parts": "8x8", "subs": [st0..st3], "mvs": [per partition]}
+    plus optional "dy"/"dcb"/"dcr" flat residual deltas (DC-only
+    blocks, exact through the real CAVLC path — 16x16 only).  MV
+    differences are coded against the spec predictor via the SAME
+    _mvp derivation the decoder runs (the pixel-exactness tests pin
+    the result against an independent per-pixel MC dual, so encoder
+    and decoder cannot be wrong together unnoticed).  MVs are
+    quarter-pel.
+    """
+    if len(mbs) != mb_w * mb_h:
+        raise ValueError(
+            f"H264 encoder: {len(mbs)} MB specs for {mb_w}x{mb_h} picture"
+        )
+    fr = _Frame({"mb_w": mb_w, "mb_h": mb_h})
+    w = BitWriter()
+    _write_p_slice_header(w, frame_num, deblocking)
+    qpc = _chroma_qp(qp, 0)
+    run = 0
+    for i, spec in enumerate(mbs):
+        my, mx = divmod(i, mb_w)
+        gx4, gy4 = mx * 4, my * 4
+        if spec == "skip":
+            mvx, mvy = _skip_mv(fr, gx4, gy4)
+            fr.mv[gy4 : gy4 + 4, gx4 : gx4 + 4] = (mvx, mvy)
+            fr.ref4[gy4 : gy4 + 4, gx4 : gx4 + 4] = 0
+            fr.dec4[gy4 : gy4 + 4, gx4 : gx4 + 4] = True
+            run += 1
+            continue
+        w.ue(run)  # mb_skip_run before this coded MB
+        run = 0
+        parts = spec.get("parts", "16x16")
+        mb_type = _P_MB_TYPE[parts]
+        if mb_type == 3:
+            subs = spec["subs"]
+            if len(subs) != 4 or any(not 0 <= s <= 3 for s in subs):
+                raise ValueError(f"H264 encoder: bad sub types {subs}")
+        else:
+            subs = None
+        mvs = spec["mvs"] if "mvs" in spec else [spec["mv"]]
+        w.ue(mb_type)
+        if subs is not None:
+            for s in subs:
+                w.ue(s)
+        plist = list(_p_partitions(mb_type, subs))
+        if len(mvs) != len(plist):
+            raise ValueError(
+                f"H264 encoder: {len(mvs)} MVs for {len(plist)} partitions"
+            )
+        for (kind, bx4, by4, w4, h4), (mvx, mvy) in zip(plist, mvs):
+            px, py = _mvp(fr, gx4 + bx4, gy4 + by4, w4, h4, kind)
+            w.se(mvx - px)
+            w.se(mvy - py)
+            fr.mv[gy4 + by4 : gy4 + by4 + h4,
+                  gx4 + bx4 : gx4 + bx4 + w4] = (mvx, mvy)
+            fr.ref4[gy4 + by4 : gy4 + by4 + h4,
+                    gx4 + bx4 : gx4 + bx4 + w4] = 0
+            fr.dec4[gy4 + by4 : gy4 + by4 + h4,
+                    gx4 + bx4 : gx4 + bx4 + w4] = True
+        dy = spec.get("dy", 0)
+        dcb, dcr = spec.get("dcb", 0), spec.get("dcr", 0)
+        if (dy or dcb or dcr) and parts != "16x16":
+            raise ValueError(
+                "H264 encoder: flat residual only on 16x16 partitions"
+            )
+        cbp_l = 15 if dy else 0
+        cbp_c = 1 if (dcb or dcr) else 0
+        w.ue(_CBP_INTER_INV[cbp_l + 16 * cbp_c])
+        if cbp_l or cbp_c:
+            w.se(0)  # mb_qp_delta
+        if cbp_l:
+            cy = _flat_inter_dc_coeff(dy, qp)
+            for _ in range(16):
+                # every block carries TotalCoeff 1, so the in-picture
+                # nC chain stays 0/1 — always the nC<2 table
+                _write_single_dc_block_nc0(w, cy)
+        if cbp_c:
+            _write_single_chroma_dc_block(w, _flat_chroma_dc_coeff(dcb, qpc))
+            _write_single_chroma_dc_block(w, _flat_chroma_dc_coeff(dcr, qpc))
+    if run:
+        w.ue(run)  # trailing skip run
+    w.rbsp_trailing()
+    return _nal(0x41, w.to_bytes())  # nal_ref_idc 2, coded slice
+
+
+def h264_encode_pgop_frames(
+    specs: list, width: int, height: int, qp: int = 12,
+    deblocking: bool = True,
+) -> tuple[bytes, bytes, list[bytes], list[bool]]:
+    """Encode a solid-frame GOP with REAL P slices.
+
+    ``specs`` drives decode-order frames:
+      ("idr", value)   IDR flat Intra_16x16 picture at that luma
+      ("skip",)        whole-picture P_Skip (exact copy of the ref)
+      ("pdelta", d)    P picture: 16x16 zero-MV MC + flat DC residual
+                       d on every MB (value shifts by d exactly)
+      ("pmv", (x, y))  P picture: constant quarter-pel MV pan, no
+                       residual (on solid content MC is the identity,
+                       so the value is unchanged — the full 6-tap /
+                       bilinear interpolation path still runs)
+    Every frame is a reference (sliding-window size 1); deblocking is
+    ON by default — flat surfaces and bS-0 edges make it pixel-exact,
+    while the bS 4/3 (intra), 2 (coefficients) and 0 (equal-MV) paths
+    all execute.  Returns (sps, pps, samples, is_sync)."""
+    if not specs or specs[0][0] != "idr":
+        raise ValueError("H264 encoder: GOP must start with an IDR")
+    if width % 2 or height % 2:
+        raise ValueError("H264 encoder: dimensions must be even")
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    sps = encode_sps(
+        mb_w, mb_h, (mb_w * 16 - width) // 2, (mb_h * 16 - height) // 2
+    )
+    pps = encode_pps(qp)
+    samples, sync = [], []
+    n_mbs = mb_w * mb_h
+    frame_num = 0
+    for spec in specs:
+        tag = spec[0]
+        if tag == "idr":
+            nalu = encode_flat_i16_slice(
+                int(spec[1]), mb_w, mb_h, qp, idr=True, deblocking=deblocking
+            )
+            frame_num = 1
+            is_sync = True
+        else:
+            if tag == "skip":
+                mbs: list = ["skip"] * n_mbs
+            elif tag == "pdelta":
+                mbs = [{"mv": (0, 0), "dy": int(spec[1])}] * n_mbs
+            elif tag == "pmv":
+                mbs = [{"mv": (int(spec[1][0]), int(spec[1][1]))}] * n_mbs
+            else:
+                raise ValueError(f"H264 encoder: unknown GOP spec {tag!r}")
+            nalu = encode_p_slice(mbs, mb_w, mb_h, qp, frame_num, deblocking)
+            frame_num = (frame_num + 1) % 16
+            is_sync = False
+        samples.append(struct.pack(">I", len(nalu)) + nalu)
+        sync.append(is_sync)
+    return sps, pps, samples, sync
+
+
 def h264_encode_solid_ycbcr_frames(
     ycbcr: list, width: int, height: int, qp: int = 12, key_every: int = 1
 ) -> tuple[bytes, bytes, list[bytes], list[bool]]:
@@ -2077,54 +2720,89 @@ def _deblock_edge(plane, x0, y0, n, vertical, bS, qpav, off_a, off_b,
                     plane[y - 4 + j, x] = line[j]
 
 
+def _bs_pair(fr: "_Frame", px4: int, py4: int, qx4: int, qy4: int,
+             mb_edge: bool) -> int:
+    """Boundary strength for the edge between 4x4 blocks P and Q
+    (spec 8.7.2.1, frame coding): intra -> 4 at an MB edge else 3;
+    else 2 when either block carries nonzero coefficients; else 1 when
+    the refs differ or an MV component differs by >= 4 quarter
+    samples; else 0 (no filtering)."""
+    if fr.mb_intra[py4 >> 2, px4 >> 2] or fr.mb_intra[qy4 >> 2, qx4 >> 2]:
+        return 4 if mb_edge else 3
+    if fr.nz_y[py4, px4] > 0 or fr.nz_y[qy4, qx4] > 0:
+        return 2
+    if fr.ref4[py4, px4] != fr.ref4[qy4, qx4]:
+        return 1
+    if (abs(int(fr.mv[py4, px4, 0]) - int(fr.mv[qy4, qx4, 0])) >= 4
+            or abs(int(fr.mv[py4, px4, 1]) - int(fr.mv[qy4, qx4, 1])) >= 4):
+        return 1
+    return 0
+
+
 def _deblock_picture(fr: "_Frame", off_a: int, off_b: int,
                      chroma_qp_offset: int) -> None:
-    """Spec 8.7 post-pass for an all-intra picture: per MB in raster
-    order, ALL vertical edges (left boundary bS=4, internal x=4/8/12
-    bS=3) then all horizontal (top boundary bS=4, internal bS=3),
-    later filters reading earlier filters' output.  Intra prediction
-    already consumed the UNfiltered samples (the filter runs after the
-    whole picture reconstructs), matching the decode order the spec
-    mandates for intra pictures.  I_PCM macroblocks carry QP 0, so
-    alpha/beta index 0 disables filtering at their edges (the spec's
-    lossless-passthrough property)."""
+    """Spec 8.7 post-pass: per MB in raster order, ALL vertical edges
+    (left to right) then all horizontal (top to bottom), later filters
+    reading earlier filters' output.  bS is derived per 4-luma-row
+    edge segment by _bs_pair — all-intra pictures get the fixed 4
+    (MB edge) / 3 (internal) of before; P pictures derive 2/1/0 from
+    coefficients and MVs, so a P_Skip copy or a constant-MV pan is
+    passed through untouched (bS 0), exactly as the spec requires.
+    Chroma edges reuse the co-located luma blocks' bS (4:2:0: chroma
+    sample (xc,yc) sits at luma (2xc,2yc) — 2 chroma rows per luma
+    segment).  Intra prediction already consumed the UNfiltered
+    samples (the filter runs after the whole picture reconstructs).
+    I_PCM macroblocks carry QP 0, so alpha/beta index 0 disables
+    filtering at their edges (the spec's lossless-passthrough
+    property)."""
     for my in range(fr.mb_h):
         for mx in range(fr.mb_w):
             qp = int(fr.mb_qp[my, mx])
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
-            # vertical edges (left to right)
-            if mx > 0:
-                qpl = int(fr.mb_qp[my, mx - 1])
-                qpav = (qpl + qp + 1) >> 1
-                _deblock_edge(fr.Y, x0, y0, 16, True, 4, qpav,
-                              off_a, off_b, False)
-                cqav = (_chroma_qp(qpl, chroma_qp_offset)
-                        + _chroma_qp(qp, chroma_qp_offset) + 1) >> 1
-                for plane in (fr.Cb, fr.Cr):
-                    _deblock_edge(plane, cx0, cy0, 8, True, 4, cqav,
-                                  off_a, off_b, True)
+            gx4, gy4 = mx * 4, my * 4
             cq = _chroma_qp(qp, chroma_qp_offset)
-            for e in (4, 8, 12):
-                _deblock_edge(fr.Y, x0 + e, y0, 16, True, 3, qp,
-                              off_a, off_b, False)
-            for plane in (fr.Cb, fr.Cr):
-                _deblock_edge(plane, cx0 + 4, cy0, 8, True, 3, cq,
-                              off_a, off_b, True)
+            # vertical edges (left to right); e = edge in 4x4 columns
+            for e in (0, 1, 2, 3):
+                if e == 0:
+                    if mx == 0:
+                        continue
+                    qpl = int(fr.mb_qp[my, mx - 1])
+                    qpav = (qpl + qp + 1) >> 1
+                    cqav = (_chroma_qp(qpl, chroma_qp_offset) + cq + 1) >> 1
+                else:
+                    qpav, cqav = qp, cq
+                for seg in range(4):
+                    bs = _bs_pair(fr, gx4 + e - 1, gy4 + seg,
+                                  gx4 + e, gy4 + seg, e == 0)
+                    if bs == 0:
+                        continue
+                    _deblock_edge(fr.Y, x0 + 4 * e, y0 + 4 * seg, 4,
+                                  True, bs, qpav, off_a, off_b, False)
+                    if e % 2 == 0:  # chroma edge at luma x offset 0/8
+                        for plane in (fr.Cb, fr.Cr):
+                            _deblock_edge(plane, cx0 + 2 * e,
+                                          cy0 + 2 * seg, 2, True, bs,
+                                          cqav, off_a, off_b, True)
             # horizontal edges (top to bottom)
-            if my > 0:
-                qpt = int(fr.mb_qp[my - 1, mx])
-                qpav = (qpt + qp + 1) >> 1
-                _deblock_edge(fr.Y, x0, y0, 16, False, 4, qpav,
-                              off_a, off_b, False)
-                cqav = (_chroma_qp(qpt, chroma_qp_offset)
-                        + _chroma_qp(qp, chroma_qp_offset) + 1) >> 1
-                for plane in (fr.Cb, fr.Cr):
-                    _deblock_edge(plane, cx0, cy0, 8, False, 4, cqav,
-                                  off_a, off_b, True)
-            for e in (4, 8, 12):
-                _deblock_edge(fr.Y, x0, y0 + e, 16, False, 3, qp,
-                              off_a, off_b, False)
-            for plane in (fr.Cb, fr.Cr):
-                _deblock_edge(plane, cx0, cy0 + 4, 8, False, 3, cq,
-                              off_a, off_b, True)
+            for e in (0, 1, 2, 3):
+                if e == 0:
+                    if my == 0:
+                        continue
+                    qpt = int(fr.mb_qp[my - 1, mx])
+                    qpav = (qpt + qp + 1) >> 1
+                    cqav = (_chroma_qp(qpt, chroma_qp_offset) + cq + 1) >> 1
+                else:
+                    qpav, cqav = qp, cq
+                for seg in range(4):
+                    bs = _bs_pair(fr, gx4 + seg, gy4 + e - 1,
+                                  gx4 + seg, gy4 + e, e == 0)
+                    if bs == 0:
+                        continue
+                    _deblock_edge(fr.Y, x0 + 4 * seg, y0 + 4 * e, 4,
+                                  False, bs, qpav, off_a, off_b, False)
+                    if e % 2 == 0:
+                        for plane in (fr.Cb, fr.Cr):
+                            _deblock_edge(plane, cx0 + 2 * seg,
+                                          cy0 + 2 * e, 2, False, bs,
+                                          cqav, off_a, off_b, True)

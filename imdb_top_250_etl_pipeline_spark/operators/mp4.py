@@ -364,6 +364,27 @@ def mp4_decode_keyframes(raw: bytes, every_k: int = 1):
         )
 
 
+def mp4_decode_all(raw: bytes, info: dict | None = None):
+    """Yield (sample_idx, ts_ms, is_sync, rgb_frame) for EVERY sample
+    in decode order — the sequential path P (inter-predicted) frames
+    need: each frame may reference the previous reference picture, so
+    unlike the stss keyframe seek this walks all samples."""
+    from .h264 import H264SampleDecoder
+
+    if info is None:
+        info = mp4_probe(raw)
+    dec = H264SampleDecoder(info["sps"], info["pps"], info["length_size"])
+    ts = info["timescale"]
+    sync = set(info["sync"])
+    cum = 0
+    for si in range(info["n_samples"]):
+        off, size = info["offsets"][si], info["sizes"][si]
+        yield si, cum * 1000 // ts, si in sync, dec.decode(
+            raw[off : off + size]
+        )
+        cum += info["deltas"][si]
+
+
 # ---------------------------------------------------------------------------
 # muxer (fixture writer)
 # ---------------------------------------------------------------------------
@@ -399,6 +420,30 @@ def mp4_encode_gray(
         frames, qp=qp, mode=mode, key_every=key_every
     )
     h, w = frames[0].shape[:2]
+    return _mux_avc(sps, pps, samples, sync, w, h, fps)
+
+
+def mp4_encode_pgop(
+    specs: list, width: int, height: int, fps: int = 10, qp: int = 12
+) -> bytes:
+    """Mux a solid-frame GOP with REAL P slices (P_Skip / flat-delta /
+    constant-MV pan — see h264.h264_encode_pgop_frames) into MP4.
+    Only the IDR frames land in stss, so the keyframe seek path and
+    the sequential P decode path are both exercised on one file."""
+    from .h264 import h264_encode_pgop_frames
+
+    if fps <= 0:
+        raise ValueError(f"MP4: bad fps {fps}")
+    sps, pps, samples, sync = h264_encode_pgop_frames(
+        specs, width, height, qp=qp
+    )
+    return _mux_avc(sps, pps, samples, sync, width, height, fps)
+
+
+def _mux_avc(
+    sps: bytes, pps: bytes, samples: list, sync: list, w: int, h: int,
+    fps: int,
+) -> bytes:
     timescale = 1000
     delta = timescale // fps
     n = len(samples)

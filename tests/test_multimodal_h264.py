@@ -150,18 +150,27 @@ def test_cabac_pps_refuses():
         h264.parse_pps(pps[:1] + bytes(rbsp))
 
 
-def test_p_slice_refuses():
+def test_b_slice_refuses():
+    # round 13b: P slices decode for real now — B still refuses loudly
     sps = h264.parse_sps(h264.encode_sps(1, 1, 0, 0))
     pps = h264.parse_pps(h264.encode_pps(26))
     w = BitWriter()
     w.ue(0)  # first_mb
-    w.ue(0)  # slice_type P
+    w.ue(1)  # slice_type B
     w.ue(0)
     w.u(0, 4)
     w.rbsp_trailing()
     nalu = bytes([0x41]) + h264.rbsp_to_ebsp(w.to_bytes())
-    with pytest.raises(NotImplementedError, match="inter"):
+    with pytest.raises(NotImplementedError, match="B/SP/SI"):
         h264.decode_i_slice(sps, pps, nalu)
+
+
+def test_p_slice_without_reference_raises():
+    sps = h264.parse_sps(h264.encode_sps(1, 1, 0, 0))
+    pps = h264.parse_pps(h264.encode_pps(26))
+    nalu = h264.encode_p_slice(["skip"], 1, 1, 26, 1)
+    with pytest.raises(ValueError, match="reference"):
+        h264.decode_slice(sps, pps, nalu)
 
 
 def test_invalid_deblocking_idc_raises():

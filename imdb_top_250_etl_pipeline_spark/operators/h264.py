@@ -2281,7 +2281,10 @@ def _flat_inter_dc_coeff(delta: int, qp: int) -> int:
     """Coefficient at scan position 0 of an inter luma 4x4 block whose
     dequant + DC-only inverse transform reconstructs EXACTLY ``delta``
     on all 16 pixels: d00 = (c*v0) << (qp//6); pixel = (d00+32) >> 6.
-    Solvable whenever the dequant step is < 64 (qp <= 24 callers)."""
+    Unlike the Intra_16x16 path there is no DC-Hadamard gain, so the
+    step per coefficient unit is v0 << (qp//6) — every delta is exactly
+    representable only for qp <= 16 (step <= 64); higher QPs raise for
+    unreachable deltas."""
     if delta == 0:
         return 0
     v0 = _DEQUANT_V[qp % 6][0]

@@ -203,9 +203,30 @@ def _valid_flac() -> bytes:
 
 DECODERS["flac"] = (b"fLaC", _flac_decode_all, _valid_flac)
 
+def _mp4_decode_seq(raw: bytes):
+    """Sequential (every-sample) decode — the P-frame path with
+    reference tracking, not just the stss keyframe seek."""
+    from imdb_top_250_etl_pipeline_spark.operators.mp4 import mp4_decode_all
+
+    return [f for *_, f in mp4_decode_all(raw)]
+
+
+def _valid_mp4_pgop() -> bytes:
+    from imdb_top_250_etl_pipeline_spark.operators.mp4 import mp4_encode_pgop
+
+    return mp4_encode_pgop(
+        [("idr", 90), ("skip",), ("pdelta", 4), ("pmv", (5, 6)),
+         ("idr", 30), ("pmv", (-9, 2)), ("skip",)],
+        48, 32, fps=8,
+    )
+
+
 DECODERS["mp4"] = (b"\x00\x00\x00\x18ftyp", _mp4_decode_all, _valid_mp4)
 DECODERS["mp4_pcm"] = (
     b"\x00\x00\x00\x18ftyp", _mp4_decode_all, _valid_mp4_pcm
+)
+DECODERS["mp4_pgop"] = (
+    b"\x00\x00\x00\x18ftyp", _mp4_decode_seq, _valid_mp4_pgop
 )
 
 
@@ -214,7 +235,7 @@ DECODERS["mp4_pcm"] = (
     fmt=st.sampled_from(
         [
             "gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi",
-            "mp4", "mp4_pcm", "flac",
+            "mp4", "mp4_pcm", "mp4_pgop", "flac",
             "thumb_chain_jpeg", "thumb_chain_tiff", "thumb_chain_gif",
         ]
     ),
@@ -305,13 +326,17 @@ def test_mp4_h264_mutation_hammer():
     import random
 
     families = {
-        "dc16": _valid_mp4(),
-        "pcm": _valid_mp4_pcm(),
+        "dc16": (_valid_mp4(), _mp4_decode_all),
+        "pcm": (_valid_mp4_pcm(), _mp4_decode_all),
+        # round 13b: P slices through the SEQUENTIAL decode path —
+        # mutated MVs/skip runs/partitions must stay inside the
+        # ValueError/NotImplementedError contract too
+        "pgop": (_valid_mp4_pgop(), _mp4_decode_seq),
     }
     rng = random.Random()
     for seed in range(4):
         rng.seed(1000 + seed)
-        for fam, valid in families.items():
+        for fam, (valid, decode) in families.items():
             for _ in range(750):
                 raw = bytearray(valid)
                 op = rng.choice(["flip", "trunc", "splice"])
@@ -327,7 +352,7 @@ def test_mp4_h264_mutation_hammer():
                         rng.randrange(256) for _ in range(rng.randint(1, 30))
                     )
                     raw = raw[:i] + ins + raw[i:]
-                _assert_loud(_mp4_decode_all, bytes(raw), f"mp4:{fam}:{op}")
+                _assert_loud(decode, bytes(raw), f"mp4:{fam}:{op}")
 
 
 def test_flac_mutation_hammer():

@@ -15,9 +15,16 @@ Demux scope (single 'vide' track, avc1/avcC sample entry):
     stsc (sample-to-chunk), stsz, stco/co64, stss (sync samples; an
     absent stss means every sample is sync per the spec).
   * avcC carries SPS/PPS and the NAL length-prefix size; samples decode
-    through operators/h264.py (intra-only baseline).
+    through operators/h264.py (baseline intra + P slices).
+  * FRAGMENTED MP4 (round 13b): moov/mvex/trex defaults + moof/traf
+    walk (tfhd base-data-offset and default-base-is-moof conventions,
+    tfdt, trun per-sample sizes/durations/flags, first-sample-flags,
+    audio trafs skipped by track id) expand to the same per-sample
+    tables, so keyframe seek and sequential P decode run unchanged;
+    the top-level sidx is the DASH-granularity seek table —
+    mp4_fragment_keyframes touches ONLY sampled subsegments' bytes.
   * Non-avc1 codecs (hev1/vp09/av01/mp4v...), multiple video tracks,
-    fragmented MP4 (moof) raise NotImplementedError at marked seams;
+    hierarchical sidx raise NotImplementedError at marked seams;
     structurally corrupt boxes raise ValueError (codec-guard contract).
 
 Mux: single video track from the h264.py fixture encoder's samples —
@@ -102,10 +109,7 @@ def mp4_probe(raw: bytes) -> dict:
         raise NotImplementedError(
             f"MP4: unknown major brand {raw[8:12]!r}: plug ffmpeg in here"
         )
-    if _find_box(raw, 0, n, b"moof") is not None:
-        raise NotImplementedError(
-            "MP4: fragmented (moof) streams: plug ffmpeg in here"
-        )
+    fragmented = _find_box(raw, 0, n, b"moof") is not None
     moov = _find_box(raw, 0, n, b"moov")
     if moov is None:
         raise ValueError("MP4: missing moov box")
@@ -131,7 +135,15 @@ def mp4_probe(raw: bytes) -> dict:
         raise NotImplementedError(
             "MP4: no video track: plug ffmpeg in here"
         )
-    _, _, mdia = video
+    tb, te, mdia = video
+    tkhd = _find_box(raw, tb, te, b"tkhd")
+    if tkhd is None:
+        raise ValueError("MP4: trak without tkhd")
+    if tkhd[1] - tkhd[0] < 16:
+        raise ValueError("MP4: tkhd too short")
+    track_id = _u32(
+        raw, tkhd[0] + (20 if raw[tkhd[0]] == 1 else 12), "track_id"
+    )
     mdhd = _find_box(raw, mdia[0], mdia[1], b"mdhd")
     if mdhd is None:
         raise ValueError("MP4: mdia without mdhd")
@@ -208,6 +220,42 @@ def mp4_probe(raw: bytes) -> dict:
         raise ValueError("MP4: avcC without SPS/PPS")
     sps = parse_sps(sps_list[0])
     pps = parse_pps(pps_list[0])
+
+    base = {
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "length_size": length_size,
+        "sps": sps,
+        "pps": pps,
+        "track_id": track_id,
+    }
+    if fragmented:
+        mvex = _find_box(raw, moov[0], moov[1], b"mvex")
+        if mvex is None:
+            raise ValueError("MP4: fragmented stream without mvex")
+        trex = None
+        for t, b, e in _walk_boxes(raw, mvex[0], mvex[1]):
+            if t == b"trex" and _u32(raw, b + 4, "trex track") == track_id:
+                if e - b < 24:
+                    raise ValueError("MP4: trex too short")
+                trex = {
+                    "duration": _u32(raw, b + 12, "trex duration"),
+                    "size": _u32(raw, b + 16, "trex size"),
+                    "flags": _u32(raw, b + 20, "trex flags"),
+                }
+        if trex is None:
+            raise ValueError("MP4: no trex for the video track")
+        sizes, offsets, deltas, sync = _walk_fragments(
+            raw, track_id, trex
+        )
+        if not sizes:
+            raise ValueError("MP4: fragmented stream with no video samples")
+        base.update(
+            n_samples=len(sizes), sizes=sizes, offsets=offsets,
+            deltas=deltas, sync=sync, fragmented=True,
+        )
+        return base
 
     # --- sample tables ----------------------------------------------------
     stsz = _find_box(raw, sb, se, b"stsz")
@@ -316,19 +364,145 @@ def mp4_probe(raw: bytes) -> dict:
         if any(s < 0 or s >= n_samples for s in sync):
             raise ValueError("MP4: stss references missing sample")
 
-    return {
-        "width": width,
-        "height": height,
-        "timescale": timescale,
-        "n_samples": n_samples,
-        "length_size": length_size,
-        "sps": sps,
-        "pps": pps,
-        "sizes": sizes,
-        "offsets": offsets,
-        "deltas": deltas,
-        "sync": sync,
-    }
+    base.update(
+        n_samples=n_samples, sizes=sizes, offsets=offsets,
+        deltas=deltas, sync=sync, fragmented=False,
+    )
+    return base
+
+
+_SAMPLE_NON_SYNC = 0x10000  # sample_is_non_sync_sample flag bit
+
+# tfhd flags
+_TFHD_BASE_OFFSET = 0x1
+_TFHD_DESC_IDX = 0x2
+_TFHD_DEF_DURATION = 0x8
+_TFHD_DEF_SIZE = 0x10
+_TFHD_DEF_FLAGS = 0x20
+_TFHD_BASE_IS_MOOF = 0x20000
+
+# trun flags
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_FIRST_FLAGS = 0x4
+_TRUN_DURATION = 0x100
+_TRUN_SIZE = 0x200
+_TRUN_FLAGS = 0x400
+_TRUN_CTS = 0x800
+
+
+def _parse_moof_samples(raw: bytes, moof_start: int, body: int, end: int,
+                        track_id: int, trex: dict):
+    """Samples of one moof for the given track: (size, offset, delta,
+    is_sync) tuples.  Base offset: explicit base-data-offset, or the
+    moof start (default-base-is-moof, and ALSO the fallback when
+    neither flag is set — the dominant convention in DASH/CMAF
+    muxers).  Audio/other trafs are skipped by track id."""
+    n = len(raw)
+    out = []
+    for t, b, e in _walk_boxes(raw, body, end):
+        if t != b"traf":
+            continue
+        tfhd = _find_box(raw, b, e, b"tfhd")
+        if tfhd is None:
+            raise ValueError("MP4: traf without tfhd")
+        flags = _u32(raw, tfhd[0], "tfhd flags") & 0xFFFFFF
+        if _u32(raw, tfhd[0] + 4, "tfhd track") != track_id:
+            continue
+        p = tfhd[0] + 8
+        base_off = moof_start
+        if flags & _TFHD_BASE_OFFSET:
+            if p + 8 > tfhd[1]:
+                raise ValueError("MP4: tfhd base offset overruns box")
+            base_off = struct.unpack_from(">Q", raw, p)[0]
+            p += 8
+        if flags & _TFHD_DESC_IDX:
+            p += 4
+        def_dur = trex["duration"]
+        if flags & _TFHD_DEF_DURATION:
+            def_dur = _u32(raw, p, "tfhd duration")
+            p += 4
+        def_size = trex["size"]
+        if flags & _TFHD_DEF_SIZE:
+            def_size = _u32(raw, p, "tfhd size")
+            p += 4
+        def_flags = trex["flags"]
+        if flags & _TFHD_DEF_FLAGS:
+            def_flags = _u32(raw, p, "tfhd flags")
+            p += 4
+        if p > tfhd[1]:
+            raise ValueError("MP4: tfhd fields overrun box")
+        for tt, tb, te in _walk_boxes(raw, b, e):
+            if tt != b"trun":
+                continue
+            tflags = _u32(raw, tb, "trun flags") & 0xFFFFFF
+            cnt = _u32(raw, tb + 4, "trun count")
+            if cnt > 1_000_000:
+                raise ValueError(f"MP4: lying trun count {cnt}")
+            p2 = tb + 8
+            pos = base_off
+            if tflags & _TRUN_DATA_OFFSET:
+                if p2 + 4 > te:
+                    raise ValueError("MP4: trun data offset overruns box")
+                pos = base_off + struct.unpack_from(">i", raw, p2)[0]
+                p2 += 4
+            first_flags = None
+            if tflags & _TRUN_FIRST_FLAGS:
+                first_flags = _u32(raw, p2, "trun first flags")
+                p2 += 4
+            per = (
+                (4 if tflags & _TRUN_DURATION else 0)
+                + (4 if tflags & _TRUN_SIZE else 0)
+                + (4 if tflags & _TRUN_FLAGS else 0)
+                + (4 if tflags & _TRUN_CTS else 0)
+            )
+            if p2 + per * cnt > te:
+                raise ValueError("MP4: trun table overruns box")
+            for i in range(cnt):
+                dur, size, sfl = def_dur, def_size, def_flags
+                if tflags & _TRUN_DURATION:
+                    dur = _u32(raw, p2, "trun duration")
+                    p2 += 4
+                if tflags & _TRUN_SIZE:
+                    size = _u32(raw, p2, "trun size")
+                    p2 += 4
+                if tflags & _TRUN_FLAGS:
+                    sfl = _u32(raw, p2, "trun flags")
+                    p2 += 4
+                if tflags & _TRUN_CTS:
+                    p2 += 4  # composition offset: decode order only here
+                if i == 0 and first_flags is not None:
+                    sfl = first_flags
+                if size == 0:
+                    raise ValueError("MP4: zero-size fragmented sample")
+                if pos + size > n:
+                    raise ValueError(
+                        f"MP4: fragmented sample overruns file "
+                        f"({pos}+{size} > {n})"
+                    )
+                out.append(
+                    (size, pos, dur, not sfl & _SAMPLE_NON_SYNC)
+                )
+                pos += size
+    return out
+
+
+def _walk_fragments(raw: bytes, track_id: int, trex: dict):
+    """Linear moof walk: per-sample (sizes, offsets, deltas, sync
+    indices) across all fragments in file order."""
+    sizes, offsets, deltas, sync = [], [], [], []
+    for t, b, e in _walk_boxes(raw, 0, len(raw)):
+        if t != b"moof":
+            continue
+        # header is 8 bytes, or 16 when size==1 (largesize) was used
+        start = b - 8 if raw[b - 4 : b] == b"moof" else b - 16
+        for size, pos, dur, is_sync in _parse_moof_samples(
+                raw, start, b, e, track_id, trex):
+            if is_sync:
+                sync.append(len(sizes))
+            sizes.append(size)
+            offsets.append(pos)
+            deltas.append(dur)
+    return sizes, offsets, deltas, sync
 
 
 def mp4_keyframes(raw: bytes, every_k: int = 1, info: dict | None = None):
@@ -385,6 +559,108 @@ def mp4_decode_all(raw: bytes, info: dict | None = None):
         cum += info["deltas"][si]
 
 
+def mp4_sidx_index(raw: bytes) -> list:
+    """Parse the top-level sidx (segment index) box: returns a list of
+    {offset, size, duration, sap} — one entry per media subsegment
+    (moof+mdat pair), offsets absolute in the file.  This is the
+    fragmented seek table (the stss/idx1 analog for DASH/CMAF): a
+    sampler jumps straight to a subsegment's bytes."""
+    n = len(raw)
+    for t, b, e in _walk_boxes(raw, 0, n):
+        if t != b"sidx":
+            continue
+        ver = raw[b]
+        head = 20 if ver == 0 else 28
+        if b + head + 4 > e:
+            raise ValueError("MP4: sidx too short")
+        if ver == 0:
+            first_off = _u32(raw, b + 16, "sidx first_offset")
+            p = b + 20
+        else:
+            first_off = struct.unpack_from(">Q", raw, b + 20)[0]
+            p = b + 28
+        p += 2  # reserved
+        count = struct.unpack_from(">H", raw, p)[0]
+        p += 2
+        if p + 12 * count > e:
+            raise ValueError("MP4: sidx reference table overruns box")
+        anchor = e + first_off  # first byte after the sidx box
+        refs = []
+        for _ in range(count):
+            w1 = _u32(raw, p, "sidx ref")
+            dur = _u32(raw, p + 4, "sidx duration")
+            w3 = _u32(raw, p + 8, "sidx sap")
+            p += 12
+            if w1 >> 31:
+                raise NotImplementedError(
+                    "MP4: hierarchical sidx (index references): plug "
+                    "ffmpeg in here"
+                )
+            size = w1 & 0x7FFFFFFF
+            if anchor + size > n:
+                raise ValueError(
+                    f"MP4: sidx subsegment overruns file "
+                    f"({anchor}+{size} > {n})"
+                )
+            refs.append(
+                {"offset": anchor, "size": size, "duration": dur,
+                 "sap": bool(w3 >> 31)}
+            )
+            anchor += size
+        return refs
+    raise ValueError("MP4: no sidx box")
+
+
+def mp4_fragment_keyframes(raw: bytes, every_k: int = 1,
+                           info: dict | None = None):
+    """Fragmented keyframe SEEK path: walk the sidx, and for every
+    k-th SAP-starting subsegment parse ONLY that moof and yield its
+    first sync sample as (global_subsegment_idx, ts_ms, bytes) —
+    mdat bytes of unsampled fragments are never touched (the idx1 /
+    stss discipline at DASH granularity)."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    if info is None:
+        info = mp4_probe(raw)
+    if not info.get("fragmented"):
+        raise ValueError("MP4: not a fragmented stream")
+    mvex_trex = {"duration": 0, "size": 0, "flags": _SAMPLE_NON_SYNC}
+    # trex defaults were already validated by mp4_probe; re-derive them
+    moov = _find_box(raw, 0, len(raw), b"moov")
+    mvex = _find_box(raw, moov[0], moov[1], b"mvex")
+    for t, b, e in _walk_boxes(raw, mvex[0], mvex[1]):
+        if t == b"trex" and _u32(raw, b + 4, "trex track") == info["track_id"]:
+            mvex_trex = {
+                "duration": _u32(raw, b + 12, "trex duration"),
+                "size": _u32(raw, b + 16, "trex size"),
+                "flags": _u32(raw, b + 20, "trex flags"),
+            }
+    ts = info["timescale"]
+    refs = mp4_sidx_index(raw)
+    cum, t_acc = {}, 0
+    for i, r in enumerate(refs):
+        cum[i] = t_acc
+        t_acc += r["duration"]
+    saps = [i for i, r in enumerate(refs) if r["sap"]]
+    for pos in range(0, len(saps), every_k):
+        ri = saps[pos]
+        r = refs[ri]
+        # parse only this subsegment's moof (absolute positions keep
+        # explicit base-data-offset streams correct too)
+        moof = _find_box(raw, r["offset"], r["offset"] + r["size"], b"moof")
+        if moof is None:
+            raise ValueError("MP4: sidx subsegment without moof")
+        start = (moof[0] - 8
+                 if raw[moof[0] - 4 : moof[0]] == b"moof" else moof[0] - 16)
+        samples = _parse_moof_samples(
+            raw, start, moof[0], moof[1], info["track_id"], mvex_trex
+        )
+        for size, off, dur, is_sync in samples:
+            if is_sync:
+                yield ri, cum[ri] * 1000 // ts, raw[off : off + size]
+                break
+
+
 # ---------------------------------------------------------------------------
 # muxer (fixture writer)
 # ---------------------------------------------------------------------------
@@ -438,6 +714,168 @@ def mp4_encode_pgop(
         specs, width, height, qp=qp
     )
     return _mux_avc(sps, pps, samples, sync, width, height, fps)
+
+
+def mp4_encode_fragmented(
+    fragments: list, width: int, height: int, fps: int = 10, qp: int = 12
+) -> bytes:
+    """Mux GOPs into FRAGMENTED MP4 (DASH/CMAF layout): ftyp + moov
+    (empty sample tables + mvex/trex) + sidx + per-GOP [moof mdat].
+
+    ``fragments`` is a list of GOP spec lists (each per
+    h264.h264_encode_pgop_frames, starting with an IDR).  Each GOP
+    becomes one subsegment: moof carries tfhd (default-base-is-moof +
+    default duration), tfdt (decode time) and one trun with per-sample
+    sizes and flags (IDR = sync, P = non-sync); the sidx references
+    every subsegment with starts_with_SAP — the seek table
+    mp4_fragment_keyframes jumps through."""
+    from .h264 import h264_encode_pgop_frames
+
+    if fps <= 0:
+        raise ValueError(f"MP4: bad fps {fps}")
+    if not fragments:
+        raise ValueError("MP4: no fragments")
+    timescale = 1000
+    delta = timescale // fps
+    sps = pps = None
+    frag_samples = []
+    for specs in fragments:
+        s, p, samples, sync = h264_encode_pgop_frames(
+            specs, width, height, qp=qp
+        )
+        sps, pps = s, p
+        frag_samples.append((samples, sync))
+
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2avc1dash"
+    )
+    total_dur = delta * sum(len(s) for s, _ in frag_samples)
+    moov = _mux_moov_shell(
+        sps, pps, width, height, timescale, total_dur, delta
+    )
+
+    moofs = []
+    t_acc = 0
+    for seq, (samples, sync) in enumerate(frag_samples):
+        mfhd = _full_box(b"mfhd", struct.pack(">I", seq + 1))
+        # default duration rides tfhd (flag 0x8) after the track id;
+        # offsets are moof-relative (default-base-is-moof, 0x20000)
+        tfhd = _full_box(
+            b"tfhd", struct.pack(">II", 1, delta),
+            flags=_TFHD_BASE_IS_MOOF | _TFHD_DEF_DURATION,
+        )
+        tfdt = _full_box(b"tfdt", struct.pack(">I", t_acc))
+        t_acc += delta * len(samples)
+
+        def _trun(data_off: int) -> bytes:
+            body = struct.pack(">I", len(samples))
+            body += struct.pack(">i", data_off)
+            for smp, is_sync in zip(samples, sync):
+                body += struct.pack(
+                    ">II", len(smp),
+                    0x02000000 if is_sync else 0x01010000 | _SAMPLE_NON_SYNC,
+                )
+            return _full_box(
+                b"trun", body,
+                flags=_TRUN_DATA_OFFSET | _TRUN_SIZE | _TRUN_FLAGS,
+            )
+
+        probe_moof = _box(
+            b"moof", mfhd + _box(b"traf", tfhd + tfdt + _trun(0))
+        )
+        moof = _box(
+            b"moof",
+            mfhd + _box(b"traf", tfhd + tfdt + _trun(len(probe_moof) + 8)),
+        )
+        if len(moof) != len(probe_moof):
+            raise AssertionError("MP4 muxer: moof size changed on patch")
+        mdat = _box(b"mdat", b"".join(samples))
+        moofs.append(moof + mdat)
+
+    sidx_body = struct.pack(">II", 1, timescale)  # reference_ID, timescale
+    sidx_body += struct.pack(">II", 0, 0)  # earliest_pts, first_offset
+    sidx_body += struct.pack(">HH", 0, len(moofs))
+    for seg, (samples, _) in zip(moofs, frag_samples):
+        sidx_body += struct.pack(
+            ">III", len(seg), delta * len(samples),
+            (1 << 31) | (1 << 28),  # starts_with_SAP, SAP type 1
+        )
+    sidx = _full_box(b"sidx", sidx_body)
+    return ftyp + moov + sidx + b"".join(moofs)
+
+
+def _mux_moov_shell(
+    sps: bytes, pps: bytes, w: int, h: int, timescale: int,
+    duration: int, default_delta: int,
+) -> bytes:
+    """moov for a fragmented stream: real stsd (avc1+avcC), ZERO-entry
+    stts/stsc/stsz/stco, and mvex/trex carrying the track defaults."""
+    avcc = _box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+    avc1 = _box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + avcc,
+    )
+    stsd = _full_box(b"stsd", struct.pack(">I", 1) + avc1)
+    stts = _full_box(b"stts", struct.pack(">I", 0))
+    stsc = _full_box(b"stsc", struct.pack(">I", 0))
+    stsz = _full_box(b"stsz", struct.pack(">II", 0, 0))
+    stco = _full_box(b"stco", struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full_box(
+        b"dref", struct.pack(">I", 1) + _full_box(b"url ", b"", flags=1)
+    )
+    dinf = _box(b"dinf", dref)
+    vmhd = _full_box(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full_box(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00"
+    )
+    mdhd = _full_box(
+        b"mdhd",
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+        flags=3,
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full_box(
+        b"trex",
+        struct.pack(
+            ">IIIII", 1, 1, default_delta, 0,
+            0x01010000 | _SAMPLE_NON_SYNC,
+        ),
+    )
+    mvex = _box(b"mvex", trex)
+    mvhd = _full_box(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x10000, 0x100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    return _box(b"moov", mvhd + trak + mvex)
 
 
 def _mux_avc(

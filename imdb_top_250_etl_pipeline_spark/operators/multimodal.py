@@ -1262,6 +1262,212 @@ def mp4_frame_stats(videos: DataFrame, every_k: int = 2) -> DataFrame:
     return _codec_map_in_pandas(videos, stats, Y4M_STATS_SCHEMA)
 
 
+def _pgop_specs(i: int, n_gops: int, gop_len: int) -> list:
+    """Deterministic P-GOP structure shared by the progressive and
+    fragmented MP4 fixtures — pure id arithmetic a SQL oracle
+    reproduces.  GOP k opens with an IDR of solid luma
+    40 + (id*17 + k*71) % 176; each following position p (1-based)
+    picks by (id+p) % 3: 0 -> P_Skip (value unchanged), 1 -> flat-delta
+    P of (id+p) % 7 - 3 (value shifts exactly; cumulative drift is
+    bounded so no clipping), 2 -> constant-MV pan P at quarter-pel
+    ((id+p)%9-4, (id+3p)%9-4) (value unchanged, full 6-tap/bilinear
+    interpolation runs)."""
+    gops = []
+    for k in range(n_gops):
+        specs: list = [("idr", 40 + (i * 17 + k * 71) % 176)]
+        for p in range(1, gop_len):
+            t = (i + p) % 3
+            if t == 0:
+                specs.append(("skip",))
+            elif t == 1:
+                specs.append(("pdelta", (i + p) % 7 - 3))
+            else:
+                specs.append(
+                    ("pmv", ((i + p) % 9 - 4, (i + 3 * p) % 9 - 4))
+                )
+        gops.append(specs)
+    return gops
+
+
+def synthesize_mp4p_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """Progressive MP4 with REAL P slices (round 13b): two GOPs of
+    length id%3+3, structure per _pgop_specs, at
+    w = even(id%22+16), h = even(id%18+12), qp = 12 + id%5 (the inter
+    flat-DC exactness range), fps = id%8+5.  Only IDRs land in stss;
+    every P frame is motion-compensated from its reference for real —
+    an MV-prediction, MC-interpolation, skip-propagation or
+    reference-tracking bug shifts a frame's solid value and
+    hash-fails."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .mp4 import mp4_encode_pgop
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = ((i % 22 + 16) // 2) * 2
+                h = ((i % 18 + 12) // 2) * 2
+                gops = _pgop_specs(i, 2, i % 3 + 3)
+                specs = [s for g in gops for s in g]
+                ids.append(i)
+                blobs.append(
+                    mp4_encode_pgop(
+                        specs, w, h, fps=i % 8 + 5, qp=12 + i % 5
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return _codec_map_in_pandas(df.select(id_col), gen, "doc_id long, blob binary")
+
+
+MP4_SEQ_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("is_key", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_min", T.IntegerType()),
+        T.StructField("y_max", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+    ]
+)
+
+
+def mp4_video_stats(videos: DataFrame) -> DataFrame:
+    """Per-frame luma statistics over EVERY sample of an H.264-in-MP4
+    stream in decode order — the sequential path P frames require
+    (each frame may reference the previous reference picture), with
+    the stss sync flag carried through as is_key.  Works on both
+    progressive and fragmented containers: mp4_probe expands
+    moof/traf/trun fragments to the same per-sample tables."""
+
+    cols = ("doc_id frame_idx ts_ms is_key width height "
+            "y_min y_max y_sum").split()
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .mp4 import mp4_decode_all, mp4_probe
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    raise NotImplementedError(
+                        "real video demuxer plugs in here"
+                    )
+                info = mp4_probe(raw)
+                w, h = info["width"], info["height"]
+                for si, ts_ms, is_key, dec in mp4_decode_all(raw, info):
+                    y = _luma_u8(dec).astype(np.int64)
+                    if y.shape != (h, w):
+                        raise ValueError(
+                            f"MP4 sample {si}: decoded geometry "
+                            f"{y.shape} != container {(h, w)}"
+                        )
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(si)
+                    out["ts_ms"].append(int(ts_ms))
+                    out["is_key"].append(bool(is_key))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_min"].append(int(y.min()))
+                    out["y_max"].append(int(y.max()))
+                    out["y_sum"].append(int(y.sum()))
+            yield pd.DataFrame(out)
+
+    return _codec_map_in_pandas(videos, stats, MP4_SEQ_STATS_SCHEMA)
+
+
+def synthesize_mp4frag_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """FRAGMENTED MP4 (DASH/CMAF layout, round 13b): three
+    one-GOP-per-fragment subsegments of length id%3+2 (structure per
+    _pgop_specs), sidx seek table, moov with empty sample tables +
+    mvex/trex — same geometry/qp/fps arithmetic as
+    synthesize_mp4p_blobs."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .mp4 import mp4_encode_fragmented
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w = ((i % 22 + 16) // 2) * 2
+                h = ((i % 18 + 12) // 2) * 2
+                ids.append(i)
+                blobs.append(
+                    mp4_encode_fragmented(
+                        _pgop_specs(i, 3, i % 3 + 2), w, h,
+                        fps=i % 8 + 5, qp=12 + i % 5,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return _codec_map_in_pandas(df.select(id_col), gen, "doc_id long, blob binary")
+
+
+def mp4_frag_keyframe_stats(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Keyframe statistics through the FRAGMENTED seek path: the sidx
+    references every subsegment; every k-th SAP subsegment's moof is
+    parsed and its first sync sample (the GOP's IDR) decoded — the
+    unsampled fragments' mdat bytes are never touched (the stss/idx1
+    discipline at DASH granularity).  frame_idx is the subsegment
+    index; ts_ms the sidx-accumulated subsegment start."""
+
+    cols = "doc_id frame_idx ts_ms width height y_min y_max y_sum".split()
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .h264 import h264_decode_sample
+        from .mp4 import mp4_fragment_keyframes, mp4_probe
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    raise NotImplementedError(
+                        "real video demuxer plugs in here"
+                    )
+                info = mp4_probe(raw)
+                w, h = info["width"], info["height"]
+                for ri, ts_ms, sample in mp4_fragment_keyframes(
+                        raw, every_k, info):
+                    dec = h264_decode_sample(
+                        info["sps"], info["pps"], sample,
+                        info["length_size"],
+                    )
+                    y = _luma_u8(dec).astype(np.int64)
+                    if y.shape != (h, w):
+                        raise ValueError(
+                            f"MP4 subsegment {ri}: decoded geometry "
+                            f"{y.shape} != container {(h, w)}"
+                        )
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(int(ri))
+                    out["ts_ms"].append(int(ts_ms))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_min"].append(int(y.min()))
+                    out["y_max"].append(int(y.max()))
+                    out["y_sum"].append(int(y.sum()))
+            yield pd.DataFrame(out)
+
+    return _codec_map_in_pandas(videos, stats, Y4M_STATS_SCHEMA)
+
+
 FRAME_AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -7865,6 +7865,131 @@ def multimodal_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+_MP4P_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(((doc_id % 22 + 16) // 2) * 2 AS INT) AS w,
+         CAST(((doc_id % 18 + 12) // 2) * 2 AS INT) AS h,
+         CAST(doc_id % 3 + 3 AS INT) AS L,
+         CAST(doc_id % 8 + 5 AS INT) AS rate
+  FROM documents WHERE doc_id % 11 = 0
+),
+-- two GOPs of length L (nf = 2L <= 10); k = GOP index, p = position
+fr AS (
+  SELECT f.*, gs.fi, gs.fi // L AS k, gs.fi % L AS p
+  FROM f, generate_series(0, 9) AS gs(fi)
+  WHERE gs.fi < 2 * L
+),
+-- value = GOP IDR base + cumulative flat-delta P shifts up to p
+-- (tag (id+j)%3: 0 skip, 1 delta of (id+j)%7-3, 2 pan — see
+-- operators/multimodal.py::_pgop_specs)
+v AS (
+  SELECT fr.*,
+         40 + (doc_id * 17 + k * 71) % 176
+           + COALESCE((SELECT SUM(CASE WHEN (fr.doc_id + j.j) % 3 = 1
+                                       THEN (fr.doc_id + j.j) % 7 - 3
+                                       ELSE 0 END)
+                       FROM generate_series(1, 4) AS j(j)
+                       WHERE j.j <= fr.p), 0) AS val
+  FROM fr
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fi * (1000 // rate) AS INT) AS ts_ms,
+       p = 0 AS is_key,
+       w AS width, h AS height,
+       CAST(val AS INT) AS y_min, CAST(val AS INT) AS y_max,
+       CAST(val * w * h AS BIGINT) AS y_sum
+FROM v
+"""
+
+
+@register(
+    "multimodal_mp4_pgop_stats",
+    oracle=_MP4P_ORACLE,
+    doc="H.264 P-SLICES FOR REAL (round 13b — inter prediction: spec "
+    "8.4.1.3 MV prediction incl. the 16x8/8x16 directional rules, "
+    "P_Skip with the 8.4.1.1 zero conditions, quarter-pel 6-tap luma "
+    "+ eighth-pel bilinear chroma motion compensation, inter CBP via "
+    "the Table 9-4 Inter column, per-segment deblocking bS 2/1/0): "
+    "every 11th document muxes TWO GOPs whose P frames are P_Skip "
+    "copies, flat-delta inter residuals (integer-exact through the "
+    "real CAVLC at qp<=16) and constant-MV pans (MC interpolation of "
+    "a solid plane is the identity, so the full 6-tap path runs "
+    "inside the oracle), and mp4_video_stats decodes EVERY sample "
+    "sequentially with reference tracking (non-ref frames never "
+    "become references).  The oracle recomputes each frame's value "
+    "from the GOP recurrence in pure SQL — an MV-predictor, "
+    "interpolation, skip-propagation, reference-tracking or "
+    "inter-CBP bug shifts a frame's solid value and fails the hash.  "
+    "Pixel-level MC exactness vs an independent per-pixel dual, MV "
+    "hand vectors and deblock bS classes are in "
+    "tests/test_multimodal_h264p.py.",
+)
+def multimodal_mp4_pgop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        mp4_video_stats,
+        synthesize_mp4p_blobs,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    return mp4_video_stats(
+        synthesize_mp4p_blobs(docs, "doc_id")
+    ).orderBy("doc_id", "frame_idx")
+
+
+_FMP4_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(((doc_id % 22 + 16) // 2) * 2 AS INT) AS w,
+         CAST(((doc_id % 18 + 12) // 2) * 2 AS INT) AS h,
+         CAST(doc_id % 3 + 2 AS INT) AS L,
+         CAST(doc_id % 8 + 5 AS INT) AS rate
+  FROM documents WHERE doc_id % 13 = 0
+)
+-- three one-GOP subsegments; every 2nd SAP subsegment is sampled
+-- (k = 0, 2) and its IDR decoded: value = the GOP base, ts = the
+-- sidx-accumulated subsegment start (L frames per fragment)
+SELECT doc_id, CAST(gs.k AS INT) AS frame_idx,
+       CAST(gs.k * L * (1000 // rate) AS INT) AS ts_ms,
+       w AS width, h AS height,
+       CAST(40 + (doc_id * 17 + gs.k * 71) % 176 AS INT) AS y_min,
+       CAST(40 + (doc_id * 17 + gs.k * 71) % 176 AS INT) AS y_max,
+       CAST((40 + (doc_id * 17 + gs.k * 71) % 176) * w * h AS BIGINT)
+         AS y_sum
+FROM f, generate_series(0, 2, 2) AS gs(k)
+"""
+
+
+@register(
+    "multimodal_mp4_frag_stats",
+    oracle=_FMP4_ORACLE,
+    doc="FRAGMENTED MP4 (round 13b — the DASH/CMAF layout a streaming "
+    "crawl actually serves): every 13th document muxes three "
+    "one-GOP-per-fragment subsegments (moov with empty sample tables "
+    "+ mvex/trex defaults, per-fragment moof/tfhd/tfdt/trun, sidx "
+    "seek table), and mp4_frag_keyframe_stats walks every 2nd SAP "
+    "subsegment THROUGH THE sidx — only sampled subsegments' moofs "
+    "are parsed and only their IDR's mdat bytes decoded (the "
+    "stss/idx1 discipline at DASH granularity).  The oracle "
+    "recomputes subsegment starts from the sidx duration arithmetic "
+    "and IDR values from the GOP base — a trun-offset, trex-default, "
+    "sidx-size or sync-flag bug lands in a different fragment or "
+    "value and fails the hash.  Both tfhd base conventions, "
+    "audio-traf skipping and the guard contract are pinned in "
+    "tests/test_multimodal_mp4frag.py.",
+)
+def multimodal_mp4_frag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        mp4_frag_keyframe_stats,
+        synthesize_mp4frag_blobs,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    return mp4_frag_keyframe_stats(
+        synthesize_mp4frag_blobs(docs, "doc_id"), every_k=2
+    ).orderBy("doc_id", "frame_idx")
+
+
 @register(
     "multimodal_gif_stats",
     oracle=_GIF_ORACLE,
@@ -8744,6 +8869,19 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
         f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
         f"FROM ({_MP4_ORACLE}) t",
+        f"SELECT 'h264p' AS part, doc_id AS a, CAST(frame_idx AS BIGINT) "
+        f"AS b, y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) || ':' "
+        f"|| CAST(is_key AS VARCHAR) AS s, "
+        f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_MP4P_ORACLE}) t",
+        f"SELECT 'fmp4' AS part, doc_id AS a, CAST(frame_idx AS BIGINT) "
+        f"AS b, y_sum AS n, "
+        f"CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR) AS k, "
+        f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
+        f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_FMP4_ORACLE}) t",
         f"SELECT part, a, b, n, {_NS} AS k, {_NS} AS s, {_ND} AS v, ok "
         f"FROM ({_SDD_ORACLE}) t",
         f"SELECT 'tune_' || family AS part, target_scaled AS a, "
@@ -9618,6 +9756,44 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    mp4p = multimodal_mp4_pgop_stats(spark, sf_dir).select(
+        F.lit("h264p").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("frame_idx").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        F.concat(
+            F.col("y_min").cast("string"),
+            F.lit(":"),
+            F.col("y_max").cast("string"),
+            F.lit(":"),
+            F.col("is_key").cast("string"),
+        ).alias("s"),
+        F.col("ts_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
+    fmp4 = multimodal_mp4_frag_stats(spark, sf_dir).select(
+        F.lit("fmp4").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("frame_idx").cast("long").alias("b"),
+        F.col("y_sum").cast("long").alias("n"),
+        F.concat(
+            F.col("width").cast("string"),
+            F.lit("x"),
+            F.col("height").cast("string"),
+        ).alias("k"),
+        F.concat(
+            F.col("y_min").cast("string"),
+            F.lit(":"),
+            F.col("y_max").cast("string"),
+        ).alias("s"),
+        F.col("ts_ms").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     sdd = stream_incremental_dedup(spark, sf_dir).select(
         F.col("part"),
         F.col("a").cast("long"),
@@ -9812,6 +9988,8 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(y4m)
         .unionByName(avi)
         .unionByName(mp4s)
+        .unionByName(mp4p)
+        .unionByName(fmp4)
         .unionByName(sdd)
         .unionByName(tune)
         .unionByName(jpg)
@@ -9911,6 +10089,8 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "y4m": "multimodal_y4m_stats",
     "avi": "multimodal_avi_stats",
     "h264": "multimodal_mp4_stats",
+    "h264p": "multimodal_mp4_pgop_stats",
+    "fmp4": "multimodal_mp4_frag_stats",
     "sdd_": "stream_incremental_dedup",
     "tune_": "tune_recall_params",
     "jpeg_": "multimodal_jpeg_stats",
@@ -10232,6 +10412,13 @@ subsume(
     # seek + intra-only CAVLC decode to exact gray stats, riding
     # extension_battery (part=h264)
     "multimodal_mp4_stats",
+    # round-13b: H.264 P-slice GOPs — MV prediction, quarter-pel MC,
+    # P_Skip, inter CBP/residuals, sequential reference tracking,
+    # riding extension_battery (part=h264p)
+    "multimodal_mp4_pgop_stats",
+    # round-13b: fragmented MP4 (DASH/CMAF) — moof/traf/trun tables +
+    # sidx subsegment seek, riding extension_battery (part=fmp4)
+    "multimodal_mp4_frag_stats",
     # round-12: recall-driven parameter recommendation over the measured
     # sf1 curve grids, riding extension_battery (part=tune_*)
     "tune_recall_params",

@@ -1968,8 +1968,11 @@ def wav_pcm_samples(raw: bytes):
     (IMA ADPCM, round 11) decodes FOR REAL for mono streams — 4-bit
     nibbles through the 89-step quantizer with per-block predictor
     reset, truncated to the fact chunk's sample count; the returned
-    bits is 16 (ADPCM reconstructs 16-bit samples).  Float/ALAW/MP3
-    WAVE formats and stereo ADPCM raise to the seam."""
+    bits is 16 (ADPCM reconstructs 16-bit samples).  Formats 6/7
+    (G.711 A-law / mu-law, round 13b) expand FOR REAL through the
+    audioop-verified formulas — telephony-corpus audio; the returned
+    bits is 16 (G.711 expands to 16-bit scale).  Float/MP3 WAVE
+    formats and stereo ADPCM raise to the seam."""
     import struct
 
     import numpy as np
@@ -2013,6 +2016,17 @@ def wav_pcm_samples(raw: bytes):
                 )
             samples = samples[:n_total]
         return rate, np.array(samples, dtype=np.int64), 16
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law (round 13b)
+        if bits != 8 or n_ch < 1:
+            raise ValueError(
+                f"G.711 WAVE must be 8-bit (got bits={bits} ch={n_ch})"
+            )
+        codes = np.frombuffer(
+            data[: len(data) - (len(data) % n_ch)], dtype=np.uint8
+        ).astype(np.int64).reshape(-1, n_ch)[:, 0]
+        dec = g711_alaw_decode(codes) if audio_fmt == 6 else (
+            g711_ulaw_decode(codes))
+        return rate, dec, 16
     if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
         raise NotImplementedError(
             f"WAVE format {audio_fmt} bits {bits}: plug soundfile/ffmpeg "
@@ -2109,6 +2123,140 @@ def wav_encode_adpcm(samples, rate: int, block_align: int = 256) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+
+
+G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("law", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("s_min", T.IntegerType()),
+        T.StructField("s_max", T.IntegerType()),
+        T.StructField("s_sum", T.LongType()),
+    ]
+)
+
+
+def synthesize_g711_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """G.711 telephony-audio fixtures (round 13b): per doc a RIFF/WAVE
+    whose data chunk is the raw 8-bit code stream c_j =
+    (id*7 + j*13) % 256 for n = id%60+40 samples at 8 kHz — mu-law
+    when id % 24 == 0, A-law otherwise (ids are multiples of 12).
+    Unlike the solid-signal fixtures this sweeps the FULL code space,
+    so every segment/mantissa branch of both expansion formulas is
+    inside the oracle hash."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = i % 60 + 40
+                codes = (i * 7 + 13 * np.arange(n, dtype=np.int64)) % 256
+                ids.append(i)
+                blobs.append(
+                    wav_encode_g711(codes, 8000, alaw=(i % 24 != 0))
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return _codec_map_in_pandas(df.select(id_col), gen, "doc_id long, blob binary")
+
+
+def g711_stats(blobs: DataFrame) -> DataFrame:
+    """Per-document stats over G.711-expanded samples: the RIFF walk +
+    format-6/7 expansion of wav_pcm_samples, folded to exact integer
+    min / max / sum — the audio analog of the solid-frame video
+    oracles, but over the full nonlinear code space."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "law": [], "sample_rate": [],
+                "n_samples": [], "s_min": [], "s_max": [], "s_sum": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                if raw[:4] != WAV_MAGIC:
+                    raise NotImplementedError(
+                        "real audio decoder plugs in here"
+                    )
+                import struct as _s
+
+                tag = _s.unpack_from("<H", raw, 20)[0]
+                if tag not in (6, 7):
+                    raise ValueError(
+                        f"g711_stats: WAVE format {tag} is not G.711"
+                    )
+                rate, samples, _bits = wav_pcm_samples(raw)
+                out["doc_id"].append(int(doc_id))
+                out["law"].append("alaw" if tag == 6 else "ulaw")
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(len(samples)))
+                out["s_min"].append(int(samples.min()))
+                out["s_max"].append(int(samples.max()))
+                out["s_sum"].append(int(samples.sum()))
+            yield pd.DataFrame(out)
+
+    return _codec_map_in_pandas(blobs, stats, G711_STATS_SCHEMA)
+
+
+def g711_ulaw_decode(codes):
+    """ITU-T G.711 mu-law expansion, vectorized and integer-exact:
+    complement, then magnitude ((mantissa<<3)+0x84)<<exponent - 0x84
+    with the sign bit selecting negation.  Verified byte-for-byte
+    against CPython's audioop.ulaw2lin over all 256 codes
+    (tests/test_multimodal_g711.py)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return np.where((u & 0x80) != 0, -mag, mag)
+
+
+def g711_alaw_decode(codes):
+    """ITU-T G.711 A-law expansion (xor 0x55 toggle, segment 0/1
+    linear + shifted segments 2-7); sign bit SET means positive.
+    Verified byte-for-byte against audioop.alaw2lin over all 256
+    codes."""
+    import numpy as np
+
+    a = np.asarray(codes, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where((a & 0x80) != 0, t, -t)
+
+
+def wav_encode_g711(codes, rate: int, alaw: bool, n_ch: int = 1) -> bytes:
+    """RIFF/WAVE fixture writer for G.711 (format 6 = A-law, 7 =
+    mu-law): the data chunk IS the 8-bit code stream (one byte per
+    sample per channel), so fixtures address the full 256-code space
+    directly."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(np.asarray(codes, dtype=np.uint8))
+    tag = 6 if alaw else 7
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
+    pad = b"\x00" if len(data) & 1 else b""
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + len(pad))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
 
 

@@ -7990,6 +7990,70 @@ def multimodal_mp4_frag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+_G711_ORACLE = """
+WITH f AS (
+  SELECT doc_id, CAST(doc_id % 60 + 40 AS BIGINT) AS n,
+         (doc_id % 24 <> 0) AS is_alaw
+  FROM documents WHERE doc_id % 12 = 0
+),
+sm AS (
+  SELECT f.doc_id, f.is_alaw, f.n,
+         255 - (f.doc_id * 7 + gs.j * 13) % 256 AS u,
+         xor((f.doc_id * 7 + gs.j * 13) % 256, 85) AS a
+  FROM f, generate_series(0, 98) AS gs(j)
+  WHERE gs.j < f.n
+),
+-- the G.711 expansion formulas in pure integer SQL (mu-law:
+-- complement/bias/shift; A-law: xor-0x55 toggle, seg 0/1 linear,
+-- seg 2-7 shifted; sign bit SET means negative for mu, POSITIVE for A)
+v AS (
+  SELECT doc_id, is_alaw, n,
+    CASE WHEN is_alaw THEN
+      (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+        (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+              WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+              ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+         END)
+    ELSE
+      (CASE WHEN u >= 128 THEN -1 ELSE 1 END) *
+        (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+    END AS val
+  FROM sm
+)
+SELECT doc_id, CASE WHEN is_alaw THEN 'alaw' ELSE 'ulaw' END AS law,
+       CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+       CAST(MIN(val) AS INT) AS s_min, CAST(MAX(val) AS INT) AS s_max,
+       CAST(SUM(val) AS BIGINT) AS s_sum
+FROM v GROUP BY doc_id, is_alaw, n
+"""
+
+
+@register(
+    "multimodal_g711_stats",
+    oracle=_G711_ORACLE,
+    doc="G.711 TELEPHONY AUDIO FOR REAL (round 13b — the A-law/mu-law "
+    "companding every PSTN/VoIP corpus is stored in, WAVE formats "
+    "6/7): every 12th document writes a RIFF/WAVE whose data chunk is "
+    "a raw 8-bit code stream sweeping the FULL 256-code space "
+    "((id*7 + 13j) % 256), and g711_stats expands it through the "
+    "vectorized ITU formulas — verified byte-for-byte against "
+    "CPython's audioop C implementation over all codes — folding to "
+    "exact integer min/max/sum.  The oracle RE-DERIVES both expansion "
+    "formulas in pure integer SQL (xor toggle, segment shifts, "
+    "bias), so every mantissa/segment/sign branch is inside the "
+    "hash — not just a silent-code anchor.  Hand vectors, the "
+    "exhaustive audioop differential, stereo channel-0 and guard "
+    "tests are in tests/test_multimodal_g711.py.",
+)
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import g711_stats, synthesize_g711_blobs
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 12 == 0)
+    return g711_stats(
+        synthesize_g711_blobs(docs, "doc_id")
+    ).orderBy("doc_id")
+
+
 @register(
     "multimodal_gif_stats",
     oracle=_GIF_ORACLE,
@@ -8882,6 +8946,11 @@ _EXT_ORACLE = "\nUNION ALL\n".join(
         f"CAST(y_min AS VARCHAR) || ':' || CAST(y_max AS VARCHAR) AS s, "
         f"CAST(ts_ms AS DOUBLE) AS v, true AS ok "
         f"FROM ({_FMP4_ORACLE}) t",
+        f"SELECT 'g711' AS part, doc_id AS a, n_samples AS b, s_sum AS n, "
+        f"law AS k, "
+        f"CAST(s_min AS VARCHAR) || ':' || CAST(s_max AS VARCHAR) AS s, "
+        f"CAST(sample_rate AS DOUBLE) AS v, true AS ok "
+        f"FROM ({_G711_ORACLE}) t",
         f"SELECT part, a, b, n, {_NS} AS k, {_NS} AS s, {_ND} AS v, ok "
         f"FROM ({_SDD_ORACLE}) t",
         f"SELECT 'tune_' || family AS part, target_scaled AS a, "
@@ -9794,6 +9863,20 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").cast("double").alias("v"),
         F.lit(True).alias("ok"),
     )
+    g711 = multimodal_g711_stats(spark, sf_dir).select(
+        F.lit("g711").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_samples").cast("long").alias("b"),
+        F.col("s_sum").cast("long").alias("n"),
+        F.col("law").alias("k"),
+        F.concat(
+            F.col("s_min").cast("string"),
+            F.lit(":"),
+            F.col("s_max").cast("string"),
+        ).alias("s"),
+        F.col("sample_rate").cast("double").alias("v"),
+        F.lit(True).alias("ok"),
+    )
     sdd = stream_incremental_dedup(spark, sf_dir).select(
         F.col("part"),
         F.col("a").cast("long"),
@@ -9990,6 +10073,7 @@ def extension_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mp4s)
         .unionByName(mp4p)
         .unionByName(fmp4)
+        .unionByName(g711)
         .unionByName(sdd)
         .unionByName(tune)
         .unionByName(jpg)
@@ -10091,6 +10175,7 @@ EXTENSION_BATTERY_PARTS: dict[str, str] = {
     "h264": "multimodal_mp4_stats",
     "h264p": "multimodal_mp4_pgop_stats",
     "fmp4": "multimodal_mp4_frag_stats",
+    "g711": "multimodal_g711_stats",
     "sdd_": "stream_incremental_dedup",
     "tune_": "tune_recall_params",
     "jpeg_": "multimodal_jpeg_stats",
@@ -10419,6 +10504,9 @@ subsume(
     # round-13b: fragmented MP4 (DASH/CMAF) — moof/traf/trun tables +
     # sidx subsegment seek, riding extension_battery (part=fmp4)
     "multimodal_mp4_frag_stats",
+    # round-13b: G.711 A-law/mu-law telephony audio, full-code-space
+    # SQL-re-derived expansion, riding extension_battery (part=g711)
+    "multimodal_g711_stats",
     # round-12: recall-driven parameter recommendation over the measured
     # sf1 curve grids, riding extension_battery (part=tune_*)
     "tune_recall_params",

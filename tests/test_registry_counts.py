@@ -20,7 +20,7 @@ def test_driver_facing_registry_is_exactly_50():
 def test_total_and_rows_only_counts():
     all_q = {**QUERIES, **SUBSUMED}
     rows_only = sorted(n for n, q in all_q.items() if q.oracle is None)
-    assert len(all_q) == 220, f"update COVERAGE.md: total now {len(all_q)}"
+    assert len(all_q) == 221, f"update COVERAGE.md: total now {len(all_q)}"
     # round 12: the last three rows-only constituents were promoted to
     # invariant oracles — the registry is now 100% oracle-backed
     assert rows_only == [], f"update COVERAGE.md: rows-only now {rows_only}"

@@ -1725,6 +1725,15 @@ def _parse_slice_header(r: BitReader, sps: dict, pps: dict,
             raise NotImplementedError(
                 "H264: weighted prediction: plug ffmpeg in here"
             )
+        if pps["constrained_intra"]:
+            # intra MBs in P slices would have to treat inter neighbors
+            # as unavailable for prediction; this decoder reads them —
+            # refuse rather than reconstruct silently wrong (harmless
+            # for all-intra pictures, which have no inter neighbors)
+            raise NotImplementedError(
+                "H264: constrained_intra_pred in P slices: plug ffmpeg "
+                "in here"
+            )
     if idr:
         r.flag()  # no_output_of_prior_pics_flag
         r.flag()  # long_term_reference_flag

@@ -139,7 +139,9 @@ def mp4_probe(raw: bytes) -> dict:
     tkhd = _find_box(raw, tb, te, b"tkhd")
     if tkhd is None:
         raise ValueError("MP4: trak without tkhd")
-    if tkhd[1] - tkhd[0] < 16:
+    # version-1 tkhd carries 64-bit times: track_id sits at +20, so the
+    # box must be at least 24 bytes (16 suffices only for version 0)
+    if tkhd[1] - tkhd[0] < (24 if raw[tkhd[0]] == 1 else 16):
         raise ValueError("MP4: tkhd too short")
     track_id = _u32(
         raw, tkhd[0] + (20 if raw[tkhd[0]] == 1 else 12), "track_id"
@@ -253,7 +255,7 @@ def mp4_probe(raw: bytes) -> dict:
             raise ValueError("MP4: fragmented stream with no video samples")
         base.update(
             n_samples=len(sizes), sizes=sizes, offsets=offsets,
-            deltas=deltas, sync=sync, fragmented=True,
+            deltas=deltas, sync=sync, fragmented=True, trex=trex,
         )
         return base
 
@@ -431,6 +433,7 @@ def _parse_moof_samples(raw: bytes, moof_start: int, body: int, end: int,
             p += 4
         if p > tfhd[1]:
             raise ValueError("MP4: tfhd fields overrun box")
+        next_pos = None  # end of the previous trun's data in this traf
         for tt, tb, te in _walk_boxes(raw, b, e):
             if tt != b"trun":
                 continue
@@ -439,12 +442,17 @@ def _parse_moof_samples(raw: bytes, moof_start: int, body: int, end: int,
             if cnt > 1_000_000:
                 raise ValueError(f"MP4: lying trun count {cnt}")
             p2 = tb + 8
-            pos = base_off
+            # 14496-12 8.8.8.1: without a data offset, a run starts
+            # immediately after the previous run's data (base offset
+            # only for the traf's first run)
+            pos = base_off if next_pos is None else next_pos
             if tflags & _TRUN_DATA_OFFSET:
                 if p2 + 4 > te:
                     raise ValueError("MP4: trun data offset overruns box")
                 pos = base_off + struct.unpack_from(">i", raw, p2)[0]
                 p2 += 4
+            if pos < 0:
+                raise ValueError(f"MP4: negative trun data offset {pos}")
             first_flags = None
             if tflags & _TRUN_FIRST_FLAGS:
                 first_flags = _u32(raw, p2, "trun first flags")
@@ -483,6 +491,7 @@ def _parse_moof_samples(raw: bytes, moof_start: int, body: int, end: int,
                     (size, pos, dur, not sfl & _SAMPLE_NON_SYNC)
                 )
                 pos += size
+            next_pos = pos
     return out
 
 
@@ -559,11 +568,13 @@ def mp4_decode_all(raw: bytes, info: dict | None = None):
         cum += info["deltas"][si]
 
 
-def mp4_sidx_index(raw: bytes) -> list:
-    """Parse the top-level sidx (segment index) box: returns a list of
-    {offset, size, duration, sap} — one entry per media subsegment
-    (moof+mdat pair), offsets absolute in the file.  This is the
-    fragmented seek table (the stss/idx1 analog for DASH/CMAF): a
+def mp4_sidx_index(raw: bytes) -> dict:
+    """Parse the top-level sidx (segment index) box: returns
+    {timescale, refs} where refs is a list of {offset, size, duration,
+    sap} — one entry per media subsegment (moof+mdat pair), offsets
+    absolute in the file, durations in the SIDX'S OWN timescale (the
+    spec allows it to differ from the media/mdhd timescale).  This is
+    the fragmented seek table (the stss/idx1 analog for DASH/CMAF): a
     sampler jumps straight to a subsegment's bytes."""
     n = len(raw)
     for t, b, e in _walk_boxes(raw, 0, n):
@@ -573,6 +584,9 @@ def mp4_sidx_index(raw: bytes) -> list:
         head = 20 if ver == 0 else 28
         if b + head + 4 > e:
             raise ValueError("MP4: sidx too short")
+        timescale = _u32(raw, b + 8, "sidx timescale")
+        if timescale == 0:
+            raise ValueError("MP4: zero sidx timescale")
         if ver == 0:
             first_off = _u32(raw, b + 16, "sidx first_offset")
             p = b + 20
@@ -607,7 +621,7 @@ def mp4_sidx_index(raw: bytes) -> list:
                  "sap": bool(w3 >> 31)}
             )
             anchor += size
-        return refs
+        return {"timescale": timescale, "refs": refs}
     raise ValueError("MP4: no sidx box")
 
 
@@ -624,19 +638,11 @@ def mp4_fragment_keyframes(raw: bytes, every_k: int = 1,
         info = mp4_probe(raw)
     if not info.get("fragmented"):
         raise ValueError("MP4: not a fragmented stream")
-    mvex_trex = {"duration": 0, "size": 0, "flags": _SAMPLE_NON_SYNC}
-    # trex defaults were already validated by mp4_probe; re-derive them
-    moov = _find_box(raw, 0, len(raw), b"moov")
-    mvex = _find_box(raw, moov[0], moov[1], b"mvex")
-    for t, b, e in _walk_boxes(raw, mvex[0], mvex[1]):
-        if t == b"trex" and _u32(raw, b + 4, "trex track") == info["track_id"]:
-            mvex_trex = {
-                "duration": _u32(raw, b + 12, "trex duration"),
-                "size": _u32(raw, b + 16, "trex size"),
-                "flags": _u32(raw, b + 20, "trex flags"),
-            }
-    ts = info["timescale"]
-    refs = mp4_sidx_index(raw)
+    mvex_trex = info["trex"]  # validated and stored by mp4_probe
+    sidx = mp4_sidx_index(raw)
+    # sidx durations are in the sidx's OWN timescale (may differ from
+    # the media timescale)
+    ts, refs = sidx["timescale"], sidx["refs"]
     cum, t_acc = {}, 0
     for i, r in enumerate(refs):
         cum[i] = t_acc

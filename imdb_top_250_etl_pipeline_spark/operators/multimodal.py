@@ -2187,9 +2187,7 @@ def g711_stats(blobs: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         "real audio decoder plugs in here"
                     )
-                import struct as _s
-
-                tag = _s.unpack_from("<H", raw, 20)[0]
+                tag = wave_format_tag(raw)
                 if tag not in (6, 7):
                     raise ValueError(
                         f"g711_stats: WAVE format {tag} is not G.711"
@@ -2205,6 +2203,26 @@ def g711_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return _codec_map_in_pandas(blobs, stats, G711_STATS_SCHEMA)
+
+
+def wave_format_tag(raw: bytes) -> int:
+    """Format tag of a RIFF/WAVE blob via the real chunk walk (a
+    leading JUNK/LIST chunk is legal RIFF, so a hard-coded offset 20
+    would misread valid files)."""
+    import struct
+
+    if raw[:4] != WAV_MAGIC or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        sz = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            if sz < 2 or pos + 10 > len(raw):
+                raise ValueError("malformed WAVE: truncated fmt chunk")
+            return struct.unpack_from("<H", raw, pos + 8)[0]
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("malformed WAVE: missing fmt chunk")
 
 
 def g711_ulaw_decode(codes):

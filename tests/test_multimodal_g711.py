@@ -117,6 +117,29 @@ def test_wav_stereo_channel0():
     assert np.array_equal(samples, g711_ulaw_decode(ch0))
 
 
+def test_leading_junk_chunk_is_walked():
+    """A JUNK chunk before fmt is legal RIFF (review fix: the stats
+    operator read the tag at a hard-coded offset)."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wave_format_tag,
+    )
+
+    codes = ALL[:24]
+    raw = wav_encode_g711(codes, 8000, alaw=True)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"\x00" * 6
+    patched = bytearray(raw[:12] + junk + raw[12:])
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    assert wave_format_tag(bytes(patched)) == 6
+    rate, samples, _ = wav_pcm_samples(bytes(patched))
+    assert np.array_equal(
+        samples,
+        __import__(
+            "imdb_top_250_etl_pipeline_spark.operators.multimodal",
+            fromlist=["g711_alaw_decode"],
+        ).g711_alaw_decode(codes),
+    )
+
+
 def test_g711_16bit_header_raises():
     raw = bytearray(wav_encode_g711(ALL[:20], 8000, alaw=True))
     struct.pack_into("<H", raw, 34, 16)  # bits_per_sample field

@@ -542,6 +542,39 @@ def test_weighted_pred_refuses():
         h264.decode_slice(sps, pps, _p_header_bits(), ref)
 
 
+def test_constrained_intra_pred_refuses_in_p():
+    """constrained_intra_pred=1 would require intra MBs in P slices to
+    ignore inter neighbors' pixels; this decoder reads them, so it
+    must refuse rather than reconstruct silently wrong (review fix)."""
+    w = BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(1, 1)
+    w.u(1, 1)  # constrained_intra_pred ON
+    w.u(0, 1)
+    w.rbsp_trailing()
+    pps = h264.parse_pps(b"\x68" + h264.rbsp_to_ebsp(w.to_bytes()))
+    assert pps["constrained_intra"] == 1
+    sps, pps_ok = _ctx(1, 1, 26)
+    ref = _pcm_ref(sps, pps_ok, np.full((16, 16), 9, np.uint8))
+    with pytest.raises(NotImplementedError, match="constrained_intra"):
+        h264.decode_slice(sps, pps, _p_header_bits(), ref)
+    # all-intra pictures are unaffected (no inter neighbors exist)
+    h264.decode_slice(
+        sps, pps, h264.encode_flat_i16_slice(60, 1, 1, 26, idr=True)
+    )
+
+
 def test_p_slice_in_idr_nal_raises():
     sps, pps = _ctx(1, 1, 26)
     nalu = h264.encode_p_slice(["skip"], 1, 1, 26, 1)

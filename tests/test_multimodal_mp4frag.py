@@ -70,7 +70,9 @@ def test_keyframe_iteration_uses_trun_sync_flags():
 
 def test_sidx_index_covers_file():
     raw = _fixture()
-    refs = mp4.mp4_sidx_index(raw)
+    sidx = mp4.mp4_sidx_index(raw)
+    assert sidx["timescale"] == 1000
+    refs = sidx["refs"]
     assert len(refs) == 3
     assert all(r["sap"] for r in refs)
     assert refs[0]["offset"] + refs[0]["size"] == refs[1]["offset"]
@@ -226,6 +228,77 @@ def test_explicit_base_data_offset_convention():
     assert info["sync"] == info0["sync"]
     vals = [int(f[0, 0, 0]) for *_, f in mp4.mp4_decode_all(bytes(out))]
     assert vals == [60, 60, 63, 120, 120, 120, 200, 192]
+
+
+def test_sidx_own_timescale_drives_ts():
+    """The sidx may carry a DIFFERENT timescale than mdhd: rewrite the
+    fixture's sidx to 90 kHz with scaled durations — ts_ms must not
+    change (review fix: ts was computed with the media timescale)."""
+    raw = bytearray(_fixture())
+    i = raw.find(b"sidx")
+    # payload: fullbox(4) + reference_ID(4) + timescale(4)
+    assert struct.unpack_from(">I", raw, i + 12)[0] == 1000
+    struct.pack_into(">I", raw, i + 12, 90000)
+    # reference durations sit at +28+4 per 12-byte entry
+    for k in range(3):
+        off = i + 28 + 12 * k + 4
+        dur = struct.unpack_from(">I", raw, off)[0]
+        struct.pack_into(">I", raw, off, dur * 90)
+    info = mp4.mp4_probe(bytes(raw))
+    got = [(ri, ts) for ri, ts, _ in
+           mp4.mp4_fragment_keyframes(bytes(raw), 1, info)]
+    assert got == [(0, 0), (1, 300), (2, 600)]
+
+
+def test_second_trun_without_data_offset_continues():
+    """Split the first moof's trun into two runs, the second WITHOUT a
+    data offset: per 14496-12 it continues after the first run's data
+    (review fix: it restarted at the base offset)."""
+    raw = _fixture()
+    moof_at = raw.find(b"moof") - 4
+    moof_size = struct.unpack_from(">I", raw, moof_at)[0]
+    ti = raw.find(b"trun")
+    tsize = struct.unpack_from(">I", raw, ti - 4)[0]
+    flags = struct.unpack_from(">I", raw, ti + 4)[0] & 0xFFFFFF
+    cnt = struct.unpack_from(">I", raw, ti + 8)[0]
+    assert cnt == 3
+    data_off = struct.unpack_from(">i", raw, ti + 12)[0]
+    entries = [raw[ti + 16 + 8 * k : ti + 24 + 8 * k] for k in range(3)]
+    # trun1: first sample, with data offset (grows by +8 for the new
+    # trun2 header overhead below changing moof size -> patch later)
+    t1 = (struct.pack(">I", 8 + 4 + 4 + 4 + 8) + b"trun"
+          + struct.pack(">I", flags) + struct.pack(">I", 1)
+          + struct.pack(">i", 0)  # patched below
+          + entries[0])
+    # trun2: remaining two samples, NO data-offset flag
+    f2 = flags & ~0x1
+    t2 = (struct.pack(">I", 8 + 4 + 4 + 16) + b"trun"
+          + struct.pack(">I", f2) + struct.pack(">I", 2)
+          + entries[1] + entries[2])
+    new = bytearray(raw[: ti - 4] + t1 + t2 + raw[ti - 4 + tsize :])
+    grown = len(t1) + len(t2) - tsize
+    for btype in (b"moof", b"traf"):
+        bi = new.find(btype, moof_at)
+        struct.pack_into(
+            ">I", new, bi - 4,
+            struct.unpack_from(">I", new, bi - 4)[0] + grown,
+        )
+    # patch trun1's data offset to the grown moof header size
+    t1i = new.find(b"trun", moof_at)
+    struct.pack_into(">i", new, t1i + 12, data_off + grown)
+    si = new.find(b"sidx")
+    w1 = struct.unpack_from(">I", new, si + 28)[0]
+    struct.pack_into(">I", new, si + 28, w1 + grown)
+    vals = [int(f[0, 0, 0]) for *_, f in mp4.mp4_decode_all(bytes(new))]
+    assert vals == [60, 60, 63, 120, 120, 120, 200, 192]
+
+
+def test_negative_trun_offset_raises():
+    raw = bytearray(_fixture())
+    ti = raw.find(b"trun")
+    struct.pack_into(">i", raw, ti + 12, -(1 << 20))
+    with pytest.raises(ValueError, match="negative trun"):
+        mp4.mp4_probe(bytes(raw))
 
 
 def test_fragmented_mutation_hammer():

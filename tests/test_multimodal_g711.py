@@ -174,6 +174,26 @@ def test_spark_g711_stats_matches_numpy(spark):
         assert r["s_sum"] == int(dec.sum())
 
 
+def test_decode_audio_accepts_g711(spark):
+    """The generic decode_audio operator flows G.711 WAVs through the
+    same wav_pcm_samples branch — no special-casing needed."""
+    import pandas as pd
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        g711_ulaw_decode,
+    )
+
+    codes = (11 * ALL + 3) % 256
+    raw = wav_encode_g711(codes, 8000, alaw=False)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [5], "blob": [raw]}))
+    row = decode_audio(df).collect()[0]
+    dec = g711_ulaw_decode(codes)
+    assert row["sample_rate"] == 8000
+    assert row["n_samples"] == len(codes)
+    assert row["peak"] == int(np.abs(dec).max())
+
+
 def test_g711_stats_rejects_non_g711(spark):
     from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
         g711_stats,

@@ -1997,6 +1997,14 @@ def wav_pcm_samples(raw: bytes):
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
     block_align = struct.unpack_from("<H", fmt, 12)[0]
     bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE (round 13b)
+        # the wrapper every writer uses for >16-bit or multichannel
+        # audio: the REAL format tag is the first two bytes of the
+        # SubFormat GUID (fmt: 16 base + cbSize(2) + valid_bits(2) +
+        # channel_mask(4) + GUID(16))
+        if len(fmt) < 40:
+            raise ValueError("malformed WAVE: extensible fmt too short")
+        audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
     if audio_fmt == 17:  # IMA ADPCM
         if n_ch != 1 or bits != 4:
             raise NotImplementedError(
@@ -2027,7 +2035,7 @@ def wav_pcm_samples(raw: bytes):
         dec = g711_alaw_decode(codes) if audio_fmt == 6 else (
             g711_ulaw_decode(codes))
         return rate, dec, 16
-    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+    if audio_fmt != 1 or bits not in (8, 16, 24) or n_ch < 1:
         raise NotImplementedError(
             f"WAVE format {audio_fmt} bits {bits}: plug soundfile/ffmpeg "
             "in here"
@@ -2036,6 +2044,12 @@ def wav_pcm_samples(raw: bytes):
     usable = len(data) - (len(data) % frame_bytes)
     if bits == 16:
         arr = np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)
+    elif bits == 24:
+        # 24-bit PCM (round 13b): 3-byte little-endian signed —
+        # assemble from bytes, then sign-extend from bit 23
+        b = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int64)
+        arr = b[0::3] | (b[1::3] << 8) | (b[2::3] << 16)
+        arr = arr - ((arr & 0x800000) << 1)
     else:
         # 8-bit WAV is unsigned, centered at 128 per the spec
         arr = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int64) - 128
@@ -2397,8 +2411,10 @@ def decode_audio(blobs: DataFrame) -> DataFrame:
                 raw = bytes(blob)
                 if raw[:4] == WAV_MAGIC and raw[8:12] == b"WAVE":
                     rate, samples, bits = wav_pcm_samples(raw)
-                    # real audio clips AT full scale (inclusive)
-                    clipped = np.abs(samples) >= (32767 if bits == 16 else 127)
+                    # real audio clips AT full scale (inclusive);
+                    # (1<<(bits-1))-1 = 32767/127 for 16/8-bit exactly
+                    # as before, and 8388607 for 24-bit PCM
+                    clipped = np.abs(samples) >= (1 << (bits - 1)) - 1
                 elif raw[:4] == b"fLaC":
                     # LOSSLESS compressed audio (round 13): genuine
                     # frame/CRC/Rice/fixed-predictor decode — stats over

@@ -230,12 +230,35 @@ DECODERS["mp4_pgop"] = (
 )
 
 
+def _wav_g711_decode(raw: bytes):
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_pcm_samples,
+    )
+
+    return wav_pcm_samples(raw)
+
+
+def _valid_wav_g711() -> bytes:
+    import numpy as np
+
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_encode_g711,
+    )
+
+    return wav_encode_g711(
+        (np.arange(300, dtype=np.int64) * 7 + 5) % 256, 8000, alaw=True
+    )
+
+
+DECODERS["wav_g711"] = (b"RIFF", _wav_g711_decode, _valid_wav_g711)
+
+
 @FUZZ
 @given(
     fmt=st.sampled_from(
         [
             "gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi",
-            "mp4", "mp4_pcm", "mp4_pgop", "flac",
+            "mp4", "mp4_pcm", "mp4_pgop", "flac", "wav_g711",
             "thumb_chain_jpeg", "thumb_chain_tiff", "thumb_chain_gif",
         ]
     ),

@@ -317,6 +317,99 @@ def test_adpcm_guards():
         wav_pcm_samples(bytes(bad))
 
 
+def _wav_raw(fmt_body: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data) + len(pad))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+
+
+def test_wav_24bit_pcm_decodes_exactly():
+    """24-bit PCM (round 13b): 3-byte little-endian signed assembly
+    with sign extension, mono and with channel-0 selection."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_pcm_samples,
+    )
+
+    vals = np.array(
+        [0, 1, -1, 8388607, -8388608, 0x123456, -0x123456, 70000],
+        dtype=np.int64,
+    )
+    data = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    rate, samples, bits = wav_pcm_samples(_wav_raw(fmt, data))
+    assert (rate, bits) == (48000, 24)
+    assert np.array_equal(samples, vals)
+    # stereo: interleave, take channel 0
+    inter = np.empty(16, dtype=np.int64)
+    inter[0::2], inter[1::2] = vals, vals[::-1]
+    data2 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in inter)
+    fmt2 = struct.pack("<HHIIHH", 1, 2, 48000, 48000 * 6, 6, 24)
+    _, samples2, _ = wav_pcm_samples(_wav_raw(fmt2, data2))
+    assert np.array_equal(samples2, vals)
+
+
+def test_wav_extensible_wrapper_remaps_subformat():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE — how writers emit >16-bit or
+    multichannel audio): the real tag is the SubFormat GUID's first
+    two bytes.  PCM and mu-law both flow through the remap."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        g711_ulaw_decode,
+        wav_pcm_samples,
+    )
+
+    def ext_fmt(subtag, n_ch, rate, bits):
+        # KSDATAFORMAT_SUBTYPE GUID after the 2-byte tag:
+        # XXXX0000-0000-0010-8000-00AA00389B71 -> 14 tail bytes
+        guid_tail = bytes.fromhex("0000" + "0000" + "1000" + "8000"
+                                  + "00aa00389b71")
+        return (
+            struct.pack(
+                "<HHIIHH", 0xFFFE, n_ch, rate,
+                rate * (bits // 8) * n_ch, (bits // 8) * n_ch, bits
+            )
+            + struct.pack("<HHI", 22, bits, 0x4)
+            + struct.pack("<H", subtag) + guid_tail
+        )
+
+    vals = np.array([5, -6, 32000, -32000, 0], dtype=np.int64)
+    data = np.asarray(vals, dtype="<i2").tobytes()
+    rate, samples, bits = wav_pcm_samples(
+        _wav_raw(ext_fmt(1, 1, 22050, 16), data)
+    )
+    assert (rate, bits) == (22050, 16)
+    assert np.array_equal(samples, vals)
+    codes = np.arange(40, dtype=np.int64) * 3 % 256
+    rate, samples, bits = wav_pcm_samples(
+        _wav_raw(ext_fmt(7, 1, 8000, 8), bytes(codes.astype(np.uint8)))
+    )
+    assert np.array_equal(samples, g711_ulaw_decode(codes))
+    # truncated extensible fmt fails loud
+    short = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8)
+    with pytest.raises(ValueError, match="extensible"):
+        wav_pcm_samples(_wav_raw(short, b"\x00" * 8))
+
+
+def test_wav_24bit_clip_threshold():
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        wav_pcm_samples,
+    )
+
+    vals = [8388607, -8388608, 8388606, 0]
+    data = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    raw = _wav_raw(fmt, data)
+    _, samples, bits = wav_pcm_samples(raw)
+    full = (1 << (bits - 1)) - 1
+    assert int((np.abs(samples) >= full).sum()) == 2
+
+
 def test_spark_wav_fixture_stats(spark):
     from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
         decode_audio,

@@ -615,6 +615,89 @@ def test_reference_geometry_mismatch_raises():
         h264.decode_slice(sps, pps, nalu, small)
 
 
+def test_arbitrary_gop_specs_decode_to_recurrence():
+    """Property sweep: random GOP structures (idr/skip/pdelta/pmv in
+    any order after the opening IDR, random geometry/qp/fps) must
+    decode — through the full mux + sequential-decode pipeline — to
+    exactly the value sequence the SQL-oracle recurrence predicts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(deadline=None, derandomize=True, max_examples=25,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(data=st.data())
+    def run(data):
+        w = data.draw(st.sampled_from([16, 32, 48]))
+        h = data.draw(st.sampled_from([16, 32]))
+        qp = data.draw(st.integers(0, 16))
+        n = data.draw(st.integers(2, 7))
+        v = data.draw(st.integers(30, 220))
+        specs = [("idr", v)]
+        expect = [v]
+        cur = v
+        for _ in range(n - 1):
+            tag = data.draw(st.sampled_from(["skip", "pdelta", "pmv", "idr"]))
+            if tag == "idr":
+                cur = data.draw(st.integers(30, 220))
+                specs.append(("idr", cur))
+            elif tag == "pdelta":
+                d = data.draw(st.integers(-5, 5))
+                if not 0 <= cur + d <= 255:
+                    d = -d
+                cur += d
+                specs.append(("pdelta", d))
+            elif tag == "pmv":
+                specs.append(("pmv", (data.draw(st.integers(-9, 9)),
+                                      data.draw(st.integers(-9, 9)))))
+            else:
+                specs.append(("skip",))
+            expect.append(cur)
+        raw = mp4.mp4_encode_pgop(specs, w, h, fps=8, qp=qp)
+        got = []
+        for *_, f in mp4.mp4_decode_all(raw):
+            u = np.unique(f)
+            assert len(u) == 1, "frame not solid"
+            got.append(int(u[0]))
+        assert got == expect, (specs, got, expect)
+
+    run()
+
+
+def test_pgop_pixels_match_y4m_same_frames():
+    """Cross-container pin: the same solid frames through the H.264
+    P-GOP path (IDR + P_Skip + flat-delta) and as raw Y4M decode to
+    IDENTICAL luma planes — container and codec are irrelevant to the
+    pixels, the property frame-level near-dup relies on."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        Y4M_MAGIC,
+        y4m_header,
+    )
+
+    vals = [90, 90, 96]  # idr, skip, +6
+    raw = mp4.mp4_encode_pgop(
+        [("idr", 90), ("skip",), ("pdelta", 6)], 32, 16, fps=5, qp=12)
+    mp4_frames = [f for *_, f in mp4.mp4_decode_all(raw)]
+    # raw Y4M of the same planes (4:2:0, chroma 128)
+    body = b"".join(
+        b"FRAME\n" + bytes([v]) * (32 * 16) + bytes([128]) * (16 * 8) * 2
+        for v in vals
+    )
+    y4m = Y4M_MAGIC + b"W32 H16 F5:1 Ip A1:1 C420\n" + body
+    w, h, *_ , hl = y4m_header(y4m)
+    assert (w, h) == (32, 16)
+    pos = hl
+    for i, v in enumerate(vals):
+        assert y4m[pos : pos + 6] == b"FRAME\n"
+        pos += 6
+        yplane = np.frombuffer(
+            y4m[pos : pos + w * h], dtype=np.uint8
+        ).reshape(h, w)
+        pos += w * h + (w // 2) * (h // 2) * 2
+        # decoded MP4 RGB is gray (chroma 128): every channel == luma
+        assert np.array_equal(mp4_frames[i][:, :, 0], yplane)
+        assert np.all(mp4_frames[i][:, :, 0] == v)
+
+
 def test_sample_decoder_nonref_frames_do_not_become_references():
     # IDR (ref) then a NON-reference I frame (ref_idc 0): a following
     # P_Skip must copy the IDR, not the non-ref frame

@@ -18,14 +18,19 @@ decoders' common-case scope):
   * PhotometricInterpretation 0 (WhiteIsZero, inverted gray) and 1.
   * Strip layout: StripOffsets/StripByteCounts/RowsPerStrip, each
     strip an independent compression stream (state resets per strip).
-  * Tiled TIFF, 16-bit samples, palette color and other compressions
-    raise NotImplementedError at the marked seam; corrupt streams
-    raise ValueError (the codec-guard contract); MAX_PIXELS enforced
+  * TILED layout (round 13b — the document-scan/GeoTIFF access
+    pattern): TileWidth/TileLength (multiples of 16 per spec) with
+    TileOffsets/TileByteCounts, row-major tile grid, each tile an
+    independent compression stream padded to full tile size at the
+    right/bottom edges, predictor restarting per tile row.
+  * 16-bit samples, palette color and other compressions raise
+    NotImplementedError at the marked seam; corrupt streams raise
+    ValueError (the codec-guard contract); MAX_PIXELS enforced
     before allocation.
 
 Encoder: 8-bit gray, compression none/PackBits/LZW, optional
-predictor and multi-strip — deterministic, the fixture writer that
-makes decode exercise genuinely compressed bitstreams.
+predictor, multi-strip or tiled — deterministic, the fixture writer
+that makes decode exercise genuinely compressed bitstreams.
 
 Exactness: every supported path is lossless, so encode→decode is
 byte-exact and a SQL oracle can recompute stats from id arithmetic —
@@ -52,6 +57,7 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I"}
 _WIDTH, _LENGTH, _BPS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _STRIP_OFFSETS, _SPP = 262, 273, 277
 _ROWS_PER_STRIP, _STRIP_COUNTS, _PREDICTOR = 278, 279, 317
+_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 
 
 def _need(raw: bytes, end: int, what: str) -> None:
@@ -299,39 +305,83 @@ def tiff_gray_pixels(raw: bytes) -> np.ndarray:
     predictor = tags.get(_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"invalid TIFF predictor {predictor}")
-    if _STRIP_OFFSETS not in tags:
-        raise ValueError("TIFF IFD missing StripOffsets")
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags.get(_STRIP_COUNTS)
-    rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-    if rps <= 0:
-        raise ValueError("invalid TIFF RowsPerStrip")
-    n_strips = -(-h // rps)
-    if len(offsets) != n_strips or (counts and len(counts) != n_strips):
-        raise ValueError("TIFF strip table does not match RowsPerStrip")
-    row_bytes = w * spp
-    body = bytearray()
-    for si in range(n_strips):
-        rows = min(rps, h - si * rps)
-        expected = rows * row_bytes
-        off = offsets[si]
-        cnt = counts[si] if counts else len(raw) - off
-        _need(raw, off + cnt, "strip data")
-        strip = raw[off : off + cnt]
+
+    def _decompress(chunk: bytes, expected: int) -> bytes:
         if comp == 1:
-            if len(strip) < expected:
+            if len(chunk) < expected:
                 raise ValueError("truncated TIFF strip")
-            body += strip[:expected]
-        elif comp == 32773:
-            body += _packbits_decode(strip, expected)
-        else:
-            body += _lzw_decode_tiff(strip, expected)
-    px = np.frombuffer(bytes(body), dtype=np.uint8).reshape(h, row_bytes)
-    if predictor == 2:
+            return chunk[:expected]
+        if comp == 32773:
+            return _packbits_decode(chunk, expected)
+        return _lzw_decode_tiff(chunk, expected)
+
+    def _undiff(a: np.ndarray) -> np.ndarray:
         # horizontal differencing, per sample: cumsum mod 256 along x
-        px = (
-            px.reshape(h, w, spp).astype(np.uint32).cumsum(axis=1) % 256
-        ).astype(np.uint8).reshape(h, row_bytes)
+        return (
+            a.astype(np.uint32).cumsum(axis=1) % 256
+        ).astype(np.uint8)
+
+    row_bytes = w * spp
+    tiled = any(
+        t in tags
+        for t in (_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS)
+    )
+    if tiled:
+        # TILED layout (round 13b — the document-scan/GeoTIFF access
+        # pattern): the image is a grid of tw x th tiles, row-major,
+        # each compressed independently; EDGE tiles are padded to the
+        # full tile size, and the spec requires tile dims to be
+        # multiples of 16
+        if _STRIP_OFFSETS in tags:
+            raise ValueError("TIFF carries both strip and tile tables")
+        tw = tags.get(_TILE_WIDTH, [0])[0]
+        th = tags.get(_TILE_LENGTH, [0])[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError(f"invalid TIFF tile geometry {tw}x{th}")
+        if _TILE_OFFSETS not in tags:
+            raise ValueError("tiled TIFF missing TileOffsets")
+        offsets = tags[_TILE_OFFSETS]
+        counts = tags.get(_TILE_COUNTS)
+        across, down = -(-w // tw), -(-h // th)
+        if len(offsets) != across * down or (
+                counts and len(counts) != across * down):
+            raise ValueError("TIFF tile table does not match geometry")
+        canvas = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        expected = tw * th * spp
+        for ti in range(across * down):
+            off = offsets[ti]
+            cnt = counts[ti] if counts else len(raw) - off
+            _need(raw, off + cnt, "tile data")
+            tile = np.frombuffer(
+                _decompress(raw[off : off + cnt], expected), dtype=np.uint8
+            ).reshape(th, tw, spp)
+            if predictor == 2:
+                # differencing restarts on every TILE row (width tw)
+                tile = _undiff(tile)
+            ty, tx = divmod(ti, across)
+            canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        px = canvas[:h, :w].reshape(h, row_bytes)
+    else:
+        if _STRIP_OFFSETS not in tags:
+            raise ValueError("TIFF IFD missing StripOffsets")
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags.get(_STRIP_COUNTS)
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        if rps <= 0:
+            raise ValueError("invalid TIFF RowsPerStrip")
+        n_strips = -(-h // rps)
+        if len(offsets) != n_strips or (counts and len(counts) != n_strips):
+            raise ValueError("TIFF strip table does not match RowsPerStrip")
+        body = bytearray()
+        for si in range(n_strips):
+            rows = min(rps, h - si * rps)
+            off = offsets[si]
+            cnt = counts[si] if counts else len(raw) - off
+            _need(raw, off + cnt, "strip data")
+            body += _decompress(raw[off : off + cnt], rows * row_bytes)
+        px = np.frombuffer(bytes(body), dtype=np.uint8).reshape(h, row_bytes)
+        if predictor == 2:
+            px = _undiff(px.reshape(h, w, spp)).reshape(h, row_bytes)
     if spp == 3:
         return _luma_u8(px.reshape(h, w, 3))
     if photometric == 0:  # WhiteIsZero
@@ -345,38 +395,61 @@ def tiff_encode(
     rows_per_strip: int | None = None,
     predictor: bool = False,
     big_endian: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode (h, w) gray uint8 to baseline TIFF 6.0.
 
     Deterministic fixture writer: compression 'none' | 'packbits' |
     'lzw', optional horizontal-differencing ``predictor`` (LZW only,
-    as in practice), multi-strip via ``rows_per_strip``, and both byte
-    orders.  All paths are lossless — decode returns the input
-    byte-exactly."""
+    as in practice), multi-strip via ``rows_per_strip`` OR the TILED
+    layout via ``tile=(tw, th)`` (dims must be multiples of 16; edge
+    tiles zero-padded per spec, round 13b), and both byte orders.
+    All paths are lossless — decode returns the input byte-exactly."""
     if px.ndim != 2 or px.dtype != np.uint8:
         raise ValueError("tiff_encode takes (h, w) uint8 gray")
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
     if predictor and compression != "lzw":
         raise ValueError("predictor is only wired for LZW strips")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are mutually exclusive")
     h, w = px.shape
     en = ">" if big_endian else "<"
-    rps = rows_per_strip or h
-    n_strips = -(-h // rps)
-    strips = []
-    for si in range(n_strips):
-        rows = px[si * rps : (si + 1) * rps]
-        if predictor:
-            rows = np.concatenate(
-                [rows[:, :1], np.diff(rows.astype(np.int16), axis=1) % 256],
-                axis=1,
-            ).astype(np.uint8)
-        data = rows.tobytes()
+
+    def _diff(rows: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            [rows[:, :1], np.diff(rows.astype(np.int16), axis=1) % 256],
+            axis=1,
+        ).astype(np.uint8)
+
+    def _compress(data: bytes) -> bytes:
         if comp_id == 1:
-            strips.append(data)
-        elif comp_id == 32773:
-            strips.append(_packbits_encode(data))
-        else:
-            strips.append(_lzw_encode_tiff(data))
+            return data
+        if comp_id == 32773:
+            return _packbits_encode(data)
+        return _lzw_encode_tiff(data)
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError(f"tile dims must be multiples of 16: {tile}")
+        across, down = -(-w // tw), -(-h // th)
+        padded = np.zeros((down * th, across * tw), dtype=np.uint8)
+        padded[:h, :w] = px
+        for ti in range(across * down):
+            ty, tx = divmod(ti, across)
+            t = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            if predictor:
+                t = _diff(t)
+            strips.append(_compress(t.tobytes()))
+    else:
+        rps = rows_per_strip or h
+        n_strips = -(-h // rps)
+        for si in range(n_strips):
+            rows = px[si * rps : (si + 1) * rps]
+            if predictor:
+                rows = _diff(rows)
+            strips.append(_compress(rows.tobytes()))
 
     # layout: header(8) | strip data | IFD | out-of-line tag values
     header = (TIFF_MAGIC_BE if big_endian else TIFF_MAGIC_LE)
@@ -409,10 +482,16 @@ def tiff_encode(
     short(_BPS, 8)
     short(_COMPRESSION, comp_id)
     short(_PHOTOMETRIC, 1)  # BlackIsZero
-    longs(_STRIP_OFFSETS, offsets)
     short(_SPP, 1)
-    short(_ROWS_PER_STRIP, rps)
-    longs(_STRIP_COUNTS, [len(s) for s in strips])
+    if tile is not None:
+        short(_TILE_WIDTH, tile[0])
+        short(_TILE_LENGTH, tile[1])
+        longs(_TILE_OFFSETS, offsets)
+        longs(_TILE_COUNTS, [len(s) for s in strips])
+    else:
+        longs(_STRIP_OFFSETS, offsets)
+        short(_ROWS_PER_STRIP, rps)
+        longs(_STRIP_COUNTS, [len(s) for s in strips])
     if predictor:
         short(_PREDICTOR, 2)
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order

@@ -253,12 +253,21 @@ def _valid_wav_g711() -> bytes:
 DECODERS["wav_g711"] = (b"RIFF", _wav_g711_decode, _valid_wav_g711)
 
 
+def _valid_tiff_tiled() -> bytes:
+    return tiff_encode(
+        _PX, compression="lzw", predictor=True, tile=(16, 16)
+    )
+
+
+DECODERS["tiff_tiled"] = (b"II*\x00", tiff_gray_pixels, _valid_tiff_tiled)
+
+
 @FUZZ
 @given(
     fmt=st.sampled_from(
         [
-            "gif", "jpeg", "jpeg_prog", "tiff", "bmp_rle8", "avi",
-            "mp4", "mp4_pcm", "mp4_pgop", "flac", "wav_g711",
+            "gif", "jpeg", "jpeg_prog", "tiff", "tiff_tiled", "bmp_rle8",
+            "avi", "mp4", "mp4_pcm", "mp4_pgop", "flac", "wav_g711",
             "thumb_chain_jpeg", "thumb_chain_tiff", "thumb_chain_gif",
         ]
     ),

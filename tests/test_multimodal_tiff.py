@@ -207,6 +207,69 @@ def test_strip_table_mismatch_raises():
         tiff_gray_pixels(bytes(raw))
 
 
+# --- leg 3b: TILED layout (round 13b) ----------------------------------------
+
+
+def test_tiled_roundtrip_matrix():
+    """Tiled TIFF across compressions/predictor/byte orders/edge
+    geometries: lossless round-trip through real tile grids."""
+    rng = np.random.default_rng(4)
+    for (h, w), tile in [((40, 56), (16, 16)), ((64, 64), (32, 16)),
+                         ((50, 70), (32, 32)), ((16, 16), (16, 16))]:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for comp in ("none", "packbits", "lzw"):
+            preds = [False, True] if comp == "lzw" else [False]
+            for pred in preds:
+                for be in (False, True):
+                    raw = tiff_encode(
+                        px, compression=comp, predictor=pred,
+                        big_endian=be, tile=tile,
+                    )
+                    assert np.array_equal(tiff_gray_pixels(raw), px), (
+                        h, w, tile, comp, pred, be)
+
+
+def test_tiled_equals_strip_pixels():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (48, 80)).astype(np.uint8)
+    a = tiff_gray_pixels(tiff_encode(px, tile=(16, 32)))
+    b = tiff_gray_pixels(tiff_encode(px, rows_per_strip=7))
+    assert np.array_equal(a, b)
+
+
+def test_tiled_edge_padding_is_cropped():
+    # 50x70 with 32x32 tiles: right/bottom tiles are zero-padded in
+    # the FILE but must never leak into the decoded pixels
+    px = np.full((50, 70), 200, np.uint8)
+    raw = tiff_encode(px, tile=(32, 32))
+    got = tiff_gray_pixels(raw)
+    assert got.shape == (50, 70)
+    assert np.all(got == 200)
+
+
+def test_tiled_guards():
+    px = np.full((32, 32), 7, np.uint8)
+    # encoder: non-multiple-of-16 tile dims refuse
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tiff_encode(px, tile=(20, 16))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tiff_encode(px, tile=(16, 16), rows_per_strip=8)
+    raw = bytearray(tiff_encode(px, tile=(16, 16)))
+    # decoder: patch TileWidth to a non-multiple -> loud failure
+    idx = raw.find(struct.pack("<HHI", 322, 3, 1))
+    bad = bytearray(raw)
+    struct.pack_into("<H", bad, idx + 8, 20)
+    with pytest.raises(ValueError, match="tile geometry"):
+        tiff_gray_pixels(bytes(bad))
+    # decoder: lying tile-table length (patch ImageWidth up so the
+    # grid needs more tiles than the table carries)
+    widx = raw.find(struct.pack("<HHI", 256, 3, 1))
+    bad = bytearray(raw)
+    struct.pack_into("<H", bad, widx + 8, 64)
+    with pytest.raises(ValueError, match="tile table"):
+        tiff_gray_pixels(bytes(bad))
+
+
 # --- leg 4: cross-format consistency ----------------------------------------
 
 

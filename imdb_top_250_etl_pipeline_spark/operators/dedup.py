@@ -193,13 +193,20 @@ def capped_band_pairs(
     """
     payload_cols = payload_cols or []
     if precomputed_stats is None:
-        hot = eager_pin(
-            bucket_stats(banded, id_col, band_cols)
-            .where(F.col("_bn") > max_bucket)
+        hot_plan = bucket_stats(banded, id_col, band_cols).where(
+            F.col("_bn") > max_bucket
         )
         # plan-build-time action, deliberately: when no bucket is hot (the
-        # normal case) the guarded plan collapses to the bare pair join
-        no_hot = hot.isEmpty()
+        # normal case) the guarded plan collapses to the bare pair join.
+        # Round-13 optimization: probe emptiness on the LAZY plan and pin
+        # only when hot buckets exist — the old eager_pin-then-isEmpty
+        # paid a localCheckpoint write of the stats table on EVERY call,
+        # then threw it away in the common empty case (nothing downstream
+        # reads ``hot`` when no_hot).  The rare hot path now derives the
+        # stats twice (isEmpty + pin), which is the right side of the
+        # trade; callers pass ``precomputed_stats`` to avoid even that.
+        no_hot = hot_plan.isEmpty()
+        hot = None if no_hot else eager_pin(hot_plan)
     else:
         hot = precomputed_stats.where(F.col("_bn") > max_bucket)
         no_hot = False  # unknowable without an action; build both paths

@@ -135,8 +135,20 @@ def triangle_counts(
     O(m^1.5) worst case, the optimal bound for exact counting; all
     joins are equi-joins on node keys (no cross products), so the whole
     thing is hash-shuffle work Catalyst plans normally.
+
+    Round-13 optimization (guide §2.4): the canonical edge list feeds
+    FOUR plan branches (the two degree scans and both endpoint-degree
+    joins) and the oriented adjacency THREE (both wedge sides + the
+    closing-edge probe).  Lazily composed, every branch re-derived the
+    whole upstream — for the co-purchase fixture that meant re-running
+    the lineitem self-join + distinct up to 6x (the before-plan shows
+    154 Exchange nodes).  Pinning ``e`` and ``oriented`` (persist() /
+    a staging table on a cluster — the standard iterative-graph
+    discipline this module already uses for PageRank) makes each a
+    single materialized pass; identical rows, the after-plan collapses
+    to the joins the algorithm actually needs.
     """
-    e = (
+    e = eager_pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -157,10 +169,12 @@ def triangle_counts(
     lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
         F.col("db"), F.col("b")
     )
-    oriented = ed.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    oriented = eager_pin(
+        ed.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
     )
     # wedges join the oriented adjacency with itself on the pivot node;
     # the (dv, v) struct comparison reuses the SAME total order as the

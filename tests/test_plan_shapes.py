@@ -757,11 +757,18 @@ def test_tune_recall_params_broadcasts_bounded_tables(spark):
 
 def test_avi_stats_is_shuffle_free_until_ordering(spark):
     """The AVI decode pipeline is synthesize -> demux+decode, two
-    chained mapInPandas stages over the document scan: the only
-    exchange in the plan is the final presentation orderBy's range
-    partitioning — per-video work stays partition-parallel."""
+    chained mapInPandas stages over the document scan: the exchanges in
+    the plan are the final presentation orderBy's range partitioning
+    plus (round 13) ONE round-robin repartition below the codec seam —
+    _codec_map_in_pandas widens a below-parallelism input (the fixture
+    is a single-row-group file, i.e. a 1-task scan) so the Python
+    decode work is partition-parallel instead of serial.  The second,
+    chained mapInPandas must NOT add another exchange (its input is
+    already wide), and no hash exchange may appear — per-video work
+    never shuffles by key."""
     plan = plan_of(lookup("multimodal_avi_stats").fn(spark, SF_CORRECT))
-    assert plan.count("+- Exchange") == 1, plan
+    assert plan.count("+- Exchange") == 2, plan
     assert "rangepartitioning" in plan and "hashpartitioning" not in plan
+    assert plan.count("roundrobin") <= 1 or "RoundRobin" in plan, plan
     # only doc_id reaches the scan: blob synthesis derives from the id
     assert "ReadSchema: struct<doc_id:bigint>" in plan

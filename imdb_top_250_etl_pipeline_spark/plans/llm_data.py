@@ -249,13 +249,19 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_a = F.array_distinct(word_shingles("text"))
     sh_b = F.array_distinct(word_shingles("trimmed"))
-    planted = src.select(
-        "doc_id",
-        "text",
-        "trimmed",
-        F.size(F.array_intersect(sh_a, sh_b)).cast("bigint").alias("i"),
-        F.size(F.array_union(sh_a, sh_b)).cast("bigint").alias("u"),
-    ).where((F.col("u") > 0) & (2 * F.col("i") >= F.col("u")))
+    # pinned (round 13): planted feeds planted_rows + rep_pairs +
+    # recall_row — unpinned, each branch re-ran the double shingling +
+    # intersect/union pass (the dedup_simhash_pairs twin already pins
+    # its planted subtree; this aligns the two)
+    planted = eager_pin(
+        src.select(
+            "doc_id",
+            "text",
+            "trimmed",
+            F.size(F.array_intersect(sh_a, sh_b)).cast("bigint").alias("i"),
+            F.size(F.array_union(sh_a, sh_b)).cast("bigint").alias("u"),
+        ).where((F.col("u") > 0) & (2 * F.col("i") >= F.col("u")))
+    )
     nulls = [
         F.lit(None).cast("bigint").alias("id_a"),
         F.lit(None).cast("bigint").alias("id_b"),
@@ -706,12 +712,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
     ]
     # direct dual: cosine(original, perturbed) recomputed per planted
-    # pair straight from the embeddings table — no LSH on this path
-    planted = e.where(F.col("vec_id") % 13 == 0).select(
-        "vec_id",
-        (
-            cosine(F.col("embedding"), _cosine_noise()) >= 0.98
-        ).alias("cos_ok"),
+    # pair straight from the embeddings table — no LSH on this path.
+    # pinned (round 13): feeds planted_rows + found + recall_row, and
+    # each unpinned branch replayed the exact-collapse pass upstream
+    planted = eager_pin(
+        e.where(F.col("vec_id") % 13 == 0).select(
+            "vec_id",
+            (
+                cosine(F.col("embedding"), _cosine_noise()) >= 0.98
+            ).alias("cos_ok"),
+        )
     )
     planted_rows = planted.select(
         F.lit("planted").alias("part"),

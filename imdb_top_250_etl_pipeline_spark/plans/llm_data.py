@@ -120,7 +120,7 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int | None:
             .select(F.size("embedding").alias("n"))
             .distinct()
             .limit(2)
-            .collect()
+            .collect()  # plan-time bounded metadata probe (<= 2 rows)
         )
         _EMB_DIM[key] = (
             sizes[0]["n"]

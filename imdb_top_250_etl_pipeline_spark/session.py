@@ -58,6 +58,17 @@ def get_spark(app_name: str = "imdb-top-250-etl-pipeline-spark") -> SparkSession
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # files.maxPartitionBytes default 128m is right for the cluster; at
         # tiny local SFs AQE coalescing keeps task counts sane anyway.
+        # Floor on SCAN parallelism (round 13, guide §6): CPU-dense but
+        # byte-small inputs (hashed-n-gram / shingling / codec corpora)
+        # otherwise scan as one task per small file and serialize the
+        # per-row work.  Splits beyond the row-group count come up empty,
+        # so this is a no-op on single-row-group files; scale-adaptive
+        # (derived from the session's core count, not a constant).
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
+        # ...and the 4 MiB default openCostInBytes floors the computed
+        # split size right back to ~2 splits on a several-MB file; 256 KiB
+        # keeps tiny-file packing sane while letting the floor realize.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -99,7 +99,13 @@ def main() -> None:
             f"COPY (SELECT {', '.join(proj)} "
             f"FROM '{SRC}/{t}.parquet', "
             f"(SELECT unnest(range({REPLICAS})) AS replica) r) "
-            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+            # round-13: small row groups so Spark byte-range splits are
+            # non-empty — a 100 TB corpus arrives as MANY splittable
+            # files, and a single-row-group fixture serializes every
+            # scan-side CPU pass onto one task, which is the opposite of
+            # the scale shape this dataset exists to rehearse (the
+            # session sets files.minPartitionNum so the splits realize)
+            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1024)"
         )
         con.execute(sql)
         n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]

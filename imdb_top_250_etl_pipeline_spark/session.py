@@ -29,6 +29,23 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _input_bytes(path: str) -> int:
+    """Total bytes under the session's data dir — the cheap local-FS
+    probe the scan-parallelism gate reads (best-effort: unreadable or
+    remote paths count as 0, which keeps the floor off)."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
 def get_spark(app_name: str = "imdb-top-250-etl-pipeline-spark") -> SparkSession:
     """Create (or get) the tuned SparkSession."""
     cpus = cpu_count()
@@ -58,18 +75,29 @@ def get_spark(app_name: str = "imdb-top-250-etl-pipeline-spark") -> SparkSession
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # files.maxPartitionBytes default 128m is right for the cluster; at
         # tiny local SFs AQE coalescing keeps task counts sane anyway.
-        # Floor on SCAN parallelism (round 13, guide §6): CPU-dense but
-        # byte-small inputs (hashed-n-gram / shingling / codec corpora)
-        # otherwise scan as one task per small file and serialize the
-        # per-row work.  Splits beyond the row-group count come up empty,
-        # so this is a no-op on single-row-group files; scale-adaptive
-        # (derived from the session's core count, not a constant).
-        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
-        # ...and the 4 MiB default openCostInBytes floors the computed
-        # split size right back to ~2 splits on a several-MB file; 256 KiB
-        # keeps tiny-file packing sane while letting the floor realize.
-        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
+    # Floor on SCAN parallelism (round 13, guide §6): CPU-dense but
+    # byte-small inputs (hashed-n-gram / shingling / codec corpora)
+    # otherwise scan as one task per small file and serialize the
+    # per-row work.  SIZE-GATED (round 14, guide §1/§6): the floor only
+    # helps when an average split carries real bytes — ungated, it
+    # forced 2*cpus splits on every scan of every byte-small fixture
+    # file (63 empty-but-scheduled tasks per stage at local[32]; the
+    # round-13 driver's 8-core control run beat its 32-core run on
+    # identical code).  The gate derives from input size, not a mode
+    # switch: floor applies iff the data dir holds >= 2 MiB per wanted
+    # split, so it is OFF at sf0.1 (17 MB), ON at sf1 (269 MB) and at
+    # any production scale, at every core count.
+    floor = 2 * cpus
+    if _input_bytes(os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)) >= (
+        floor * 2 * 1024 * 1024
+    ):
+        builder = builder.config(
+            "spark.sql.files.minPartitionNum", str(floor)
+            # ...and the 4 MiB default openCostInBytes floors the computed
+            # split size right back to ~2 splits on a several-MB file;
+            # 256 KiB keeps tiny-file packing sane while the floor holds.
+        ).config("spark.sql.files.openCostInBytes", str(256 * 1024))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -103,3 +103,27 @@ def test_codec_seam_sets_cap_under_vanilla_session(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_seam_width_sized_from_plan_bytes(spark):
+    """Round-14: the codec-seam fan-out derives from the plan's byte
+    estimate — a KB-scale table must NOT widen to 2*parallelism (the
+    round-13 fixed fan paid ~60 Python worker launches for a decode
+    that fits in a handful), while a byte-heavy plan clamps at the
+    round-13 cap."""
+    from imdb_top_250_etl_pipeline_spark.operators.multimodal import (
+        _SEAM_TASK_BYTES,
+        _seam_width,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    # tiny: well under one quantum -> 1 (no fan-out, no exchange)
+    tiny = spark.range(4).selectExpr("id", "repeat('x', 8) AS s")
+    assert _seam_width(tiny, par) == 1
+    # byte-heavy: far over 2*par quanta -> clamped to exactly 2*par
+    # (plan stats size strings by defaultSize ~20B/row, so drive the
+    # estimate with row count: 2*par quanta need ~par*10_000 rows)
+    wide = spark.range(par * _SEAM_TASK_BYTES).selectExpr(
+        "id", "repeat('x', 64) AS s"
+    )
+    assert _seam_width(wide, par) == 2 * par

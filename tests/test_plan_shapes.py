@@ -765,16 +765,20 @@ def test_avi_stats_is_shuffle_free_until_ordering(spark):
     """The AVI decode pipeline is synthesize -> demux+decode, two
     chained mapInPandas stages over the document scan: the exchanges in
     the plan are the final presentation orderBy's range partitioning
-    plus (round 13) ONE round-robin repartition below the codec seam —
-    _codec_map_in_pandas widens a below-parallelism input (the fixture
-    is a single-row-group file, i.e. a 1-task scan) so the Python
-    decode work is partition-parallel instead of serial.  The second,
-    chained mapInPandas must NOT add another exchange (its input is
-    already wide), and no hash exchange may appear — per-video work
-    never shuffles by key."""
+    plus AT MOST one round-robin repartition below the codec seam —
+    _codec_map_in_pandas widens a below-parallelism input so the Python
+    decode work is partition-parallel instead of serial, and (round 14)
+    SIZES the fan-out from the plan's byte estimate, so the KB-scale
+    test fixture widens to nothing (no exchange) while a real blob
+    corpus still fans out.  The second, chained mapInPandas must NOT
+    add another exchange, and no hash exchange may appear — per-video
+    work never shuffles by key."""
     plan = plan_of(lookup("multimodal_avi_stats").fn(spark, SF_CORRECT))
-    assert plan.count("+- Exchange") == 2, plan
+    rr = plan.count("RoundRobinPartitioning")
+    assert rr <= 1, plan
+    # exactly: the presentation orderBy's range exchange + the optional
+    # seam fan-out — nothing else (chained seam adds none, no hash)
+    assert plan.count("+- Exchange") == 1 + rr, plan
     assert "rangepartitioning" in plan and "hashpartitioning" not in plan
-    assert plan.count("roundrobin") <= 1 or "RoundRobin" in plan, plan
     # only doc_id reaches the scan: blob synthesis derives from the id
     assert "ReadSchema: struct<doc_id:bigint>" in plan

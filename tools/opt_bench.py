@@ -39,10 +39,17 @@ def main() -> None:
         fn = raw.get(name) or lookup(name).fn
         rs = []
         for _ in range(runs_n):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            rs.append(round(time.perf_counter() - t0, 3))
+            # same per-run pin hygiene as bench.py (round 13): without
+            # it, run N pays for runs 1..N-1's dead checkpoint blocks
+            from imdb_top_250_etl_pipeline_spark.operators.pinning import (
+                pin_scope,
+            )
+
+            with pin_scope():
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                rs.append(round(time.perf_counter() - t0, 3))
         out[name] = {"cold": rs[0], "min": min(rs), "runs": rs}
         sys.stderr.write(f"{name}: {out[name]}\n")
     print(json.dumps(out))

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r13/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage:
   python tools/opt_explain.py --suffix before [--only substr,...]
@@ -46,6 +46,7 @@ def main() -> None:
     ap.add_argument("--suffix", required=True)
     ap.add_argument("--only", default="")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--round", default="r14")
     args = ap.parse_args()
 
     import bench
@@ -53,7 +54,7 @@ def main() -> None:
     from imdb_top_250_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("opt-explain")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(outdir, exist_ok=True)
     only = [s for s in args.only.split(",") if s]
     names = [n for n in bench.HEADLINE if n in QUERIES or n in SUBSUMED]

@@ -143,6 +143,7 @@ def capped_band_pairs(
     max_bucket: int = 256,
     payload_cols: list[str] | None = None,
     precomputed_stats: DataFrame | None = None,
+    verify=None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs within equal ``band_cols`` buckets,
     with a hot-bucket guard.
@@ -180,6 +181,19 @@ def capped_band_pairs(
     simhash.)  A corpus so degenerate that ``hot`` itself is huge would
     stress the broadcast; at that point the corpus needs cleaning, not
     pairing.
+
+    ``verify`` (round 14, guide §2.3): an optional per-pair transform
+    (filter + projection) applied to the candidate rows BEFORE the
+    final distinct-pairs exchange.  Band-LSH verify stages are brutally
+    selective (measured at sf0.1: 273k simhash candidates → 905
+    surviving pairs), and payload columns are wide (fingerprints,
+    vectors) — verifying first means the dropDuplicates exchange
+    carries a few hundred narrow verified rows instead of every
+    candidate with both payloads.  The transform must keep ``id_a`` /
+    ``id_b`` and must be a pure row function of the pair (the same
+    pair reached via different bands must produce identical rows —
+    which any distance verify satisfies), so filter-then-distinct
+    equals distinct-then-filter.  It runs on the star path too.
 
     ``precomputed_stats`` keeps plan construction FULLY LAZY: pass a
     ``bucket_stats(banded, ...)`` table (persisted, or written once per
@@ -227,6 +241,8 @@ def capped_band_pairs(
         *[F.col(f"l.{p}").alias(f"{p}_a") for p in payload_cols],
         *[F.col(f"r.{p}").alias(f"{p}_b") for p in payload_cols],
     )
+    if verify is not None:
+        all_pairs = verify(all_pairs)
     if no_hot:
         return all_pairs.dropDuplicates(["id_a", "id_b"])
     hot_members = banded.join(F.broadcast(hot), list(band_cols))
@@ -245,6 +261,8 @@ def capped_band_pairs(
             *[F.col(p).alias(f"{p}_b") for p in payload_cols],
         )
     )
+    if verify is not None:
+        star_pairs = verify(star_pairs)
     return all_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
 
@@ -450,9 +468,15 @@ def simhash_pairs(
     # materialize once: the banded self-join would otherwise rebuild the
     # whole fingerprint table for each side (persist() on a cluster)
     sh = eager_pin(simhash_table(df, text_col, id_col))
+    # the verify payload is the fingerprint as TWO LONGS, parsed once
+    # per document here (round 14) — the old 64-char ``bits`` payload
+    # was conv()-parsed per CANDIDATE PAIR (4 string→long parses × 273k
+    # candidates at sf0.1) and rode the distinct-pairs exchange as 128
+    # chars/pair
     banded = sh.select(
         id_col,
-        "bits",
+        _half_long(F.col("bits"), 1).alias("h1"),
+        _half_long(F.col("bits"), 33).alias("h2"),
         F.explode(
             F.array(
                 *[
@@ -464,17 +488,25 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bits", "bb.band", "bb.chunk")
-    cand = capped_band_pairs(
-        banded, id_col, ["band", "chunk"], max_bucket, payload_cols=["bits"]
-    )
+    ).select(id_col, "h1", "h2", "bb.band", "bb.chunk")
     ham = (
-        F.bit_count(_half_long(F.col("bits_a"), 1).bitwiseXOR(_half_long(F.col("bits_b"), 1)))
-        + F.bit_count(_half_long(F.col("bits_a"), 33).bitwiseXOR(_half_long(F.col("bits_b"), 33)))
+        F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b")))
+        + F.bit_count(F.col("h2_a").bitwiseXOR(F.col("h2_b")))
     )
-    return (
-        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+    # hamming verify runs BEFORE the distinct-pairs exchange (guide
+    # §2.3): banding is a recall device, so candidates outnumber true
+    # pairs ~300:1 at sf0.1 — filtering first shrinks the exchange to
+    # the verified survivors, three narrow columns each
+    verify = lambda pairs: pairs.select(  # noqa: E731
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+    return capped_band_pairs(
+        banded,
+        id_col,
+        ["band", "chunk"],
+        max_bucket,
+        payload_cols=["h1", "h2"],
+        verify=verify,
     )
 
 
@@ -881,16 +913,19 @@ def ngram_jaccard_pairs_prefix(
             )
         ).alias("gram"),
     )
-    cand = (
-        capped_band_pairs(
-            pre, id_col, ["gram"], max_bucket, payload_cols=["n_grams"]
-        )
-        .where(
+    # length-compatibility verify pushed BEFORE the distinct-pairs
+    # exchange (round 14, guide §2.3) — it also subsumes the second
+    # dropDuplicates this path used to run after its own filter
+    cand = capped_band_pairs(
+        pre,
+        id_col,
+        ["gram"],
+        max_bucket,
+        payload_cols=["n_grams"],
+        verify=lambda p: p.where(
             (F.col("n_grams_b") >= F.ceil(F.col("n_grams_a") * F.lit(threshold)))
             & (F.col("n_grams_a") >= F.ceil(F.col("n_grams_b") * F.lit(threshold)))
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b")
+        ).select("id_a", "id_b"),
     )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("_ga")

@@ -106,6 +106,31 @@ def _seam_width(df: DataFrame, par: int) -> int:
     return max(1, min(2 * par, -(-est // _SEAM_TASK_BYTES)))
 
 
+def widen_for_python(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a below-parallelism input ahead of a Python seam,
+    with the fan-out SIZED from the plan's byte estimate (round 14):
+    Python workers parallelize per partition, so a 1-task input
+    serializes the seam — but every partition costs a worker round
+    trip, so tiny inputs must not fan to 2*parallelism either.  With
+    ``cols`` the repartition hashes on them (callers that feed keyed
+    aggregation downstream); keyless round-robin otherwise.  A no-op
+    when the input is already wide enough or too small to matter."""
+    spark = df.sparkSession
+    target = _seam_width(df, spark.sparkContext.defaultParallelism)
+    if target > 1:
+        try:
+            n_in = df.rdd.getNumPartitions()
+        except Exception:
+            n_in = target
+        if n_in < target:
+            return (
+                df.repartition(target, *[F.col(c) for c in cols])
+                if cols
+                else df.repartition(target)
+            )
+    return df
+
+
 def _codec_map_in_pandas(df: DataFrame, fn, schema) -> DataFrame:
     """mapInPandas with the Arrow byte-batch cap enforced at the seam.
 
@@ -135,16 +160,7 @@ def _codec_map_in_pandas(df: DataFrame, fn, schema) -> DataFrame:
     # launches for a decode that fits in a handful; target partitions
     # now derive from the plan's byte estimate (one worker per
     # ~128 KiB of input), clamped to the round-13 cap.
-    par = spark.sparkContext.defaultParallelism
-    target = _seam_width(df, par)
-    if target > 1:
-        try:
-            n_in = df.rdd.getNumPartitions()
-        except Exception:
-            n_in = target
-        if n_in < target:
-            df = df.repartition(target)
-    return df.mapInPandas(fn, schema)
+    return widen_for_python(df).mapInPandas(fn, schema)
 
 
 BLOB_META_SCHEMA = T.StructType(
@@ -1878,22 +1894,33 @@ def ahash_near_dup(
     drops degenerate buckets (e.g. monochrome-image hash collisions)
     with the same documented recall trade as the MinHash star cap.
 
-    One shuffle for the bucket join, one broadcast-back of the tiny
-    signature table per side at fixture scale (Catalyst picks; at
-    corpus scale both joins shuffle on doc_id — still never all-pairs).
+    One shuffle for the bucket join; the four band longs RIDE the pair
+    join as payloads (round 14) so the popcount verify runs on the
+    candidate rows BEFORE the distinct-pairs exchange — the previous
+    shape deduped unverified candidates and then joined the signature
+    table back per side (two extra joins, and the exchange carried
+    every candidate instead of the verified survivors; guide §2.3).
     """
     melted = sigs.select(
         "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
         F.expr(
             "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, band_val)"
         ),
     )
-    sizes = melted.groupBy("band_id", "band_val").agg(
-        F.count("*").alias("_n")
-    )
+    sizes = melted.select("band_id", "band_val").groupBy(
+        "band_id", "band_val"
+    ).agg(F.count("*").alias("_n"))
     ok_buckets = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     bucketed = melted.join(ok_buckets, ["band_id", "band_val"])
-    cand = (
+    ham = sum(
+        F.bit_count(F.col(f"x.b{i}").bitwiseXOR(F.col(f"y.b{i}")))
+        for i in range(4)
+    ).cast("long")
+    return (
         bucketed.alias("x")
         .join(
             bucketed.alias("y"),
@@ -1904,27 +1931,10 @@ def ahash_near_dup(
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    a = sigs.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"b{i}").alias(f"_a{i}") for i in range(4)],
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"b{i}").alias(f"_b{i}") for i in range(4)],
-    )
-    ham = sum(
-        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}")))
-        for i in range(4)
-    ).cast("long")
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", ham)
         .where(F.col("hamming") <= radius)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

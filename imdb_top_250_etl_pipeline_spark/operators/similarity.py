@@ -112,10 +112,31 @@ def brute_force_topk(
             ),
         )
     )
-    return _two_phase_topk(scored, k)
+    # corpus is the per-query row-volume bound: small corpus -> the
+    # size-gated single-window path (identical result, one less pass)
+    return _two_phase_topk(scored, k, size_hint_df=corpus)
 
 
-def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+# one-task top-k bound: when the CORPUS side of a scoring pass is
+# estimated under this many bytes, a single per-query window task holds
+# at most ~a million scored rows — no hot partition is possible and the
+# salting phase is pure overhead (an extra sort + exchange per query)
+_ONE_TASK_TOPK_BYTES = 256 * 1024 * 1024
+
+
+def _plan_bytes(df: DataFrame) -> int | None:
+    """Optimized-logical-plan size estimate in bytes — a STATIC size
+    hint (no job, no action; the DSIR round-13 lesson forbids plan-time
+    probe jobs).  None when unavailable (Connect session)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _two_phase_topk(
+    scored: DataFrame, k: int, size_hint_df: DataFrame | None = None
+) -> DataFrame:
     """Per-query top-k from (query_id, neighbor_id, cos_sim) rows, salted.
 
     A single ``Window.partitionBy(query_id)`` funnels O(corpus) scored
@@ -132,7 +153,24 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     so any row in a query's true global top-k is also top-k within its
     (query, salt) group — phase 1 can never cut a survivor, for any
     salt count (the trending_topk invariant).
+
+    ``size_hint_df`` (round 14): callers pass the CORPUS-side relation
+    (per-query scored volume is bounded by it); when its static plan
+    estimate is small enough that one task can hold a whole query's
+    rows, the salting phase is skipped — the identical result (the
+    invariant above, fuzz-pinned) through one window pass instead of
+    two.  No hint, or an estimate past the bound, keeps the salted
+    production shape.
     """
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    rank_k = lambda df: (  # noqa: E731
+        df.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+    hint = _plan_bytes(size_hint_df) if size_hint_df is not None else None
+    if hint is not None and hint < _ONE_TASK_TOPK_BYTES:
+        return rank_k(scored)
     n_salts = max(scored.sparkSession.sparkContext.defaultParallelism, 8)
     salted = scored.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts))
@@ -145,12 +183,7 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
         .where(F.col("prank") <= k)
         .drop("salt", "prank")
     )
-    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return rank_k(partial)
 
 
 def assign_clusters(
@@ -324,8 +357,13 @@ def ivf_topk(
     )
     # candidates per query ~ corpus * nprobe / n_centroids — still large
     # enough at scale that a single per-query task would hot-spot; the
-    # salted two-phase ranking bounds every task like the brute path
-    return _two_phase_topk(scored, k)
+    # salted two-phase ranking bounds every task like the brute path.
+    # Size hint: the RAW corpus relation (its scan-stat estimate is
+    # honest; the assigned index is an agg over a crossJoin whose
+    # estimate inflates ~1000x and would never let the gate fire)
+    return _two_phase_topk(
+        scored, k, size_hint_df=corpus if index is None else index
+    )
 
 
 def collapse_exact_vectors_first(
@@ -485,19 +523,26 @@ def cosine_near_dup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, vec_col, "norm", "bb.band", "bb.chunk")
-    cand = capped_band_pairs(
-        banded, id_col, ["band", "chunk"], max_bucket, payload_cols=[vec_col, "norm"]
-    )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            (
-                dot(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
-                / (F.col("norm_a") * F.col("norm_b"))
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    # exact-cosine verify runs BEFORE the distinct-pairs exchange
+    # (round 14, guide §2.3): banding is a recall device, so candidates
+    # vastly outnumber true near-dups — filtering first means the
+    # dropDuplicates exchange moves a handful of (id_a, id_b, cos_sim)
+    # rows instead of every candidate with BOTH full vectors aboard
+    verify = lambda pairs: pairs.select(  # noqa: E731
+        "id_a",
+        "id_b",
+        (
+            dot(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+        ).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
+    return capped_band_pairs(
+        banded,
+        id_col,
+        ["band", "chunk"],
+        max_bucket,
+        payload_cols=[vec_col, "norm"],
+        verify=verify,
     )
 
 
@@ -614,19 +659,25 @@ def semantic_dedup(
         "cluster",
         l2_norm(F.col(vec_col)).alias("norm"),
     )
-    cand = capped_band_pairs(
-        base, id_col, ["cluster"], max_cluster, payload_cols=[vec_col, "norm"]
-    )
     cos = F.when(
         (F.col("norm_a") > 0) & (F.col("norm_b") > 0),
         dot(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
         / (F.col("norm_a") * F.col("norm_b")),
     ).otherwise(F.lit(0.0))
-    pairs = eager_pin(
-        cand.select("id_a", "id_b", cos.alias("cos")).where(
+    # cosine verify pushed BEFORE the distinct-pairs exchange (round
+    # 14, guide §2.3): the exchange then carries only verified narrow
+    # rows, never candidate pairs with both vectors aboard
+    cand = capped_band_pairs(
+        base,
+        id_col,
+        ["cluster"],
+        max_cluster,
+        payload_cols=[vec_col, "norm"],
+        verify=lambda p: p.select("id_a", "id_b", cos.alias("cos")).where(
             F.col("cos") >= threshold
-        )
+        ),
     )
+    pairs = eager_pin(cand)
     groups = dedup_groups(pairs.select("id_a", "id_b"))
     return (
         corpus.select(id_col)
@@ -944,6 +995,7 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     dim: int | None = None,
+    size_hint_df: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes.
 
@@ -1014,7 +1066,12 @@ def pq_topk(
         )
     )
     # negated distance rides the shared desc-ordered two-phase ranker
-    return _two_phase_topk(scored, k)
+    # (size hint: the code index bounds per-query candidate volume; an
+    # inline-built index carries inflated agg stats, so composing
+    # callers pass the raw corpus instead)
+    return _two_phase_topk(
+        scored, k, size_hint_df=index if size_hint_df is None else size_hint_df
+    )
 
 
 def pq_refine_topk(
@@ -1040,7 +1097,8 @@ def pq_refine_topk(
     path; recall floors vs brute_force_topk pinned in unit tests.
     """
     cands = pq_topk(
-        index, queries, books, id_col, vec_col, k=shortlist, m=m, dim=dim
+        index, queries, books, id_col, vec_col, k=shortlist, m=m, dim=dim,
+        size_hint_df=corpus,
     )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")

@@ -1037,10 +1037,11 @@ def _uni_bi_grams(text_col: str) -> Column:
 
 def dsir_importance(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     buckets: int = 1024,
+    target_predicate: Column | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw-pool
@@ -1064,9 +1065,26 @@ def dsir_importance(
     weight table (≤ buckets rows) broadcasts back onto per-document
     bucket counts; totals ride single-row broadcasts.  No step's
     state grows with the corpus except the two scans.
+
+    ``target_predicate`` (round 14, guide §2.4): when the trusted
+    target is a SUBSET of the raw pool (the common "select like the
+    lang='en' slice" shape), pass the defining predicate instead of a
+    second DataFrame — the target histogram then derives from the same
+    per-doc count table as the raw histogram (Σ of per-doc counts over
+    target docs IS the target bucket count, the identical multiset),
+    so the corpus is feature-hashed ONCE instead of twice.  At 100 TB
+    that deletes one of the two full corpus passes.  Exactly one of
+    ``target`` / ``target_predicate`` must be given.
     """
-    def occurrences(src: DataFrame, with_id: bool) -> DataFrame:
+    if (target is None) == (target_predicate is None):
+        raise ValueError("pass exactly one of target / target_predicate")
+
+    def occurrences(src: DataFrame, with_id: bool, flag: Column | None = None):
         cols = [F.col(id_col)] if with_id else []
+        names = [id_col] if with_id else []
+        if flag is not None:
+            cols = [*cols, flag.alias("_tgt")]
+            names = [*names, "_tgt"]
         g = src.select(
             *cols, F.explode(_uni_bi_grams(text_col)).alias("_g")
         )
@@ -1075,7 +1093,7 @@ def dsir_importance(
             16,
             10,
         ).cast("long") % F.lit(buckets)
-        return g.select(*cols, h.alias("_b"))
+        return g.select(*names, h.alias("_b"))
 
     # Round-13 optimization (guide §2.4): derive the raw-pool histogram
     # from the per-doc counts (the sum of per-doc counts per bucket IS
@@ -1086,14 +1104,23 @@ def dsir_importance(
     # measured strictly worse at both sf0.1 and sf1 once scans split
     # (it re-serializes through one exchange and defeats reuse).
     doc_counts = (
-        occurrences(df, with_id=True)
-        .groupBy(id_col, "_b")
+        occurrences(df, with_id=True, flag=target_predicate)
+        .groupBy(
+            id_col, "_b", *(["_tgt"] if target_predicate is not None else [])
+        )
         .agg(F.count("*").alias("_c"))
     )
     q = doc_counts.groupBy("_b").agg(F.sum("_c").alias("_q"))
-    t = occurrences(target, with_id=False).groupBy("_b").agg(
-        F.count("*").alias("_t")
-    )
+    if target_predicate is not None:
+        t = (
+            doc_counts.where(F.col("_tgt"))
+            .groupBy("_b")
+            .agg(F.sum("_c").alias("_t"))
+        )
+    else:
+        t = occurrences(target, with_id=False).groupBy("_b").agg(
+            F.count("*").alias("_t")
+        )
     totals = q.agg(F.sum("_q").alias("_qt")).crossJoin(
         t.agg(F.sum("_t").alias("_tt"))
     )

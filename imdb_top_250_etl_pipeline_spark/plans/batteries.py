@@ -4735,9 +4735,19 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import dsir_importance
 
     d = load(spark, sf_dir, "documents")
-    pool = d.select("doc_id", "text")
-    target = d.where(F.col("lang") == "en").select("text")
-    return dsir_importance(pool, target, "doc_id", "text", buckets=_DSIR_B)
+    pool = d.select("doc_id", "text", "lang")
+    # the target is the lang='en' SLICE of the pool, so it rides the
+    # one feature pass as a predicate flag (round 14): the corpus is
+    # hashed once, not once per histogram — same integers by
+    # construction (Σ per-doc counts over en docs IS the en histogram)
+    return dsir_importance(
+        pool,
+        None,
+        "doc_id",
+        "text",
+        buckets=_DSIR_B,
+        target_predicate=F.col("lang") == "en",
+    )
 
 
 _BIGRAM_LM_ORACLE = """

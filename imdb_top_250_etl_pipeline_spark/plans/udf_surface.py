@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import spread
 from ..operators.udfs import fetch_details, grouped_zscore, parse_markup
 from ..sources import load
 from .registry import register
@@ -45,9 +44,14 @@ def _markup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("string"),
         F.lit('">x</a></li>'),
     )
-    # spread before mapInPandas: Python workers parallelize per
-    # partition, and the fixture arrives as a single file
-    return spread(p, "p_partkey").select(
+    # widen before mapInPandas: Python workers parallelize per
+    # partition, and the fixture arrives as a single file — the fan is
+    # SIZED from the plan's byte estimate (round 14; the fixed
+    # 2*parallelism spread paid ~60 worker launches for a KB-scale
+    # parse at local[32])
+    from ..operators.multimodal import widen_for_python
+
+    return widen_for_python(p, "p_partkey").select(
         F.when(k % 41 == 0, F.lit("<li><h3>broken")).otherwise(good).alias("markup")
     )
 

@@ -1262,6 +1262,51 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
     assert min(got[1], got[3]) > max(got[2], got[4])
 
 
+def test_dsir_target_predicate_equals_two_frame_form(spark):
+    """Round-14: when the target is a predicate slice of the pool, the
+    flag-through-the-one-feature-pass form must produce EXACTLY the
+    two-frame form's integers (the target histogram is the sum of
+    per-doc counts over target docs — the identical multiset)."""
+    from pyspark.sql import functions as F
+
+    from imdb_top_250_etl_pipeline_spark.operators.text import (
+        dsir_importance,
+    )
+
+    pool = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "stack trace null pointer exception thrown", "log"),
+        (3, "the dog sat on the rug", "en"),
+        (4, "kernel panic segfault core dumped", "log"),
+        (5, "the cat and the dog sat", "de"),
+    ]
+    df = spark.createDataFrame(pool, ["doc_id", "text", "lang"])
+    tdf = df.where(F.col("lang") == "en").select("text")
+    two_frame = {
+        tuple(r)
+        for r in dsir_importance(df, tdf, "doc_id", "text", buckets=64)
+        .collect()
+    }
+    flagged = {
+        tuple(r)
+        for r in dsir_importance(
+            df, None, "doc_id", "text", buckets=64,
+            target_predicate=F.col("lang") == "en",
+        ).collect()
+    }
+    assert flagged == two_frame
+    # exactly one of target / target_predicate must be supplied
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_importance(df, None, "doc_id", "text", buckets=64)
+    with pytest.raises(ValueError):
+        dsir_importance(
+            df, tdf, "doc_id", "text", buckets=64,
+            target_predicate=F.col("lang") == "en",
+        )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (pq_train / pq_encode / pq_topk / pq_refine_topk)
 # — hand-codebook exact duals + recall floor; the sf corpus run rides

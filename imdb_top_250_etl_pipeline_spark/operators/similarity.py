@@ -124,14 +124,8 @@ def brute_force_topk(
 _ONE_TASK_TOPK_BYTES = 256 * 1024 * 1024
 
 
-def _plan_bytes(df: DataFrame) -> int | None:
-    """Optimized-logical-plan size estimate in bytes — a STATIC size
-    hint (no job, no action; the DSIR round-13 lesson forbids plan-time
-    probe jobs).  None when unavailable (Connect session)."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
+# the shared static size hint lives next to spread() in dedup.py
+from .dedup import plan_size_bytes as _plan_bytes  # noqa: E402
 
 
 def _two_phase_topk(

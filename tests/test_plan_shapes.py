@@ -154,18 +154,29 @@ def test_assign_clusters_uses_partial_min_by_not_window(spark):
 
 
 def test_brute_force_topk_is_salted_two_phase(spark):
-    # phase 1 must rank within (query_id, salt) so no single task ever
-    # receives a whole query's corpus; only the k×n_salts survivors
-    # reach the per-query window
+    # SIZE-GATED (round 14): when the corpus-side plan estimate says a
+    # single task can hold a whole query's scored rows, the salting
+    # phase is skipped (identical result — the fuzz-pinned invariant);
+    # past the bound, or without a size hint, phase 1 must rank within
+    # (query_id, salt) so no single task ever receives a whole query's
+    # corpus, and only the k×n_salts survivors reach the final window
     from imdb_top_250_etl_pipeline_spark.operators.similarity import (
+        _two_phase_topk,
         brute_force_topk,
     )
     from imdb_top_250_etl_pipeline_spark.sources import load
 
     emb = load(spark, SF_CORRECT, "embeddings")
     plan = plan_of(brute_force_topk(emb, emb.limit(3)), mode="simple")
-    assert "salt" in plan, plan
-    assert plan.count("Window ") == 2, plan  # partial rank + final rank
+    assert "salt" not in plan, plan
+    assert plan.count("Window ") == 1, plan  # single final rank
+    # the production (no-hint) shape stays salted two-phase
+    scored = spark.range(10).selectExpr(
+        "id % 2 AS query_id", "id AS neighbor_id", "CAST(id AS DOUBLE) AS cos_sim"
+    )
+    plan2 = plan_of(_two_phase_topk(scored, 3), mode="simple")
+    assert "salt" in plan2, plan2
+    assert plan2.count("Window ") == 2, plan2  # partial rank + final rank
 
 
 def test_capped_band_pairs_hot_guard_is_broadcast(spark):

@@ -292,3 +292,44 @@ def test_pin_scope_reliable_mode_is_scoped(spark, tmp_path):
     assert df2.count() == 50
     assert not os.path.exists(scope.reliable_dir)
     handle.release()
+
+
+def test_entry_queries_roll_pin_release(spark):
+    """Round-14: the driver adapter wraps each queries() entry in its
+    own pin scope and retires scopes from builds >= 3 invocations ago —
+    a 50-query vanilla-session run must not accumulate every query's
+    dead localCheckpoint blocks (the hazard bench.py fixed for itself
+    in round 13).  Sequential build->consume->next stays correct, and
+    the pinned-RDD count stays bounded instead of growing per query."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as mod
+    from imdb_top_250_etl_pipeline_spark.operators.pinning import (
+        pinned_rdd_count,
+    )
+
+    qs = mod.queries()
+    # pick pin-heavy entries; run several times to exceed the keep window
+    names = [
+        "dedup_pairs_battery",
+        "dedup_minhash_candidates",
+        "dedup_embedding_cosine",
+    ] * 3
+    sf = "/root/testdata/sf0.001"
+    base = pinned_rdd_count(spark)
+    high = 0
+    for n in names:
+        rows = qs[n](spark, sf).collect()
+        assert rows, n  # consumed sequentially, correct under the wrap
+        high = max(high, pinned_rdd_count(spark))
+    # after the loop, only the keep-window scopes may still hold blocks:
+    # trigger two more retires and verify the count returns near base
+    qs["dedup_exact_documents"](spark, sf).collect()
+    qs["dedup_exact_documents"](spark, sf).collect()
+    qs["dedup_exact_documents"](spark, sf).collect()
+    settled = pinned_rdd_count(spark)
+    # 9 pin-heavy builds happened; without the rolling release the
+    # settled count would sit ~9 queries' pins above base
+    assert settled - base <= high - base, (base, high, settled)
+    assert settled - base < 9, (base, settled)
